@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is per-query wall clock around a count()/collect-free action
+(``df.write.format("noop")`` equivalent: foreach-noop via count) after a
+warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crowdsorsa_etl_spark.queries import QUERIES
+from crowdsorsa_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_filter",
+    "q03_star_join",
+    "q04_bigjoin_priority",
+    "q07_topk_per_group",
+    "q09_rollup",
+    "q13_asof_join",
+    "q14_json_extract",
+    "q19_tumbling_window",
+    "llm_exact_dedup",
+    "llm_text_stats",
+    "llm_cosine_topk",
+    "llm_minhash_lsh",
+    "flagship_order_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # warm up the JVM/codegen once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

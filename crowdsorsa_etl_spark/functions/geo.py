@@ -1,0 +1,209 @@
+"""Geometry column pack — WKB in a BinaryType column, vectorized pandas UDFs.
+
+The reference's geometry ops run through sf → GDAL/GEOS/s2 FFI
+(crowdsorsa-etl-2023.R:34-40: ``st_make_valid``/``st_cast``/``st_area``;
+:82-86: GeoJSON encoding). This engine keeps geometry as WKB bytes in an
+ordinary ``BinaryType`` column (the 100 TB-friendly representation: parquet
+pages of raw bytes; any partitioning works) and implements the math in
+Arrow-batched pandas UDFs with numpy — no native geo library is present in
+this image. Apache Sedona would slot in behind the same column when its jars
+are on the classpath (SURVEY.md §7 step 4); these UDFs are the dependency-free
+fallback with identical semantics.
+
+Supported: POLYGON (3) and MULTIPOLYGON (6), 2-D, both byte orders.
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# GeoJSON MultiPolygon coordinates: [polygon][ring][point][xy]
+MULTIPOLYGON_COORDS = T.ArrayType(
+    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+)
+GEOJSON_GEOMETRY = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates", MULTIPOLYGON_COORDS),
+    ]
+)
+
+#: mean Earth radius used by s2 (and therefore by sf::st_area on WGS84)
+_EARTH_RADIUS_M = 6371010.0
+
+
+def _parse_wkb(buf: bytes) -> list[list[list[tuple[float, float]]]]:
+    """Parse WKB POLYGON/MULTIPOLYGON → [polygon][ring][(x, y)]."""
+    pos = 0
+
+    def read(fmt: str, size: int):
+        nonlocal pos
+        out = _struct.unpack_from(fmt, buf, pos)
+        pos += size
+        return out
+
+    def read_header() -> tuple[str, int]:
+        nonlocal pos
+        (byte_order,) = read("B", 1)
+        endian = "<" if byte_order == 1 else ">"
+        (gtype,) = read(endian + "I", 4)
+        return endian, gtype & 0xFF  # mask Z/M/SRID flags
+
+    def read_polygon(endian: str) -> list[list[tuple[float, float]]]:
+        (n_rings,) = read(endian + "I", 4)
+        rings = []
+        for _ in range(n_rings):
+            (n_pts,) = read(endian + "I", 4)
+            pts = read(endian + "d" * (2 * n_pts), 16 * n_pts)
+            rings.append([(pts[2 * i], pts[2 * i + 1]) for i in range(n_pts)])
+        return rings
+
+    endian, gtype = read_header()
+    if gtype == 3:  # Polygon
+        return [read_polygon(endian)]
+    if gtype == 6:  # MultiPolygon
+        (n_polys,) = read(endian + "I", 4)
+        polys = []
+        for _ in range(n_polys):
+            endian_i, gtype_i = read_header()
+            if gtype_i != 3:
+                raise ValueError(f"expected Polygon inside MultiPolygon, got {gtype_i}")
+            polys.append(read_polygon(endian_i))
+        return polys
+    raise ValueError(f"unsupported WKB geometry type: {gtype}")
+
+
+def polygons_to_wkb(polys: list[list[list[tuple[float, float]]]]) -> bytes:
+    """Serialize [polygon][ring][(x,y)] back to little-endian WKB MULTIPOLYGON."""
+    out = bytearray()
+    out += _struct.pack("<BI", 1, 6)
+    out += _struct.pack("<I", len(polys))
+    for rings in polys:
+        out += _struct.pack("<BI", 1, 3)
+        out += _struct.pack("<I", len(rings))
+        for ring in rings:
+            out += _struct.pack("<I", len(ring))
+            for x, y in ring:
+                out += _struct.pack("<dd", x, y)
+    return bytes(out)
+
+
+def _ring_area_planar(ring: list[tuple[float, float]]) -> float:
+    """Signed shoelace area (planar CRS units², e.g. m² for EUREF/TM35FIN)."""
+    s = 0.0
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _ring_area_geodesic(ring: list[tuple[float, float]]) -> float:
+    """Signed spherical-excess area (m²) for lon/lat rings (WGS84).
+
+    L'Huilier-style accumulation equivalent to s2's spherical area — matches
+    sf::st_area's s2 path to well within the reference's ceiling() rounding.
+    """
+    if len(ring) < 4:
+        return 0.0
+    total = 0.0
+    for i in range(len(ring) - 1):
+        lon1, lat1 = ring[i]
+        lon2, lat2 = ring[i + 1]
+        phi1 = math.radians(lat1)
+        phi2 = math.radians(lat2)
+        dlon = math.radians(lon2 - lon1)
+        total += 2.0 * math.atan2(
+            math.tan(dlon / 2.0) * (math.tan(phi1 / 2.0) + math.tan(phi2 / 2.0)),
+            1.0 + math.tan(phi1 / 2.0) * math.tan(phi2 / 2.0),
+        )
+    return total * _EARTH_RADIUS_M * _EARTH_RADIUS_M
+
+
+def _multipolygon_area(buf: bytes | None, geodesic: bool) -> float | None:
+    if buf is None:
+        return None
+    area_fn = _ring_area_geodesic if geodesic else _ring_area_planar
+    total = 0.0
+    for rings in _parse_wkb(bytes(buf)):
+        for j, ring in enumerate(rings):
+            a = abs(area_fn(ring))
+            total += a if j == 0 else -a  # holes subtract
+    return abs(total)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area_planar(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: _multipolygon_area(b, geodesic=False))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area_geodesic(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: _multipolygon_area(b, geodesic=True))
+
+
+def area_m2(wkb: Column, crs_label: str) -> Column:
+    """``ceiling(st_area(geom))`` (crowdsorsa-etl-2023.R:40) — geodesic for
+    WGS84 (2023), planar for EUREF (2024). Returns double like the reference
+    (R ``ceiling`` keeps numeric)."""
+    raw = st_area_geodesic(wkb) if crs_label == "WGS84" else st_area_planar(wkb)
+    return F.ceil(raw).cast("double")
+
+
+def _make_valid_py(buf: bytes | None) -> bytes | None:
+    """Light-weight ``st_make_valid`` + ``st_cast(.., "MULTIPOLYGON")``
+    (crowdsorsa-etl-2023.R:36-38): close unclosed rings, drop degenerate
+    rings (<4 points after closing), normalize to MULTIPOLYGON.
+
+    Full GEOS-style self-intersection repair needs a computational-geometry
+    kernel that is out of scope without a native geo library; inputs here are
+    game-drawn simple polygons where closure/degeneracy are the failure modes.
+    """
+    if buf is None:
+        return None
+    polys = _parse_wkb(bytes(buf))
+    fixed = []
+    for rings in polys:
+        new_rings = []
+        for ring in rings:
+            r = list(ring)
+            if r and r[0] != r[-1]:
+                r.append(r[0])
+            if len(r) >= 4:
+                new_rings.append(r)
+        if new_rings:
+            fixed.append(new_rings)
+    return polygons_to_wkb(fixed)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_make_valid_multi(wkb: pd.Series) -> pd.Series:
+    return wkb.map(_make_valid_py)
+
+
+def _to_geojson_py(buf: bytes | None) -> dict | None:
+    if buf is None:
+        return None
+    polys = _parse_wkb(bytes(buf))
+    coords = [[[list(pt) for pt in ring] for ring in rings] for rings in polys]
+    return {"type": "MultiPolygon", "coordinates": coords}
+
+
+@F.pandas_udf(GEOJSON_GEOMETRY)
+def st_as_geojson_struct(wkb: pd.Series) -> pd.DataFrame:
+    parsed = wkb.map(_to_geojson_py)
+    return pd.DataFrame(
+        {
+            "type": parsed.map(lambda g: None if g is None else g["type"]),
+            "coordinates": parsed.map(
+                lambda g: None if g is None else g["coordinates"]
+            ),
+        }
+    )

@@ -1,0 +1,238 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2.2 extension).
+
+Four strategies, all shuffle-bounded and driver-free:
+
+* exact            — hash the normalized text, keep the first doc per hash.
+                     ONE shuffle on a 64/128-bit key; at 100 TB hash first so
+                     the shuffle key is fixed-width, not the document body.
+* minhash_lsh      — word-shingle → k minhashes → band keys → candidates from
+                     same-band buckets. Built-in exprs only (explode +
+                     xxhash64 + map-side-combined min aggregates);
+                     cost is |bands| rows per doc shuffled, never |docs|².
+* simhash          — 64-bit simhash from token hashes; near-dups = equal
+                     simhash bucket (or hamming ≤ r via rotations).
+* token_jaccard    — exact pairwise Jaccard over distinct-token sets, scoped
+                     by a blocking key (e.g. lang) to bound the pair blowup;
+                     the SQL-oracle-checkable ground truth for the approximate
+                     methods.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.functions.text import shingles
+
+_WS = r"\s+"
+
+
+def _norm(col):
+    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: keeper id + duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(_norm(F.col(text_col))).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus itself (keep min-id row per text hash)."""
+    w = Window.partitionBy(F.md5(_norm(F.col(text_col)))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """k minhashes per doc as columns mh0..mh{k-1} — explode + groupBy.
+
+    hash_i(s) = xxhash64(i, xxhash64(s)); minhash_i = min over shingles.
+    Formulated as explode→min-aggregate (NOT nested array lambdas): each
+    shingle is string-hashed exactly once, the k family hashes are cheap
+    bigint→bigint ops, and map-side partial mins shrink the shuffle to
+    |docs| × k values per partition — the shape that holds at 100 TB.
+    (Nested transform()/array_min() re-evaluates the shingle array per
+    family member: measured 60× slower at sf0.1.)
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k=shingle_k)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows_per_band = num_hashes // bands; two docs collide when any band of
+    their signatures is identical. Output: (id_a, id_b, n_bands_matched).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+
+    # same-band-bucket self-join; dedup ordered pairs. The join key
+    # (band, bucket) is uniform under xxhash64, so no skew salting needed.
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: for each bit j, sum ±1 votes of token-hash
+    bit j over all tokens; bit j of the result = (sum > 0).
+
+    Same explode + partial-aggregate formulation as minhash_signatures:
+    token hashing happens once, the shuffle carries 64 ints per doc per
+    partition (map-side combine), bit packing is a final narrow projection.
+    (The nested transform()/aggregate() expression form re-evaluates the
+    token array per bit — 64x the string work.)
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+
+    def vote(j: int):
+        mask = F.shiftleft(F.lit(1).cast("bigint"), j)
+        return F.sum(
+            F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+
+    votes = ex.groupBy("id").agg(*[vote(j) for j in range(64)])
+    packed = F.lit(0).cast("bigint")
+    for j in range(64):
+        # bit 63 is the sign bit of the packed bigint (1<<63 overflows a
+        # python-literal long, so shift JVM-side)
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return votes.select("id", packed.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs grouped by identical simhash (the exact-collision tier; hamming-r
+    search composes by exploding bit-band rotations the same LSH way)."""
+    return (
+        simhash_signatures(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct-token sets for all doc pairs
+    sharing ``block_col``. Blocking bounds the quadratic term; at 100 TB use
+    LSH first and this only to verify candidates.
+
+    Output: (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.explode(F.array_distinct(F.split(_norm(F.col(text_col)), " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    # sizes is O(|docs|) — NOT broadcast; AQE converts to broadcast when the
+    # runtime size allows, otherwise these stay shuffle joins on the id key.
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_toks") + F.col("sb.n_toks") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers (SURVEY.md §2.2):
+
+* brute-force cosine top-k — exact; |Q|×|N| dot products. The arithmetic is
+  a pure column expression (``zip_with`` multiply + ``aggregate`` sum) so it
+  runs JVM-side; queries are broadcast so the corpus never shuffles. This is
+  also the DuckDB-oracle ground truth.
+* LSH-bucketed (random hyperplane / SRP) — approximate; each vector maps to
+  ``n_tables`` signature buckets built from deterministic xxhash64-seeded
+  hyperplanes; candidates = same-bucket pairs, then exact re-rank. Corpus
+  shuffles only on fixed-width bucket keys → scales to 100 TB.
+
+Sequential left-to-right double accumulation in ``F.aggregate`` matches
+DuckDB's ``list_dot_product`` evaluation order, so oracle hashes agree
+bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    queries (small) are broadcast against the corpus — the corpus side never
+    shuffles; the only wide op is the per-query top-k, done with a window on
+    (query_id) after filtering to candidate scores.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH (deterministic, dependency-free)
+# ---------------------------------------------------------------------------
+
+
+def _srp_plane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane via integer hashing (no RNG
+    state, reproducible across runs/cluster nodes)."""
+    vals = []
+    for d in range(dim):
+        h = (table * 1_000_003 + bit * 10_007 + d * 101 + 12345) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0x5BD1E995) & 0xFFFFFFFF
+        h ^= h >> 15
+        vals.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def srp_signature(vec: Column, dim: int, table: int, n_bits: int = 8) -> Column:
+    """n_bits sign bits of projections onto deterministic hyperplanes,
+    packed into one bigint bucket key."""
+    bucket = F.lit(0).cast("bigint")
+    for bit in range(n_bits):
+        plane = F.array(*[F.lit(v) for v in _srp_plane(dim, table, bit)])
+        proj = dot(vec, plane)
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket both sides per table, equi-join on
+    (table, bucket), exact cosine re-rank of candidates only."""
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"_{out_id}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            srp_signature(F.col(vec_col), dim, t, n_bits).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, f"_{out_id}_vec", "tb.table", "tb.bucket")
+
+    cb = bucketize(corpus, "neighbor_id")
+    qb = bucketize(queries, "query_id")
+
+    cand = (
+        cb.join(
+            qb,
+            (cb.table == qb.table)
+            & (cb.bucket == qb.bucket)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("_query_id_vec"), F.col("_neighbor_id_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

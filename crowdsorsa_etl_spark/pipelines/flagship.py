@@ -1,0 +1,94 @@
+"""Flagship query: nested-document assembly over the fixture star schema.
+
+This is the reference's signature operation (per-row nested JSON document
+building, crowdsorsa-etl-2023.R:120-179) exercised at scale on the driver's
+TPC-H-style tables: every order becomes a laji-etl-shaped document whose
+gathering is the order and whose units are its lineitems.
+
+Plan shape (the one you'd want at 100 TB):
+* customer⋈nation⋈region are broadcast dims (no shuffle),
+* lineitem→units is ONE shuffle (groupBy l_orderkey collect_list),
+* orders joins the aggregated units on the same key,
+* the struct/to_json projection is narrow and fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.sources.parquet import load_table
+
+
+def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+
+    # dim chain, broadcast both sides (25 + |customer| rows)
+    cust_dim = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    )
+
+    # units: one shuffle, map-side partial aggregation applies to collect_list
+    units = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("lineNumber"),
+                    F.col("l_partkey").alias("partKey"),
+                    F.col("l_quantity").alias("quantity"),
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+                    ).alias("netPrice"),
+                    F.col("l_returnflag").alias("returnFlag"),
+                )
+            )
+        ).alias("units")
+    )
+
+    doc_id = F.concat_ws("/", F.lit("http://example.invalid/orders"),
+                         F.col("o_orderkey").cast("string"))
+
+    doc = F.struct(
+        F.lit("order-etl").alias("schema"),
+        doc_id.alias("documentId"),
+        F.struct(
+            F.lit("PUBLIC").alias("concealment"),
+            F.array(
+                F.col("o_orderkey").cast("string"),
+                F.concat(F.lit("segment-"), F.col("c_mktsegment")),
+            ).alias("keywords"),
+            # NULL unless high-priority → key dropped by to_json (trap-3 analogue)
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.concat(F.lit("Urgent order for "), F.col("c_name")),
+            ).alias("notes"),
+            F.array(
+                F.struct(
+                    F.concat(doc_id, F.lit("_G")).alias("gatheringId"),
+                    F.struct(
+                        F.date_format("o_orderdate", "yyyy-MM-dd").alias("begin"),
+                        F.date_format("o_orderdate", "yyyy-MM-dd").alias("end"),
+                    ).alias("eventDate"),
+                    F.col("n_name").alias("municipality"),
+                    F.coalesce(F.col("units"), F.array().cast(
+                        "array<struct<lineNumber:int,partKey:bigint,quantity:double,"
+                        "netPrice:double,returnFlag:string>>"
+                    )).alias("units"),
+                )
+            ).alias("gatherings"),
+        ).alias("publicDocument"),
+    )
+
+    return (
+        orders.join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
+        .join(units, orders.o_orderkey == units.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.to_json(doc, {"ignoreNullFields": "true"}).alias("document_json"),
+        )
+    )

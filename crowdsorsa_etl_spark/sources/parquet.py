@@ -1,0 +1,49 @@
+"""Parquet source connector — the engine's canonical scan.
+
+The reference's scan is ``sf::st_read`` over an unzipped shapefile
+(``crowdsorsa-etl-2023.R:28-32``); the engine's canonical columnar source is
+parquet so that Catalyst pushes predicates and prunes columns into the scan
+(verify with ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB the same call reads a partitioned directory tree; partition
+pruning happens automatically on partition columns in the path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one fixture table. Schemas are declared, never inferred."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
+    # session.py nanosAsLong) and truncate to microseconds, matching how
+    # micro-resolution engines (DuckDB included) read the same file.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    expected = FIXTURE_TABLES.get(name)
+    if expected is not None:
+        # project to the declared column set (order + pruning); parquet
+        # supplies the physical types, which the fixtures already match.
+        df = df.select(*[f.name for f in expected.fields])
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,186 @@
+"""Operator semantics: as-of join vs pandas merge_asof, top-k, sessionize,
+dedup family, similarity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.asof import asof_join
+from crowdsorsa_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keep_first,
+    minhash_lsh_candidates,
+    simhash_buckets,
+    token_jaccard_pairs,
+)
+from crowdsorsa_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from crowdsorsa_etl_spark.operators.topk import sessionize, topk_per_group
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_matches_merge_asof(self, spark):
+        left_rows = [
+            (1, 100, _ts("2024-01-05 10:00:00")),
+            (2, 100, _ts("2024-01-01 00:00:00")),
+            (3, 200, _ts("2024-01-03 00:00:00")),
+            (4, 300, _ts("2024-01-09 00:00:00")),  # no right rows for key 300
+        ]
+        right_rows = [
+            (100, _ts("2024-01-01 00:00:00"), 11),
+            (100, _ts("2024-01-04 00:00:00"), 12),
+            (100, _ts("2024-01-06 00:00:00"), 13),
+            (200, _ts("2024-01-02 12:00:00"), 21),
+        ]
+        left = spark.createDataFrame(left_rows, "event_id long, key long, t timestamp")
+        right = spark.createDataFrame(right_rows, "key long, rt timestamp, val long")
+
+        got = (
+            asof_join(
+                left, right,
+                on="key", left_time="t", right_time="rt",
+                right_payload=["val"], tiebreak="val",
+            )
+            .select("event_id", "val")
+            .collect()
+        )
+        by_event = {r.event_id: r.val for r in got}
+        # pandas ground truth
+        lpdf = pd.DataFrame(left_rows, columns=["event_id", "key", "t"]).sort_values("t")
+        rpdf = pd.DataFrame(right_rows, columns=["key", "rt", "val"]).sort_values("rt")
+        expected = pd.merge_asof(lpdf, rpdf, left_on="t", right_on="rt", by="key")
+        for _, row in expected.iterrows():
+            want = None if pd.isna(row.val) else int(row.val)
+            assert by_event[row.event_id] == want
+
+    def test_inclusive_at_equal_timestamp(self, spark):
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-01 00:00:00"))], "id long, key long, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(5, _ts("2024-01-01 00:00:00"), 99)], "key long, rt timestamp, val long"
+        )
+        got = asof_join(
+            left, right, on="key", left_time="t", right_time="rt",
+            right_payload=["val"],
+        ).first()
+        assert got.val == 99
+
+    def test_tie_takes_max_tiebreak(self, spark):
+        left = spark.createDataFrame(
+            [(1, 5, _ts("2024-01-02 00:00:00"))], "id long, key long, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (5, _ts("2024-01-01 00:00:00"), 7),
+                (5, _ts("2024-01-01 00:00:00"), 9),
+            ],
+            "key long, rt timestamp, val long",
+        )
+        got = asof_join(
+            left, right, on="key", left_time="t", right_time="rt",
+            right_payload=["val"], tiebreak="val",
+        ).first()
+        assert got.val == 9
+
+
+class TestTopK:
+    def test_topk(self, spark):
+        df = spark.createDataFrame(
+            [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+            "grp string, v long",
+        )
+        out = topk_per_group(df, ["grp"], "v", 2, tiebreak="v")
+        got = {(r.grp, r.v) for r in out.collect()}
+        assert got == {("a", 9), ("a", 8), ("b", 2), ("b", 1)}
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, _ts("2024-01-01 10:00:00")),
+            (1, _ts("2024-01-01 10:10:00")),
+            (1, _ts("2024-01-01 11:00:00")),  # 50 min gap → new session
+            (2, _ts("2024-01-01 09:00:00")),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = sessionize(df, gap_minutes=30)
+        sessions = {
+            (r.user_id, r.ts.isoformat()): r.session_seq for r in out.collect()
+        }
+        assert sessions[(1, "2024-01-01T10:00:00")] == 1
+        assert sessions[(1, "2024-01-01T10:10:00")] == 1
+        assert sessions[(1, "2024-01-01T11:00:00")] == 2
+        assert sessions[(2, "2024-01-01T09:00:00")] == 1
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+    (4, "completely different text about spark engines", "en"),
+    (5, "der schnelle braune fuchs springt", "de"),
+]
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+        out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+        assert out[1] == 2  # docs 1+2 collapse
+        assert out[3] == 1
+
+    def test_keep_first(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+        kept = {r.doc_id for r in exact_dedup_keep_first(df).collect()}
+        assert kept == {1, 3, 4, 5}
+
+    def test_jaccard_finds_near_dup(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in token_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] >= 0.7
+        assert (1, 4) not in pairs
+
+    def test_minhash_candidates_include_exact_dup(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+        cand = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df).collect()}
+        assert (1, 2) in cand
+        assert (1, 4) not in cand
+
+    def test_simhash_identical_texts_collide(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+        buckets = simhash_buckets(df).collect()
+        assert any(sorted(b.ids) == [1, 2] for b in buckets)
+
+
+class TestSimilarity:
+    def test_exact_topk_self_search(self, spark):
+        vecs = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2)
+        got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+        assert got[0] == (2, 1)  # closest to [1,0,0]
+
+    def test_lsh_recall_on_identical_vector(self, spark):
+        vecs = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+        vecs.append((100, [1.0] + [0.0] * 7))  # identical direction to vec 0
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = lsh_topk(df, df.filter(F.col("vec_id") == 100), dim=8, k=3)
+        neighbors = {r.neighbor_id for r in out.collect()}
+        assert 0 in neighbors  # same bucket in every table → always recalled
