@@ -31,6 +31,9 @@ HEADLINE = [
     "q13_asof_join",
     "q14_json_extract",
     "q19_tumbling_window",
+    "q21_percentiles",
+    "q30_range_frame",
+    "q33_sliding_window",
     "llm_exact_dedup",
     "llm_text_stats",
     "llm_cosine_topk",

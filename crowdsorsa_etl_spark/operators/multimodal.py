@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column support.
+
+Design (SURVEY.md §2.2): media payloads are opaque ``BinaryType`` columns with
+a typed metadata struct alongside — the same pattern the reference already
+uses for its one non-tabular payload, the geometry column (sf list-column,
+crowdsorsa-etl-2023.R:32-40 → WKB BinaryType here). Parquet stores binary
+pages untouched; any partitioning works; nothing about the pipeline is
+media-specific until a decode UDF runs.
+
+Decode/feature-extract/resize/frame-sample run as Arrow-batched
+``mapInPandas`` stages: bytes in → feature columns out, one batch at a time,
+so peak executor memory is one Arrow batch of payloads, not a partition.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this image, so the
+decoders are import-guarded: with the libraries absent, ``decode_images``
+raises ``NotImplementedError`` unless ``allow_fake=True``, in which case a
+deterministic header-sniffing fake decoder exercises the full Spark plumbing
+(schema, batching, null handling) — which is what the tests cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+try:  # pragma: no cover - not present in this image
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture adapter: derive a deterministic binary payload column from the
+    documents table (UTF-8 bytes prefixed with a fake magic header) so the
+    binary plumbing is exercised end-to-end on driver-provided data."""
+    payload = F.concat(
+        F.lit(b"\x89IMG"), F.encode(F.col(text_col), "UTF-8")
+    ).cast("binary")
+    return df.select(F.col(id_col), payload.alias("payload"))
+
+
+def _fake_decode(payload: bytes | None) -> tuple | None:
+    """Deterministic stand-in for an image decoder: sniff the header, derive
+    width/height/luma from the byte content. Same signature/contract as the
+    real decoder — swap in PIL and nothing else changes."""
+    if payload is None:
+        return None
+    fmt = "fake-img" if payload[:4] == b"\x89IMG" else "unknown"
+    body = payload[4:]
+    n = len(payload)
+    width = max(1, (n * 7) % 640)
+    height = max(1, (n * 13) % 480)
+    mean_luma = round(sum(body[:256]) / max(len(body[:256]), 1) / 255.0, 6)
+    return n, fmt, width, height, mean_luma
+
+
+def decode_images(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    allow_fake: bool = False,
+) -> DataFrame:
+    """bytes → typed image metadata via mapInPandas (Arrow batches)."""
+    if not _HAVE_PIL and not allow_fake:
+        raise NotImplementedError(
+            "image decoding requires PIL (not in this image); "
+            "pass allow_fake=True for the deterministic test decoder"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[payload_col].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": decoded.map(lambda d: d and d[0]),
+                    "format": decoded.map(lambda d: d and d[1]),
+                    "width": decoded.map(lambda d: d and d[2]),
+                    "height": decoded.map(lambda d: d and d[3]),
+                    "mean_luma": decoded.map(lambda d: d and d[4]),
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_META)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing: split each payload into fixed-stride chunks
+    (stand-in for video keyframe extraction — 1 input row → N frame rows).
+    Built-in only: no UDF, the explode happens JVM-side."""
+    n = F.length(F.col(payload_col))
+    idx = F.sequence(
+        F.lit(0),
+        F.least(F.floor((n - 1) / every_n_bytes).cast("int"), F.lit(max_frames - 1)),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(payload_col),
+            F.explode(idx).alias("frame_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("frame_idx").cast("int"),
+            F.substring(
+                F.col(payload_col), F.col("frame_idx") * every_n_bytes + 1, every_n_bytes
+            ).alias("frame_bytes"),
+        )
+    )

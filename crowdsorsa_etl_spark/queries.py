@@ -75,9 +75,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(l_quantity), 2)                                 AS sum_qty,
            round(sum(l_extendedprice), 2)                            AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
-           round(avg(l_quantity), 2)                                 AS avg_qty,
-           round(avg(l_extendedprice), 2)                            AS avg_price,
-           round(avg(l_discount), 4)                                 AS avg_disc,
+           round(sum(l_quantity), 2) / count(*)                      AS avg_qty,
+           round(sum(l_extendedprice), 2) / count(*)                 AS avg_price,
+           round(sum(l_discount), 4) / count(*)                      AS avg_disc,
            count(*)                                                  AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -96,9 +96,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avg as round(sum)/count: the sum of 2-dp money values is an
+            # exactly-representable 2-dp rational, so rounding it is ulp-safe
+            # in both engines; a rounded avg() can straddle a .xx5 boundary
+            (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 4) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -846,3 +851,393 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+# ===========================================================================
+# Relational core, batch 2 (percentiles, frames, string/math surface,
+# union-by-name, correlated aggregates, sliding windows)
+# ===========================================================================
+
+
+@register(
+    "q21_percentiles",
+    """
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
+           round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4) AS p75,
+           round(max(l_extendedprice), 4) AS pmax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the approx_percentile variant exists
+    for 100 TB use; exact is the oracle-checkable one)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+    )
+
+
+@register(
+    "q22_cross_join",
+    """
+    SELECT r_name, o_orderstatus, count(*) AS n
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    GROUP BY r_name, o_orderstatus
+    """,
+)
+def q22_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    status = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status).groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q23_union_by_name",
+    """
+    SELECT entity_id, kind, label, score FROM (
+      (SELECT CAST(c_custkey AS VARCHAR) AS entity_id, 'customer' AS kind,
+              c_mktsegment AS label, round(c_acctbal, 2) AS score
+       FROM customer WHERE c_acctbal > 9000)
+      UNION ALL BY NAME
+      (SELECT CAST(s_suppkey AS VARCHAR) AS entity_id, 'supplier' AS kind,
+              CAST(NULL AS VARCHAR) AS label, round(s_acctbal, 2) AS score
+       FROM supplier WHERE s_acctbal > 9000)
+    )
+    """,
+)
+def q23_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union (the engine's replacement for the reference's
+    two separate season scripts — SURVEY §2.2 set ops)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    c = customer.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("label"),
+        F.round("c_acctbal", 2).alias("score"),
+    )
+    s = supplier.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_suppkey").cast("string").alias("entity_id"),
+        F.lit("supplier").alias("kind"),
+        F.round("s_acctbal", 2).alias("score"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "q24_correlated_agg",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, nation_avg
+    FROM customer
+    JOIN (SELECT c_nationkey AS nk,
+                 round(sum(c_acctbal), 2) / count(*) AS nation_avg
+          FROM customer GROUP BY c_nationkey) ON c_nationkey = nk
+    WHERE c_acctbal > nation_avg * 1.5
+    """,
+)
+def q24_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers 50% above their nation's average balance — the decorrelated
+    join form (what Catalyst rewrites a correlated subquery into)."""
+    customer = _t(spark, sf_dir, "customer")
+    # round(sum)/count, not round(avg): see q01 note on .xx5 boundaries
+    nation_avg = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("nation_avg")
+    )
+    return (
+        customer.join(nation_avg, customer.c_nationkey == nation_avg.nk)
+        .filter(F.col("c_acctbal") > F.col("nation_avg") * 1.5)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "nation_avg",
+        )
+    )
+
+
+@register(
+    "q25_string_funcs",
+    """
+    SELECT p_partkey,
+           substr(p_name, 1, 10) AS name10,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_type, 'BRUSHED') AS INT) AS brushed_at,
+           replace(p_type, ' ', '_') AS type_snake,
+           upper(left(p_name, 1)) || lower(right(p_name, 2)) AS name_mix,
+           repeat('*', p_size % 5) AS stars,
+           CAST(length(p_name) AS INT) AS name_len
+    FROM part
+    """,
+)
+def q25_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_type", "BRUSHED").alias("brushed_at"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(
+            F.upper(F.left(F.col("p_name"), F.lit(1))),
+            F.lower(F.right(F.col("p_name"), F.lit(2))),
+        ).alias("name_mix"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("stars"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "q26_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - l_quantity * 1000), 4) AS adiff,
+           CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS qmod,
+           round(power(l_discount + 1, 2), 8) AS dpow,
+           round(sqrt(l_extendedprice), 8) AS esqrt,
+           round(ln(l_extendedprice + 1), 8) AS eln,
+           round(log10(l_extendedprice + 1), 8) AS elog10,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS esign,
+           CAST(floor(l_tax * 100) AS BIGINT) AS taxf,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS taxc
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def q26_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 4).alias("adiff"),
+        (F.col("l_quantity").cast("bigint") % 7).cast("bigint").alias("qmod"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 8).alias("dpow"),
+        F.round(F.sqrt("l_extendedprice"), 8).alias("esqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 8).alias("eln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 8).alias("elog10"),
+        F.signum(F.col("l_extendedprice") - 30000).cast("double").alias("esign"),
+        F.floor(F.col("l_tax") * 100).cast("bigint").alias("taxf"),
+        F.ceil(F.col("l_tax") * 100).cast("bigint").alias("taxc"),
+    )
+
+
+@register(
+    "q27_null_funcs",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           ifnull(CASE WHEN o_totalprice > 200000 THEN o_orderpriority END,
+                  'none') AS big_priority,
+           greatest(round(o_totalprice, 0), 100000.0) AS at_least_100k,
+           least(round(o_totalprice, 0), 100000.0) AS at_most_100k,
+           (o_orderstatus = 'F') AS is_final,
+           CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END AS price_null
+    FROM orders
+    """,
+)
+def q27_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+        F.ifnull(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_orderpriority")),
+            F.lit("none"),
+        ).alias("big_priority"),
+        F.greatest(F.round("o_totalprice", 0), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.round("o_totalprice", 0), F.lit(100000.0)).alias("at_most_100k"),
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+        F.when(F.col("o_totalprice").isNull(), 1).otherwise(0).alias("price_null"),
+    )
+
+
+@register(
+    "q28_having",
+    """
+    SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 5000 AND count(*) > 100
+    """,
+)
+def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter((F.col("_raw_qty") > 5000) & (F.col("n") > 100))
+        .drop("_raw_qty")
+    )
+
+
+@register(
+    "q29_top10_global",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q29_top10_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap,
+    no full sort; the pattern that matters at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "q30_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                          RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+             AS orders_trailing_90d
+    FROM orders
+    """,
+)
+def q30_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-90-day order count per customer
+    (90 d = 7_776_000_000_000 µs)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet stores TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+        # to TIMESTAMP is exact and unix_micros matches duckdb epoch_us
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7_776_000_000_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_trailing_90d"),
+    )
+
+
+@register(
+    "q31_rank_distributions",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q31_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@register(
+    "q32_first_last_value",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q32_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
+
+
+@register(
+    "q33_sliding_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                      - k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, count(*) AS n
+    FROM events, range(0, 4) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 15 min slide) as a batch query — each
+    event lands in exactly 4 overlapping windows; identical semantics to the
+    streaming sliding_counts (streaming/pipeline.py)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "llm_embedding_stats",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+             AS avg_norm,
+           round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+             AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crowdsorsa_etl_spark.operators.similarity import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )

@@ -1,0 +1,55 @@
+"""Batch file sinks — the 100 TB-relevant write paths.
+
+The reference's only file sink is a driver-side ``cat`` of pretty JSON
+(crowdsorsa-etl-2023.R:228). The engine's canonical sinks:
+
+* ``write_partitioned`` — parquet partitioned by low-cardinality columns
+  (e.g. season/date): readers prune whole directories; writes parallelize
+  per partition. ``maxRecordsPerFile`` bounds file sizes so a skewed
+  partition value can't produce one giant file.
+* ``write_bucketed`` — bucketBy on a join key: later joins/aggs on that key
+  skip their shuffle entirely (bucket-aware scan). Requires saveAsTable
+  (bucket metadata lives in the catalog).
+* ``write_json_audit`` — the reference's ``logs{year}.json`` analogue,
+  partitioned, no ``coalesce(1)`` (a single-file write serializes the whole
+  job through one task at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
+def write_json_audit(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,282 @@
+"""Zipped-ESRI-shapefile source connector (reference S2-S3).
+
+The reference does ``utils::unzip`` + ``sf::st_read`` (crowdsorsa-etl-2023.R:
+28-32), pulling in GDAL. This connector is dependency-free: a pure-Python
+parser for the two members that matter — ``.shp`` (geometry, ESRI shapefile
+whitepaper format) and ``.dbf`` (dBASE III attribute table) — producing a
+DataFrame of typed attribute columns plus a ``geometry_wkb`` BinaryType
+column (the engine's canonical geometry representation, functions/geo.py).
+
+Scale notes: season shapefiles are small (thousands of rows — bounded by the
+reference's own ≤10 docs/s sink), so parsing happens driver-side and
+``spark.createDataFrame`` ships the rows. For genuinely large archives the
+same ``parse_shp``/``parse_dbf`` functions run distributed over
+``spark.read.format("binaryFile")`` + ``mapInPandas`` — the parser is
+byte-buffer-in/rows-out either way.
+
+DBF text is decoded as latin-1 (the classic dbf codepage) — which is exactly
+how the 2023 file's UTF-8 bytes got double-encoded into ``Ã¤``/``Ã¶``
+mojibake that functions/text.repair_mojibake then fixes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import os
+import struct
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crowdsorsa_etl_spark.functions.geo import polygons_to_wkb
+
+Ring = list[tuple[float, float]]
+
+
+def _ring_signed_area(ring: Ring) -> float:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _group_rings(rings: list[Ring]) -> list[list[Ring]]:
+    """Shapefile polygons: outer rings are clockwise (negative signed area),
+    holes counter-clockwise, holes follow their outer ring."""
+    polys: list[list[Ring]] = []
+    for ring in rings:
+        if _ring_signed_area(ring) <= 0 or not polys:
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    return polys
+
+
+def parse_shp(buf: bytes) -> list[bytes | None]:
+    """Parse a .shp buffer → one WKB MULTIPOLYGON (or None) per record.
+
+    Supports shape types 0 (null), 5 (Polygon), 15 (PolygonZ — Z dropped).
+    """
+    (file_code,) = struct.unpack_from(">i", buf, 0)
+    if file_code != 9994:
+        raise ValueError("not a shapefile (.shp magic mismatch)")
+    (file_len_words,) = struct.unpack_from(">i", buf, 24)
+    end = file_len_words * 2
+    out: list[bytes | None] = []
+    pos = 100
+    while pos < end:
+        _rec_no, content_words = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        (shape_type,) = struct.unpack_from("<i", buf, pos)
+        if shape_type == 0:
+            out.append(None)
+        elif shape_type in (5, 15):
+            num_parts, num_points = struct.unpack_from("<ii", buf, pos + 36)
+            parts = struct.unpack_from(f"<{num_parts}i", buf, pos + 44)
+            pts_off = pos + 44 + 4 * num_parts
+            flat = struct.unpack_from(f"<{2 * num_points}d", buf, pts_off)
+            points = [(flat[2 * i], flat[2 * i + 1]) for i in range(num_points)]
+            rings = [
+                points[parts[j] : (parts[j + 1] if j + 1 < num_parts else num_points)]
+                for j in range(num_parts)
+            ]
+            out.append(polygons_to_wkb(_group_rings(rings)))
+        else:
+            raise ValueError(f"unsupported shape type {shape_type}")
+        pos += content_words * 2
+    return out
+
+
+def parse_dbf(
+    buf: bytes, encoding: str = "latin-1"
+) -> tuple[list[str], list[list[object]]]:
+    """Parse a .dbf buffer → (column names, rows). Types: C→str, N/F→float
+    (int when no decimals), D→ISO date string, L→bool."""
+    n_records, header_size, record_size = struct.unpack_from("<IHH", buf, 4)
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        raw_name = buf[pos : pos + 11].split(b"\x00")[0]
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fdec = buf[pos + 17]
+        fields.append((raw_name.decode(encoding), ftype, flen, fdec))
+        pos += 32
+    names = [f[0] for f in fields]
+    rows: list[list[object]] = []
+    for r in range(n_records):
+        rec_off = header_size + r * record_size
+        if buf[rec_off : rec_off + 1] == b"*":  # deleted row
+            continue
+        off = rec_off + 1
+        row: list[object] = []
+        for _name, ftype, flen, fdec in fields:
+            raw = buf[off : off + flen]
+            off += flen
+            text = raw.decode(encoding).strip()
+            if text == "":
+                row.append(None)
+            elif ftype in ("N", "F"):
+                row.append(float(text) if (fdec > 0 or "." in text) else int(text))
+            elif ftype == "D":
+                row.append(f"{text[0:4]}-{text[4:6]}-{text[6:8]}")
+            elif ftype == "L":
+                row.append(text.upper() in ("T", "Y"))
+            else:
+                row.append(text)
+        rows.append(row)
+    return names, rows
+
+
+def read_shapefile_zip(
+    spark: SparkSession,
+    zip_path: str,
+    *,
+    encoding: str = "latin-1",
+) -> DataFrame:
+    """unzip → parse .dbf + .shp → DataFrame with a geometry_wkb column.
+
+    Schema comes from the .dbf field descriptors (the connector's explicit
+    inference boundary — everything downstream is typed).
+    """
+    with tempfile.TemporaryDirectory() as tmp:
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(tmp)
+        shp_path = dbf_path = None
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if f.lower().endswith(".shp"):
+                    shp_path = os.path.join(root, f)
+                elif f.lower().endswith(".dbf"):
+                    dbf_path = os.path.join(root, f)
+        if shp_path is None or dbf_path is None:
+            raise FileNotFoundError("zip must contain .shp and .dbf members")
+        with open(shp_path, "rb") as fh:
+            geoms = parse_shp(fh.read())
+        with open(dbf_path, "rb") as fh:
+            names, rows = parse_dbf(fh.read(), encoding)
+
+    if len(geoms) != len(rows):
+        raise ValueError(f".shp has {len(geoms)} records but .dbf has {len(rows)}")
+    data = [tuple(row) + (geom,) for row, geom in zip(rows, geoms)]
+
+    # build an explicit schema from observed python types
+    from pyspark.sql import types as T
+
+    def _typ(values):
+        for v in values:
+            if v is not None:
+                if isinstance(v, bool):
+                    return T.BooleanType()
+                if isinstance(v, int):
+                    return T.LongType()
+                if isinstance(v, float):
+                    return T.DoubleType()
+                return T.StringType()
+        return T.StringType()
+
+    schema = T.StructType(
+        [
+            T.StructField(name, _typ([r[i] for r in rows]), True)
+            for i, name in enumerate(names)
+        ]
+        + [T.StructField("geometry_wkb", T.BinaryType(), True)]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer (tests / synthetic inputs only)
+# ---------------------------------------------------------------------------
+
+
+def write_shapefile_zip(
+    zip_path: str,
+    *,
+    field_specs: list[tuple[str, str, int, int]],
+    rows: list[list[object]],
+    geometries: list[list[list[Ring]]],
+    encoding: str = "latin-1",
+    base_name: str = "data",
+) -> None:
+    """Write a minimal polygon shapefile zip (enough for the reader + tests)."""
+
+    # --- .shp ---
+    records = io.BytesIO()
+    for i, polys in enumerate(geometries):
+        rings: list[Ring] = []
+        for poly in polys:
+            for j, ring in enumerate(poly):
+                # enforce shapefile orientation: outer CW, holes CCW
+                cw = _ring_signed_area(ring) <= 0
+                want_cw = j == 0
+                rings.append(ring if cw == want_cw else ring[::-1])
+        num_points = sum(len(r) for r in rings)
+        content = io.BytesIO()
+        xs = [p[0] for r in rings for p in r]
+        ys = [p[1] for r in rings for p in r]
+        content.write(struct.pack("<i", 5))
+        content.write(struct.pack("<4d", min(xs), min(ys), max(xs), max(ys)))
+        content.write(struct.pack("<ii", len(rings), num_points))
+        acc = 0
+        for r in rings:
+            content.write(struct.pack("<i", acc))
+            acc += len(r)
+        for r in rings:
+            for x, y in r:
+                content.write(struct.pack("<dd", x, y))
+        payload = content.getvalue()
+        records.write(struct.pack(">ii", i + 1, len(payload) // 2))
+        records.write(payload)
+    rec_bytes = records.getvalue()
+    header = struct.pack(
+        ">i5ii", 9994, 0, 0, 0, 0, 0, (100 + len(rec_bytes)) // 2
+    ) + struct.pack("<ii", 1000, 5) + struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    shp = header + rec_bytes
+
+    # --- .dbf ---
+    n = len(rows)
+    record_size = 1 + sum(f[2] for f in field_specs)
+    header_size = 32 + 32 * len(field_specs) + 1
+    out = io.BytesIO()
+    today = _dt.date(2024, 1, 1)
+    out.write(
+        struct.pack(
+            "<B3BIHH20x",
+            0x03,
+            today.year - 1900,
+            today.month,
+            today.day,
+            n,
+            header_size,
+            record_size,
+        )
+    )
+    for name, ftype, flen, fdec in field_specs:
+        out.write(
+            struct.pack(
+                "<11sc4xBB14x", name.encode(encoding)[:11], ftype.encode(), flen, fdec
+            )
+        )
+    out.write(b"\x0d")
+    for row in rows:
+        out.write(b" ")
+        for (name, ftype, flen, fdec), val in zip(field_specs, row):
+            if val is None:
+                text = ""
+            elif ftype in ("N", "F"):
+                text = (f"%{flen}.{fdec}f" % val) if fdec else str(int(val))
+            else:
+                text = str(val)
+            enc = text.encode(encoding)[:flen]
+            out.write(enc.ljust(flen, b" ") if ftype == "C" else enc.rjust(flen, b" "))
+    out.write(b"\x1a")
+    dbf = out.getvalue()
+
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.writestr(f"{base_name}.shp", shp)
+        zf.writestr(f"{base_name}.dbf", dbf)

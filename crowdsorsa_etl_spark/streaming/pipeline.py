@@ -1,0 +1,139 @@
+"""Structured Streaming mode — incremental ingest for the engine.
+
+The reference runs one batch per season and blindly re-POSTs everything on
+re-run (whole-script structure, crowdsorsa-etl-2023.R). The streaming mode
+generalizes that to continuous ingest with:
+
+* file/rate stream sources (Kafka slots in by swapping ``format``),
+* event-time watermarks for late observations,
+* tumbling / sliding / session windows over the ``events`` shape,
+* watermark-scoped ``dropDuplicates`` → idempotent re-push,
+* ``foreachBatch`` delivery through the SAME rate-limited HTTP sink used in
+  batch mode (sinks/http_push.py) — the batch pipeline is the degenerate
+  one-batch case of this path.
+
+State sizing at scale: watermark + window bounds make every stateful op's
+state O(active windows × keys); without the watermark the dedup/window state
+would grow unboundedly — never ship a stateful query without one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crowdsorsa_etl_spark.config import SinkConfig
+from crowdsorsa_etl_spark.sinks.http_push import push_documents
+
+#: physical schema of events.parquet (ts is INT64 TIMESTAMP(NANOS) — read as
+#: long under nanosAsLong, converted to a real timestamp in the stream).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream (one file per micro-batch in tests; a real
+    deployment points this at an arriving-files directory or Kafka)."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_RAW).option("maxFilesPerTrigger", 1)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        # the file stream source requires a DIRECTORY; point it at the parent
+        # and glob-filter to the one fixture file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data handling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (dynamic gap-based) per user — the streaming analogue
+    of operators/topk.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def deduped_events(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Idempotent ingest: drop replayed event_ids within the watermark
+    horizon (state is bounded by the watermark — trap: unbounded without)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def start_http_push_stream(
+    docs_stream: DataFrame,
+    cfg: SinkConfig,
+    *,
+    checkpoint_dir: str,
+    key_col: str = "obs_id",
+    json_col: str = "document_json",
+):
+    """writeStream.foreachBatch → the batch HTTP sink. Checkpointing gives
+    at-least-once delivery; the sink's documentId dedup upgrades the
+    end-to-end behavior to effectively-once per checkpoint epoch."""
+
+    def deliver(batch_df: DataFrame, epoch_id: int) -> None:
+        audit = push_documents(
+            batch_df, cfg, key_col=key_col, json_col=json_col, dedup=True
+        )
+        # count() forces the push; audit persistence is the caller's writer
+        audit.count()
+
+    return (
+        docs_stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

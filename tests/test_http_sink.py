@@ -1,0 +1,138 @@
+"""HTTP push sink against a local mock server: success, retry-on-5xx,
+no-retry-on-4xx, redaction, audit shape, distributed path."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from crowdsorsa_etl_spark.config import SinkConfig
+from crowdsorsa_etl_spark.sinks.http_push import (
+    push_documents,
+    push_partition,
+    write_audit_log,
+)
+
+TOKEN = "sekrit-token-123"
+
+
+class MockApi(BaseHTTPRequestHandler):
+    """Scriptable endpoint: behavior keyed by the posted documentId suffix."""
+
+    seen: list[dict] = []
+    fail_countdown: dict[str, int] = {}
+
+    def do_POST(self):  # noqa: N802
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        MockApi.seen.append({"path": self.path, "body": body})
+        doc_id = body.get("id", "")
+        if doc_id.endswith("flaky") and MockApi.fail_countdown.get(doc_id, 0) > 0:
+            MockApi.fail_countdown[doc_id] -= 1
+            self._respond(503, {"error": "try later"})
+        elif doc_id.endswith("bad"):
+            self._respond(400, {"error": f"rejected with {TOKEN}"})
+        else:
+            self._respond(200, {"status": "ok", "echo_token": TOKEN})
+
+    def _respond(self, code: int, payload: dict):
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def mock_api():
+    server = HTTPServer(("127.0.0.1", 0), MockApi)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}/"
+    server.shutdown()
+
+
+def _cfg(url: str, **kw) -> SinkConfig:
+    defaults = dict(
+        api_url=url,
+        access_token=TOKEN,
+        docs_per_second_per_partition=10000.0,
+        max_retries=3,
+        retry_backoff_s=0.01,
+    )
+    defaults.update(kw)
+    return SinkConfig(**defaults)
+
+
+def _rows(*ids: str):
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    return [
+        R(obs_id=i, document_json=json.dumps({"id": i, "payload": "x"}))
+        for i in ids
+    ]
+
+
+class TestPushPartition:
+    def test_success_and_audit(self, mock_api):
+        MockApi.seen.clear()
+        out = list(push_partition(iter(_rows("doc-1")), _cfg(mock_api)))
+        (doc_key, status, ok, attempts, err, body, ts) = out[0]
+        assert (doc_key, status, ok, attempts, err) == ("doc-1", 200, True, 1, None)
+        assert TOKEN not in body  # redacted even though the API echoed it
+        assert MockApi.seen[0]["path"].startswith("/v0/warehouse/push?access_token=")
+
+    def test_retry_on_503_then_success(self, mock_api):
+        MockApi.fail_countdown["doc-flaky"] = 2
+        out = list(push_partition(iter(_rows("doc-flaky")), _cfg(mock_api)))
+        (_, status, ok, attempts, *_rest) = out[0]
+        assert (status, ok, attempts) == (200, True, 3)
+
+    def test_no_retry_on_400(self, mock_api):
+        MockApi.seen.clear()
+        out = list(push_partition(iter(_rows("doc-bad")), _cfg(mock_api)))
+        (_, status, ok, attempts, err, body, _) = out[0]
+        assert (status, ok, attempts) == (400, False, 1)
+        assert TOKEN not in (body or "")
+        assert len(MockApi.seen) == 1  # exactly one attempt
+
+    def test_gives_up_after_max_retries(self, mock_api):
+        MockApi.fail_countdown["doc2-flaky"] = 99
+        out = list(push_partition(iter(_rows("doc2-flaky")), _cfg(mock_api)))
+        (_, status, ok, attempts, *_rest) = out[0]
+        assert (status, ok, attempts) == (503, False, 3)
+
+    def test_connection_refused_audited_not_raised(self):
+        cfg = _cfg("http://127.0.0.1:9/", max_retries=2)  # port 9: discard
+        out = list(push_partition(iter(_rows("doc-x")), cfg))
+        (_, status, ok, attempts, err, *_rest) = out[0]
+        assert (status, ok, attempts) == (-1, False, 2)
+        assert err
+
+
+class TestPushDocuments:
+    def test_distributed_push_with_dedup(self, spark, mock_api, tmp_path):
+        MockApi.seen.clear()
+        docs = spark.createDataFrame(
+            _rows("a", "b", "c") + _rows("a"),  # duplicate key "a"
+            "obs_id string, document_json string",
+        )
+        audit = push_documents(docs, _cfg(mock_api), num_partitions=2)
+        rows = audit.collect()
+        assert len(rows) == 3  # dedup dropped the repeat
+        assert all(r.ok for r in rows)
+        assert {r.doc_key for r in rows} == {"a", "b", "c"}
+
+        out_dir = str(tmp_path / "audit")
+        write_audit_log(audit, out_dir, _cfg(mock_api))
+        logged = spark.read.json(out_dir)
+        assert logged.count() == 3
+        assert all(TOKEN not in (r.response_body or "") for r in logged.collect())

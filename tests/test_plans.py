@@ -1,0 +1,96 @@
+"""Catalyst plan assertions — the scale-correctness gates.
+
+These inspect ``explain`` output to pin the physical properties the 100 TB
+design depends on: predicate pushdown into parquet scans, column pruning,
+broadcast joins for dims, no-shuffle flagship shape, partitioned writes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crowdsorsa_etl_spark.queries import QUERIES
+from crowdsorsa_etl_spark.sinks.writers import write_partitioned
+from crowdsorsa_etl_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+class TestPushdownAndPruning:
+    def test_filters_reach_parquet_scan(self, spark):
+        df = QUERIES["q02_revenue_filter"](spark, SF_DIR)
+        plan = plan_of(df)
+        assert "PushedFilters:" in plan
+        # every conjunct lands in the scan
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters:")[1].split("\n")[0]
+
+    def test_column_pruning(self, spark):
+        df = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+        plan = plan_of(df)
+        read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+        assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+        assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+    def test_partition_count_respects_config(self, spark):
+        df = load_table(spark, "lineitem", SF_DIR)
+        assert df.rdd.getNumPartitions() <= int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ) * 4  # sanity: small fixture shouldn't fan out wildly
+
+
+class TestJoinStrategies:
+    def test_dims_broadcast_in_star_join(self, spark):
+        plan = plan_of(QUERIES["q03_star_join"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+
+    def test_semi_join_physical(self, spark):
+        plan = plan_of(QUERIES["q05_semi_join"](spark, SF_DIR))
+        assert "LeftSemi" in plan
+
+    def test_range_join_is_broadcast_nested_loop(self, spark):
+        plan = plan_of(QUERIES["q20_range_join"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_asof_join_single_shuffle(self, spark):
+        import re
+
+        plan = plan_of(QUERIES["q13_asof_join"](spark, SF_DIR))
+        # union-merge as-of: exactly ONE exchange (for the window sort) and
+        # crucially NO join node at all — vs the naive join+dedup plan
+        assert "Join" not in plan
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+    def test_global_topk_avoids_full_sort(self, spark):
+        plan = plan_of(QUERIES["q29_top10_global"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestWholeStageCodegen:
+    def test_flagship_projection_stays_jvm_side(self, spark):
+        plan = plan_of(QUERIES["flagship_order_documents"](spark, SF_DIR), "simple")
+        # the nested-doc build must not fall back to Python: no UDF eval nodes
+        # (AQE wraps the plan pre-execution, so assert on node types, not the
+        # *(n) codegen markers which only appear in the final plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # customer/nation dims broadcast; lineitem units join on the fact key
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_scalar_surface_no_python(self, spark):
+        plan = plan_of(QUERIES["q12_scalar_funcs"](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestWriters:
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        out = str(tmp_path / "orders_by_status")
+        orders = load_table(spark, "orders", SF_DIR)
+        write_partitioned(orders, out, partition_by=["o_orderstatus"])
+        back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+        plan = plan_of(back)
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+        assert back.count() == orders.filter("o_orderstatus = 'F'").count()
