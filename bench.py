@@ -37,6 +37,7 @@ HEADLINE = [
     "llm_exact_dedup",
     "llm_text_stats",
     "llm_cosine_topk",
+    "llm_cosine_topk_vectorized",
     "llm_minhash_lsh",
     "flagship_order_documents",
 ]

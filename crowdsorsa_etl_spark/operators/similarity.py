@@ -54,18 +54,89 @@ def cosine_topk(
     (query_id) after filtering to candidate scores.
     """
     qid = query_id_col or id_col
+    # norms precomputed per ROW (|Q|+|N| sqrt-dot evaluations), not per pair
+    # (|Q|×|N|) — higher-order-function exprs are interpreted, so hoisting
+    # them out of the join is a ~3x win on the scoring stage
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k with numpy matrix math per Arrow batch.
+
+    The hot loop is ``C_normed @ Q_normed.T`` inside ``mapInPandas`` — BLAS
+    does |batch|×|Q| dot products at memory bandwidth instead of one
+    interpreted expression per pair. The query set (small by definition) is
+    collected once and broadcast to executors; the corpus streams through in
+    Arrow batches, so executor memory is one batch, never the corpus.
+
+    Same contract as :func:`cosine_topk`; values can differ from it in the
+    last float ulp (BLAS pairwise summation), hence rounding to 6 dp happens
+    after the matrix product exactly as in the expression path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid = query_id_col or id_col
+    q_rows = queries.select(F.col(qid), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat.T  # (batch, n_queries)
+            n_ids = pdf[id_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(n_ids)),
+                    "neighbor_id": np.tile(n_ids, len(ids)),
+                    "cosine": np.round(sims.T.ravel(), 6),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

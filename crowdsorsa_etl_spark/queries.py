@@ -1241,3 +1241,207 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(norm), 6).alias("avg_norm"),
         F.round(F.max(norm), 6).alias("max_norm"),
     )
+
+
+@register("llm_cosine_topk_vectorized")
+def llm_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy/BLAS variant of llm_cosine_topk (rows-only: BLAS pairwise
+    summation can differ from the sequential oracle in the last ulp; the
+    agreement test lives in tests/test_operators.py)."""
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ===========================================================================
+# Relational core, batch 3 (dates, array HOFs, unpivot, conditional aggs)
+# ===========================================================================
+
+
+@register(
+    "q34_date_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                AS INT) AS days_to_y2k,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q34_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (reference S11-S12 family, generalized)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+@register(
+    "q35_array_hofs",
+    """
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(p_type, ' '),
+                                          x -> upper(x)), ',') AS type_upper,
+           coalesce(array_to_string(list_filter(string_split(p_type, ' '),
+                                    x -> length(x) > 5), ','), '') AS long_words,
+           CAST(list_aggregate(list_transform(string_split(p_type, ' '),
+                                              x -> length(x)), 'sum') AS BIGINT)
+             AS total_len,
+           array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words,
+           list_contains(string_split(p_type, ' '), 'STEEL') AS has_steel,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+)
+def q35_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/filter/aggregate/sort) — the
+    JVM-side expression surface the engine prefers over any UDF."""
+    part = _t(spark, sf_dir, "part")
+    arr = F.split("p_type", " ", -1)
+    return part.select(
+        "p_partkey",
+        F.array_join(F.transform(arr, lambda x: F.upper(x)), ",").alias("type_upper"),
+        F.array_join(
+            F.filter(arr, lambda x: F.length(x) > 5), ","
+        ).alias("long_words"),
+        F.aggregate(
+            F.transform(arr, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+        F.array_join(F.array_sort(arr), ",").alias("sorted_words"),
+        F.array_contains(arr, "STEEL").alias("has_steel"),
+        F.size(arr).alias("n_words"),
+    )
+
+
+@register(
+    "q36_unpivot",
+    """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS val
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack — the inverse of q15's pivot."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', round(c_acctbal, 2),"
+            "         'nationkey', cast(c_nationkey as double))"
+        ).alias("metric", "val"),
+    )
+
+
+@register(
+    "q37_conditional_aggs",
+    """
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(count_if(l_linestatus = 'O') AS BIGINT) AS n_open,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * l_discount END), 2) AS disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q37_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count_if(F.col("l_linestatus") == "O").alias("n_open"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.col("l_extendedprice") * F.col("l_discount"),
+                )
+            ),
+            2,
+        ).alias("disc_revenue"),
+    )
+
+
+@register(
+    "llm_trigram_topk",
+    """
+    SELECT tri, n, rank FROM (
+      SELECT tri, n, CAST(row_number() OVER (ORDER BY n DESC, tri ASC) AS INT) AS rank
+      FROM (SELECT substr(text, CAST(i AS INT), 3) AS tri, count(*) AS n
+            FROM (SELECT text, unnest(range(1, greatest(len(text) - 1, 1))) AS i
+                  FROM documents WHERE len(text) >= 3)
+            GROUP BY 1)
+    ) WHERE rank <= 20
+    """,
+)
+def llm_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram corpus profile (document fingerprinting building
+    block): explode positions JVM-side, count, deterministic top-20."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tris = docs.select(
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select(F.substring(F.col("text"), F.col("i"), 3).alias("tri"))
+    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit → TakeOrderedAndProject (per-partition heaps), THEN rank
+    # the surviving 20 rows; a bare global row_number window would drag every
+    # distinct trigram count into a single partition
+    top = counts.orderBy(F.col("n").desc(), F.col("tri").asc()).limit(20)
+    w = Window.orderBy(F.col("n").desc(), F.col("tri").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("tri", "n", "rank")
+
+
+# ===========================================================================
+# Crowdsorsa parity pipelines as rows-only entries (their inputs are the
+# engine-generated observation fixtures, not the driver tables, so the
+# golden-JSON tests in tests/test_docmodel.py are their correctness gate)
+# ===========================================================================
+
+
+@register("crowdsorsa_documents_2023")
+def crowdsorsa_documents_2023(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crowdsorsa_etl_spark.pipelines.crowdsorsa import documents_2023
+    from crowdsorsa_etl_spark.sources.observations import (
+        municipality_dim,
+        observations_2023,
+    )
+
+    obs = observations_2023(spark, n=200)
+    return documents_2023(obs, municipality_dim(spark)).select(
+        "obs_id", "document_json"
+    )
+
+
+@register("crowdsorsa_documents_2024")
+def crowdsorsa_documents_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crowdsorsa_etl_spark.pipelines.crowdsorsa import documents_2024
+    from crowdsorsa_etl_spark.sources.observations import observations_2024
+
+    obs = observations_2024(spark, n=200)
+    return documents_2024(obs).select("obs_id", "document_json")

@@ -184,3 +184,17 @@ class TestSimilarity:
         out = lsh_topk(df, df.filter(F.col("vec_id") == 100), dim=8, k=3)
         neighbors = {r.neighbor_id for r in out.collect()}
         assert 0 in neighbors  # same bucket in every table → always recalled
+
+
+class TestVectorizedCosine:
+    def test_agrees_with_expression_path(self, spark):
+        from crowdsorsa_etl_spark.operators.similarity import cosine_topk_vectorized
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        q = emb.filter(F.col("vec_id") < 5)
+        a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+             for r in cosine_topk(emb, q, k=5).collect()}
+        b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+             for r in cosine_topk_vectorized(emb, q, k=5).collect()}
+        assert a == b
