@@ -47,8 +47,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
-    # warm up the JVM/codegen once with a trivial action
+    # warm up JVM/codegen and parquet footers (file-index + schema reads)
+    # once so the first measured query isn't charged session fixed costs
     spark.range(1000).count()
+    from crowdsorsa_etl_spark.sources.parquet import load_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, t, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

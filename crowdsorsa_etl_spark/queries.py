@@ -1445,3 +1445,71 @@ def crowdsorsa_documents_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs = observations_2024(spark, n=200)
     return documents_2024(obs).select("obs_id", "document_json")
+
+
+@register("llm_dedup_clusters")
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidates → connected components → per-doc cluster + keep
+    flag (the full near-dedup pipeline; iterative, so rows-only)."""
+    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    return dedup_clusters(docs, pairs)
+
+
+@register(
+    "q38_salted_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q38_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage distinct count — must agree exactly with the
+    naive COUNT(DISTINCT) oracle."""
+    from crowdsorsa_etl_spark.operators.skew import salted_distinct_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_distinct_count(
+        li, group_col="l_returnflag", distinct_col="l_partkey"
+    ).withColumn("n_distinct_l_partkey", F.col("n_distinct_l_partkey").cast("bigint"))
+
+
+@register(
+    "q39_salted_join",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q39_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join — same answer as the plain join oracle, but a
+    hot l_orderkey would spread over 8 reducers."""
+    from crowdsorsa_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = salted_join(
+        li, orders, fact_key="l_orderkey", dim_key="o_orderkey",
+        salt_buckets=8, salt_source="l_linenumber",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@register("q40_approx_aggs")
+def q40_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest percentile) — the
+    100 TB substitutes for q10/q21; rows-only (sketch results are
+    engine-specific by design)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    )

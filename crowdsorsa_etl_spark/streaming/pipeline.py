@@ -137,3 +137,69 @@ def start_http_push_stream(
         .outputMode("update")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator — applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running aggregates via arbitrary stateful processing.
+
+    Demonstrates the engine's custom-stateful-operator surface
+    (SURVEY §2.2 streaming-only ops): state is one fixed-size row per user
+    (bounded by |users|, not by stream length), updated one Arrow batch per
+    user per micro-batch, emitting the refreshed stats in update mode.
+    """
+    import pandas as pd  # executor-side
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n, total, last_us, last_type = state.get
+        else:
+            n, total, last_us, last_type = 0, 0.0, -1, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = pdf["ts"].astype("int64").iloc[-1] // 1000
+            if ts_us > last_us:
+                last_us = int(ts_us)
+                last_type = str(pdf["event_type"].iloc[-1])
+        state.update((n, total, last_us, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

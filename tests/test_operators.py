@@ -198,3 +198,31 @@ class TestVectorizedCosine:
         b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
              for r in cosine_topk_vectorized(emb, q, k=5).collect()}
         assert a == b
+
+
+class TestConnectedComponents:
+    def test_chain_and_triangle(self, spark):
+        from crowdsorsa_etl_spark.operators.clusters import connected_components
+
+        # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+            "id_a long, id_b long",
+        )
+        got = {r.id: r.component for r in connected_components(edges).collect()}
+        assert {got[i] for i in (1, 2, 3, 4)} == {1}
+        assert {got[i] for i in (10, 11, 12)} == {10}
+        assert {got[i] for i in (20, 21)} == {20}
+
+    def test_dedup_clusters_keep_flags(self, spark):
+        from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+        got = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(docs, pairs).collect()}
+        assert got[0] == (0, True)
+        assert got[3] == (0, False)
+        assert got[5] == (0, False)
+        assert got[1] == (1, True)  # isolated docs keep themselves
+        assert got[2] == (2, True)
+        assert got[4] == (4, True)

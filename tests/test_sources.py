@@ -1,0 +1,69 @@
+"""CSV/JSON/binaryFile source connectors: explicit-schema roundtrips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crowdsorsa_etl_spark.sources.parquet import load_table
+from crowdsorsa_etl_spark.sources.text_files import (
+    read_binary_files,
+    read_csv,
+    read_json,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+class TestTextSources:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        nation = load_table(spark, "nation", SF_DIR)
+        out = str(tmp_path / "nation_csv")
+        nation.write.option("header", True).csv(out)
+        back = read_csv(spark, out, NATION_SCHEMA)
+        assert back.schema == NATION_SCHEMA
+        assert sorted(r.n_name for r in back.collect()) == sorted(
+            r.n_name for r in nation.collect()
+        )
+
+    def test_csv_requires_schema_or_optin(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="declare a schema"):
+            read_csv(spark, str(tmp_path))
+
+    def test_json_roundtrip(self, spark, tmp_path):
+        nation = load_table(spark, "nation", SF_DIR)
+        out = str(tmp_path / "nation_json")
+        nation.write.json(out)
+        back = read_json(spark, out, NATION_SCHEMA)
+        assert back.count() == nation.count()
+        assert back.schema == NATION_SCHEMA
+
+    def test_binary_files_source(self, spark, tmp_path):
+        (tmp_path / "a.bin").write_bytes(b"\x89IMG payload-a")
+        (tmp_path / "b.bin").write_bytes(b"\x89IMG payload-bb")
+        (tmp_path / "skip.txt").write_bytes(b"nope")
+        df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+        rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+        assert set(rows) == {"a.bin", "b.bin"}
+        assert rows["a.bin"].startswith(b"\x89IMG")
+
+    def test_binary_files_feed_multimodal_decode(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.multimodal import decode_images
+
+        (tmp_path / "x.bin").write_bytes(b"\x89IMG" + b"z" * 100)
+        df = (
+            read_binary_files(spark, str(tmp_path), glob="*.bin")
+            .select(F.monotonically_increasing_id().alias("doc_id"),
+                    F.col("content").alias("payload"))
+        )
+        meta = decode_images(df, allow_fake=True).collect()
+        assert len(meta) == 1 and meta[0].format == "fake-img"

@@ -83,3 +83,28 @@ class TestStreamingWindows:
         n_events = load_table(spark, "events", SF_DIR).count()
         assert got.count() == n_events  # fixture has no dup ids → all pass
         assert got.select("event_id").distinct().count() == n_events
+
+
+class TestStatefulOperator:
+    def test_running_user_stats_match_batch(self, spark):
+        from crowdsorsa_etl_spark.streaming.pipeline import running_user_stats
+
+        stream = read_event_stream(spark, EVENTS_PATH)
+        got = _run_to_completion(
+            running_user_stats(stream), "t_stateful", spark, mode="update"
+        )
+        # single micro-batch → one update row per user == batch aggregation
+        events = load_table(spark, "events", SF_DIR)
+        batch = {
+            r.user_id: (r.n, round(r.total, 2))
+            for r in events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        rows = got.collect()
+        assert len(rows) == len(batch)
+        for r in rows:
+            n, total = batch[r.user_id]
+            assert r.n_events == n
+            assert abs(r.total_value - total) < 0.02
+            assert r.last_event_type is not None
