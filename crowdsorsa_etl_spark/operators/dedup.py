@@ -62,25 +62,38 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """k minhashes per doc as columns mh0..mh{k-1} — explode + groupBy.
+    """k minhashes per doc as columns mh0..mh{k-1}.
 
-    hash_i(s) = xxhash64(i, xxhash64(s)); minhash_i = min over shingles.
-    Formulated as explode→min-aggregate (NOT nested array lambdas): each
-    shingle is string-hashed exactly once, the k family hashes are cheap
-    bigint→bigint ops, and map-side partial mins shrink the shuffle to
-    |docs| × k values per partition — the shape that holds at 100 TB.
-    (Nested transform()/array_min() re-evaluates the shingle array per
-    family member: measured 60× slower at sf0.1.)
+    A shingle's identity is the TUPLE OF ITS TOKEN HASHES, not the joined
+    string: posexplode tokens → xxhash64 each once → combine ``shingle_k``
+    consecutive hashes with lead() over a per-doc window → min-aggregate the
+    k family hashes. No per-shingle string slicing/concatenation (measured
+    6× faster than string shingles at sf0.1, which itself was 60× faster
+    than nested transform()/array_min() lambdas).
+
+    Shuffle shape: ONE hash shuffle on id — the window sort and the final
+    groupBy share the same partitioning, and map-side partial mins shrink
+    the agg exchange to |docs| × k values per partition. Trailing positions
+    hash fewer than ``shingle_k`` tokens (nulls skipped), so short docs
+    still get a full signature.
     """
-    ex = df.select(
+    toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k=shingle_k)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
+        F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "t"),
+    ).select("id", "pos", F.xxhash64("t").alias("th"))
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = toks.select(
+        "id",
+        F.xxhash64(
+            "th",
+            *[F.lead("th", j).over(w) for j in range(1, shingle_k)],
+        ).alias("h"),
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy("id").agg(*aggs)
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -97,7 +110,9 @@ def minhash_lsh_candidates(
     their signatures is identical. Output: (id_a, id_b, n_bands_matched).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # materialize signatures once — the a/b sides of the self-join would
+    # otherwise each recompute the whole explode→window→agg pipeline
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
     banded = sig.select(
         "id",
         F.explode(

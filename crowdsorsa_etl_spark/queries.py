@@ -1513,3 +1513,47 @@ def q40_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
     )
+
+
+@register(
+    "q41_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q41_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q42_collect_agg",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q42_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (array-per-entity, the reference's S23/S25 pattern when
+    entities have >1 member) — sorted + joined for deterministic compare."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )

@@ -74,3 +74,28 @@ class TestProperties:
         s = " ".join(toks)
         got = _one(spark, shingles(F.col("s"), k=3), s)
         assert len(got) == max(len(toks) - 2, 1)
+
+
+class TestEncodeDecodeAndMaps:
+    def test_latin1_decode_roundtrip(self, spark):
+        # reference S16: iconv(x, "latin1", "UTF-8") — bytes that were
+        # latin-1-decoded get re-encoded and decoded as UTF-8
+        df = spark.createDataFrame([("jÃ¤ttipalsami",)], "s string")
+        out = df.select(
+            F.decode(F.encode(F.col("s"), "ISO-8859-1"), "UTF-8").alias("fixed")
+        ).first()
+        assert out.fixed == "jättipalsami"
+
+    def test_props_as_map(self, spark):
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame([('{"k": 7, "m": 2}',)], "props string")
+        m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.IntegerType()))
+        row = df.select(
+            F.map_keys(m).alias("keys"),
+            F.map_values(m).alias("vals"),
+            m.getItem("k").alias("k"),
+            F.size(m).alias("n"),
+        ).first()
+        assert sorted(row.keys) == ["k", "m"]
+        assert row.k == 7 and row.n == 2
