@@ -45,7 +45,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
+    # local-bench split tuning: fixture files are ~10-30 MB, so the cluster
+    # default (128 MB splits, session.py) would scan them single-threaded
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
 
     # warm up JVM/codegen and parquet footers (file-index + schema reads)
     # once so the first measured query isn't charged session fixed costs
