@@ -1557,3 +1557,95 @@ def q42_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+@register(
+    "q43_shipping_priority",
+    """
+    SELECT l_orderkey, revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM (SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q43_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective predicates on all three
+    tables (Catalyst pushes each below its join), agg, global top-10."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01 00:00:00"
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01 00:00:00"
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q44_regional_volume",
+    """
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS volume
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q44_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join with a region filter that prunes
+    through two broadcast dims before touching the facts."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    dims = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        customer.join(dims, customer.c_nationkey == dims.n_nationkey)
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+    )
