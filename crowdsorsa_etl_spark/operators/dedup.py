@@ -190,11 +190,24 @@ def simhash_buckets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Docs grouped by identical simhash (the exact-collision tier; hamming-r
-    search composes by exploding bit-band rotations the same LSH way)."""
+    search is `simhash_hamming_candidates` below).
+
+    ``ids`` is a sorted comma-joined string, not an array: collect_list order
+    depends on task scheduling, so the raw array is nondeterministic across
+    runs — sort_array + concat_ws makes the output stable and hashable.
+    """
     return (
         simhash_signatures(df, text_col, id_col)
         .groupBy("simhash")
-        .agg(F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("id")), lambda c: c.cast("string")
+                ),
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .filter(F.col("n") > 1)
     )
 

@@ -24,6 +24,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one fixture table. Schemas are declared, never inferred."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # events.parquet carries INT64 TIMESTAMP(NANOS); Spark refuses it unless
+    # nanosAsLong is on. It is a runtime SQL conf, so set it HERE rather than
+    # at session build — the read path must work on any externally built
+    # SparkSession (e.g. the driver harness), not just our get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
     # session.py nanosAsLong) and truncate to microseconds, matching how
