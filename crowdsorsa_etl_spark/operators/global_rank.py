@@ -1,0 +1,124 @@
+"""Scalable global row numbering / rank distributions.
+
+``Window.orderBy(...)`` with no partition key funnels EVERY row through a
+single window task (Spark's WindowExec warns about exactly this) — fine at
+sf0.01, an OOM at 100 TB. This module implements the distributed two-phase
+form of a global ORDER BY rank:
+
+1. ``repartitionByRange`` on the sort key (the only full shuffle), then
+   ``sortWithinPartitions`` — together a distributed total sort where
+   partition *i* holds keys ≤ partition *i+1*'s.
+2. ``monotonically_increasing_id`` assigned AFTER the local sort encodes
+   ``partition_id * 2^33 + local_seq`` — so partition id and the
+   partition-local row number are recovered with two bit ops, no extra
+   shuffle and no per-partition window exchange.
+3. Per-partition row counts are collected to the driver (bounded: one
+   number per partition, like AQE's own stats) and turned into prefix-sum
+   offsets, broadcast back as a tiny join.
+
+global row number = partition offset + local row number. Everything stays
+JVM-side; the one data-sized shuffle is the range exchange itself.
+
+The ``order_cols`` MUST form a unique key (add a tie-breaker column, the
+usual SQL determinism requirement). Under that contract
+``rank = dense_rank = row_number``, and ``percent_rank`` / ``cume_dist`` /
+``ntile`` are closed-form expressions of the global row number and the
+total count, which lets the whole rank-distribution family run without a
+single-partition window anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MID_SEQ_BITS = 33  # monotonically_increasing_id: pid << 33 | local_seq
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    *,
+    rn_col: str = "global_rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Return (df + ``rn_col`` 1-based global row number, total row count).
+
+    ``order_cols`` must be a deterministic unique ordering (tie-breaker
+    included). The input is materialized once (``localCheckpoint``) so the
+    range-sampled partitioning is identical between the counts job and the
+    output job — without it a resample could shift partition boundaries
+    between the two passes.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
+    local_rn = F.col("_mid").bitwiseAND(F.lit((1 << _MID_SEQ_BITS) - 1)) + 1
+
+    # one row per partition — bounded driver-side work, like AQE statistics
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in part.groupBy(pid.alias("_pid")).agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets, running = [], 0
+    for p, n in counts:
+        offsets.append((p, running))
+        running += n
+    total = running
+
+    off_df = spark.createDataFrame(offsets, "_pid bigint, _off bigint")
+    out = (
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rn_col, (F.col("_off") + local_rn).cast("bigint"))
+        .drop("_pid", "_mid", "_off")
+    )
+    return out, total
+
+
+def rank_distributions(
+    df: DataFrame,
+    order_cols: list[Column],
+    *,
+    ntile: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ntile / percent_rank / cume_dist / rank / dense_rank over a
+    unique ordering, with no single-partition window in the plan.
+
+    With a unique sort key every row is its own peer group, so:
+    ``rank = dense_rank = rn``, ``percent_rank = (rn-1)/(total-1)``,
+    ``cume_dist = rn/total``, and ntile follows SQL's uneven-bucket rule
+    (the first ``total % n`` buckets get one extra row).
+    """
+    out, total = with_global_row_number(
+        df, order_cols, rn_col="_grn", num_partitions=num_partitions
+    )
+    rn = F.col("_grn")
+    base, rem = divmod(total, ntile)
+    if base == 0:
+        tile = rn  # fewer rows than buckets: row i → bucket i
+    else:
+        head = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+        tile = F.when(
+            rn <= head, F.floor((rn - 1) / (base + 1)) + 1
+        ).otherwise(rem + F.floor((rn - 1 - head) / base) + 1)
+    return (
+        out.withColumn("quartile" if ntile == 4 else f"ntile_{ntile}", tile.cast("int"))
+        .withColumn(
+            "pct_rank",
+            F.round((rn - 1) / F.lit(max(total - 1, 1)), 6),
+        )
+        .withColumn("cdist", F.round(rn / F.lit(total), 6))
+        .withColumn("rnk", rn.cast("int"))
+        .withColumn("drnk", rn.cast("int"))
+        .drop("_grn")
+    )

@@ -6,7 +6,8 @@ TPC-H-style tables: every order becomes a laji-etl-shaped document whose
 gathering is the order and whose units are its lineitems.
 
 Plan shape (the one you'd want at 100 TB):
-* customer⋈nation⋈region are broadcast dims (no shuffle),
+* nation (25 rows) is a forced broadcast dim; customer is fact-scale, so
+  its join is left to AQE (broadcast when small enough, shuffle otherwise),
 * lineitem→units is ONE shuffle (groupBy l_orderkey collect_list),
 * orders joins the aggregated units on the same key,
 * the struct/to_json projection is narrow and fully codegen'd.
@@ -26,8 +27,11 @@ def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
 
-    # dim chain, broadcast both sides (25 + |customer| rows)
-    cust_dim = F.broadcast(
+    # nation (25 rows) is a true broadcast dim. customer is FACT-scale — it
+    # grows with SF (~150 M rows at 100 TB), so it must NOT carry a forced
+    # broadcast hint; AQE converts the join to broadcast at runtime when the
+    # actual size allows, and falls back to shuffle join when it doesn't.
+    cust_dim = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "c_mktsegment", "n_name")
     )

@@ -1148,16 +1148,19 @@ def q30_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q31_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank distributions WITHOUT a single-partition window: the
+    naive ``Window.orderBy`` (no partitionBy) funnels the whole table
+    through one task; operators/global_rank.py computes the same values
+    via range-repartition + partition-count prefix sums. The sort key
+    (o_totalprice, o_orderkey) is unique, which the operator requires."""
+    from crowdsorsa_etl_spark.operators.global_rank import rank_distributions
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return orders.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
-    )
+    return rank_distributions(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        ntile=4,
+    ).select("o_orderkey", "quartile", "pct_rank", "cdist", "rnk", "drnk")
 
 
 @register(

@@ -226,3 +226,49 @@ class TestConnectedComponents:
         assert got[1] == (1, True)  # isolated docs keep themselves
         assert got[2] == (2, True)
         assert got[4] == (4, True)
+
+
+class TestGlobalRank:
+    """operators/global_rank.py must agree exactly with the naive
+    single-partition window it replaces — including SQL's uneven-bucket
+    ntile rule when total % n != 0."""
+
+    def _naive(self, df, spark):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+        return {
+            r.k: (r.quartile, r.pct_rank, r.cdist, r.rnk, r.drnk)
+            for r in df.select(
+                "k",
+                F.ntile(4).over(w).alias("quartile"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                F.round(F.cume_dist().over(w), 6).alias("cdist"),
+                F.rank().over(w).cast("int").alias("rnk"),
+                F.dense_rank().over(w).cast("int").alias("drnk"),
+            ).collect()
+        }
+
+    def test_matches_naive_window_uneven_total(self, spark):
+        from crowdsorsa_etl_spark.operators.global_rank import rank_distributions
+
+        # 103 rows: 103 % 4 == 3 exercises the uneven ntile buckets; values
+        # repeat so the unique-key contract rests on the k tie-breaker
+        rows = [(k, float(k % 17)) for k in range(103)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        got = {
+            r.k: (r.quartile, r.pct_rank, r.cdist, r.rnk, r.drnk)
+            for r in rank_distributions(
+                df, [F.col("v").asc(), F.col("k").asc()], ntile=4, num_partitions=7
+            ).collect()
+        }
+        assert got == self._naive(df, spark)
+
+    def test_row_number_total(self, spark):
+        from crowdsorsa_etl_spark.operators.global_rank import with_global_row_number
+
+        df = spark.createDataFrame([(k, -k) for k in range(50)], "k long, v long")
+        out, total = with_global_row_number(df, [F.col("v").asc()], num_partitions=5)
+        assert total == 50
+        got = {r.k: r.global_rn for r in out.collect()}
+        assert got[49] == 1 and got[0] == 50  # v = -k sorts descending in k

@@ -69,6 +69,20 @@ class TestJoinStrategies:
         plan = plan_of(QUERIES["q29_top10_global"](spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan
 
+    def test_global_rank_has_no_single_partition_window(self, spark):
+        # q31 must compute global ranks via the two-phase range-partition
+        # form — a naive Window.orderBy would show Exchange SinglePartition
+        plan = plan_of(QUERIES["q31_rank_distributions"](spark, SF_DIR))
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
+
+    def test_flagship_does_not_force_fact_broadcast(self, spark):
+        # exactly ONE broadcast hint survives analysis (nation); customer's
+        # join strategy is left to the planner/AQE
+        df = QUERIES["flagship_order_documents"](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1
+
 
 class TestWholeStageCodegen:
     def test_flagship_projection_stays_jvm_side(self, spark):
