@@ -12,7 +12,13 @@ naive ``range-predicate join + dedup``:
             last(struct, ignorenulls) over an unbounded-preceding frame.
 
     cost:   exactly ONE shuffle of |L|+|R| rows and one sort per partition —
-            linear, skew-safe (AQE can split a hot key's sort), no blowup.
+            linear, no candidate blowup. NOTE on skew: AQE's skew handling
+            applies to joins, not window sorts — a single hot key still
+            sorts on one task here. When one key dominates (|rows| per key
+            ≫ a task's memory), pre-bucket that key's rows by coarse time
+            range, run the same union-merge within each (key, bucket), and
+            seed each bucket with the previous bucket's last right row —
+            the carry-forward then composes across buckets.
 
 Right-side payload is packed into a single struct so the carried values always
 come from the *same* right row.

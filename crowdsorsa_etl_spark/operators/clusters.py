@@ -5,14 +5,19 @@ After MinHash-LSH/SimHash produce near-duplicate *pairs*, deduplication needs
 (large-star / small-star, Kiveris et al.) expressed in DataFrame ops:
 
     state:  label(v) = current minimum-known component id per vertex
-    step:   propagate min(label) across edges both ways, join back, iterate
-    stop:   no label changed (count of updates == 0)
+    step:   (a) propagate min(label) across edges one hop, then
+            (b) pointer-double: relabel through the label's own label
+                (label(v) ← label(label(v))), which halves the remaining
+                path length each round → O(log diameter) convergence even
+                on long chains (plain one-hop propagation is O(diameter))
+    stop:   no label changed (count of updates == 0); if ``max_iterations``
+            is exhausted first a warning is emitted — labels may be split.
 
-Scale properties: every iteration is two shuffles (groupBy min + join) on
-uniform vertex-id keys; convergence is O(log(diameter)) iterations for the
-path-like components near-dup graphs produce. ``localCheckpoint`` truncates
-the lineage each round so plans don't grow exponentially (the classic
-iterative-Spark trap).
+Scale properties: every iteration is a bounded number of shuffles (edge
+join + groupBy min + pointer join) on uniform vertex-id keys; the per-round
+convergence check is a driver-side ``count()`` of an O(1)-sized result.
+``localCheckpoint`` truncates the lineage each round so plans don't grow
+exponentially (the classic iterative-Spark trap).
 
 Not SQL-expressible in one query (DuckDB's RECURSIVE could do it, but the
 driver contract's hash compare needs deterministic output anyway — component
@@ -50,32 +55,60 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
 
+    converged = False
     for _ in range(max_iterations):
-        # candidate label per vertex: min over neighbors' labels and own
+        # (a) candidate label per vertex: min over neighbors' labels and own
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("neighbor_component"))
         )
-        updated = (
+        hopped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("new_component"),
-                "component",
+                ).alias("component"),
             )
         )
-        n_changed = updated.filter(
-            F.col("new_component") != F.col("component")
-        ).count()
-        labels = updated.select(
+        # (b) pointer doubling: a label is itself a vertex id, so follow it
+        # one more level — label(v) ← label(label(v)). Halves the remaining
+        # chain each round, giving O(log diameter) total rounds.
+        parent = hopped.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
+        doubled = (
+            hopped.join(parent, hopped.component == parent._pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
+                ).alias("new_component"),
+            )
+        )
+        changed = (
+            doubled.join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("new_component") != F.col("_old"))
+        )
+        n_changed = changed.count()
+        labels = doubled.select(
             "id", F.col("new_component").alias("component")
         ).localCheckpoint()  # truncate lineage every round
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; returned labels may split long chains into "
+            "multiple clusters. Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -272,3 +272,31 @@ class TestGlobalRank:
         assert total == 50
         got = {r.k: r.global_rn for r in out.collect()}
         assert got[49] == 1 and got[0] == 50  # v = -k sorts descending in k
+
+
+class TestConnectedComponentsConvergence:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from crowdsorsa_etl_spark.operators.clusters import connected_components
+
+        # 64-vertex path: one-hop propagation needs ~63 rounds; pointer
+        # doubling must finish well inside 10
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        got = {r.id: r.component for r in connected_components(
+            edges, max_iterations=10
+        ).collect()}
+        assert set(got.values()) == {0}
+
+    def test_warns_when_not_converged(self, spark):
+        import warnings
+
+        from crowdsorsa_etl_spark.operators.clusters import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            connected_components(edges, max_iterations=1).collect()
+        assert any("did not converge" in str(x.message) for x in w)
