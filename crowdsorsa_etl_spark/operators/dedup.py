@@ -10,7 +10,8 @@ Four strategies, all shuffle-bounded and driver-free:
                      xxhash64 + map-side-combined min aggregates);
                      cost is |bands| rows per doc shuffled, never |docs|².
 * simhash          — 64-bit simhash from token hashes; near-dups = equal
-                     simhash bucket (or hamming ≤ r via rotations).
+                     simhash bucket (exact tier) or hamming ≤ r via
+                     pigeonhole bit-band LSH (simhash_hamming_candidates).
 * token_jaccard    — exact pairwise Jaccard over distinct-token sets, scoped
                      by a blocking key (e.g. lang) to bound the pair blowup;
                      the SQL-oracle-checkable ground truth for the approximate
@@ -209,6 +210,80 @@ def simhash_buckets(
             F.count(F.lit(1)).alias("n"),
         )
         .filter(F.col("n") > 1)
+    )
+
+
+def simhash_hamming_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    radius: int = 8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with simhash hamming distance ≤ ``radius``.
+
+    Pigeonhole LSH over bit bands: split the 64-bit signature into
+    ``bands`` contiguous bit bands (default ``radius + 1``). Two signatures
+    within hamming ``radius`` differ in at most ``radius`` bands, so with
+    ``bands ≥ radius + 1`` at least one band matches EXACTLY — candidates
+    are found with an equi-join on (band, band_bits), never an all-pairs
+    scan. Full hamming distance is then verified with
+    ``bit_count(sig_a XOR sig_b)`` on candidates only.
+
+    Shuffle shape mirrors MinHash-LSH: ``bands`` fixed-width rows per doc,
+    |pairs| bounded by real band collisions — 100 TB-safe.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, one row per pair.
+    """
+    if bands is None:
+        bands = radius + 1
+    if bands > 64:
+        raise ValueError("bands must be ≤ 64 (64-bit signatures)")
+    width = 64 // bands  # last band absorbs the remainder bits
+
+    sig = simhash_signatures(df, text_col, id_col).localCheckpoint()
+
+    def band_bits(b: int):
+        shifted = F.shiftrightunsigned("simhash", b * width)
+        if b == bands - 1:  # take all remaining high bits
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bits(b).alias("bits"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bits")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        # a pair can collide in several bands → reduce to one row first
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.first(F.col("a.simhash")).alias("_sa"),
+            F.first(F.col("b.simhash")).alias("_sb"),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
     )
 
 

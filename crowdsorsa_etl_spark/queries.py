@@ -847,6 +847,16 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
+@register("llm_simhash_hamming")
+def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 8 near-dup pairs via pigeonhole bit-band LSH (rows-only:
+    xxhash64-based signatures aren't reproducible in the SQL oracle; the
+    brute-force-equality gate lives in tests/test_operators.py)."""
+    from crowdsorsa_etl_spark.operators.dedup import simhash_hamming_candidates
+
+    return simhash_hamming_candidates(_t(spark, sf_dir, "documents"), radius=8)
+
+
 @register("llm_lsh_topk")
 def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -300,3 +300,50 @@ class TestConnectedComponentsConvergence:
             warnings.simplefilter("always")
             connected_components(edges, max_iterations=1).collect()
         assert any("did not converge" in str(x.message) for x in w)
+
+
+class TestLSHRecallGates:
+    """Quantitative gates for the approximate dedup tiers, measured against
+    exact ground truth on the fixture corpus."""
+
+    def test_minhash_lsh_recall_vs_exact_jaccard(self, spark):
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        # unigram ground truth ↔ shingle_k=1 signatures: same similarity space
+        truth = {
+            (r.id_a, r.id_b)
+            for r in token_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        assert truth, "fixture must contain jaccard>=0.8 pairs"
+        cand = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(docs, shingle_k=1).collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.95, f"minhash-LSH recall {recall:.3f} < 0.95"
+
+    def test_simhash_hamming_equals_bruteforce(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            simhash_hamming_candidates,
+            simhash_signatures,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        sigs = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+        ids = sorted(sigs)
+        for radius in (4, 8):
+            brute = {
+                (a, b)
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+                if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= radius
+            }
+            cand = {
+                (r.id_a, r.id_b)
+                for r in simhash_hamming_candidates(docs, radius=radius).collect()
+            }
+            # pigeonhole banding guarantees EVERY pair within radius collides
+            # in at least one band — candidates must equal brute force exactly
+            assert cand == brute
