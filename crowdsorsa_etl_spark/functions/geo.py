@@ -157,29 +157,129 @@ def area_m2(wkb: Column, crs_label: str) -> Column:
     return F.ceil(raw).cast("double")
 
 
-def _make_valid_py(buf: bytes | None) -> bytes | None:
-    """Light-weight ``st_make_valid`` + ``st_cast(.., "MULTIPOLYGON")``
-    (crowdsorsa-etl-2023.R:36-38): close unclosed rings, drop degenerate
-    rings (<4 points after closing), normalize to MULTIPOLYGON.
+def _proper_crossing(p1, p2, p3, p4):
+    """Parametric proper-crossing test for segments p1p2 / p3p4: returns
+    (t, u, point) with t,u strictly inside (0,1), else None."""
+    x1, y1 = p1
+    x2, y2 = p2
+    x3, y3 = p3
+    x4, y4 = p4
+    d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+    if abs(d) < 1e-18:
+        return None  # parallel/collinear
+    t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+    u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / d
+    eps = 1e-12
+    if eps < t < 1 - eps and eps < u < 1 - eps:
+        return t, u, (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+    return None
 
-    Full GEOS-style self-intersection repair needs a computational-geometry
-    kernel that is out of scope without a native geo library; inputs here are
-    game-drawn simple polygons where closure/degeneracy are the failure modes.
+
+def _pt_key(p) -> tuple[float, float]:
+    return (round(p[0], 9), round(p[1], 9))
+
+
+def _repair_ring(ring: list[tuple[float, float]]) -> list[list[tuple[float, float]]]:
+    """Split a closed ring with proper self-crossings (bowties,
+    figure-eights) into simple closed rings — the even-odd linework rebuild
+    GEOS's ST_MakeValid performs, in pure python.
+
+    1. Node: insert every proper crossing point into both segments.
+    2. Walk the noded vertex cycle with a stack; when a vertex repeats, the
+       loop between its two occurrences is popped as one simple ring.
+
+    Rings with no self-crossing are returned UNCHANGED (byte-stable fast
+    path). Vertex-on-segment touches are left as-is (valid by even-odd).
+    O(n²) crossing detection — fine for game-drawn rings of tens of points.
     """
+    pts = list(ring[:-1])  # open cycle
+    n = len(pts)
+    inserts: list[list[tuple[float, tuple[float, float]]]] = [[] for _ in range(n)]
+    found = False
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue  # adjacent segments share a vertex, not a crossing
+            hit = _proper_crossing(pts[i], pts[(i + 1) % n], pts[j], pts[(j + 1) % n])
+            if hit is not None:
+                t, u, pt = hit
+                inserts[i].append((t, pt))
+                inserts[j].append((u, pt))
+                found = True
+    if not found:
+        return [list(ring)]
+
+    noded: list[tuple[float, float]] = []
+    for i in range(n):
+        noded.append(pts[i])
+        noded.extend(pt for _, pt in sorted(inserts[i], key=lambda x: x[0]))
+
+    out: list[list[tuple[float, float]]] = []
+    stack: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+    for p in noded + [noded[0]]:
+        k = _pt_key(p)
+        if k in pos:
+            j = pos[k]
+            sub = stack[j:] + [p]
+            if len(sub) >= 4 and abs(_ring_area_planar(sub)) > 0.0:
+                out.append(sub)
+            for q in stack[j + 1 :]:
+                pos.pop(_pt_key(q), None)
+            stack = stack[: j + 1]
+        else:
+            pos[k] = len(stack)
+            stack.append(p)
+    return out
+
+
+def _point_in_ring(p: tuple[float, float], ring: list[tuple[float, float]]) -> bool:
+    """Even-odd ray cast (point strictly inside)."""
+    x, y = p
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+            inside = not inside
+    return inside
+
+
+def _make_valid_py(buf: bytes | None) -> bytes | None:
+    """``st_make_valid`` + ``st_cast(.., "MULTIPOLYGON")``
+    (crowdsorsa-etl-2023.R:36-38): close unclosed rings, drop degenerate
+    rings (<4 points after closing), split self-crossing rings into simple
+    ones (a bowtie shell becomes two polygons, exactly as GEOS does), and
+    normalize to MULTIPOLYGON. Holes are repaired the same way and assigned
+    to the output shell that contains them."""
     if buf is None:
         return None
     polys = _parse_wkb(bytes(buf))
-    fixed = []
+    fixed: list[list[list[tuple[float, float]]]] = []
     for rings in polys:
-        new_rings = []
+        closed = []
         for ring in rings:
             r = list(ring)
             if r and r[0] != r[-1]:
                 r.append(r[0])
             if len(r) >= 4:
-                new_rings.append(r)
-        if new_rings:
-            fixed.append(new_rings)
+                closed.append(r)
+        if not closed:
+            continue
+        shells = [s for s in _repair_ring(closed[0]) if len(s) >= 4]
+        if not shells:
+            # zero-area/degenerate shell: keep the closed original so the
+            # area path still sees it (matches the pre-repair behavior)
+            fixed.append(closed)
+            continue
+        holes_by_shell: list[list[list[tuple[float, float]]]] = [[] for _ in shells]
+        for hole in closed[1:]:
+            for piece in _repair_ring(hole):
+                for si, shell in enumerate(shells):
+                    if _point_in_ring(piece[0], shell):
+                        holes_by_shell[si].append(piece)
+                        break  # unlocatable pieces are dropped
+        fixed.extend([shell] + holes_by_shell[si] for si, shell in enumerate(shells))
     return polygons_to_wkb(fixed)
 
 

@@ -85,3 +85,46 @@ class TestGeoJson:
         assert row.gj.type == "MultiPolygon"
         assert row.gj.coordinates[0][0][0] == [0.0, 0.0]
         assert len(row.gj.coordinates[0][0]) == 5
+
+
+class TestMakeValidSelfIntersection:
+    """GEOS-parity repair of proper self-crossings (crowdsorsa-etl-2023.R:36
+    st_make_valid): a bowtie shell splits into two simple polygons."""
+
+    BOWTIE = [[(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]
+
+    def test_bowtie_splits_into_two_triangles(self):
+        fixed = _parse_wkb(_make_valid_py(polygons_to_wkb([self.BOWTIE])))
+        assert len(fixed) == 2  # two polygons, one triangle each
+        for rings in fixed:
+            assert len(rings) == 1
+            assert len(rings[0]) == 4  # closed triangle
+            assert rings[0][0] == rings[0][-1]
+        # each triangle has area 1/4; crossing point is (0.5, 0.5)
+        from crowdsorsa_etl_spark.functions.geo import _ring_area_planar
+
+        areas = sorted(abs(_ring_area_planar(r[0])) for r in fixed)
+        assert areas == pytest.approx([0.25, 0.25])
+        assert any((0.5, 0.5) in r[0] for r in fixed)
+
+    def test_total_area_via_spark_udf(self, spark):
+        df = spark.createDataFrame(
+            [(polygons_to_wkb([self.BOWTIE]),)], "g binary"
+        )
+        from crowdsorsa_etl_spark.functions.geo import st_area_planar, st_make_valid_multi
+
+        row = df.select(st_area_planar(st_make_valid_multi(F.col("g"))).alias("a")).first()
+        assert row.a == pytest.approx(0.5)
+
+    def test_simple_ring_is_byte_stable(self):
+        # valid input must round-trip IDENTICALLY (goldens depend on it)
+        wkb = polygons_to_wkb([UNIT_SQUARE])
+        assert _make_valid_py(wkb) == wkb
+
+    def test_hole_follows_its_shell(self):
+        # bowtie with a small hole inside the left triangle
+        hole = [(0.1, 0.45), (0.2, 0.45), (0.2, 0.55), (0.1, 0.55), (0.1, 0.45)]
+        fixed = _parse_wkb(_make_valid_py(polygons_to_wkb([self.BOWTIE + [hole]])))
+        with_hole = [rings for rings in fixed if len(rings) == 2]
+        assert len(with_hole) == 1
+        assert (0.1, 0.45) in with_hole[0][1]
