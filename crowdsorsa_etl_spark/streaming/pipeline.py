@@ -40,6 +40,14 @@ EVENTS_RAW = T.StructType(
 )
 
 
+def _finalize_events(raw: DataFrame) -> DataFrame:
+    """Shared tail of every event source: nanos-long ts → timestamp.
+    Both the file source and the Kafka source funnel through this, so the
+    downstream operators see ONE canonical events shape regardless of
+    transport."""
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based event stream (one file per micro-batch in tests; a real
     deployment points this at an arriving-files directory or Kafka)."""
@@ -52,7 +60,49 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _finalize_events(raw)
+
+
+def decode_kafka_events(records: DataFrame) -> DataFrame:
+    """Kafka wire format → canonical events rows.
+
+    ``records`` carries the Kafka source's (key binary, value binary, ...)
+    columns; the value is a JSON event with ``ts`` in long nanos. The decode
+    is pure column expressions, so it behaves identically on a BATCH
+    DataFrame of the same shape — which is what the contract test exercises
+    (no broker in the test image) — and on ``readStream.format("kafka")``
+    output in a real deployment. Corrupt values yield NULL structs and are
+    dropped (permissive-mode semantics)."""
+    parsed = (
+        records.select(
+            F.from_json(F.col("value").cast("string"), EVENTS_RAW).alias("e")
+        )
+        # permissive from_json maps corrupt input to an ALL-NULL struct (not
+        # a null struct) — filter on the required key field
+        .where(F.col("e.event_id").isNotNull())
+        .select("e.*")
+    )
+    return _finalize_events(parsed)
+
+
+def read_kafka_event_stream(
+    spark: SparkSession,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka event stream (requires the spark-sql-kafka connector jar on the
+    classpath; absent from the test image, where decode_kafka_events is
+    contract-tested against the file source instead)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_kafka_events(raw)
 
 
 def tumbling_counts(

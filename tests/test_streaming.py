@@ -108,3 +108,53 @@ class TestStatefulOperator:
             assert r.n_events == n
             assert abs(r.total_value - total) < 0.02
             assert r.last_event_type is not None
+
+
+class TestKafkaContract:
+    """No broker in the image: the Kafka decode is contract-tested on a
+    batch DataFrame with the Kafka source's wire shape, against the same
+    fixture rows the file source yields."""
+
+    def test_decode_matches_file_source_rows(self, spark):
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            EVENTS_RAW,
+            decode_kafka_events,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.read.schema(EVENTS_RAW)
+            .parquet("/root/testdata/sf0.001/events.parquet")
+            .limit(50)
+        )
+        # serialize to the Kafka wire shape: JSON value bytes + key bytes
+        wire = raw.select(
+            F.col("event_id").cast("string").cast("binary").alias("key"),
+            F.to_json(F.struct(*[F.col(f.name) for f in EVENTS_RAW])).cast(
+                "binary"
+            ).alias("value"),
+            F.lit("events").alias("topic"),
+        )
+        decoded = {
+            r.event_id: (r.ts, r.user_id, r.event_type, r.value, r.props)
+            for r in decode_kafka_events(wire).collect()
+        }
+        expected = {
+            r.event_id: (r.ts, r.user_id, r.event_type, r.value, r.props)
+            for r in load_table(spark, "events", "/root/testdata/sf0.001")
+            .limit(50)
+            .collect()
+        }
+        assert decoded == expected
+
+    def test_corrupt_values_dropped(self, spark):
+        from crowdsorsa_etl_spark.streaming.pipeline import decode_kafka_events
+
+        wire = spark.createDataFrame(
+            [(b"1", b"not json"), (b"2", b'{"event_id": 7, "ts": 1700000000000000000, '
+             b'"user_id": 1, "event_type": "x", "value": 1.5, "props": "{}"}')],
+            "key binary, value binary",
+        )
+        rows = decode_kafka_events(wire).collect()
+        assert len(rows) == 1 and rows[0].event_id == 7
