@@ -239,3 +239,241 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup by embedding)
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold — the oracle-checkable ground
+    truth for embedding near-dup detection. Quadratic (|N|²/2 dot products,
+    broadcast-nested-loop self-join): at 100 TB use
+    :func:`embedding_cosine_pairs_lsh` for candidates and this form only to
+    verify them (mirrors token_jaccard_pairs vs MinHash-LSH).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6 dp.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_av"),
+        l2_norm(F.col(vec_col)).alias("_an"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_bv"),
+        l2_norm(F.col(vec_col)).alias("_bn"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    emb: DataFrame,
+    *,
+    dim: int,
+    threshold: float,
+    n_tables: int = 12,
+    n_bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: SRP-bucket self-join candidates
+    + exact cosine verification — the 100 TB path (fixed-width bucket keys
+    shuffle; candidate count bounded by real bucket collisions, never |N|²).
+
+    Tuning: P(two vectors share one table's bucket) = (1 - θ/π)^n_bits with
+    θ = arccos(threshold); recall = 1 - (1 - p)^n_tables. Fewer bits / more
+    tables raise recall at the cost of larger candidate sets — the defaults
+    target recall ≳0.95 at threshold ≈ 0.35. For high-threshold near-dup
+    (≥0.9, the usual dedup case) raise n_bits to 8-10.
+
+    Output: (id_a, id_b, cosine) — a subset of embedding_cosine_pairs
+    (candidates missed by every table are lost; recall is gated in tests).
+    """
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        srp_signature(F.col(vec_col), dim, t, n_bits).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "_v", "_n", "tb.table", "tb.bucket")
+
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a._v").alias("_av"),
+            F.col("a._n").alias("_an"),
+            F.col("b._v").alias("_bv"),
+            F.col("b._n").alias("_bn"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed re-rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    *,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    iterations: int = 5,
+):
+    """Spherical k-means on a deterministic bounded sample (first
+    ``sample_size`` vectors by id) — driver-side numpy, like FAISS's train
+    step. The sample is bounded by definition (the 100 TB corpus trains on
+    the same fixed-size sample); everything downstream is distributed.
+
+    Returns a unit-normalized (n_lists, dim) ndarray.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    centroids = x[:n_lists].copy()  # deterministic init
+    for _ in range(iterations):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """corpus + ``list_id`` (nearest centroid by cosine). BLAS argmax per
+    Arrow batch; at scale, WRITE the result partitioned by list_id so probes
+    prune partitions at scan time (the parquet analog of FAISS's inverted
+    lists)."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = np.argmax(mat @ c.T, axis=1).astype("int32")
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, list_id int"
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only the corpus vectors whose list
+    is among each query's ``n_probe`` nearest centroids (~n_probe/n_lists of
+    the corpus instead of all of it), then exact cosine re-rank.
+
+    The query set is collected once (bounded by definition, as in
+    cosine_topk_vectorized); the corpus is assigned distributedly and never
+    fully scored. Same output contract as cosine_topk.
+    """
+    import numpy as np
+
+    centroids = ivf_train_centroids(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        top_lists = np.argsort(-(centroids @ qv))[:n_probe]
+        probes.extend((int(r[0]), int(l)) for l in top_lists)
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    q_df = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[1]]) for r in q_rows],
+        f"query_id long, _qv array<float>",
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    cand = (
+        assigned.join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(q_df), "query_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (l2_norm(F.col(vec_col)) * F.col("_qn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

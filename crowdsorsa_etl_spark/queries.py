@@ -863,6 +863,50 @@ def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+@register(
+    "llm_embedding_dups",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+)
+def llm_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the ground truth the LSH tier
+    is recall-gated against; quadratic — verify-only at scale)."""
+    from crowdsorsa_etl_spark.operators.similarity import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register("llm_embedding_dups_lsh")
+def llm_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup pairs — the 100 TB path (rows-only: a
+    recall-gated subset of llm_embedding_dups, not an exact match by
+    design; gate in tests/test_operators.py)."""
+    from crowdsorsa_etl_spark.operators.similarity import embedding_cosine_pairs_lsh
+
+    return embedding_cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.35
+    )
+
+
+@register("llm_ivf_topk")
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (rows-only: k-means cells are implementation-defined;
+    recall gate vs exact cosine_topk in tests/test_operators.py)."""
+    from crowdsorsa_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=8
+    )
+
+
 # ===========================================================================
 # Relational core, batch 2 (percentiles, frames, string/math surface,
 # union-by-name, correlated aggregates, sliding windows)

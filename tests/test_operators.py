@@ -347,3 +347,61 @@ class TestLSHRecallGates:
             # pigeonhole banding guarantees EVERY pair within radius collides
             # in at least one band — candidates must equal brute force exactly
             assert cand == brute
+
+
+class TestEmbeddingDedupAndIVF:
+    def test_embedding_lsh_recall_vs_exact(self, spark):
+        from crowdsorsa_etl_spark.operators.similarity import (
+            embedding_cosine_pairs,
+            embedding_cosine_pairs_lsh,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(emb, threshold=0.35).collect()
+        }
+        assert exact, "fixture must contain cosine>=0.35 pairs"
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs_lsh(
+                emb, dim=64, threshold=0.35
+            ).collect()
+        }
+        assert lsh <= exact  # verification step admits no false positives
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.9, f"embedding-LSH recall {recall:.3f} < 0.9"
+
+    def test_ivf_recall_vs_exact_topk(self, spark):
+        from crowdsorsa_etl_spark.operators.similarity import ivf_topk
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        q = emb.filter(F.col("vec_id") < 10)
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, q, k=10).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=10, n_lists=16, n_probe=8).collect()
+        }
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.85, f"IVF recall {recall:.3f} < 0.85"
+
+    def test_ivf_probes_fraction_of_corpus(self, spark):
+        # the probed candidate set must be a strict subset of the corpus —
+        # scoring everything would defeat the index
+        from crowdsorsa_etl_spark.operators.similarity import (
+            ivf_assign,
+            ivf_train_centroids,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        cents = ivf_train_centroids(emb, n_lists=8)
+        counts = (
+            ivf_assign(emb, cents).groupBy("list_id").count().collect()
+        )
+        assert len(counts) > 1  # vectors spread across lists, not one cell
