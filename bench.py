@@ -40,6 +40,12 @@ HEADLINE = [
     "llm_cosine_topk_vectorized",
     "llm_minhash_lsh",
     "flagship_order_documents",
+    # round-2 additions: distributed global rank, hamming-LSH dedup,
+    # embedding near-dup LSH, IVF ANN
+    "q31_rank_distributions",
+    "llm_simhash_hamming",
+    "llm_embedding_dups_lsh",
+    "llm_ivf_topk",
 ]
 
 

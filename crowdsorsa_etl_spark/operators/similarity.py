@@ -18,8 +18,11 @@ bit-for-bit after rounding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -168,7 +171,8 @@ def _srp_plane(dim: int, table: int, bit: int) -> list[float]:
 
 def srp_signature(vec: Column, dim: int, table: int, n_bits: int = 8) -> Column:
     """n_bits sign bits of projections onto deterministic hyperplanes,
-    packed into one bigint bucket key."""
+    packed into one bigint bucket key (expression form; see
+    :func:`srp_buckets_arrow` for the vectorized all-tables form)."""
     bucket = F.lit(0).cast("bigint")
     for bit in range(n_bits):
         plane = F.array(*[F.lit(v) for v in _srp_plane(dim, table, bit)])
@@ -179,6 +183,39 @@ def srp_signature(vec: Column, dim: int, table: int, n_bits: int = 8) -> Column:
             )
         )
     return bucket
+
+
+def srp_buckets_arrow(vec: Column, dim: int, n_tables: int, n_bits: int) -> Column:
+    """All ``n_tables`` SRP bucket keys in ONE BLAS matmul per Arrow batch.
+
+    The expression form costs one interpreted dim-length fold PER PLANE per
+    row (n_tables × n_bits of them) — ~70 µs each at dim 64. Here the full
+    plane matrix multiplies each batch once: X @ P.T, sign, pack bits.
+    Returns array<bigint> of length n_tables (index = table id); explode
+    with posexplode to get (table, bucket) rows. Same planes as
+    srp_signature (identical buckets up to float-summation-order ties at
+    proj == 0, which measure zero for real data).
+    """
+    planes = np.array(
+        [
+            _srp_plane(dim, t, b)
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*n_bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))  # bit packing
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(xs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (x @ planes.T) > 0  # (batch, n_tables*n_bits)
+        packed = bits.reshape(len(x), n_tables, n_bits) @ weights  # (batch, n_tables)
+        return pd.Series(list(packed))
+
+    return _buckets(vec)
 
 
 def lsh_topk(
@@ -199,20 +236,10 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"_{out_id}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            srp_signature(F.col(vec_col), dim, t, n_bits).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(out_id, f"_{out_id}_vec", "tb.table", "tb.bucket")
+            F.posexplode(
+                srp_buckets_arrow(F.col(vec_col), dim, n_tables, n_bits)
+            ).alias("table", "bucket"),
+        )
 
     cb = bucketize(corpus, "neighbor_id")
     qb = bucketize(queries, "query_id")
@@ -282,6 +309,26 @@ def embedding_cosine_pairs(
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_arrow(xa: pd.Series, xb: pd.Series) -> pd.Series:
+    """Vectorized cosine of two array<float> columns (BLAS per Arrow batch).
+
+    The interpreted ``aggregate``/``zip_with`` expression costs ~µs per
+    pair — fine for a per-row projection, ruinous for millions of candidate
+    pairs. This pandas UDF does the same math at memory bandwidth. Values
+    can differ from the expression path in the last ulp (pairwise
+    summation), so use it for candidate VERIFICATION (id-pair outputs), not
+    for oracle-hash-compared scores.
+    """
+    if len(xa) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.stack(xa.to_numpy()).astype(np.float64)
+    mb = np.stack(xb.to_numpy()).astype(np.float64)
+    num = (ma * mb).sum(axis=1)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(np.round(num / np.maximum(den, 1e-300), 6))
+
+
 def embedding_cosine_pairs_lsh(
     emb: DataFrame,
     *,
@@ -293,8 +340,9 @@ def embedding_cosine_pairs_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate embedding near-dup pairs: SRP-bucket self-join candidates
-    + exact cosine verification — the 100 TB path (fixed-width bucket keys
-    shuffle; candidate count bounded by real bucket collisions, never |N|²).
+    + vectorized exact cosine verification — the 100 TB path (fixed-width
+    bucket keys shuffle; candidate count bounded by real bucket collisions,
+    never |N|²).
 
     Tuning: P(two vectors share one table's bucket) = (1 - θ/π)^n_bits with
     θ = arccos(threshold); recall = 1 - (1 - p)^n_tables. Fewer bits / more
@@ -302,48 +350,45 @@ def embedding_cosine_pairs_lsh(
     target recall ≳0.95 at threshold ≈ 0.35. For high-threshold near-dup
     (≥0.9, the usual dedup case) raise n_bits to 8-10.
 
+    Shuffle discipline: the banded self-join and the pair dedup carry ONLY
+    (id, table, bucket) — fixed-width keys, no vectors. Vectors are
+    re-attached to the DEDUPED pair set with two id-key joins (broadcast
+    when the embedding table allows, shuffle otherwise), so each embedding
+    crosses the Arrow boundary once per surviving pair side, not once per
+    raw bucket collision — the Arrow transfer into the vectorized verifier
+    is the measured bottleneck, so minimizing verified rows wins over
+    minimizing shuffles here.
+
     Output: (id_a, id_b, cosine) — a subset of embedding_cosine_pairs
     (candidates missed by every table are lost; recall is gated in tests).
     """
+    # materialize buckets once — the a/b sides of the self-join would each
+    # re-run the projection UDF otherwise
     bucketed = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        srp_signature(F.col(vec_col), dim, t, n_bits).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "_v", "_n", "tb.table", "tb.bucket")
+        F.posexplode(
+            srp_buckets_arrow(F.col(vec_col), dim, n_tables, n_bits)
+        ).alias("table", "bucket"),
+    ).localCheckpoint()
 
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a._v").alias("_av"),
-            F.col("a._n").alias("_an"),
-            F.col("b._v").alias("_bv"),
-            F.col("b._n").alias("_bn"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "cosine",
-            F.round(dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6),
-        )
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", _cosine_arrow(F.col("_av"), F.col("_bv")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

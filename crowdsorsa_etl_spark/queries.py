@@ -849,12 +849,16 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_simhash_hamming")
 def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming ≤ 8 near-dup pairs via pigeonhole bit-band LSH (rows-only:
+    """Hamming ≤ 4 near-dup pairs via pigeonhole bit-band LSH (rows-only:
     xxhash64-based signatures aren't reproducible in the SQL oracle; the
-    brute-force-equality gate lives in tests/test_operators.py)."""
+    brute-force-equality gate lives in tests/test_operators.py).
+
+    radius=4 → 5 bands × 12 bits: 4096 buckets per band keeps bucket
+    occupancy low even on this dup-heavy corpus (radius 8 would mean 7-bit
+    bands — 128 buckets — whose hot buckets blow up the candidate join)."""
     from crowdsorsa_etl_spark.operators.dedup import simhash_hamming_candidates
 
-    return simhash_hamming_candidates(_t(spark, sf_dir, "documents"), radius=8)
+    return simhash_hamming_candidates(_t(spark, sf_dir, "documents"), radius=4)
 
 
 @register("llm_lsh_topk")
