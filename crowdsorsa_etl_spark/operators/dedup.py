@@ -339,3 +339,83 @@ def token_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): rolling k-gram hashes, one fingerprint per sliding window
+    of ``window`` consecutive hashes (the minimum), distinct per doc.
+
+    Guarantee: any shared run of at least k + window - 1 tokens between two
+    documents yields at least one shared fingerprint — position-robust
+    overlap detection at ~|tokens| / window fingerprints per doc.
+
+    Plan shape mirrors minhash_signatures: ONE shuffle on the doc id; the
+    k-gram combine (lead), the window minimum (min over a rows frame), and
+    the dedup all share that partitioning.
+
+    Output: (id, fp) — one row per distinct fingerprint hash per doc.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "t"),
+    ).select("id", "pos", F.xxhash64("t").alias("th"))
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    kg = toks.select(
+        "id",
+        "pos",
+        F.xxhash64(
+            "th", *[F.lead("th", j).over(w_doc) for j in range(1, k)]
+        ).alias("h"),
+    )
+    w_win = w_doc.rowsBetween(0, window - 1)
+    return (
+        kg.select("id", F.min("h").over(w_win).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
+    copy-detection join. Fingerprints occurring in more than
+    ``max_doc_freq`` documents (boilerplate k-grams) are dropped BEFORE the
+    self-join, bounding the per-key blowup the way stop-shingle removal
+    does — without the cap one ubiquitous phrase makes the join quadratic.
+
+    Output: (id_a, id_b, n_shared).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")  # semi-join shape; AQE broadcasts when small
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

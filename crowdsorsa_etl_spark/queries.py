@@ -861,6 +861,16 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_candidates(_t(spark, sf_dir, "documents"), radius=4)
 
 
+@register("llm_winnow_overlap")
+def llm_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint overlap pairs — MOSS-style copy
+    detection (rows-only: xxhash64 fingerprints aren't oracle-reproducible;
+    the shared-substring guarantee is unit-tested)."""
+    from crowdsorsa_etl_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
 @register("llm_lsh_topk")
 def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -405,3 +405,45 @@ class TestEmbeddingDedupAndIVF:
             ivf_assign(emb, cents).groupBy("list_id").count().collect()
         )
         assert len(counts) > 1  # vectors spread across lists, not one cell
+
+
+class TestWinnowing:
+    def test_shared_run_yields_shared_fingerprint(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro words here {shared} and a unique tail one"),
+                (2, f"totally different opening {shared} closing remarks two"),
+                (3, "nothing in common with the others at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        # k=4, window=4: the 8-token shared run (>= k+window-1=7) must
+        # produce at least one common fingerprint regardless of position
+        fps = winnow_fingerprints(docs, k=4, window=4)
+        by_doc = {
+            i: {r.fp for r in fps.filter(F.col("id") == i).collect()}
+            for i in (1, 2, 3)
+        }
+        assert by_doc[1] & by_doc[2]
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in winnow_overlap_pairs(docs, k=4, window=4, min_shared=1).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_fingerprint_density(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import winnow_fingerprints
+
+        text = " ".join(f"tok{i}" for i in range(100))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        n = winnow_fingerprints(docs, k=4, window=4).count()
+        # winnowing selects ~1 fingerprint per window of 4 positions;
+        # distinct-per-doc can only lower that
+        assert 10 <= n <= 40
