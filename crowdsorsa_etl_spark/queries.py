@@ -837,6 +837,43 @@ def flagship_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_documents(spark, sf_dir)
 
 
+@register(
+    "flagship_doc_fields",
+    """
+    WITH units AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT o.o_orderkey AS order_key,
+           n.n_name AS municipality,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS begin_date,
+           CASE WHEN o.o_orderpriority = '1-URGENT'
+                THEN 'Urgent order for ' || c.c_name END AS notes,
+           CAST(coalesce(u.n, 0) AS BIGINT) AS n_units
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN units u ON o.o_orderkey = u.l_orderkey
+    """,
+)
+def flagship_doc_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level oracle for the flagship nested documents: parse the
+    emitted JSON BACK OUT with JSON-path expressions and hash-compare the
+    extracted business fields against an oracle that recomputes them from
+    the raw tables — a round-trip gate on the document assembly (the full
+    nested JSON itself stays rows-only: key ordering/whitespace are
+    serializer-specific)."""
+    docs = order_documents(spark, sf_dir)
+    jp = lambda p: F.get_json_object("document_json", p)  # noqa: E731
+    return docs.select(
+        "order_key",
+        jp("$.publicDocument.gatherings[0].municipality").alias("municipality"),
+        jp("$.publicDocument.gatherings[0].eventDate.begin").alias("begin_date"),
+        jp("$.publicDocument.notes").alias("notes"),
+        F.expr(
+            "json_array_length(get_json_object(document_json,"
+            " '$.publicDocument.gatherings[0].units'))"
+        ).cast("bigint").alias("n_units"),
+    )
+
+
 @register("llm_minhash_lsh")
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))

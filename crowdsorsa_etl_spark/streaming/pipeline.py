@@ -189,6 +189,51 @@ def start_http_push_stream(
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click joins every view by the same
+    user within the trailing ``horizon`` — the classic attribution shape.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    BOTH ends, so Spark can size the join state to
+    O(users × events-in-horizon) and garbage-collect rows older than
+    watermark + horizon — an unbounded-state stream-stream join is the
+    canonical streaming OOM. The same code path works in batch (the tests
+    cross-check batch vs stream results on the fixture).
+    """
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""
+            user_id = v_user_id AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {horizon}
+            """
+        ),
+    ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator — applyInPandasWithState
 # ---------------------------------------------------------------------------

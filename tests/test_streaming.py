@@ -158,3 +158,34 @@ class TestKafkaContract:
         )
         rows = decode_kafka_events(wire).collect()
         assert len(rows) == 1 and rows[0].event_id == 7
+
+
+class TestStreamStreamJoin:
+    def test_attribution_matches_batch(self, spark):
+        from crowdsorsa_etl_spark.streaming.pipeline import attribution_join
+
+        # streaming result (single-file micro-batch; inner join emits
+        # matches as both watermarks pass)
+        stream = read_event_stream(spark, EVENTS_PATH)
+        views_s = stream.filter(F.col("event_type") == "view")
+        clicks_s = stream.filter(F.col("event_type") == "click")
+        got = _run_to_completion(
+            attribution_join(views_s, clicks_s), "t_attr", spark
+        )
+
+        # batch ground truth: same operator body on the batch table
+        events = load_table(spark, "events", SF_DIR)
+        expect = attribution_join(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "click"),
+        )
+        got_set = {
+            (r.user_id, r.click_id, r.view_id) for r in got.collect()
+        }
+        expect_set = {
+            (r.user_id, r.click_id, r.view_id) for r in expect.collect()
+        }
+        assert expect_set, "fixture must contain view->click pairs"
+        # a single processAllAvailable pass emits every pair whose watermark
+        # closed; with one input file that is the complete join
+        assert got_set == expect_set
