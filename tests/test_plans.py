@@ -108,3 +108,23 @@ class TestWriters:
         plan = plan_of(back)
         assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
         assert back.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+class TestNewOperatorPlans:
+    def test_flagship_doc_fields_stays_jvm_side(self, spark):
+        # JSON-path re-extraction must be get_json_object (codegen), not a
+        # Python UDF round-trip
+        plan = plan_of(QUERIES["flagship_doc_fields"](spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ivf_broadcasts_probe_and_query_sides(self, spark):
+        plan = plan_of(QUERIES["llm_ivf_topk"](spark, SF_DIR), "simple")
+        # corpus side streams; probes and query vectors broadcast
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_winnow_overlap_joins_on_fingerprint_only(self, spark):
+        # the overlap self-join must be an equi-join on fp (hashable key),
+        # not a nested-loop over documents
+        plan = plan_of(QUERIES["llm_winnow_overlap"](spark, SF_DIR), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): randomized inputs against reference
+implementations — the naive single-partition window for global ranks, and
+pandas merge_asof for the as-of join. Example counts are kept small because
+each case runs Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.asof import asof_join
+from crowdsorsa_etl_spark.operators.global_rank import rank_distributions
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class TestGlobalRankProperty:
+    @settings(**_SETTINGS)
+    @given(
+        values=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=120),
+        parts=st.integers(min_value=1, max_value=9),
+        ntile=st.integers(min_value=1, max_value=6),
+    )
+    def test_matches_naive_window(self, spark, values, parts, ntile):
+        # heavy ties in v; k is the unique tie-breaker the contract requires
+        rows = [(k, float(v)) for k, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = {
+            r.k: (r[2], r.pct_rank, r.cdist, r.rnk, r.drnk)
+            for r in rank_distributions(
+                df, order, ntile=ntile, num_partitions=parts
+            ).collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            r.k: (r.tile, r.pct_rank, r.cdist, r.rnk, r.drnk)
+            for r in df.select(
+                "k",
+                F.ntile(ntile).over(w).alias("tile"),
+                F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                F.round(F.cume_dist().over(w), 6).alias("cdist"),
+                F.rank().over(w).cast("int").alias("rnk"),
+                F.dense_rank().over(w).cast("int").alias("drnk"),
+            ).collect()
+        }
+        assert got == want
+
+
+class TestAsofJoinProperty:
+    @settings(**_SETTINGS)
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+            min_size=1,
+            max_size=40,
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+    def test_matches_merge_asof(self, spark, left, right):
+        base = dt.datetime(2024, 1, 1)
+        left_rows = [
+            (i, key, base + dt.timedelta(minutes=m)) for i, (key, m) in enumerate(left)
+        ]
+        # unique (key, rt) on the right: merge_asof's tie behavior at equal
+        # timestamps differs from our max-tiebreak contract, which the
+        # fixed-row unit test covers; dedup keeps the property comparable
+        seen: set[tuple[int, int]] = set()
+        right_rows = []
+        for j, (key, m) in enumerate(right):
+            if (key, m) not in seen:
+                seen.add((key, m))
+                right_rows.append((key, base + dt.timedelta(minutes=m), 100 + j))
+        ldf = spark.createDataFrame(left_rows, "event_id long, key long, t timestamp")
+        rdf = spark.createDataFrame(right_rows, "key long, rt timestamp, val long")
+        got = {
+            r.event_id: r.val
+            for r in asof_join(
+                ldf, rdf, on="key", left_time="t", right_time="rt",
+                right_payload=["val"], tiebreak="val",
+            ).collect()
+        }
+        lpdf = pd.DataFrame(left_rows, columns=["event_id", "key", "t"]).sort_values(
+            ["t", "event_id"]
+        )
+        rpdf = pd.DataFrame(right_rows, columns=["key", "rt", "val"]).sort_values(
+            ["rt", "val"]
+        )
+        want = pd.merge_asof(lpdf, rpdf, left_on="t", right_on="rt", by="key")
+        for _, row in want.iterrows():
+            expected = None if pd.isna(row.val) else int(row.val)
+            assert got[row.event_id] == expected
