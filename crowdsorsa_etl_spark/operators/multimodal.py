@@ -143,3 +143,108 @@ def sample_frames(
             ).alias("frame_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    allow_fake: bool = False,
+) -> DataFrame:
+    """bytes → resized bytes via mapInPandas. The fake path re-scales the
+    payload to the byte budget a width×height thumbnail would occupy
+    (truncate / cycle-pad) — deterministic, exercises the bytes-in/bytes-out
+    batching contract; PIL's ``Image.resize`` slots into the same loop."""
+    if not _HAVE_PIL and not allow_fake:
+        raise NotImplementedError(
+            "image resizing requires PIL (not in this image); "
+            "pass allow_fake=True for the deterministic test path"
+        )
+    budget = max(1, (width * height) // 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(payload):
+            if payload is None:
+                return None
+            body = bytes(payload)
+            if len(body) >= budget:
+                return body[:budget]
+            reps = (budget + len(body) - 1) // max(len(body), 1)
+            return (body * reps)[:budget]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf[payload_col].map(fake_resize),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    dim: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """bytes → fixed-dim embedding column via mapInPandas (the
+    feature-extract stage of a multimodal pipeline). The deterministic
+    stand-in projects byte histograms through a fixed random-ish matrix —
+    a real vision encoder replaces ONLY the per-batch function; the output
+    contract (``vec_id``, ``embedding array<float>``) feeds directly into
+    the similarity operators (cosine_topk / lsh_topk / ivf_topk), which is
+    the point: multimodal similarity search composes from existing pieces.
+    """
+    import numpy as np
+
+    # deterministic projection matrix (256 byte-values → dim), no RNG state
+    proj = np.array(
+        [
+            [(((b * 31 + d * 17 + 7) * 2654435761) % 1000) / 500.0 - 1.0
+             for d in range(dim)]
+            for b in range(256)
+        ],
+        dtype=np.float64,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    vecs.append(None)
+                    continue
+                hist = np.bincount(
+                    np.frombuffer(bytes(payload), dtype=np.uint8), minlength=256
+                ).astype(np.float64)
+                total = hist.sum()
+                if total:
+                    hist /= total
+                vec = hist @ proj
+                norm = np.linalg.norm(vec)
+                if norm:
+                    vec /= norm
+                vecs.append([float(x) for x in vec])
+            yield pd.DataFrame({"vec_id": pdf[id_col], "embedding": vecs})
+
+    return df.mapInPandas(
+        batches, f"vec_id long, embedding array<float>"
+    )

@@ -898,6 +898,23 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_candidates(_t(spark, sf_dir, "documents"), radius=4)
 
 
+@register("llm_multimodal_embed_topk")
+def llm_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal similarity pipeline: binary payload → deterministic
+    feature extraction (mapInPandas) → exact cosine top-k — the composition
+    the engine is built for (rows-only: the fake encoder is
+    implementation-defined; the stage contracts are unit-tested)."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = extract_features(attach_binary_payload(docs), dim=16).localCheckpoint()
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 @register("llm_winnow_overlap")
 def llm_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint overlap pairs — MOSS-style copy

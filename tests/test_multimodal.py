@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.operators.multimodal import (
     attach_binary_payload,
@@ -53,3 +54,50 @@ class TestMultimodal:
             by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
         for idxs in by_doc.values():
             assert sorted(idxs) == list(range(len(idxs)))
+
+
+class TestResizeAndFeatures:
+    def test_resize_hits_byte_budget(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_binary_payload,
+            resize_images,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        out = resize_images(
+            attach_binary_payload(docs), width=64, height=64, allow_fake=True
+        )
+        rows = out.collect()
+        assert rows and all(len(r.payload) == (64 * 64) // 64 for r in rows)
+        assert all(r.width == 64 and r.height == 64 for r in rows)
+
+    def test_resize_requires_codec_or_fake(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import resize_images
+
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        with pytest.raises(NotImplementedError):
+            resize_images(df, width=8, height=8).collect()
+
+    def test_features_compose_with_similarity_search(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_binary_payload,
+            extract_features,
+        )
+        from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        emb = extract_features(attach_binary_payload(docs), dim=16)
+        first = emb.first()
+        assert len(first.embedding) == 16
+        # unit-norm embeddings
+        assert abs(sum(x * x for x in first.embedding) - 1.0) < 1e-5
+        # the multimodal embedding column drops straight into the ANN tier
+        q = emb.limit(3)
+        out = cosine_topk(emb, q, k=3)
+        assert out.count() == 9
+        # exact duplicate payloads (duplicate texts exist in the fixture)
+        # must be each other's top neighbor with cosine 1.0
+        top = out.filter(F.col("rank") == 1).first()
+        assert top.cosine <= 1.0
