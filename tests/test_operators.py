@@ -447,3 +447,66 @@ class TestWinnowing:
         # winnowing selects ~1 fingerprint per window of 4 positions;
         # distinct-per-doc can only lower that
         assert 10 <= n <= 40
+
+
+class TestAsofJoinBucketed:
+    def _random_frames(self, spark, seed=3, n_left=200, n_right=150):
+        import random
+
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        # key 7 is a hot key (~half of all rows)
+        left_rows = [
+            (
+                i,
+                7 if rng.random() < 0.5 else rng.randrange(4),
+                base + dt.timedelta(minutes=rng.randrange(0, 3000)),
+            )
+            for i in range(n_left)
+        ]
+        right_rows = [
+            (
+                7 if rng.random() < 0.5 else rng.randrange(4),
+                base + dt.timedelta(minutes=rng.randrange(0, 3000)),
+                100 + j,
+            )
+            for j in range(n_right)
+        ]
+        left = spark.createDataFrame(left_rows, "event_id long, key long, t timestamp")
+        right = spark.createDataFrame(right_rows, "key long, rt timestamp, val long")
+        return left, right
+
+    def test_equals_plain_asof_on_hot_key_data(self, spark):
+        from crowdsorsa_etl_spark.operators.asof import asof_join, asof_join_bucketed
+
+        left, right = self._random_frames(spark)
+        kw = dict(
+            on="key", left_time="t", right_time="rt",
+            right_payload=["val"], tiebreak="val",
+        )
+        plain = {r.event_id: r.val for r in asof_join(left, right, **kw).collect()}
+        # 2h buckets over a 50h span → ~25 buckets; many carry-in seams
+        bucketed = {
+            r.event_id: r.val
+            for r in asof_join_bucketed(
+                left, right, bucket_micros=7_200_000_000, **kw
+            ).collect()
+        }
+        assert bucketed == plain
+
+    def test_equals_plain_asof_strict(self, spark):
+        from crowdsorsa_etl_spark.operators.asof import asof_join, asof_join_bucketed
+
+        left, right = self._random_frames(spark, seed=11)
+        kw = dict(
+            on="key", left_time="t", right_time="rt",
+            right_payload=["val"], tiebreak="val", strict=True,
+        )
+        plain = {r.event_id: r.val for r in asof_join(left, right, **kw).collect()}
+        bucketed = {
+            r.event_id: r.val
+            for r in asof_join_bucketed(
+                left, right, bucket_micros=3_600_000_000, **kw
+            ).collect()
+        }
+        assert bucketed == plain
