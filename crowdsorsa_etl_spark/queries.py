@@ -1774,3 +1774,60 @@ def q44_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("volume"),
         )
     )
+
+
+@register(
+    "q45_bination_volume",
+    """
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE ((cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+        OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q45_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dim table joined TWICE under different
+    aliases (customer's nation and supplier's nation) with a symmetric
+    pair predicate — both nation sides broadcast; the fact chain shuffles
+    only on its join keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    sn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(cn, customer.c_nationkey == F.col("cn_key"))
+        .join(sn, supplier.s_nationkey == F.col("sn_key"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7"))
+            | ((F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
