@@ -1831,3 +1831,25 @@ def q45_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+
+
+@register("q47_hll_sketches")
+def q47_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg) —
+    the re-aggregatable distinct-count pattern 100 TB rollups need: group
+    sketches persist/merge WITHOUT rescanning the facts (the 'ALL' row is
+    built by unioning the per-group sketches, not by a second scan).
+    Rows-only: sketch estimates are engine-specific; the accuracy gate
+    (within 5% of exact) lives in tests/test_queries.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    per_est = per.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_parts"),
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_parts")
+    ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
+    return per_est.unionByName(total)

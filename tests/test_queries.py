@@ -39,3 +39,26 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+class TestHLLSketches:
+    def test_estimates_within_5pct_of_exact(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        got = {
+            r.l_returnflag: r.approx_parts
+            for r in QUERIES["q47_hll_sketches"](spark, "/root/testdata/sf0.001").collect()
+        }
+        li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+        from pyspark.sql import functions as F
+
+        exact = {
+            r.l_returnflag: r.n
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n"))
+            .collect()
+        }
+        exact["ALL"] = li.select("l_partkey").distinct().count()
+        for k, est in got.items():
+            assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
