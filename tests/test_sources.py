@@ -67,3 +67,39 @@ class TestTextSources:
         )
         meta = decode_images(df, allow_fake=True).collect()
         assert len(meta) == 1 and meta[0].format == "fake-img"
+
+
+class TestCompaction:
+    def test_compact_reduces_file_count(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.sinks.writers import compact_parquet
+
+        path = str(tmp_path / "shattered")
+        # simulate incremental ingest: 40 tiny files
+        spark.range(4000).repartition(40).write.parquet(path)
+        import glob
+
+        before = len(glob.glob(f"{path}/part-*.parquet"))
+        assert before >= 40
+        n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+        after = len(glob.glob(f"{path}/part-*.parquet"))
+        assert n == 1 and after < before
+        assert spark.read.parquet(path).count() == 4000
+
+
+class TestObservedMetrics:
+    def test_metrics_ride_the_action(self, spark):
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.sinks.metrics import observed
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        out, obs = observed(
+            docs,
+            "ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("text").isNull().cast("int")).alias("null_texts"),
+        )
+        n = out.count()  # the ONE action; metrics piggyback on it
+        assert obs.get["rows"] == n
+        assert obs.get["null_texts"] == 0
