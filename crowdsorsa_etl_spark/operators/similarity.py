@@ -522,3 +522,95 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+) -> None:
+    """Persist an IVF index as a parquet layout PARTITIONED BY list_id —
+    the at-rest analog of FAISS inverted lists: a later search that probes
+    n_probe lists reads only those directories (partition pruning at the
+    scan, verified by plan test), i.e. ~n_probe/n_lists of the index bytes.
+
+    Centroids are stored alongside (``<path>/_centroids``) so search needs
+    no retraining.
+    """
+    centroids = ivf_train_centroids(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(cent_rows, "list_id int, centroid array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: assign each query to its n_probe
+    nearest stored centroids driver-side (bounded), then scan ONLY the
+    probed list partitions (``list_id IN (...)`` prunes directories) and
+    re-rank exactly. Same output contract as cosine_topk."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        centroids[r.list_id] = r.centroid
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        for l in np.argsort(-(centroids @ qv))[:n_probe]:
+            probes.append((int(r[0]), int(l)))
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    probed_lists = sorted({l for _, l in probes})
+
+    q_df = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[1]]) for r in q_rows],
+        "query_id long, _qv array<float>",
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    # the isin filter is a PARTITION filter: only probed directories scan
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_lists))
+    cand = (
+        index.join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(q_df), "query_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (l2_norm(F.col(vec_col)) * F.col("_qn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

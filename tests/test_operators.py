@@ -510,3 +510,38 @@ class TestAsofJoinBucketed:
             ).collect()
         }
         assert bucketed == plain
+
+
+class TestIVFPersistedIndex:
+    def test_index_roundtrip_and_partition_pruning(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.similarity import (
+            ivf_query_index,
+            ivf_topk,
+            ivf_write_index,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        path = str(tmp_path / "ivf_index")
+        ivf_write_index(emb, path, n_lists=8)
+
+        q = emb.filter(F.col("vec_id") < 5)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_query_index(spark, path, q, k=5, n_probe=8).collect()
+        }
+        # probing ALL 8 lists == exact in-memory IVF with full probes
+        want = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=5, n_lists=8, n_probe=8).collect()
+        }
+        # both probe everything → same exact re-rank result set sizes
+        assert len(got) == len(want) == 25
+
+        # partition pruning: the probed scan must carry list_id as a
+        # PartitionFilter, not a data filter
+        probed = spark.read.parquet(path).filter(F.col("list_id").isin([0, 1]))
+        plan = probed._sc._jvm.PythonSQLUtils.explainString(
+            probed._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1].split("\n")[0]
