@@ -90,3 +90,51 @@ def compact_parquet(
     fs.delete(hadoop_path, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
     return n
+
+
+def upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+) -> None:
+    """Key-based upsert over a plain parquet table (the engine-level MERGE
+    for idempotent re-ingest without a table format): union the current
+    table with the updates, keep the row with the greatest ``order_col``
+    per key (updates win ties via a source tag), atomically swap via
+    temp + rename.
+
+    One shuffle on the key; rewrite cost is the full table — for
+    high-frequency upserts at 100 TB use a table format with file-level
+    MERGE (Delta/Iceberg slot in above this same parquet layout); this is
+    the dependency-free batch-cadence version.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    tagged_updates = updates.withColumn("_src", F.lit(1))
+    if fs.exists(hadoop_path):
+        current = spark.read.parquet(path).withColumn("_src", F.lit(0))
+        merged = current.unionByName(tagged_updates)
+    else:
+        merged = tagged_updates
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    fs.delete(hadoop_path, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
