@@ -1,0 +1,181 @@
+"""Training-data curation operators: PII redaction, C4/Gopher-style quality
+filtering, deterministic train/val/test splits, and sequence packing.
+
+These are the remaining "what a 100 TB LLM-data pipeline needs" ops beyond
+dedup/similarity (SURVEY §2.2 extension pack). All are pure column
+expressions — JVM-side, whole-stage-codegen'd, no Python in the hot path —
+so they scan-scale linearly and fuse with upstream filters.
+
+Scale notes:
+* PII redaction and quality signals are per-row `regexp_replace`/`split`
+  expressions → embarrassingly parallel, no shuffle.
+* The split assignment is a pure hash of a stable key — no shuffle, and
+  reproducible across runs/engines (md5, not engine-specific `hash()`).
+* Sequence packing is inherently order-dependent; we pack within shards
+  (partition keys like ``lang``) so each shard's running sum is an
+  independent window — the 100 TB layout packs per input file/shard, never
+  a global single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) so the same regex runs identically under
+# Java (Spark) and RE2 (DuckDB/Go tooling). Order matters: emails first so
+# the phone pattern can't eat the digits in a local-part.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,10}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, intl phone numbers, and IPv4 literals with typed tags."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts (audit trail for redaction runs)."""
+    return {name: F.regexp_count(col, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
+# --------------------------------------------------------------------------
+# Quality filter (C4/Gopher-style composed rules)
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def quality_filter_signals(col: Column) -> dict[str, Column]:
+    """The classic document-level quality signals.
+
+    * ``n_tokens`` — C4 drops pages with <5 words; Gopher uses 50..100k.
+    * ``distinct_ratio`` — Gopher repetition rule: heavily repeated docs
+      (low distinct-token fraction) are boilerplate/spam.
+    * ``stopword_ratio`` — Gopher requires ≥2 of a small stopword set;
+      we use the fraction, which also proxies language-ID confidence.
+    * ``mean_word_len`` — Gopher keeps 3..10 (garbage/code otherwise).
+    """
+    toks = _tokens(col)
+    n = F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_safe = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_tokens": n.cast("bigint"),
+        "distinct_ratio": F.round(n_distinct / n_safe, 6),
+        "stopword_ratio": F.round(n_stop / n_safe, 6),
+        "mean_word_len": F.round(total_chars / n_safe, 6),
+    }
+
+
+def quality_filter_verdict(
+    signals: dict[str, Column],
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.05,
+    min_stopword_ratio: float = 0.01,
+    word_len_range: tuple[float, float] = (1.0, 12.0),
+) -> tuple[Column, Column]:
+    """(keep, reason) — reason is the FIRST failing rule, 'ok' if kept.
+
+    First-fail (not a reason list) keeps the output deterministic and makes
+    per-rule drop attribution a plain groupBy downstream.
+    """
+    rules = [
+        ("too_short", signals["n_tokens"] < min_tokens),
+        ("too_long", signals["n_tokens"] > max_tokens),
+        ("repetitive", signals["distinct_ratio"] < min_distinct_ratio),
+        ("no_stopwords", signals["stopword_ratio"] < min_stopword_ratio),
+        ("word_len", ~signals["mean_word_len"].between(*word_len_range)),
+    ]
+    reason = F.lit("ok")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return reason == "ok", reason
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(key: Column, buckets: int = 256) -> Column:
+    """Stable 0..buckets-1 bucket from md5 of the key's string form.
+
+    md5 (not Spark ``hash()``/``xxhash64``) so the assignment is identical
+    in every engine and every Spark version — a training-data split must
+    never silently reshuffle between runs. Two hex nibbles give 256 buckets;
+    raise to 4 nibbles via the same pattern if finer fractions are needed.
+    """
+    h = F.md5(key.cast("string"))
+    nib1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return ((nib1 * 16 + nib2) % buckets).cast("int")
+
+
+def assign_split(
+    key: Column, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """'train' / 'val' / 'test' by hash bucket — stable, leak-free, joinless."""
+    b = hash_bucket(key)
+    train_hi = 256 * train_pct // 100
+    val_hi = 256 * (train_pct + val_pct) // 100
+    return (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each doc to a contiguous fixed-token-budget bin (LLM batch
+    packing). A doc lands in the bin where its FIRST token falls:
+    ``bin = floor((cumsum_tokens - own_tokens) / budget)`` — contiguous
+    greedy packing with boundary overflow, the deterministic variant used
+    when exact bin balance matters less than a single streaming pass.
+
+    Packing is sequential by nature; ``shard_cols`` bounds each window to a
+    shard (file / lang / source) so no single-partition window exists at
+    scale — each shard packs independently, exactly how distributed
+    tokenizer pipelines shard their output.
+    """
+    shard_cols = shard_cols or []
+    w = Window.partitionBy(*shard_cols).orderBy(order_col)
+    cumsum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "pack_bin",
+        F.floor((cumsum - F.col(token_col)) / F.lit(budget)).cast("bigint"),
+    )

@@ -1853,3 +1853,313 @@ def q47_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_parts")
     ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
     return per_est.unionByName(total)
+
+
+# ===========================================================================
+# Curation pack: gap-fill, binned range join, PII, quality filter, splits,
+# sequence packing (SURVEY §2.2 extension pack, round 2)
+# ===========================================================================
+
+_TRIMMED_SQL = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+_NTOK_SQL = (
+    "CAST(CASE WHEN len(" + _TRIMMED_SQL + ") = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(" + _TRIMMED_SQL + ", '\\s+')) END AS BIGINT)"
+)
+
+
+@register(
+    "q46_gapfill_resample",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour AS hour, t.event_type AS event_type,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+           coalesce(h.total_value, 0.0) AS total_value
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    """,
+)
+def q46_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill / resample: a generated hourly spine × the type
+    dim, left-joined against the hourly rollup, missing buckets zero-filled.
+    The reference has no time-series surface; this is the standard Spark
+    idiom (sequence → explode → broadcast left join). Scale shape: the spine
+    is O(hours) and the type dim is tiny — both broadcast; the only shuffle
+    is the hourly aggregation of the facts, which any resample needs."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    # grid LEFT JOIN hourly: for a left-outer join Spark builds on the right,
+    # and the right side here is the post-aggregation rollup (O(hours×types))
+    # — AQE converts it to a broadcast join at runtime. Never hint broadcast
+    # on the stream side of an outer join (unsupported build side).
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q48_range_join_binned",
+    """
+    SELECT tier, count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 100.0, 'big'))
+         AS tiers(lo, hi, tier)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY tier
+    """,
+)
+def q48_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for range joins: bucketize both sides to a fixed bin
+    width, equi-join on the bin, then re-check the exact range predicate.
+    Same oracle as q20 (the BNLJ form), but the plan is a BroadcastHashJoin
+    — at 100 TB a nested-loop over the facts is O(|facts|·|tiers|) with no
+    hash pruning, while the binned form stays a hash join whose expansion
+    factor is bounded by ceil(range/bin_width) rows per tier. The identical
+    trick turns big-big interval joins into shuffle hash joins (bin both
+    sides, join on bin, filter)."""
+    width = 5.0
+    li = _t(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [(0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 100.0, "big")],
+        "lo double, hi double, tier string",
+    )
+    # each tier row expands to every bin its [lo, hi) range overlaps
+    expanded = tiers.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("int"),
+                (F.ceil(F.col("hi") / width) - 1).cast("int"),
+            )
+        ),
+    )
+    binned = li.withColumn("bin", F.floor(F.col("l_quantity") / width).cast("int"))
+    return (
+        binned.join(F.broadcast(expanded), "bin")
+        .where((F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_PII_AUG_SPARK = "contact user%d@mail.example.com call +358-40-%04d from 10.1.%d.7"
+
+
+@register(
+    "llm_pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' ' || printf('contact user%d@mail.example.com call +358-40-%04d from 10.1.%d.7',
+                                   doc_id, doc_id % 10000, doc_id % 256) AS full_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(full_text, '\\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,10}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(full_text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(full_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,10}', '<PHONE>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text columns: RE2-safe regex replace for emails /
+    intl phone numbers / IPv4, plus per-category match counts as the audit
+    trail. The fixture corpus is synthetic word-bags, so deterministic
+    PII-shaped strings are appended (same printf on both engines) to prove
+    the redaction on a non-trivial input. Pure regexp_replace column
+    expressions — no shuffle, no Python, linear scan at any scale."""
+    from crowdsorsa_etl_spark.operators.curation import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.format_string(
+                _PII_AUG_SPARK,
+                F.col("doc_id"),
+                F.col("doc_id") % 10000,
+                F.col("doc_id") % 256,
+            ),
+        ).alias("full_text"),
+    )
+    counts = pii_counts(F.col("full_text"))
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        redact_pii(F.col("full_text")).alias("redacted"),
+    )
+
+
+@register(
+    "llm_quality_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             """ + _NTOK_SQL + """ AS n_tokens,
+             round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS distinct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is')))
+                   / greatest(len(toks), 1), 6) AS stopword_ratio,
+             round(list_sum(list_transform(toks, x -> len(x)))
+                   / greatest(len(toks), 1), 6) AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_word_len,
+           CASE WHEN n_tokens < 50 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN distinct_ratio < 0.05 THEN 'repetitive'
+                WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+                WHEN mean_word_len < 1.0 OR mean_word_len > 12.0 THEN 'word_len'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_tokens < 50 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN distinct_ratio < 0.05 THEN 'repetitive'
+                WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+                WHEN mean_word_len < 1.0 OR mean_word_len > 12.0 THEN 'word_len'
+                ELSE 'ok' END) = 'ok' AS keep
+    FROM s
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composed quality filter: length, repetition
+    (distinct-token ratio), stopword density, mean word length — first
+    failing rule becomes the drop reason, so per-rule attrition is a plain
+    groupBy downstream. All signals are JVM column expressions; the filter
+    fuses into the scan (no shuffle)."""
+    from crowdsorsa_etl_spark.operators.curation import (
+        quality_filter_signals,
+        quality_filter_verdict,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = quality_filter_signals(F.col("text"))
+    keep, reason = quality_filter_verdict(sig)
+    return docs.select(
+        "doc_id",
+        sig["n_tokens"].alias("n_tokens"),
+        sig["distinct_ratio"].alias("distinct_ratio"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        sig["mean_word_len"].alias("mean_word_len"),
+        reason.alias("reason"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "llm_train_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                  AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 230 THEN 'train'
+                WHEN bucket < 243 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5 hash bucket of the
+    doc key — engine- and run-stable (never Spark's hash(), whose seed/impl
+    may drift), leak-free (same doc always lands in the same split), and
+    joinless: a pure projection that fuses into the scan at any scale."""
+    from crowdsorsa_etl_spark.operators.curation import assign_split, hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        assign_split(F.col("doc_id")).alias("split"),
+    )
+
+
+@register(
+    "llm_seq_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, """ + _NTOK_SQL + """ AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c
+    GROUP BY lang, pack_bin
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pre-training batches: docs are packed into
+    contiguous 2048-token bins per shard (lang) — a doc joins the bin where
+    its first token falls (boundary overflow semantics, single streaming
+    pass). Sharded windows, never a global single-partition sort; at 100 TB
+    the shard key is the input split, matching how tokenizer pipelines pack
+    per output shard."""
+    from crowdsorsa_etl_spark.operators.curation import pack_sequences
+    from crowdsorsa_etl_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "n_tokens", "doc_id", 2048, ["lang"])
+    return packed.groupBy("lang", "pack_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )

@@ -1,0 +1,121 @@
+"""Unit tests for operators/curation.py — PII redaction, quality filter,
+deterministic splits, sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.curation import (
+    assign_split,
+    hash_bucket,
+    pack_sequences,
+    pii_counts,
+    quality_filter_signals,
+    quality_filter_verdict,
+    redact_pii,
+)
+
+
+class TestPiiRedaction:
+    def test_redacts_all_three_categories(self, spark):
+        df = spark.createDataFrame(
+            [("write bob.smith+x@corp.example.org or call +358-40-1234567 "
+              "from 192.168.0.12 today",)],
+            "text string",
+        )
+        out = df.select(redact_pii(F.col("text")).alias("r")).first().r
+        assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+        assert "bob" not in out and "192.168" not in out and "1234567" not in out
+
+    def test_counts_match_occurrences(self, spark):
+        df = spark.createDataFrame(
+            [("a@b.co c@d.io +1-800-5551234 10.0.0.1 not.an.ip.toolong 999",)],
+            "text string",
+        )
+        c = pii_counts(F.col("text"))
+        row = df.select(
+            c["email"].alias("e"), c["phone"].alias("p"), c["ipv4"].alias("i")
+        ).first()
+        assert (row.e, row.p, row.i) == (2, 1, 1)
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([("just plain words here",)], "text string")
+        assert df.select(redact_pii(F.col("text")).alias("r")).first().r == (
+            "just plain words here"
+        )
+
+
+class TestQualityFilter:
+    def _verdicts(self, spark, texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        sig = quality_filter_signals(F.col("text"))
+        keep, reason = quality_filter_verdict(sig, min_tokens=3)
+        return [r.reason for r in df.select(reason.alias("reason")).collect()]
+
+    def test_first_fail_reasons(self, spark):
+        texts = [
+            "a b",  # 2 tokens -> too_short
+            " ".join(["the"] * 50),  # distinct_ratio 1/50 -> repetitive
+            " ".join(f"w{i}" for i in range(50)),  # no stopwords
+            "the quick brown fox jumps over a lazy dog and runs off",
+        ]
+        assert self._verdicts(spark, texts) == [
+            "too_short",
+            "repetitive",
+            "no_stopwords",
+            "ok",
+        ]
+
+    def test_word_len_rule(self, spark):
+        long_words = " ".join(["x" * 20] * 10) + " the a of"
+        assert self._verdicts(spark, [long_words]) == ["word_len"]
+
+
+class TestHashSplit:
+    def test_bucket_matches_md5_reference(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(64)], "k bigint")
+        rows = df.select("k", hash_bucket(F.col("k")).alias("b")).collect()
+        for r in rows:
+            expect = int(hashlib.md5(str(r.k).encode()).hexdigest()[:2], 16)
+            assert r.b == expect, r.k
+
+    def test_split_fractions_and_stability(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(5000)], "k bigint")
+        counts = dict(
+            df.select(assign_split(F.col("k")).alias("s"))
+            .groupBy("s").count().collect()
+        )
+        n = 5000
+        assert 0.85 < counts["train"] / n < 0.93
+        assert 0.02 < counts["val"] / n < 0.08
+        assert 0.02 < counts["test"] / n < 0.09
+        # stability: same assignment on re-computation
+        again = dict(
+            df.select(assign_split(F.col("k")).alias("s"))
+            .groupBy("s").count().collect()
+        )
+        assert counts == again
+
+
+class TestSequencePacking:
+    def test_contiguous_bins_with_overflow(self, spark):
+        # tokens 600,600,600,600 with budget 1000: doc starts at cum-own
+        # 0,600,1200,1800 -> bins 0,0,1,1
+        df = spark.createDataFrame(
+            [(i, 600) for i in range(4)], "doc_id bigint, n_tokens int"
+        )
+        out = pack_sequences(df, "n_tokens", "doc_id", 1000)
+        assert [r.pack_bin for r in out.orderBy("doc_id").collect()] == [0, 0, 1, 1]
+
+    def test_shards_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0, 900), ("a", 1, 900), ("b", 2, 900), ("b", 3, 900)],
+            "lang string, doc_id bigint, n_tokens int",
+        )
+        out = pack_sequences(df, "n_tokens", "doc_id", 1000, ["lang"])
+        got = {(r.lang, r.doc_id): r.pack_bin for r in out.collect()}
+        # each shard restarts at bin 0
+        assert got[("a", 0)] == 0 and got[("b", 2)] == 0
+        assert got[("a", 1)] == 0 and got[("b", 3)] == 0

@@ -128,3 +128,33 @@ class TestNewOperatorPlans:
         plan = plan_of(QUERIES["llm_winnow_overlap"](spark, SF_DIR), "simple")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestCurationPlans:
+    def test_binned_range_join_is_hash_join(self, spark):
+        """q48 is the scale path for q20: equi-join on the bin, so the plan
+        must be a hash join — no nested loop anywhere."""
+        plan = plan_of(QUERIES["q48_range_join_binned"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan
+
+    def test_gapfill_outer_join_is_hash_join(self, spark):
+        """The spine×types grid LEFT JOIN hourly must resolve to a hash join
+        against the aggregated side (never a loop over the grid)."""
+        plan = plan_of(QUERIES["q46_gapfill_resample"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+
+    def test_curation_ops_stay_jvm_side(self, spark):
+        """PII redaction, quality filter, split assignment, and packing are
+        pure column expressions — no Python eval nodes in any plan."""
+        for name in ("llm_pii_redact", "llm_quality_filter", "llm_train_split",
+                     "llm_seq_packing"):
+            plan = plan_of(QUERIES[name](spark, SF_DIR))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+    def test_seq_packing_window_is_sharded(self, spark):
+        """Packing windows partition by shard (lang) — a global
+        single-partition window would serialize the 100 TB sort."""
+        plan = plan_of(QUERIES["llm_seq_packing"](spark, SF_DIR))
+        assert "SinglePartition" not in plan
