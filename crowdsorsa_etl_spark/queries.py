@@ -2163,3 +2163,119 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+_SHINGLE_SQL = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS s
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - 4, 1))) AS i
+            FROM toks)
+    )
+"""
+
+
+@register(
+    "llm_contamination",
+    "WITH " + _SHINGLE_SQL + """,
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+    SELECT sh.doc_id AS doc_id,
+           count(DISTINCT sh.s) AS n_shingles,
+           count(DISTINCT CASE WHEN b.s IS NOT NULL THEN sh.s END) AS n_hits,
+           round(count(DISTINCT CASE WHEN b.s IS NOT NULL THEN sh.s END)
+                 / count(DISTINCT sh.s), 6) AS contamination
+    FROM sh LEFT JOIN bench b ON sh.s = b.s
+    WHERE sh.doc_id % 97 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's distinct
+    word 5-shingles that appear in the eval set (here the deterministic
+    doc_id%97 subset stands in for a benchmark suite). Scale shape: the
+    benchmark shingle set is tiny and broadcast — the corpus side never
+    shuffles on the shingle key; the only shuffle is the per-doc aggregate.
+    This is the standard n-gram-overlap contamination check (GPT-3 appendix
+    C / PaLM style) run as one Spark job."""
+    from crowdsorsa_etl_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select("s").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shingles"),
+            F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("s"))).alias("n_hits"),
+            F.round(
+                F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("s")))
+                / F.countDistinct("s"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+#: deterministic per-source sampling rates for the domain-mix demo — the
+#: "upsample wiki, downsample web-crawl" knob of training-data recipes.
+DOMAIN_RATES: dict[str, float] = (
+    {f"src{i}": 1.0 for i in range(5)}
+    | {f"src{i}": 0.5 for i in range(5, 10)}
+    | {f"src{i}": 0.25 for i in range(10, 15)}
+    | {f"src{i}": 0.1 for i in range(15, 20)}
+)
+
+
+def _domain_mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in DOMAIN_RATES.items()
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST((instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                  AS INT) AS bucket,
+             CASE {cases} ELSE 0.0 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, bucket, rate,
+           bucket < CAST(rate * 256 AS INT) AS sampled
+    FROM b
+    """
+
+
+@register("llm_domain_mix", _domain_mix_sql())
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing / weighted source sampling: each source gets a target
+    rate and docs are kept by deterministic md5 bucket — reproducible across
+    runs and engines (rerunning the pipeline yields the identical sample,
+    unlike rand()-based sampling), joinless, and fused into the scan. The
+    oracle CASE is generated from the same DOMAIN_RATES table the Spark
+    expression uses — parity by construction."""
+    from crowdsorsa_etl_spark.operators.curation import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.lit(0.0)
+    for s, r in DOMAIN_RATES.items():
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    bucket = hash_bucket(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        rate.alias("rate"),
+        (bucket < (rate * 256).cast("int")).alias("sampled"),
+    )

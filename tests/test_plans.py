@@ -158,3 +158,17 @@ class TestCurationPlans:
         single-partition window would serialize the 100 TB sort."""
         plan = plan_of(QUERIES["llm_seq_packing"](spark, SF_DIR))
         assert "SinglePartition" not in plan
+
+    def test_contamination_broadcasts_benchmark_set(self, spark):
+        """The benchmark shingle set is broadcast; the corpus never
+        shuffles on the shingle key."""
+        plan = plan_of(QUERIES["llm_contamination"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_domain_mix_is_joinless_scan(self, spark):
+        """Weighted sampling is a pure projection — no join, no exchange
+        before the scan output."""
+        plan = plan_of(QUERIES["llm_domain_mix"](spark, SF_DIR))
+        assert "Join" not in plan
+        assert "Exchange" not in plan
