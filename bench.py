@@ -46,6 +46,12 @@ HEADLINE = [
     "llm_simhash_hamming",
     "llm_embedding_dups_lsh",
     "llm_ivf_topk",
+    # curation pack: binned range join (scale path for q20), gap-fill
+    # resample, contamination sweep, and the end-to-end curation funnel
+    "q46_gapfill_resample",
+    "q48_range_join_binned",
+    "llm_contamination",
+    "llm_curation_funnel",
 ]
 
 

@@ -2279,3 +2279,88 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("rate"),
         (bucket < (rate * 256).cast("int")).alias("sampled"),
     )
+
+
+_QF_SIGNALS_SQL = """
+      SELECT doc_id, text,
+             """ + _NTOK_SQL + """ AS n_tokens,
+             round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS distinct_ratio,
+             round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is')))
+                   / greatest(len(toks), 1), 6) AS stopword_ratio,
+             round(list_sum(list_transform(toks, x -> len(x)))
+                   / greatest(len(toks), 1), 6) AS mean_word_len
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+"""
+
+_QF_OK_SQL = """(n_tokens >= 50 AND n_tokens <= 100000
+                 AND distinct_ratio >= 0.05 AND stopword_ratio >= 0.01
+                 AND mean_word_len BETWEEN 1.0 AND 12.0)"""
+
+
+@register(
+    "llm_curation_funnel",
+    "WITH s AS (" + _QF_SIGNALS_SQL + """),
+    kept AS (SELECT doc_id, text FROM s WHERE """ + _QF_OK_SQL + """),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5(""" + _NORM_SQL + """) AS h FROM kept)
+      GROUP BY h
+    ),
+    split AS (
+      SELECT CASE WHEN bucket < 230 THEN 'train'
+                  WHEN bucket < 243 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                        AS INT) AS bucket
+            FROM dedup)
+    )
+    SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+    UNION ALL
+    SELECT '10_quality_kept', CAST(count(*) AS BIGINT) FROM kept
+    UNION ALL
+    SELECT '20_after_dedup', CAST(count(*) AS BIGINT) FROM dedup
+    UNION ALL
+    SELECT '30_' || split, CAST(count(*) AS BIGINT) FROM split GROUP BY split
+    """,
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE reporting query: raw corpus →
+    quality filter → exact dedup → train/val/test split, with per-stage
+    attrition counts (the numbers a data-recipe review meeting asks for).
+    Every stage is the same operator the standalone queries use — filter
+    signals (llm_quality_filter), md5 keep-first dedup (llm_exact_dedup),
+    md5-bucket splits (llm_train_split) — so the funnel doubles as an
+    integration test of their composition. Counts-only output: each stage
+    is a partial-aggregated count, no stage materializes rows to the
+    driver."""
+    from crowdsorsa_etl_spark.operators.curation import (
+        assign_split,
+        quality_filter_signals,
+        quality_filter_verdict,
+    )
+    from crowdsorsa_etl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = quality_filter_signals(F.col("text"))
+    keep, _reason = quality_filter_verdict(sig)
+    kept = docs.where(keep)
+    dedup = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    split = dedup.select(assign_split(F.col("doc_id")).alias("split"))
+
+    def stage(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(label).alias("stage"), "n"
+        )
+
+    splits = split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.concat(F.lit("30_"), F.col("split")).alias("stage"), "n")
+    return (
+        stage("00_total", docs)
+        .unionByName(stage("10_quality_kept", kept))
+        .unionByName(stage("20_after_dedup", dedup))
+        .unionByName(splits)
+    )
