@@ -2364,3 +2364,38 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("20_after_dedup", dedup))
         .unionByName(splits)
     )
+
+
+def _zorder_sql() -> str:
+    from crowdsorsa_etl_spark.operators.zorder import z_value_sql
+
+    z = z_value_sql(
+        "o_custkey", "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    )
+    return f"""
+    SELECT o_orderkey, {z} AS z,
+           CAST({z} >> 22 AS BIGINT) AS z_bucket
+    FROM orders
+    """
+
+
+@register("q49_zorder_keys", _zorder_sql())
+def q49_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (customer, order-day) — the
+    layout expression behind operators/zorder.zorder_write, which
+    range-partitions + sorts by this value so parquet min/max stats prune
+    scans for predicates on EITHER dimension (the Delta OPTIMIZE ZORDER
+    analog, as a pure codegen'd column expression). The oracle SQL is
+    generated from the same bit-interleave loop — parity by construction."""
+    from crowdsorsa_etl_spark.operators.zorder import z_value
+
+    orders = _t(spark, sf_dir, "orders")
+    z = z_value(
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")),
+    )
+    return orders.select(
+        "o_orderkey",
+        z.alias("z"),
+        F.shiftright(z, 22).cast("bigint").alias("z_bucket"),
+    )
