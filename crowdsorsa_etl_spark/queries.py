@@ -2198,9 +2198,12 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 5-shingles that appear in the eval set (here the deterministic
     doc_id%97 subset stands in for a benchmark suite). Scale shape: the
     benchmark shingle set is tiny and broadcast — the corpus side never
-    shuffles on the shingle key; the only shuffle is the per-doc aggregate.
-    This is the standard n-gram-overlap contamination check (GPT-3 appendix
-    C / PaLM style) run as one Spark job."""
+    shuffles on the shingle key; (doc_id, shingle) pairs are deduped FIRST
+    so the per-doc aggregate is two plain counts, not countDistinct×2 — the
+    distinct-first form avoids Catalyst's Expand (which would double the
+    shuffled rows) and shuffles each pair exactly once. This is the
+    standard n-gram-overlap contamination check (GPT-3 appendix C / PaLM
+    style) run as one Spark job."""
     from crowdsorsa_etl_spark.functions.text import shingles
 
     docs = _t(spark, sf_dir, "documents")
@@ -2214,16 +2217,20 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sh.where(F.col("doc_id") % 97 != 0)
+        .distinct()
         .join(F.broadcast(bench), "s", "left")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("s").alias("n_shingles"),
-            F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("s"))).alias("n_hits"),
-            F.round(
-                F.countDistinct(F.when(F.col("hit").isNotNull(), F.col("s")))
-                / F.countDistinct("s"),
-                6,
-            ).alias("contamination"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("contamination"),
         )
     )
 
