@@ -124,13 +124,21 @@ def hash_bucket(key: Column, buckets: int = 256) -> Column:
 
     md5 (not Spark ``hash()``/``xxhash64``) so the assignment is identical
     in every engine and every Spark version — a training-data split must
-    never silently reshuffle between runs. Two hex nibbles give 256 buckets;
-    raise to 4 nibbles via the same pattern if finer fractions are needed.
+    never silently reshuffle between runs. Consumes exactly as many hex
+    nibbles as ``buckets`` requires (2 for ≤256, 3 for ≤4096, …) so any
+    bucket count up to 16^8 yields the full, near-uniform range.
     """
+    if not 1 <= buckets <= 16**8:
+        raise ValueError(f"buckets must be in [1, 16^8], got {buckets}")
+    n_nibbles = 2
+    while 16**n_nibbles < buckets:
+        n_nibbles += 1
     h = F.md5(key.cast("string"))
-    nib1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
-    nib2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    return ((nib1 * 16 + nib2) % buckets).cast("int")
+    val = F.lit(0)
+    for i in range(1, n_nibbles + 1):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+        val = val * 16 + nib
+    return (val % buckets).cast("int")
 
 
 def assign_split(

@@ -240,6 +240,13 @@ def simhash_hamming_candidates(
         bands = radius + 1
     if bands > 64:
         raise ValueError("bands must be ≤ 64 (64-bit signatures)")
+    if bands < radius + 1:
+        # fewer bands than radius+1 breaks the pigeonhole guarantee: a pair
+        # within the radius could differ in every band and never collide
+        raise ValueError(
+            f"bands ({bands}) must be ≥ radius + 1 ({radius + 1}) for the "
+            "pigeonhole guarantee to hold"
+        )
     width = 64 // bands  # last band absorbs the remainder bits
 
     sig = simhash_signatures(df, text_col, id_col).localCheckpoint()
@@ -374,7 +381,12 @@ def winnow_fingerprints(
         F.xxhash64(
             "th", *[F.lead("th", j).over(w_doc) for j in range(1, k)]
         ).alias("h"),
-    )
+        # standard winnowing hashes only FULL k-grams: xxhash64 skips null
+        # inputs, so trailing positions (lead beyond doc end) would hash
+        # sub-k-grams and could surface as spurious window minima shared
+        # between unrelated docs with common suffixes — drop them.
+        F.lead("th", k - 1).over(w_doc).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
     w_win = w_doc.rowsBetween(0, window - 1)
     return (
         kg.select("id", F.min("h").over(w_win).alias("fp"))

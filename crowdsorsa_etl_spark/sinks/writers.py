@@ -55,6 +55,36 @@ def write_json_audit(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def _swap_dirs(jvm, fs, path: str, tmp: str) -> None:
+    """Replace ``path`` with the freshly-written ``tmp`` without a window
+    in which ``path`` does not exist: rename the current directory aside
+    (``path__old``), promote ``tmp``, then delete the old copy. A crash
+    mid-swap leaves either the old or the new table readable (possibly
+    under ``path__old``, recoverable by hand) — never neither.
+
+    Note: HDFS renames are atomic metadata ops; object stores emulate
+    rename as copy+delete, so for S3-class storage a manifest/table
+    format (Delta/Iceberg) is the real answer. This helper is the best
+    dependency-free approximation: it never deletes the only copy before
+    the replacement is in place.
+    """
+    P = jvm.org.apache.hadoop.fs.Path
+    target = P(path)
+    old = P(path.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_prev = fs.exists(target)
+    if had_prev and not fs.rename(target, old):
+        raise IOError(f"could not move {path} aside to {path}__old")
+    if not fs.rename(P(tmp), target):
+        # roll back so the table stays readable at its original path
+        if had_prev:
+            fs.rename(old, target)
+        raise IOError(f"could not promote {tmp} to {path}")
+    if had_prev:
+        fs.delete(old, True)
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -68,8 +98,8 @@ def compact_parquet(
 
     Sizes the rewrite from the CURRENT on-disk bytes (Hadoop FS API, no
     driver listing of file contents), repartitions to ceil(bytes/target),
-    and atomically replaces via write-to-temp + rename. Returns the new
-    file-ish partition count.
+    and swaps via write-to-temp + rename-aside (see ``_swap_dirs`` for the
+    crash-window guarantees). Returns the new file-ish partition count.
     """
     import math
 
@@ -87,8 +117,7 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    fs.delete(hadoop_path, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
+    _swap_dirs(jvm, fs, path, tmp)
     return n
 
 
@@ -103,8 +132,8 @@ def upsert_parquet(
     """Key-based upsert over a plain parquet table (the engine-level MERGE
     for idempotent re-ingest without a table format): union the current
     table with the updates, keep the row with the greatest ``order_col``
-    per key (updates win ties via a source tag), atomically swap via
-    temp + rename.
+    per key (updates win ties via a source tag), swap via temp +
+    rename-aside (``_swap_dirs``).
 
     One shuffle on the key; rewrite cost is the full table — for
     high-frequency upserts at 100 TB use a table format with file-level
@@ -136,5 +165,4 @@ def upsert_parquet(
 
     tmp = path.rstrip("/") + "__upsert_tmp"
     result.write.mode("overwrite").parquet(tmp)
-    fs.delete(hadoop_path, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path)
+    _swap_dirs(jvm, fs, path, tmp)
