@@ -11,11 +11,13 @@ Decode/feature-extract/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` stages: bytes in → feature columns out, one batch at a time,
 so peak executor memory is one Arrow batch of payloads, not a partition.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this image, so the
-decoders are import-guarded: with the libraries absent, ``decode_images``
-raises ``NotImplementedError`` unless ``allow_fake=True``, in which case a
-deterministic header-sniffing fake decoder exercises the full Spark plumbing
-(schema, batching, null handling) — which is what the tests cover.
+PNG and BMP are decoded FOR REAL with the stdlib-only codecs in
+``functions/imagecodec.py`` (zlib + struct + numpy) — no PIL/ffmpeg needed.
+Payloads in any other format fall back to a deterministic header-sniffing
+fake decoder when ``allow_fake=True`` (exercises the full Spark plumbing:
+schema, batching, null handling), or are marked ``format='unsupported'``
+with null fields otherwise — a 100 TB corpus always contains garbage rows,
+and one bad payload must never fail the job.
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crowdsorsa_etl_spark.functions import imagecodec
+
 IMAGE_META = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -37,13 +41,6 @@ IMAGE_META = T.StructType(
         T.StructField("mean_luma", T.DoubleType()),
     ]
 )
-
-try:  # pragma: no cover - not present in this image
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 
 def attach_binary_payload(
@@ -58,10 +55,34 @@ def attach_binary_payload(
     return df.select(F.col(id_col), payload.alias("payload"))
 
 
+def attach_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture adapter for the REAL decode path: render each document's
+    bytes into a tiny genuine PNG (one gray pixel per text byte, row-major
+    8×N) via an Arrow batch stage, so downstream ``decode_images`` exercises
+    the stdlib codec end-to-end on driver-provided data."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                body = (text or "").encode("utf-8")[:256] or b"\x00"
+                w = 8
+                h = (len(body) + w - 1) // w
+                arr = np.zeros((h, w), dtype=np.uint8)
+                arr.flat[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+                payloads.append(imagecodec.encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id long, payload binary")
+
+
 def _fake_decode(payload: bytes | None) -> tuple | None:
-    """Deterministic stand-in for an image decoder: sniff the header, derive
-    width/height/luma from the byte content. Same signature/contract as the
-    real decoder — swap in PIL and nothing else changes."""
+    """Deterministic stand-in decoder for formats the stdlib codec can't
+    handle (JPEG/WebP/...): sniff the header, derive width/height/luma from
+    the byte content. Same output contract as the real decoder."""
     if payload is None:
         return None
     fmt = "fake-img" if payload[:4] == b"\x89IMG" else "unknown"
@@ -73,6 +94,25 @@ def _fake_decode(payload: bytes | None) -> tuple | None:
     return n, fmt, width, height, mean_luma
 
 
+def _decode_one(payload: bytes | None, allow_fake: bool) -> tuple | None:
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    try:
+        fmt, px = imagecodec.decode_image(payload)
+    except ValueError:
+        if allow_fake:
+            return _fake_decode(payload)
+        return len(payload), "unsupported", None, None, None
+    return (
+        len(payload),
+        fmt,
+        px.shape[1],
+        px.shape[0],
+        round(imagecodec.mean_luma(px), 6),
+    )
+
+
 def decode_images(
     df: DataFrame,
     *,
@@ -80,16 +120,16 @@ def decode_images(
     id_col: str = "doc_id",
     allow_fake: bool = False,
 ) -> DataFrame:
-    """bytes → typed image metadata via mapInPandas (Arrow batches)."""
-    if not _HAVE_PIL and not allow_fake:
-        raise NotImplementedError(
-            "image decoding requires PIL (not in this image); "
-            "pass allow_fake=True for the deterministic test decoder"
-        )
+    """bytes → typed image metadata via mapInPandas (Arrow batches).
+
+    PNG/BMP payloads are decoded for real (``functions/imagecodec.py``);
+    other formats use the deterministic fake decoder when
+    ``allow_fake=True`` or come back ``format='unsupported'`` otherwise.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf[payload_col].map(_fake_decode)
+            decoded = pdf[payload_col].map(lambda p: _decode_one(p, allow_fake))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -164,34 +204,44 @@ def resize_images(
     id_col: str = "doc_id",
     allow_fake: bool = False,
 ) -> DataFrame:
-    """bytes → resized bytes via mapInPandas. The fake path re-scales the
-    payload to the byte budget a width×height thumbnail would occupy
-    (truncate / cycle-pad) — deterministic, exercises the bytes-in/bytes-out
-    batching contract; PIL's ``Image.resize`` slots into the same loop."""
-    if not _HAVE_PIL and not allow_fake:
-        raise NotImplementedError(
-            "image resizing requires PIL (not in this image); "
-            "pass allow_fake=True for the deterministic test path"
-        )
+    """bytes → resized bytes via mapInPandas.
+
+    PNG/BMP payloads are REALLY resized: stdlib decode → nearest-neighbor
+    resample → re-encode in the same format. Other formats fall back to a
+    deterministic truncate/cycle-pad fake (exercises the bytes-in/bytes-out
+    batching contract) when ``allow_fake=True``, or a null payload
+    otherwise — never an exception mid-job.
+    """
     budget = max(1, (width * height) // 64)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_resize(payload):
-            if payload is None:
+    def resize_one(payload):
+        if payload is None:
+            return None
+        body = bytes(payload)
+        try:
+            fmt, px = imagecodec.decode_image(body)
+        except ValueError:
+            if not allow_fake:
                 return None
-            body = bytes(payload)
             if len(body) >= budget:
                 return body[:budget]
             reps = (budget + len(body) - 1) // max(len(body), 1)
             return (body * reps)[:budget]
+        resized = imagecodec.resize_nearest(px, width, height)
+        if fmt == "bmp":
+            if resized.ndim == 3 and resized.shape[2] == 4:
+                resized = resized[:, :, :3]
+            return imagecodec.encode_bmp(resized)
+        return imagecodec.encode_png(resized)
 
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "payload": pdf[payload_col].map(fake_resize),
+                    "payload": pdf[payload_col].map(resize_one),
                 }
             )
 

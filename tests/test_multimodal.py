@@ -16,11 +16,27 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 class TestMultimodal:
-    def test_decode_requires_codec_or_fake(self, spark):
+    def test_unknown_format_marked_unsupported_without_fake(self, spark):
         docs = load_table(spark, "documents", SF_DIR).limit(5)
-        payloads = attach_binary_payload(docs)
-        with pytest.raises(NotImplementedError):
-            decode_images(payloads)  # PIL absent in this image
+        payloads = attach_binary_payload(docs)  # fake \x89IMG magic, not PNG
+        rows = decode_images(payloads).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.format == "unsupported"
+            assert r.width is None and r.mean_luma is None
+            assert r.n_bytes > 4  # byte length still reported
+
+    def test_real_png_decode_end_to_end(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import attach_png_payload
+
+        docs = load_table(spark, "documents", SF_DIR).limit(20)
+        rows = decode_images(attach_png_payload(docs)).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r.format == "png"
+            assert r.width == 8 and r.height >= 1
+            # pixels are utf-8 text bytes (printable ASCII) zero-padded
+            assert 0.0 < r.mean_luma < 0.5
 
     def test_fake_decode_full_plumbing(self, spark):
         docs = load_table(spark, "documents", SF_DIR).limit(20)
@@ -72,12 +88,28 @@ class TestResizeAndFeatures:
         assert rows and all(len(r.payload) == (64 * 64) // 64 for r in rows)
         assert all(r.width == 64 and r.height == 64 for r in rows)
 
-    def test_resize_requires_codec_or_fake(self, spark):
+    def test_resize_unknown_format_null_without_fake(self, spark):
         from crowdsorsa_etl_spark.operators.multimodal import resize_images
 
         df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
-        with pytest.raises(NotImplementedError):
-            resize_images(df, width=8, height=8).collect()
+        rows = resize_images(df, width=8, height=8).collect()
+        assert rows[0].payload is None  # not an exception mid-job
+
+    def test_resize_real_png_roundtrip(self, spark):
+        from crowdsorsa_etl_spark.functions import imagecodec
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_png_payload,
+            resize_images,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).limit(8)
+        out = resize_images(attach_png_payload(docs), width=16, height=16)
+        rows = out.collect()
+        assert len(rows) == 8
+        for r in rows:
+            fmt, px = imagecodec.decode_image(bytes(r.payload))
+            assert fmt == "png"
+            assert px.shape[:2] == (16, 16)
 
     def test_features_compose_with_similarity_search(self, spark):
         from crowdsorsa_etl_spark.operators.multimodal import (
