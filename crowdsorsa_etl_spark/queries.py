@@ -2406,3 +2406,62 @@ def q49_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.shiftright(z, 22).cast("bigint").alias("z_bucket"),
     )
+
+
+@register(
+    "q52_schema_evolution",
+    """
+    SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text, lang, source, CAST(NULL AS BIGINT) AS n_chars,
+           round(n_chars / 1000.0, 6) AS quality
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q52_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end (SURVEY §1.3; the reference's real
+    2023→2024 column drift, crowdsorsa-etl-2023.R:48-58 vs
+    crowdsorsa-etl-2024.R:44-50): write two drifted "seasons" of the
+    documents table into ONE parquet directory — season 1 with the original
+    shape, season 2 with renamed id/text columns, the n_chars column
+    dropped, and a new quality column — then read it back with
+    ``read_evolved`` (mergeSchema + declared-target conform: rename
+    coalesce, missing→typed NULL, extras dropped). The oracle reconstructs
+    the same union directly from the documents view, so the hash gate
+    checks the whole write→merge→conform path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from crowdsorsa_etl_spark.sources.evolution import read_evolved
+
+    docs = _t(spark, sf_dir, "documents")
+    target = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+    season1 = docs.where(F.col("doc_id") % 2 == 0)
+    season2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("body"),
+        "lang",
+        "source",
+        F.round(F.col("n_chars") / 1000.0, 6).alias("quality"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "crowdsorsa_evolution_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    season1.write.mode("overwrite").parquet(base)
+    season2.write.mode("append").parquet(base)
+    return read_evolved(
+        spark, base, target, rename_map={"id": "doc_id", "body": "text"}
+    )
