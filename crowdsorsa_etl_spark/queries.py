@@ -2465,3 +2465,33 @@ def q52_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_evolved(
         spark, base, target, rename_map={"id": "doc_id", "body": "text"}
     )
+
+
+_Q50_SQL = """
+    WITH regional AS (
+      SELECT n.n_name,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             round(sum(c.c_acctbal), 2) AS total_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, n_customers, total_bal,
+           CAST(rank() OVER (ORDER BY total_bal DESC, n_name) AS BIGINT)
+             AS bal_rank
+    FROM regional
+"""
+
+
+@register("q50_sql_parity", _Q50_SQL)
+def q50_sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point as a first-class surface (SURVEY §3): this query
+    is expressed ENTIRELY as ``spark.sql`` over ``register_views`` — the
+    exact same ANSI string is the DuckDB oracle, so the hash gate proves the
+    engine's SQL surface end-to-end (CTE, join, agg, window rank). The
+    companion tests/test_sql_surface.py runs all 30 engine-portable oracle
+    strings through this same path and asserts frame equality with their
+    DataFrame builders."""
+    from crowdsorsa_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q50_SQL)
