@@ -2196,9 +2196,12 @@ _SHINGLE_SQL = """
 def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: fraction of each training doc's distinct
     word 5-shingles that appear in the eval set (here the deterministic
-    doc_id%97 subset stands in for a benchmark suite). Scale shape: the
-    benchmark shingle set is tiny and broadcast — the corpus side never
-    shuffles on the shingle key; (doc_id, shingle) pairs are deduped FIRST
+    doc_id%97 subset stands in for a benchmark suite). Scale shape: a real
+    eval suite's shingle set is small, and AQE broadcasts it at runtime
+    from its OBSERVED size — no forced hint, so a mis-sized eval set
+    degrades to a shuffle join instead of an executor OOM (this demo's
+    bench side grows with the corpus, which is exactly the case a forced
+    broadcast would get wrong); (doc_id, shingle) pairs are deduped FIRST
     so the per-doc aggregate is two plain counts, not countDistinct×2 — the
     distinct-first form avoids Catalyst's Expand (which would double the
     shuffled rows) and shuffles each pair exactly once. This is the
@@ -2218,7 +2221,7 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sh.where(F.col("doc_id") % 97 != 0)
         .distinct()
-        .join(F.broadcast(bench), "s", "left")
+        .join(bench, "s", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

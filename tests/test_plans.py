@@ -159,11 +159,16 @@ class TestCurationPlans:
         plan = plan_of(QUERIES["llm_seq_packing"](spark, SF_DIR))
         assert "SinglePartition" not in plan
 
-    def test_contamination_broadcasts_benchmark_set(self, spark):
-        """The benchmark shingle set is broadcast; the corpus never
-        shuffles on the shingle key."""
+    def test_contamination_join_strategy_is_size_driven(self, spark):
+        """No FORCED broadcast on the bench side: a small eval set should
+        broadcast via AQE's observed-size planning, an oversized one must be
+        allowed to degrade to a shuffle join rather than OOM an executor.
+        Accept either hash-join family, reject only nested-loop."""
         plan = plan_of(QUERIES["llm_contamination"](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
 
     def test_domain_mix_is_joinless_scan(self, spark):
