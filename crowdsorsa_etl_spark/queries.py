@@ -2498,3 +2498,42 @@ def q50_sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q50_SQL)
+
+
+_Q51_SQL = """
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity, 2) AS DECIMAL(12,2)) AS qty,
+             CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)) AS price,
+             CAST(round(l_discount, 2) AS DECIMAL(12,2)) AS disc,
+             CAST(round(l_tax, 2) AS DECIMAL(12,2)) AS tax
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(qty) AS DECIMAL(20,2)) AS STRING) AS sum_qty,
+           CAST(CAST(sum(price) AS DECIMAL(20,2)) AS STRING) AS sum_base,
+           CAST(CAST(sum(price * (1 - disc)) AS DECIMAL(24,4)) AS STRING)
+             AS sum_disc_price,
+           CAST(CAST(sum(price * (1 - disc) * (1 + tax)) AS DECIMAL(30,6))
+                AS STRING) AS sum_charge
+    FROM d
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q51_decimal_aggs", _Q51_SQL)
+def q51_decimal_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType parity pack (SURVEY §1.2): TPC-H Q1's money math in
+    exact fixed-point instead of double. The double→DECIMAL(12,2) entry
+    cast goes through round(x,2) on BOTH engines (the repo's pinned
+    rounding convention), after which every sum/product is EXACT decimal
+    arithmetic — the final casts only widen precision, never round — so
+    the hash gate pins Spark's decimal type-promotion semantics
+    (sum → +10 precision, product → scale addition) against DuckDB's.
+    Expressed via the SQL surface: the identical ANSI string runs on both
+    engines."""
+    from crowdsorsa_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q51_SQL)

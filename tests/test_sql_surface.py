@@ -25,7 +25,8 @@ PORTABLE = [
     "q29_top10_global", "q31_rank_distributions", "q32_first_last_value",
     "q36_unpivot", "q37_conditional_aggs", "q38_salted_distinct",
     "q39_salted_join", "q41_cube", "q44_regional_volume",
-    "q45_bination_volume", "q48_range_join_binned", "q52_schema_evolution",
+    "q45_bination_volume", "q48_range_join_binned", "q50_sql_parity",
+    "q51_decimal_aggs", "q52_schema_evolution",
 ]
 
 
