@@ -55,6 +55,29 @@ def write_json_audit(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def epoch_parquet_writer(path: str):
+    """Exactly-once parquet delivery for ``writeStream.foreachBatch`` — the
+    dependency-free transactional pattern (what Delta's txn log gives you,
+    restricted to epoch granularity).
+
+    foreachBatch is at-least-once: after a crash, Structured Streaming
+    replays the last unacknowledged epoch. Writing each micro-batch to its
+    own ``epoch=<id>`` partition directory with overwrite makes the replay
+    IDEMPOTENT — epoch N always lands in the same directory, and a replay
+    replaces it with identical content instead of appending duplicates.
+    Readers see the union via ordinary partition discovery (the ``epoch``
+    partition column doubles as delivery lineage); downstream compaction
+    (``compact_parquet``) folds the per-epoch dirs once they go cold.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            path.rstrip("/") + f"/epoch={epoch_id}"
+        )
+
+    return write
+
+
 def _swap_dirs(jvm, fs, path: str, tmp: str) -> None:
     """Replace ``path`` with the freshly-written ``tmp`` without a window
     in which ``path`` does not exist: rename the current directory aside

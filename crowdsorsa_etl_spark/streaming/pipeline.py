@@ -189,6 +189,28 @@ def start_http_push_stream(
     )
 
 
+def start_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """writeStream.foreachBatch → idempotent epoch-partitioned parquet
+    (sinks/writers.epoch_parquet_writer). Combined with the checkpoint,
+    delivery is exactly-once at epoch granularity: a post-crash replay of
+    the last epoch overwrites its own ``epoch=<id>`` directory instead of
+    appending duplicates."""
+    from crowdsorsa_etl_spark.sinks.writers import epoch_parquet_writer
+
+    return (
+        stream_df.writeStream.foreachBatch(epoch_parquet_writer(path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
 def attribution_join(
     views: DataFrame,
     clicks: DataFrame,
