@@ -2537,3 +2537,50 @@ def q51_decimal_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q51_SQL)
+
+
+@register(
+    "q53_dpp_prune",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
+    GROUP BY o_orderpriority
+    """,
+)
+def q53_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning demonstration: orders written partitioned
+    by order year, then joined to a tiny year dimension whose filter is only
+    known at runtime — Catalyst injects a dynamicpruningexpression into the
+    fact scan's PartitionFilters, so only the 2 matching year directories
+    are read (at 100 TB: the difference between scanning 2 partitions and
+    scanning 7). The plan gate lives in tests/test_plans.py; the oracle is
+    the equivalent static IN filter."""
+    import os
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "crowdsorsa_dpp_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):  # reuse the partitioned copy across calls
+        orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+            "o_year"
+        ).mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [(y, 1 if y in (1994, 1995) else 0) for y in range(1990, 2001)],
+        "d_year int, pick int",
+    )
+    return (
+        fact.join(dim.where(F.col("pick") == 1), fact.o_year == F.col("d_year"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -171,6 +171,14 @@ class TestCurationPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
 
+    def test_dpp_injects_dynamic_pruning_subquery(self, spark):
+        """q53: the year-dim filter must reach the partitioned fact scan as
+        a runtime dynamicpruning expression — only matching o_year
+        directories are read, not all of them."""
+        df = QUERIES["q53_dpp_prune"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+
     def test_domain_mix_is_joinless_scan(self, spark):
         """Weighted sampling is a pure projection — no join, no exchange
         before the scan output."""
