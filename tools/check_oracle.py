@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -70,9 +71,11 @@ def main() -> None:
 
     spark = get_spark(app_name="check_oracle")
     failures = 0
+    t_start = time.monotonic()
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
@@ -81,7 +84,10 @@ def main() -> None:
             failures += 1
             continue
         if name not in ORACLES:
-            print(f"ROWS  {name}: {len(spark_pdf)} rows (rows-only, no oracle)")
+            print(
+                f"ROWS  {name}: {len(spark_pdf)} rows (rows-only, no oracle)"
+                f" [{time.monotonic() - t0:.2f}s]"
+            )
             continue
         try:
             oracle_pdf = con.sql(ORACLES[name]).df()
@@ -96,7 +102,8 @@ def main() -> None:
             for e in errs:
                 print(f"      {e}")
         else:
-            print(f"OK    {name}: {len(spark_pdf)} rows")
+            print(f"OK    {name}: {len(spark_pdf)} rows [{time.monotonic() - t0:.2f}s]")
+    print(f"TOTAL {time.monotonic() - t_start:.1f}s for {len(QUERIES) if not only else len(only)} queries")
     spark.stop()
     sys.exit(1 if failures else 0)
 
