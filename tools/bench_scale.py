@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""sf1 spot-bench: replicate the sf0.1 fixtures ~10x with key offsets into a
+local parquet dir, run the headline queries there, and report each query's
+runtime ratio vs its sf0.1 time. Catches O(n^2)-ish constants that local[32]
+at sf0.1 hides (VERDICT r2 'Next round' #10).
+
+Usage: python tools/bench_scale.py [multiplier] [--keep]
+Writes /tmp/crowdsorsa_sf_scaled_<mult>x; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.queries import QUERIES
+from crowdsorsa_etl_spark.session import get_spark
+from crowdsorsa_etl_spark.sources.parquet import load_table
+
+SRC = "/root/testdata/sf0.1"
+
+#: per-table primary-key offsets; referenced FKs keep pointing at the single
+#: dim copy (more orders per customer — the realistic scale-up direction)
+OFFSETS = {
+    "orders": [("o_orderkey", 10_000_000)],
+    "lineitem": [("l_orderkey", 10_000_000)],
+    "events": [("event_id", 10_000_000)],
+    "documents": [("doc_id", 10_000_000)],
+    "embeddings": [("vec_id", 10_000_000)],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_bigjoin_priority",
+    "q31_rank_distributions",
+    "flagship_order_documents",
+    "llm_exact_dedup",
+]
+
+
+def build(spark, mult: int, dest: str) -> None:
+    for t in DIMS:
+        load_table(spark, t, SRC).write.mode("overwrite").parquet(
+            f"{dest}/{t}.parquet"
+        )
+    for t, offs in OFFSETS.items():
+        base = load_table(spark, t, SRC)
+        parts = []
+        for i in range(mult):
+            df = base
+            for col, step in offs:
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    keep = "--keep" in sys.argv
+    dest = f"/tmp/crowdsorsa_sf_scaled_{mult}x"
+
+    spark = get_spark(app_name="bench_scale")
+    if not os.path.exists(os.path.join(dest, "documents.parquet")):
+        t0 = time.monotonic()
+        build(spark, mult, dest)
+        print(f"# built {dest} in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    results: dict[str, float] = {}
+    base_times: dict[str, float] = {}
+    def timed(fn, d):
+        # best of 2: the first run pays JIT/footer/caching constants that
+        # would otherwise masquerade as a scale effect
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, d).count()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        base_times[name] = timed(fn, SRC)
+        results[name] = timed(fn, dest)
+        ratio = results[name] / max(base_times[name], 1e-9)
+        print(
+            f"# {name}: sf0.1 {base_times[name]:.2f}s -> {mult}x {results[name]:.2f}s"
+            f" (ratio {ratio:.1f}, linear would be ~{mult})",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_spot_bench",
+                "multiplier": mult,
+                "queries_scaled_sec": results,
+                "queries_sf01_sec": base_times,
+                "ratios": {
+                    n: round(results[n] / max(base_times[n], 1e-9), 2)
+                    for n in HEADLINE
+                },
+            }
+        )
+    )
+    spark.stop()
+    if not keep:
+        shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
