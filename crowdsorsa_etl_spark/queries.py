@@ -2584,3 +2584,134 @@ def q53_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# ===========================================================================
+# Round 3: CDC diff, quantized ANN, TPC-H correlated/subquery shapes, ...
+# ===========================================================================
+
+
+@register(
+    "q54_table_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    classified AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change_type FROM classified
+    WHERE change_type <> 'unchanged'
+    """,
+)
+def q54_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (``operators/diff.table_diff``): classify rows
+    between two table versions as added / removed / changed with one
+    co-partitioned full-outer join on the key; compare columns are hashed
+    into a per-side fingerprint BEFORE the join so wide rows never inflate
+    the join payload. The 'new' snapshot is derived deterministically from
+    orders: ~1% of keys dropped, 'F'-status prices bumped 10%, ~1% new
+    keys appended. Reference analogue: the season-over-season re-run that
+    re-POSTs everything (crowdsorsa-etl-2023.R script-per-year structure)
+    becomes ship-the-delta."""
+    from crowdsorsa_etl_spark.operators.diff import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "F", F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@register(
+    "llm_quantized_topk",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id,
+             CASE WHEN max(abs(x)) > 0 THEN 127.0 / max(abs(x))
+                  ELSE 0.0 END AS scale
+      FROM e GROUP BY vec_id
+    ),
+    q AS (
+      SELECT e.vec_id, e.i,
+             CAST(round(e.x * s.scale) AS BIGINT) AS qx
+      FROM e JOIN s ON e.vec_id = s.vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             CAST(sum(a.qx * b.qx) AS BIGINT) AS dot,
+             CAST(sum(a.qx * a.qx) AS BIGINT) AS na,
+             CAST(sum(b.qx * b.qx) AS BIGINT) AS nb
+      FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                   6) AS cosine_q
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_q,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine_q DESC, vec_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_q, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def llm_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-quantized embeddings
+    (``operators/quantize``): 4x narrower vectors, dot/norms computed
+    entirely on integers JVM-side (the per-vector scale cancels in
+    cosine), query set broadcast so the corpus never shuffles. The oracle
+    re-derives the same symmetric quantization in SQL (unnest +
+    per-vector scale + integer dot)."""
+    from crowdsorsa_etl_spark.operators.quantize import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus_q = quantize_embeddings(emb)
+    queries_q = quantize_embeddings(emb.filter(F.col("vec_id") < 5))
+    return cosine_topk_quantized(corpus_q, queries_q, k=10)
