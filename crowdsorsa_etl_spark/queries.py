@@ -2715,3 +2715,257 @@ def llm_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_q = quantize_embeddings(emb)
     queries_q = quantize_embeddings(emb.filter(F.col("vec_id") < 5))
     return cosine_topk_quantized(corpus_q, queries_q, k=10)
+
+
+@register(
+    "q55_min_acctbal_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    x AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      WHERE p.p_size = 15
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM x
+    WHERE s_acctbal = (SELECT min(x2.s_acctbal) FROM x x2
+                       WHERE x2.p_partkey = x.p_partkey)
+    """,
+)
+def q55_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery, decorrelated the way
+    Catalyst would — a per-key min aggregate joined back on (key, min).
+    The part<->supplier bridge is the distinct (l_partkey, l_suppkey)
+    projection of lineitem (this dataset has no partsupp table). Both
+    aggregate and probe sides share the p_partkey shuffle key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = _t(spark, sf_dir, "supplier")
+    x = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    mins = x.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        x.join(
+            mins,
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("s_acctbal") == F.col("_min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q56_nation_value_share",
+    """
+    WITH nv AS (
+      SELECT n.n_name,
+             round(sum(s.s_acctbal), 2) AS nation_value
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_acctbal > 0
+      GROUP BY n.n_name
+    )
+    SELECT n_name, nation_value,
+           round(nation_value /
+                 (SELECT round(sum(s_acctbal), 2) FROM supplier
+                  WHERE s_acctbal > 0), 6) AS share
+    FROM nv
+    WHERE round(nation_value /
+                (SELECT round(sum(s_acctbal), 2) FROM supplier
+                 WHERE s_acctbal > 0), 6) > 0.04
+    """,
+)
+def q56_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a global-total scalar subquery.
+    The global total is a 1-row aggregate cross-joined in (Spark broadcasts
+    a 1-row side automatically — no shuffle added to the per-nation agg);
+    HAVING on the ratio."""
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    nation = _t(spark, sf_dir, "nation")
+    nv = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("nation_value"))
+    )
+    total = supp.agg(F.round(F.sum("s_acctbal"), 2).alias("_total"))
+    return (
+        nv.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("nation_value") / F.col("_total"), 6)
+        )
+        .filter(F.col("share") > 0.04)
+        .select("n_name", "nation_value", "share")
+    )
+
+
+@register(
+    "q57_top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q57_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue view + scalar-max subquery. The max is a
+    1-row broadcast; revenue is rounded to 2 dp BEFORE the equality so the
+    comparison is ulp-safe in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q58_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 9, 19, 23, 36, 45, 49, 3)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q58_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregate with a NOT IN exclusion
+    subquery — expressed as a left-anti join against the (tiny, broadcast)
+    excluded-supplier set, then count(distinct)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 3)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q59_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q59_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING — a semi join against the
+    qualifying-order aggregate, then the 3-way join re-aggregates. The semi
+    side shares the l_orderkey shuffle key with the final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q60_dormant_customers",
+    """
+    SELECT substring(c.c_name, 16, 3) AS code_bucket,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      )
+    GROUP BY substring(c.c_name, 16, 3)
+    """,
+)
+def q60_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS, expressed as a
+    1-row broadcast threshold and a left-anti join against recent orders.
+    avg is computed as round(sum,2)/count (the repo-wide ulp-safe
+    convention)."""
+    cust = _t(spark, sf_dir, "customer")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("_avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 16, 3).alias("code_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
