@@ -2969,3 +2969,156 @@ def q60_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q61_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 90 AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS review_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('quarter', CAST(o_orderdate AS DATE)) AS quarter_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                AS INT) AS days_to_cutoff
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q61_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: day-interval add, calendar-month
+    add (month-end clamping semantics match ANSI), last_day, quarter
+    truncation, signed day difference. All whole-stage-codegen column
+    expressions — the filter and the projection both reach the scan."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_cutoff"),
+    )
+
+
+_STRATA_RATES = {"en": 128, "de": 64, "zh": 26, "fr": 64, "es": 64}  # of 256
+
+
+def _stratified_sql() -> str:
+    nib1 = "instr('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+    nib2 = "instr('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+    case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    ) + " ELSE 0 END"
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(({nib1}) * 16 + ({nib2}) AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < {case}
+    """
+
+
+@register("q62_stratified_sample", _stratified_sql())
+def q62_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (here: per-language
+    down-sampling, the domain-rebalancing primitive of corpus curation),
+    via the engine-stable md5-bucket trick — joinless, deterministic across
+    runs/engines, fuses into the scan. The oracle CASE is generated from
+    the same rates dict so the two sides cannot drift."""
+    from crowdsorsa_etl_spark.operators.curation import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    expr = None
+    for k, v in _STRATA_RATES.items():
+        expr = (
+            F.when(F.col("lang") == k, F.lit(v))
+            if expr is None
+            else expr.when(F.col("lang") == k, F.lit(v))
+        )
+    rate = expr.otherwise(F.lit(0))
+    return (
+        docs.withColumn(
+            "bucket",
+            hash_bucket(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        )
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@register(
+    "q63_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value,
+           epoch_us(ts) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q63_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key (the CDC-upsert read / SCD type-1 collapse):
+    one window per key ordered by (ts, id) descending, keep rank 1. The
+    window shuffle on user_id is the only exchange; at scale this key is
+    high-cardinality so no skew concentration."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@register(
+    "q64_ffill_ignore_nulls",
+    """
+    SELECT user_id, event_id,
+           round(last_value(
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END
+             IGNORE NULLS
+           ) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS value_ffill
+    FROM events
+    """,
+)
+def q64_ffill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill with IGNORE NULLS (gap-carrying sensor/metric repair):
+    'error' readings are nulled then filled from the last good value in
+    event order. last(ignorenulls) over a running rows frame — one window
+    shuffle on the key, no self-join."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(good, ignorenulls=True).over(w), 2).alias("value_ffill"),
+    )
