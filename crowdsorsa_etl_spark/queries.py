@@ -3122,3 +3122,179 @@ def q64_ffill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.last(good, ignorenulls=True).over(w), 2).alias("value_ffill"),
     )
+
+
+@register("q65_pagerank")
+def q65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier->part shipment graph (distinct
+    (l_suppkey, l_partkey) edges, part keys offset into their own id
+    space). Iterative power method — not SQL-expressible without recursive
+    CTE aggregation, so rows-only here; the quantitative gate is
+    tests/test_graph.py's exact numpy-reference comparison. 5 iterations
+    keeps the registered query inside the driver's per-query budget."""
+    from crowdsorsa_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 500)
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select("node", F.round("rank", 8).alias("rank")).orderBy(
+        F.col("rank").desc(), "node"
+    ).limit(100)
+
+
+@register(
+    "q66_histogram_quantiles",
+    """
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, bin, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+      FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cum >= total THEN bin * 1000 END) AS BIGINT)
+             AS est_p50,
+           CAST(min(CASE WHEN 20 * cum >= 19 * total THEN bin * 1000 END)
+                AS BIGINT) AS est_p95,
+           CAST(max(total) AS BIGINT) AS n_rows
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def q66_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch: bucket counts are
+    a plain partial-aggregable groupBy (merge = add counts — the property
+    that makes this a sketch), quantile estimates read off the cumulative
+    histogram. Fully deterministic (integer math only) unlike
+    percentile_approx, and the per-group state is bounded by the bin
+    count, not the row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("bin") * 1000))
+        .cast("bigint")
+        .alias("est_p50"),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("bin") * 1000)
+        )
+        .cast("bigint")
+        .alias("est_p95"),
+        F.max("total").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "llm_repetition_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    uni_stats AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS top_cnt
+      FROM uni GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram, count(*) AS cnt
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    bi_stats AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      FROM bi GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tok,
+           round(1.0 - CAST(u.n_distinct AS DOUBLE) / u.n_tok, 6)
+             AS dup_word_frac,
+           round(CAST(u.top_cnt AS DOUBLE) / u.n_tok, 6) AS top_word_frac,
+           round(CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams, 6)
+             AS top_bigram_frac,
+           (round(CAST(u.top_cnt AS DOUBLE) / u.n_tok, 6) <= 0.2
+            AND round(CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams, 6)
+                <= 0.08) AS keep
+    FROM uni_stats u JOIN bi_stats b ON u.doc_id = b.doc_id
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, top-word
+    fraction, top-bigram fraction, and the keep/drop verdict. One explode
+    + two partial-aggregable groupBys sharing the doc_id shuffle key; the
+    bigram stream comes from a lead() window over the same exploded rows
+    (no self-join on the Spark side — the oracle's pos+1 self-join is the
+    SQL spelling of the same thing)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    uni_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("cnt").cast("bigint").alias("top_cnt"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi_stats = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("bigint").alias("top_bigram_cnt"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    dup = F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_tok"), 6)
+    topw = F.round(F.col("top_cnt").cast("double") / F.col("n_tok"), 6)
+    topb = F.round(
+        F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams"), 6
+    )
+    return uni_stats.join(bi_stats, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        dup.alias("dup_word_frac"),
+        topw.alias("top_word_frac"),
+        topb.alias("top_bigram_frac"),
+        ((topw <= 0.2) & (topb <= 0.08)).alias("keep"),
+    )
