@@ -3298,3 +3298,115 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         topb.alias("top_bigram_frac"),
         ((topw <= 0.2) & (topb <= 0.08)).alias("keep"),
     )
+
+
+@register(
+    "q67_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(o_totalprice) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS vmin,
+           round(max(o_totalprice), 2) AS vmax,
+           round(sum(o_totalprice), 2) / count(o_totalprice) AS vavg
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q67_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (``operators/incremental``): the
+    history is split into three year batches, each reduced to a mergeable
+    partial state (sum/cnt/min/max), and the merged+finalized result must
+    equal the oracle's direct full-history aggregate — the
+    materialized-view-maintenance equivalence, verified by hash."""
+    from crowdsorsa_etl_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        partial_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    keys, val = ["o_orderpriority"], "o_totalprice"
+    base = partial_state(
+        orders.filter(F.col("o_orderdate") < "1997-01-01"), keys, val
+    )
+    delta1 = partial_state(
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        ),
+        keys,
+        val,
+    )
+    delta2 = partial_state(
+        orders.filter(F.col("o_orderdate") >= "1999-01-01"), keys, val
+    )
+    return finalize(merge_states(base, delta1, delta2))
+
+
+_SPAN_SQL = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS s
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - 7, 1))) AS i
+            FROM toks)
+    )
+"""
+
+
+@register(
+    "llm_span_dedup",
+    "WITH " + _SPAN_SQL + """,
+    xdoc AS (
+      SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(x.s) AS BIGINT) AS n_dup_spans,
+           round(CAST(count(x.s) AS DOUBLE) / count(*), 6) AS dup_span_frac
+    FROM sp LEFT JOIN xdoc x ON sp.s = x.s
+    GROUP BY sp.doc_id
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup signal: 8-token spans occurring
+    in >= 2 distinct documents, counted per position per doc. Two
+    partial-aggregable groupBys + one equi-join on the span key; at corpus
+    scale the span key is xxhash64'd to fixed width before the join (the
+    dedup.py convention) — string keys here only so the oracle join is
+    byte-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) < 8 "
+                "THEN array(concat_ws(' ', split(lower(trim(text)), '\\\\s+'))) "
+                "ELSE transform("
+                "  sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 8),"
+                "  i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 8))"
+                ") END"
+            )
+        ).alias("i", "s"),
+    )
+    xdoc = (
+        sp.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("s", F.lit(1).alias("_dup"))
+    )
+    return (
+        sp.join(xdoc, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count("_dup").cast("bigint").alias("n_dup_spans"),
+            F.round(
+                F.count("_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_span_frac"),
+        )
+    )
