@@ -3410,3 +3410,110 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+@register(
+    "q68_zone_map_scan",
+    """
+    SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59'
+    GROUP BY 1
+    """,
+)
+def q68_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (``operators/skipping``): lineitem is laid
+    out range-clustered on l_shipdate (16 files), per-file min/max stats
+    are collected into an explicit manifest table, and the quarter scan
+    reads ONLY the files whose zone maps intersect the range — the
+    Iceberg/Delta manifest-pruning idea with the file list coming from the
+    stats table, verified against the oracle's full-table filter."""
+    import datetime
+    import os
+    import tempfile
+
+    from crowdsorsa_etl_spark.operators.skipping import (
+        collect_file_stats,
+        read_pruned,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "crowdsorsa_zonemap_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        _t(spark, sf_dir, "lineitem").repartitionByRange(
+            16, "l_shipdate"
+        ).sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(
+            base
+        )
+    stats = collect_file_stats(spark, base, ["l_shipdate"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 3, 31, 23, 59, 59)
+    pruned = read_pruned(spark, stats, {"l_shipdate": (lo, hi)})
+    return pruned.groupBy(
+        F.date_trunc("month", F.to_date("l_shipdate"))
+        .cast("date")
+        .alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q69_rank_funcs",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q69_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions: percent_rank / cume_dist /
+    ntile per segment. The (c_acctbal, c_custkey) order key is unique so
+    peer groups are single rows and both engines agree bit-for-bit."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "q70_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked,
+           CAST(regexp_matches(p_name, 'g.*g') AS BOOLEAN) AS has_gg,
+           CAST(len(regexp_split_to_array(p_type, '\\s+')) AS INT)
+             AS type_words
+    FROM part
+    WHERE p_partkey % 5 = 0
+    """,
+)
+def q70_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: anchored group extract, global class replace,
+    unanchored match test, pattern split. Patterns restricted to the
+    RE2-compatible subset so Java and RE2 regex engines agree."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+        F.col("p_name").rlike("g.*g").alias("has_gg"),
+        F.size(F.split("p_type", r"\s+")).cast("int").alias("type_words"),
+    )

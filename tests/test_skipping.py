@@ -1,0 +1,81 @@
+"""Zone-map skipping index: soundness, completeness vs full scan, and the
+zorder synergy (clustered layout → fewer surviving files)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.skipping import (
+    collect_file_stats,
+    prune_files,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark):
+    base = tempfile.mkdtemp(prefix="skiptest_")
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") * 31 % 1000).alias("v"),
+    )
+    clustered = os.path.join(base, "clustered")
+    random = os.path.join(base, "random")
+    # range-sorted on k -> tight per-file k ranges; 8 files each
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(
+        clustered
+    )
+    df.repartition(8).write.parquet(random)
+    return clustered, random
+
+
+class TestSkipping:
+    def test_stats_cover_all_rows(self, spark, layouts):
+        clustered, _ = layouts
+        stats = collect_file_stats(spark, clustered, ["k", "v"])
+        rows = stats.collect()
+        assert sum(r.n_rows for r in rows) == 20000
+        assert all(r.k_min <= r.k_max for r in rows)
+
+    def test_pruned_read_equals_full_filter(self, spark, layouts):
+        for path in layouts:
+            stats = collect_file_stats(spark, path, ["k"])
+            pred = {"k": (10, 20)}
+            got = read_pruned(spark, stats, pred)
+            want = (
+                spark.read.parquet(path)
+                .filter((F.col("k") >= 10) & (F.col("k") <= 20))
+            )
+            assert sorted(r.id for r in got.collect()) == sorted(
+                r.id for r in want.collect()
+            )
+
+    def test_clustered_layout_prunes_more(self, spark, layouts):
+        clustered, random = layouts
+        surv = {}
+        for name, path in (("clustered", clustered), ("random", random)):
+            stats = collect_file_stats(spark, path, ["k"])
+            surv[name] = prune_files(stats, {"k": (10, 20)}).count()
+        # every random file spans ~all of k; the sorted layout isolates
+        # the range to 1-2 files
+        assert surv["random"] == 8
+        assert surv["clustered"] <= 2
+
+    def test_empty_prune_keeps_schema(self, spark, layouts):
+        clustered, _ = layouts
+        stats = collect_file_stats(spark, clustered, ["k"])
+        got = read_pruned(spark, stats, {"k": (5000, 6000)})
+        assert got.count() == 0
+        assert set(got.columns) == {"id", "k", "v"}
+
+    def test_open_ended_bounds(self, spark, layouts):
+        clustered, _ = layouts
+        stats = collect_file_stats(spark, clustered, ["k"])
+        got = read_pruned(spark, stats, {"k": (90, None)})
+        want = spark.read.parquet(clustered).filter(F.col("k") >= 90)
+        assert got.count() == want.count() > 0
