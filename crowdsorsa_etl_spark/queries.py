@@ -3517,3 +3517,115 @@ def q70_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("g.*g").alias("has_gg"),
         F.size(F.split("p_type", r"\s+")).cast("int").alias("type_words"),
     )
+
+
+@register(
+    "q71_nullsafe_join",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderstatus END AS status_key
+      FROM orders
+    ),
+    labels(status_key, label) AS (
+      VALUES ('F', 'final'), ('O', 'open'), ('P', 'pending'),
+             (NULL, 'missing')
+    )
+    SELECT l.label, CAST(count(*) AS BIGINT) AS n_orders
+    FROM keyed k JOIN labels l
+      ON k.status_key IS NOT DISTINCT FROM l.status_key
+    GROUP BY l.label
+    """,
+)
+def q71_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match the dimension's NULL row instead of silently dropping — the
+    'unknown bucket' dimension pattern. The dim is 4 rows so the join is a
+    broadcast; a null-safe key still hash-partitions normally at scale
+    (NULL is just one more key value, no skew beyond its frequency)."""
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    labels = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending"), (None, "missing")],
+        "status_key string, label string",
+    )
+    return (
+        keyed.join(
+            F.broadcast(labels),
+            keyed.status_key.eqNullSafe(labels.status_key),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+@register(
+    "q72_bitwise_aggs",
+    """
+    SELECT event_type,
+           CAST(bit_and(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS flags_and,
+           CAST(bit_or(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS flags_or,
+           CAST(bit_xor(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS flags_xor,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q72_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (flag-mask folding): bit_and / bit_or /
+    bit_xor — all partial-aggregable (associative+commutative), so they
+    map-side combine like sum."""
+    events = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.bit_and(v).cast("bigint").alias("flags_and"),
+        F.bit_or(v).cast("bigint").alias("flags_or"),
+        F.bit_xor(v).cast("bigint").alias("flags_xor"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "q73_stats_aggs",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_samp,
+           round(var_pop(value), 4) AS var_pop,
+           round(median(value), 2) AS med,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+           CAST(count_if(value > 50) AS BIGINT) AS n_high,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99) AS any_extreme
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q73_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample/population moments, exact
+    median (interpolating percentile), correlation/covariance, count_if,
+    bool_and/bool_or. Moments and covariances merge via the standard
+    pairwise-update formulas so all of these partial-aggregate; exact
+    median is the one non-mergeable member (it sorts within groups) —
+    the sketch alternative is q66's histogram."""
+    events = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_samp"),
+        F.round(F.var_pop("value"), 4).alias("var_pop"),
+        F.round(F.median("value"), 2).alias("med"),
+        F.round(F.corr("value", u), 6).alias("corr_vu"),
+        F.round(F.covar_samp("value", u), 4).alias("covar_vu"),
+        F.count_if(F.col("value") > 50).cast("bigint").alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_extreme"),
+    )

@@ -64,3 +64,53 @@ class TestSchemaOfJson:
         )
         parsed = events.select(F.from_json("props", schema_str).alias("p"))
         assert parsed.filter(F.col("p.k").isNotNull()).count() > 0
+
+
+class TestCogroupedMap:
+    def test_cogroup_per_key_merge_asof(self, spark):
+        """Cogrouped applyInPandas — the two-table grouped-map surface:
+        both sides of a key arrive as pandas frames in one call (the shape
+        for per-key merge_asof / custom interval matching). Validated
+        against the distributed asof_join operator on the same inputs."""
+        from crowdsorsa_etl_spark.operators.asof import asof_join
+
+        events = load_table(spark, "events", SF_DIR).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        # per-user "checkpoints": every 10th event acts as the probe side
+        probes = events.filter(F.col("event_id") % 10 == 0).select(
+            "user_id", F.col("event_id").alias("probe_id"),
+            F.col("ts").alias("pts"),
+        )
+
+        def per_key(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left.sort_values("pts")
+            right = right.sort_values("ts")
+            merged = pd.merge_asof(
+                left, right, left_on="pts", right_on="ts",
+                direction="backward",
+            )
+            return merged[["user_id_x", "probe_id", "event_id"]].rename(
+                columns={"user_id_x": "user_id"}
+            )
+
+        got = (
+            probes.groupBy("user_id")
+            .cogroup(events.groupBy("user_id"))
+            .applyInPandas(
+                per_key, "user_id long, probe_id long, event_id long"
+            )
+        )
+        want = asof_join(
+            probes,
+            events.select("user_id", "event_id", "ts"),
+            on="user_id",
+            left_time="pts",
+            right_time="ts",
+            right_payload=["event_id"],
+            tiebreak="event_id",
+        ).select("user_id", "probe_id", "event_id")
+        g = {(r.user_id, r.probe_id): r.event_id for r in got.collect()}
+        w = {(r.user_id, r.probe_id): r.event_id for r in want.collect()}
+        assert len(g) > 0
+        assert g == w
