@@ -57,3 +57,21 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC scan — the columnar alternate to parquet (same pushdown /
+    pruning machinery: filters and column selection reach the ORC reader
+    as PushedFilters / ReadSchema, vectorized)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -185,3 +185,43 @@ class TestCurationPlans:
         plan = plan_of(QUERIES["llm_domain_mix"](spark, SF_DIR))
         assert "Join" not in plan
         assert "Exchange" not in plan
+
+
+class TestRound3Plans:
+    def test_table_diff_is_one_copartitioned_join(self, spark):
+        """CDC diff: one full-outer SMJ/SHJ on the key, never a BNLJ, and
+        the compare columns are fingerprinted BEFORE the join."""
+        plan = plan_of(QUERIES["q54_table_diff"](spark, SF_DIR))
+        assert "NestedLoop" not in plan
+        assert plan.count("Join type:") == 1  # exactly one join in the plan
+        assert "FullOuter" in plan
+
+    def test_stratified_sample_is_joinless_scan(self, spark):
+        """md5-bucket sampling must fuse into the scan: zero exchanges."""
+        plan = plan_of(QUERIES["q62_stratified_sample"](spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_incremental_merge_shares_grouping_key(self, spark):
+        """Partial-state merge: no join anywhere — union + re-aggregate."""
+        plan = plan_of(QUERIES["q67_incremental_agg"](spark, SF_DIR))
+        assert "Join" not in plan
+        assert "Union" in plan
+
+    def test_histogram_sketch_no_single_partition(self, spark):
+        plan = plan_of(QUERIES["q66_histogram_quantiles"](spark, SF_DIR))
+        assert "SinglePartition" not in plan
+
+    def test_span_dedup_join_strategy_is_size_driven(self, spark):
+        """No forced broadcast on the (corpus-derived) dup-span side."""
+        plan = plan_of(QUERIES["llm_span_dedup"](spark, SF_DIR))
+        assert "NestedLoop" not in plan
+
+    def test_quantized_topk_broadcasts_query_side_only(self, spark):
+        """int8 ANN: the bounded query set broadcasts, the corpus never
+        shuffles (same invariant as cosine_topk)."""
+        plan = plan_of(QUERIES["llm_quantized_topk"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # corpus side must not round-trip through a shuffle before the join
+        join_seg = plan.split("Join")[0]
+        assert "Exchange hashpartitioning" not in join_seg

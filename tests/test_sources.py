@@ -129,3 +129,37 @@ class TestUpsert:
         upsert_parquet(spark, path, batch, key_cols=["id"], order_col="ver")
         upsert_parquet(spark, path, batch, key_cols=["id"], order_col="ver")  # replay
         assert spark.read.parquet(path).count() == 1
+
+
+class TestOrc:
+    def test_roundtrip_preserves_schema_and_rows(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.sources.text_files import read_orc, write_orc
+
+        li = load_table(spark, "lineitem", SF_DIR).limit(1000)
+        path = str(tmp_path / "li_orc")
+        write_orc(li, path)
+        back = read_orc(spark, path)
+        assert [(f.name, f.dataType) for f in back.schema.fields] == [
+            (f.name, f.dataType) for f in li.schema.fields
+        ]
+        assert back.count() == 1000
+
+    def test_orc_scan_pushes_filters_and_prunes_columns(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.sources.text_files import read_orc, write_orc
+
+        write_orc(
+            load_table(spark, "lineitem", SF_DIR), str(tmp_path / "li_orc2")
+        )
+        q = (
+            read_orc(spark, str(tmp_path / "li_orc2"))
+            .filter(F.col("l_quantity") > 40)
+            .select("l_orderkey", "l_quantity")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+            "PushedFilters"
+        )[1][:200]
+        read_schema = plan.split("ReadSchema")[1][:200]
+        assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
