@@ -3009,8 +3009,8 @@ _STRATA_RATES = {"en": 128, "de": 64, "zh": 26, "fr": 64, "es": 64}  # of 256
 
 
 def _stratified_sql() -> str:
-    nib1 = "instr('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
-    nib2 = "instr('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+    nib1 = "instr('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR(20))), 1, 1)) - 1"
+    nib2 = "instr('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR(20))), 2, 1)) - 1"
     case = "CASE lang " + " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
     ) + " ELSE 0 END"

@@ -27,6 +27,12 @@ PORTABLE = [
     "q39_salted_join", "q41_cube", "q44_regional_volume",
     "q45_bination_volume", "q48_range_join_binned", "q50_sql_parity",
     "q51_decimal_aggs", "q52_schema_evolution",
+    # round 3
+    "q54_table_diff", "q55_min_acctbal_supplier", "q56_nation_value_share",
+    "q57_top_revenue_supplier", "q58_supplier_part_counts",
+    "q59_large_orders", "q60_dormant_customers", "q62_stratified_sample",
+    "q66_histogram_quantiles", "q67_incremental_agg", "q69_rank_funcs",
+    "q71_nullsafe_join", "q72_bitwise_aggs", "q73_stats_aggs",
 ]
 
 
