@@ -43,6 +43,14 @@ HEADLINE = [
     "q31_rank_distributions",
     "flagship_order_documents",
     "llm_exact_dedup",
+    # round 3: CDC diff (co-partitioned full outer), int8 ANN (corpus-side
+    # linear), cross-doc span dedup (explode + span-key join), histogram
+    # sketch (bounded state), Gopher repetition signals
+    "q54_table_diff",
+    "llm_quantized_topk",
+    "llm_span_dedup",
+    "q66_histogram_quantiles",
+    "llm_repetition_filter",
 ]
 
 
