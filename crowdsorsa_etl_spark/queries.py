@@ -3629,3 +3629,216 @@ def q73_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("value") > 99).alias("any_extreme"),
     )
+
+
+@register(
+    "llm_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(sum(ln((v.cnt + 1.0) / (tot.n + 1.0))) / count(*), 6)
+             AS avg_logprob
+    FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram log-probability scorer — the shape of a
+    KenLM-style perplexity filter (CCNet/RedPajama) with the LM reduced to
+    add-one-smoothed unigrams so both engines agree bit-for-bit. Two
+    passes over the exploded tokens sharing one shuffle key (tok) for the
+    vocab build, then a vocab join (at real scale: the vocab is Zipf-small
+    and broadcastable — AQE decides from observed size) and a per-doc
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.round(
+                F.sum(F.log((F.col("cnt") + 1.0) / (F.col("n") + 1.0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "q74_data_quality",
+    """
+    SELECT 'orders_pk_dupes' AS check_name,
+           CAST((SELECT count(*) FROM
+                  (SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    """,
+)
+def q74_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the Deequ/dbt-test shape): PK
+    uniqueness, FK referential integrity (anti join), null checks, domain
+    checks — each a count of violations, unioned into one small report.
+    Every check is a partial-aggregable scan or one anti join; nothing
+    collects rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    pk_dupes = one(
+        "orders_pk_dupes",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    orphans = one(
+        "lineitem_fk_orphans",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    null_cust = one(
+        "orders_null_custkey",
+        orders.filter(F.col("o_custkey").isNull()).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    bad_qty = one(
+        "lineitem_nonpositive_qty",
+        li.filter(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("n")),
+    )
+    bad_status = one(
+        "orders_bad_status",
+        orders.filter(~F.col("o_orderstatus").isin("F", "O", "P")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return (
+        pk_dupes.unionByName(orphans)
+        .unionByName(null_cust)
+        .unionByName(bad_qty)
+        .unionByName(bad_status)
+    )
+
+
+@register(
+    "q75_rolling_stats",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) / count(value) OVER w AS roll_avg,
+           round(stddev_samp(value) OVER w, 4) AS roll_sd,
+           round(min(value) OVER w, 2) AS roll_min,
+           round(max(value) OVER w, 2) AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q75_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-event statistics per key (monitoring/feature-engineering
+    windows): avg/stddev/min/max over a trailing rows frame — one window
+    shuffle on the key serves all four."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.round(F.sum("value").over(w), 2) / F.count("value").over(w)).alias(
+            "roll_avg"
+        ),
+        F.round(F.stddev_samp("value").over(w), 4).alias("roll_sd"),
+        F.round(F.min("value").over(w), 2).alias("roll_min"),
+        F.round(F.max("value").over(w), 2).alias("roll_max"),
+    )
+
+
+@register(
+    "q76_fuzzy_match",
+    """
+    WITH variants AS (
+      SELECT n_nationkey AS v_id,
+             'X' || substring(n_name, 2) AS variant
+      FROM nation
+    ),
+    scored AS (
+      SELECT v.v_id, v.variant, n.n_name,
+             CAST(levenshtein(v.variant, n.n_name) AS INT) AS dist
+      FROM variants v CROSS JOIN nation n
+    )
+    SELECT v_id, variant, n_name AS best_match, dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY v_id ORDER BY dist, n_name
+      ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: edit-distance nearest dictionary entry per
+    corrupted variant (entity-resolution / spell-repair shape). The
+    dictionary side is tiny → broadcast nested-loop scoring then a per-key
+    min; at scale the standard prefilter is an n-gram blocking join before
+    levenshtein (same pattern as the dedup candidate tiers)."""
+    nation = _t(spark, sf_dir, "nation")
+    variants = nation.select(
+        F.col("n_nationkey").alias("v_id"),
+        F.concat(F.lit("X"), F.expr("substring(n_name, 2)")).alias("variant"),
+    )
+    scored = variants.crossJoin(F.broadcast(nation.select("n_name"))).select(
+        "v_id",
+        "variant",
+        "n_name",
+        F.levenshtein("variant", "n_name").cast("int").alias("dist"),
+    )
+    w = Window.partitionBy("v_id").orderBy("dist", "n_name")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("v_id", "variant", F.col("n_name").alias("best_match"), "dist")
+    )
