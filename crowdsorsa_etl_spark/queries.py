@@ -3842,3 +3842,18 @@ def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("v_id", "variant", F.col("n_name").alias("best_match"), "dist")
     )
+
+
+@register("llm_semdedup")
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (embedding-space semantic dedup): cluster-bounded pairwise
+    removal (``operators/similarity.semdedup``). Iterative k-means makes
+    it rows-only; the quantitative gate is the keep-set-invariant test in
+    tests/test_graph.py (planted near-duplicates, numpy-verified). The
+    fixture embeddings are random (max pairwise cosine ~0.5) so epsilon
+    0.45 exercises the removal path at this scale."""
+    from crowdsorsa_etl_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, n_clusters=16, epsilon=0.45)
+    return out.orderBy("vec_id")

@@ -55,3 +55,61 @@ class TestPageRank:
         assert got[0] == max(got.values())
         leaf_ranks = [got[i] for i in range(1, 8)]
         assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+
+
+class TestSemDedup:
+    """SemDeDup keep-set invariants, checked against numpy on a corpus with
+    planted near-duplicates (the fixture embeddings are random — max cosine
+    ~0.5 — so duplicates must be planted to exercise removal)."""
+
+    @staticmethod
+    def _corpus(spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 8))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+            if i % 4 == 0:  # plant a near-duplicate of every 4th vector
+                dup = v + rng.normal(scale=0.01, size=8)
+                rows.append((1000 + i, [float(x) for x in dup]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_keep_set_invariants(self, spark):
+        import numpy as np
+
+        from crowdsorsa_etl_spark.operators.similarity import semdedup
+
+        df = self._corpus(spark)
+        out = semdedup(df, n_clusters=4, epsilon=0.95).collect()
+        vecs = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+        info = {r.vec_id: r for r in out}
+        assert set(info) == set(vecs)
+        removed = [i for i, r in info.items() if not r.keep]
+        assert removed, "planted near-duplicates must trigger removals"
+
+        def cos(x, y):
+            return float(
+                np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+            )
+
+        rank = {
+            i: (-info[i].centroid_sim, i) for i in info
+        }  # higher centroid_sim = earlier rank
+        # 1. every removed vector has a higher-ranked same-cluster witness
+        for i in removed:
+            assert any(
+                info[j].list_id == info[i].list_id
+                and rank[j] < rank[i]
+                and cos(vecs[j], vecs[i]) > 0.95
+                for j in info
+            ), i
+        # 2. no two KEPT vectors in one cluster are eps-close
+        kept = [i for i in info if info[i].keep]
+        for x in kept:
+            for y in kept:
+                if x < y and info[x].list_id == info[y].list_id:
+                    assert cos(vecs[x], vecs[y]) <= 0.95 + 1e-9
