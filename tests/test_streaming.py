@@ -236,3 +236,84 @@ class TestExactlyOnceParquetSink:
         got = spark.read.parquet(out)
         assert got.count() == 30
         assert sorted(r.epoch for r in got.select("epoch").distinct().collect()) == [0, 1]
+
+
+class TestCheckpointRestart:
+    def test_restart_resumes_without_reprocessing(self, spark, tmp_path):
+        """Kill the query mid-stream, add new input, restart with the SAME
+        checkpoint: offsets resume — previously-committed files are not
+        re-read (their epoch dirs are untouched), new files land exactly
+        once. This is the crash-recovery contract the epoch-partitioned
+        sink + checkpoint pair exists to provide."""
+        import os
+        import shutil
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            read_event_stream,
+            start_parquet_sink,
+        )
+
+        src = str(tmp_path / "incoming")
+        os.makedirs(src)
+        out = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        # the stream source contract reads ts as INT64 nanos (the fixture
+        # layout); staged copies must preserve that physical type
+        events = load_table(spark, "events", SF_DIR).withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        )
+
+        # phase 1: two input files, run to quiescence, stop
+        events.filter(F.col("event_id") < 100).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "f1"))
+        events.filter(
+            (F.col("event_id") >= 100) & (F.col("event_id") < 200)
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f2"))
+        for i, d in enumerate(("f1", "f2")):
+            part = [
+                f for f in os.listdir(tmp_path / d) if f.endswith(".parquet")
+            ][0]
+            shutil.copy(tmp_path / d / part, f"{src}/batch{i}.parquet")
+
+        stream = read_event_stream(spark, src)
+        q = start_parquet_sink(stream, out, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        phase1 = spark.read.parquet(out)
+        n1 = phase1.count()
+        assert n1 == 200
+        epochs1 = {r.epoch for r in phase1.select("epoch").distinct().collect()}
+        mtimes1 = {
+            d: os.path.getmtime(os.path.join(out, d))
+            for d in os.listdir(out)
+            if d.startswith("epoch=")
+        }
+
+        # phase 2: new file arrives while the query is DOWN; restart
+        events.filter(
+            (F.col("event_id") >= 200) & (F.col("event_id") < 250)
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f3"))
+        part = [
+            f for f in os.listdir(tmp_path / "f3") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(tmp_path / "f3" / part, f"{src}/batch2.parquet")
+
+        stream2 = read_event_stream(spark, src)
+        q2 = start_parquet_sink(stream2, out, checkpoint_dir=ckpt)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        got = spark.read.parquet(out)
+        assert got.count() == 250
+        assert got.select("event_id").distinct().count() == 250
+        # old epoch directories were not rewritten on restart
+        for d, m in mtimes1.items():
+            assert os.path.getmtime(os.path.join(out, d)) == m, d
+        # the resumed batch got a NEW epoch id, continuing the sequence
+        epochs2 = {r.epoch for r in got.select("epoch").distinct().collect()}
+        assert epochs1 < epochs2
