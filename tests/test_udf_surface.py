@@ -114,3 +114,57 @@ class TestCogroupedMap:
         w = {(r.user_id, r.probe_id): r.event_id for r in want.collect()}
         assert len(g) > 0
         assert g == w
+
+
+class TestVariant:
+    """Spark 4 VARIANT: schema-flexible semi-structured values as a typed
+    column (the open-schema alternative to rigid from_json structs) — the
+    right type for `events.props` when producers drift."""
+
+    def test_parse_extract_roundtrip(self, spark):
+        events = load_table(spark, "events", SF_DIR).limit(200)
+        v = events.select(
+            "event_id", F.parse_json("props").alias("v")
+        )
+        assert dict(v.dtypes)["v"] == "variant"
+        got = v.select(
+            "event_id",
+            F.variant_get("v", "$.k", "int").alias("k"),
+            F.to_json("v").alias("back"),
+        )
+        rows = got.collect()
+        want = {
+            r.event_id: r.props for r in events.select("event_id", "props").collect()
+        }
+        import json as _json
+
+        for r in rows:
+            orig = _json.loads(want[r.event_id])
+            assert r.k == orig["k"]
+            assert _json.loads(r.back) == orig
+
+    def test_variant_survives_parquet(self, spark, tmp_path):
+        events = load_table(spark, "events", SF_DIR).limit(50)
+        v = events.select("event_id", F.parse_json("props").alias("v"))
+        path = str(tmp_path / "variant_pq")
+        v.write.parquet(path)
+        back = spark.read.parquet(path)
+        assert dict(back.dtypes)["v"] == "variant"
+        assert (
+            back.select(F.variant_get("v", "$.k", "int").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .count()
+            == 50
+        )
+
+    def test_schema_of_variant_agg(self, spark):
+        events = load_table(spark, "events", SF_DIR).limit(100)
+        schemas = (
+            events.select(
+                F.schema_of_variant(F.parse_json("props")).alias("s")
+            )
+            .distinct()
+            .collect()
+        )
+        assert len(schemas) == 1
+        assert "k: BIGINT" in schemas[0].s
