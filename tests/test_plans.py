@@ -225,3 +225,19 @@ class TestRound3Plans:
         # corpus side must not round-trip through a shuffle before the join
         join_seg = plan.split("Join")[0]
         assert "Exchange hashpartitioning" not in join_seg
+
+
+class TestOptimizerFeatures:
+    def test_topk_per_group_gets_window_group_limit(self, spark):
+        """rank<=k filters push a WindowGroupLimit below the window: each
+        map task pre-prunes to its local top-k BEFORE the shuffle — at
+        scale this is the difference between shuffling k rows per group
+        and shuffling the whole fact table."""
+        plan = plan_of(QUERIES["q07_topk_per_group"](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan
+        # both the partial (pre-shuffle) and final instances exist
+        assert plan.count("WindowGroupLimit") >= 2
+
+    def test_limit_after_sort_is_topk_not_global_sort(self, spark):
+        plan = plan_of(QUERIES["q29_top10_global"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan

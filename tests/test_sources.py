@@ -163,3 +163,60 @@ class TestOrc:
         )[1][:200]
         read_schema = plan.split("ReadSchema")[1][:200]
         assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+class TestCorruptRecords:
+    """Malformed-input policy for the text sources: PERMISSIVE keeps bad
+    rows in a _corrupt_record column (audit path), DROPMALFORMED silently
+    drops, FAILFAST raises — the three ANSI-ish contracts a pipeline picks
+    from per source."""
+
+    @staticmethod
+    def _write_mixed(tmp_path):
+        p = tmp_path / "mixed.jsonl"
+        lines = ['{"a": 1, "b": "x"}', "{not json at all", '{"a": 2, "b": "y"}']
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_permissive_keeps_corrupt_column(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        path = self._write_mixed(tmp_path)
+        schema = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.StringType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+        rows = df.collect()
+        assert len(rows) == 3
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+    def test_dropmalformed_drops(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        path = self._write_mixed(tmp_path)
+        schema = T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+        assert sorted(r.a for r in df.collect()) == [1, 2]
+
+    def test_failfast_raises(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        path = self._write_mixed(tmp_path)
+        schema = T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+        )
+        with pytest.raises(Exception, match="FAILFAST|Malformed"):
+            spark.read.schema(schema).option("mode", "FAILFAST").json(
+                path
+            ).collect()
