@@ -3380,16 +3380,18 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.py convention) — string keys here only so the oracle join is
     byte-identical."""
     docs = _t(spark, sf_dir, "documents")
-    sp = docs.select(
+    # tokenize once; the span builder references the materialized array
+    # instead of re-evaluating split(lower(trim())) per sub-expression
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("l")
+    )
+    sp = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "CASE WHEN size(split(lower(trim(text)), '\\\\s+')) < 8 "
-                "THEN array(concat_ws(' ', split(lower(trim(text)), '\\\\s+'))) "
-                "ELSE transform("
-                "  sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 8),"
-                "  i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 8))"
-                ") END"
+                "CASE WHEN size(l) < 8 THEN array(concat_ws(' ', l)) "
+                "ELSE transform(sequence(0, size(l) - 8),"
+                "  i -> concat_ws(' ', slice(l, i + 1, 8))) END"
             )
         ).alias("i", "s"),
     )
