@@ -3859,3 +3859,130 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = semdedup(emb, n_clusters=16, epsilon=0.45)
     return out.orderBy("vec_id")
+
+
+@register(
+    "q77_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END), 2)
+           / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q77_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-share aggregate over a fact-dim join
+    — one broadcast join, one global aggregate, ratio-of-rounded-sums per
+    the repo convention."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.round(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                            0.0
+                        )
+                    ),
+                    2,
+                )
+                / F.round(F.sum(rev), 2)
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q78_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice), 2) / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * (round(sum(l2.l_quantity), 2) / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q78_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-avg subquery (below-average
+    quantity orders), decorrelated as a per-part avg aggregate joined back
+    on the part key — both sides share the l_partkey shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avgq = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            0.2 * (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)))
+        ).alias("_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgq, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            (F.round(F.sum("l_extendedprice"), 2) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q79_or_predicates",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q79_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides. Catalyst extracts the common sub-predicates it can
+    push below the join (brand/size reach the part scan, quantity the
+    lineitem scan) and evaluates the residual OR at the join — the classic
+    OR-pushdown test."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
