@@ -3986,3 +3986,40 @@ def q79_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
+
+
+@register(
+    "q80_try_casts",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_num,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           round(o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0), 6)
+             AS price_ratio
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+)
+def q80_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_cast returns NULL instead of raising
+    on malformed input ('1-URGENT' → NULL, its leading digit → 1), and
+    division-by-zero is nulled via try_divide/NULLIF — the per-row error
+    policy that keeps a 100 TB job from dying on one bad record."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999999")).cast("int").alias(
+            "prio_num"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "prio_digit"
+        ),
+        # round 6, not 2: 2-dp money / small int lands EXACTLY on .xx5
+        # rounding ties, where the engines' ulp noise flips direction
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+            ),
+            6,
+        ).alias("price_ratio"),
+    )

@@ -33,6 +33,8 @@ PORTABLE = [
     "q59_large_orders", "q60_dormant_customers", "q62_stratified_sample",
     "q66_histogram_quantiles", "q67_incremental_agg", "q69_rank_funcs",
     "q71_nullsafe_join", "q72_bitwise_aggs", "q73_stats_aggs",
+    "q74_data_quality", "q75_rolling_stats", "q77_promo_revenue",
+    "q78_small_qty_revenue", "q79_or_predicates",
 ]
 
 
