@@ -317,3 +317,41 @@ class TestCheckpointRestart:
         # the resumed batch got a NEW epoch id, continuing the sequence
         epochs2 = {r.epoch for r in got.select("epoch").distinct().collect()}
         assert epochs1 < epochs2
+
+
+class TestStreamingObserve:
+    def test_observed_metrics_ride_the_stream(self, spark):
+        """df.observe on a STREAMING frame: per-micro-batch metrics arrive
+        in QueryProgress.observedMetrics with the same action that writes
+        the sink — zero extra passes (the streaming face of
+        sinks/metrics.observed)."""
+        from crowdsorsa_etl_spark.streaming.pipeline import read_event_stream
+
+        stream = read_event_stream(spark, EVENTS_PATH).observe(
+            "ingest",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("obs_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progresses = [
+                p for p in q.recentProgress if p.get("observedMetrics")
+            ]
+        finally:
+            q.stop()
+        assert progresses, "at least one batch must report observed metrics"
+        total = sum(
+            p["observedMetrics"]["ingest"]["n_rows"] for p in progresses
+        )
+        batch = load_table(spark, "events", SF_DIR)
+        assert total == batch.count()
+        high = sum(
+            p["observedMetrics"]["ingest"]["n_high"] for p in progresses
+        )
+        assert high == batch.filter(F.col("value") > 50).count()

@@ -168,3 +168,68 @@ class TestVariant:
         )
         assert len(schemas) == 1
         assert "k: BIGINT" in schemas[0].s
+
+
+class TestMapHigherOrderFunctions:
+    """Map-typed column surface: construction, HOF transforms, entry
+    explosion — the engine-general map algebra (SURVEY §2.2 map fns)."""
+
+    def test_map_construct_transform_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a", "b"], [10, 20]), (2, ["x"], [7])],
+            "id long, ks array<string>, vs array<int>",
+        )
+        out = df.select(
+            "id",
+            F.map_from_arrays("ks", "vs").alias("m"),
+        ).select(
+            "id",
+            F.transform_values("m", lambda k, v: v * 2).alias("doubled"),
+            F.transform_keys("m", lambda k, v: F.upper(k)).alias("upkeys"),
+            F.map_filter("m", lambda k, v: v > 15).alias("big"),
+            F.map_concat(
+                "m", F.create_map(F.lit("z"), F.lit(99))
+            ).alias("extended"),
+        )
+        r = {x.id: x for x in out.collect()}
+        assert dict(r[1].doubled) == {"a": 20, "b": 40}
+        assert dict(r[1].upkeys) == {"A": 10, "B": 20}
+        assert dict(r[1].big) == {"b": 20}
+        assert dict(r[2].extended) == {"x": 7, "z": 99}
+
+    def test_map_zip_with_and_entries(self, spark):
+        df = spark.createDataFrame(
+            [(1,)], "id long"
+        ).select(
+            F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)).alias("m1"),
+            F.create_map(F.lit("a"), F.lit(10), F.lit("c"), F.lit(30)).alias("m2"),
+        )
+        out = df.select(
+            F.map_zip_with(
+                "m1", "m2", lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0))
+            ).alias("merged"),
+            F.map_entries("m1").alias("entries"),
+        ).collect()[0]
+        assert dict(out.merged) == {"a": 11, "b": 2, "c": 30}
+        assert [(e.key, e.value) for e in out.entries] == [("a", 1), ("b", 2)]
+
+    def test_explode_map_roundtrip(self, spark):
+        events = load_table(spark, "events", SF_DIR).limit(50)
+        m = events.select(
+            "event_id",
+            F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("uid"), F.col("user_id").cast("string"),
+            ).alias("m"),
+        )
+        exploded = m.select("event_id", F.explode("m").alias("k", "v"))
+        back = exploded.groupBy("event_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("k", "v")))
+            ).alias("m2")
+        )
+        assert back.count() == 50
+        joined = m.join(back, "event_id").filter(
+            F.col("m")["type"] != F.col("m2")["type"]
+        )
+        assert joined.count() == 0
