@@ -4023,3 +4023,72 @@ def q80_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_ratio"),
     )
+
+
+@register(
+    "q81_snapshot_time_travel",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def q81_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end versioned-snapshot gate (``sinks/snapshots``): write
+    orders-before-1997 as v1 and the full table as v2, then TIME-TRAVEL
+    back to v1 and aggregate — the result must hash-match the oracle's
+    direct filter, proving the manifest-pointer layout round-trips data
+    bit-exactly and old versions stay readable after later writes."""
+    import os
+    import tempfile
+
+    from crowdsorsa_etl_spark.sinks.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "crowdsorsa_snap_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    if len(snapshot_versions(base)) < 2:  # build v1+v2 once per sf fixture
+        snapshot_write(
+            orders.filter(F.col("o_orderdate") < "1997-01-01"), base
+        )
+        snapshot_write(orders, base)
+    v1 = snapshot_read(spark, base, version=1)
+    return v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register("llm_image_decode")
+def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode surface: render each document into a genuine
+    PNG (stdlib encoder), then run the REAL decode path (no fake fallback
+    — ``allow_fake=False``) and report typed image metadata. Rows-only
+    (mapInPandas both ways); byte-level codec correctness is pinned by
+    tests/test_imagecodec.py's 22 unit tests and the resize/roundtrip
+    Spark e2e tests."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    png = attach_png_payload(docs)
+    meta = decode_images(png, allow_fake=False)
+    return meta.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("doc_id")
