@@ -4092,3 +4092,109 @@ def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round("mean_luma", 4).alias("mean_luma"),
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_curation_funnel_v2",
+    """
+    WITH toks_r AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, tok, count(*) AS cnt FROM toks_r GROUP BY 1, 2),
+    us AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+                  CAST(max(cnt) AS BIGINT) AS top FROM uni GROUP BY 1),
+    bi AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, count(*) AS cnt
+           FROM toks_r a JOIN toks_r b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS topb,
+                  CAST(sum(cnt) AS BIGINT) AS nb FROM bi GROUP BY 1),
+    rep_kept AS (
+      SELECT us.doc_id FROM us JOIN bs ON us.doc_id = bs.doc_id
+      WHERE round(CAST(us.top AS DOUBLE) / us.n_tok, 6) <= 0.2
+        AND round(CAST(bs.topb AS DOUBLE) / bs.nb, 6) <= 0.08
+    ),
+    toks_l AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks_l GROUP BY tok),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab),
+    lp AS (
+      SELECT t.doc_id,
+             round(sum(ln((v.cnt + 1.0) / (tot.n + 1.0))) / count(*), 6)
+               AS avg_logprob
+      FROM toks_l t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+      GROUP BY t.doc_id
+    ),
+    lp_kept AS (
+      SELECT r.doc_id FROM rep_kept r JOIN lp ON r.doc_id = lp.doc_id
+      WHERE lp.avg_logprob >= -3.41
+    ),
+    toks_s AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS s
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - 7, 1))) AS i
+            FROM toks_s)
+    ),
+    xdoc AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    spanf AS (
+      SELECT sp.doc_id,
+             round(CAST(count(x.s) AS DOUBLE) / count(*), 6) AS f
+      FROM sp LEFT JOIN xdoc x ON sp.s = x.s GROUP BY sp.doc_id
+    ),
+    span_kept AS (
+      SELECT k.doc_id FROM lp_kept k JOIN spanf ON k.doc_id = spanf.doc_id
+      WHERE spanf.f <= 0.5
+    )
+    SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+    UNION ALL
+    SELECT '10_repetition_kept', CAST(count(*) AS BIGINT) FROM rep_kept
+    UNION ALL
+    SELECT '20_logprob_kept', CAST(count(*) AS BIGINT) FROM lp_kept
+    UNION ALL
+    SELECT '30_spandedup_kept', CAST(count(*) AS BIGINT) FROM span_kept
+    """,
+)
+def llm_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation funnel: repetition gate (Gopher signals) →
+    unigram-LM perplexity gate → cross-doc span-dedup gate, reported as
+    per-stage survivor counts. Composes the three standalone round-3
+    operators by semi-joining their keep sets — each stage keeps its own
+    shuffle shape (all partial-aggregable; the funnel adds only doc_id
+    semi joins), and the oracle composes the same CTEs, so the composition
+    itself is what the hash verifies."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = llm_repetition_filter(spark, sf_dir).filter(F.col("keep"))
+    rep_kept = rep.select("doc_id")
+    lp_kept = (
+        llm_unigram_logprob(spark, sf_dir)
+        .filter(F.col("avg_logprob") >= -3.41)
+        .join(rep_kept, "doc_id", "left_semi")
+        .select("doc_id")
+    )
+    span_kept = (
+        llm_span_dedup(spark, sf_dir)
+        .filter(F.col("dup_span_frac") <= 0.5)
+        .join(lp_kept, "doc_id", "left_semi")
+        .select("doc_id")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("00_total", docs)
+        .unionByName(stage("10_repetition_kept", rep_kept))
+        .unionByName(stage("20_logprob_kept", lp_kept))
+        .unionByName(stage("30_spandedup_kept", span_kept))
+    )
