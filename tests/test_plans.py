@@ -241,3 +241,49 @@ class TestOptimizerFeatures:
     def test_limit_after_sort_is_topk_not_global_sort(self, spark):
         plan = plan_of(QUERIES["q29_top10_global"](spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestCostBasedOptimizer:
+    def test_analyze_table_stats_feed_the_planner(self, spark):
+        """ANALYZE TABLE COMPUTE STATISTICS: table + column stats land in
+        the catalog and the optimized plan carries real rowCount/sizeInBytes
+        — the inputs CBO join-reordering and non-AQE broadcast decisions
+        read from. (AQE re-plans from runtime sizes; catalog stats are what
+        a cold planner has.)"""
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        load_table(spark, "nation", SF_DIR).write.mode("overwrite").saveAsTable(
+            "cbo_nation"
+        )
+        try:
+            spark.sql(
+                "ANALYZE TABLE cbo_nation COMPUTE STATISTICS "
+                "FOR COLUMNS n_nationkey, n_name"
+            )
+            stats_row = [
+                r
+                for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_nation").collect()
+                if r[0] == "Statistics"
+            ]
+            assert stats_row and "25 rows" in stats_row[0][1]
+            col_stats = spark.sql(
+                "DESCRIBE EXTENDED cbo_nation n_nationkey"
+            ).collect()
+            kv = {r[0]: r[1] for r in col_stats}
+            assert kv.get("distinct_count") == "25"
+            assert kv.get("min") == "0" and kv.get("max") == "24"
+            # with CBO on, the planner sees the catalog rowCount
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            try:
+                stats = (
+                    spark.table("cbo_nation")
+                    ._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .toString()
+                )
+                assert "rowCount=25" in stats
+            finally:
+                spark.conf.set("spark.sql.cbo.enabled", "false")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cbo_nation")
