@@ -4198,3 +4198,78 @@ def llm_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("20_logprob_kept", lp_kept))
         .unionByName(stage("30_spandedup_kept", span_kept))
     )
+
+
+@register(
+    "q82_bag_set_ops",
+    """
+    WITH isect AS (
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    exc AS (
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT 'intersect_all' AS op, l_orderkey,
+           CAST(count(*) AS BIGINT) AS multiplicity
+    FROM isect GROUP BY l_orderkey
+    UNION ALL
+    SELECT 'except_all', l_orderkey, CAST(count(*) AS BIGINT)
+    FROM exc GROUP BY l_orderkey
+    """,
+)
+def q82_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): row
+    MULTIPLICITY is preserved — min(count_l, count_r) and
+    count_l - count_r respectively — which Spark plans as an aggregate +
+    generate rather than the dedup-then-join of the set versions."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    isect = (
+        a.intersectAll(f)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "l_orderkey", "multiplicity")
+    )
+    exc = (
+        n.exceptAll(f)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "l_orderkey", "multiplicity")
+    )
+    return isect.unionByName(exc)
+
+
+@register(
+    "q83_exists_flag",
+    """
+    SELECT o.o_orderkey,
+           EXISTS (SELECT 1 FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey
+                     AND l.l_quantity > 45) AS has_bulk_item
+    FROM orders o
+    WHERE o.o_orderkey % 17 = 0
+    """,
+)
+def q83_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a projected boolean (not a filter): decorrelated to a
+    left join against the distinct matching-key set — the flag column form
+    of a semi join."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    bulk = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return orders.join(
+        bulk, orders.o_orderkey == bulk.l_orderkey, "left"
+    ).select(
+        "o_orderkey", F.col("_hit").isNotNull().alias("has_bulk_item")
+    )

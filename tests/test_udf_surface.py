@@ -233,3 +233,81 @@ class TestMapHigherOrderFunctions:
             F.col("m")["type"] != F.col("m2")["type"]
         )
         assert joined.count() == 0
+
+
+class TestGroupedAggPandasUdf:
+    def test_grouped_agg_in_groupby_and_window(self, spark):
+        """GROUPED_AGG pandas_udf — the vectorized UDAF: one scalar per
+        group, usable both in groupBy().agg and OVER a window."""
+        import numpy as np
+        from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def iqr(v: pd.Series) -> float:
+            return float(np.percentile(v, 75) - np.percentile(v, 25))
+
+        events = load_table(spark, "events", SF_DIR)
+        agg = events.groupBy("event_type").agg(iqr("value").alias("iqr"))
+        rows = {r.event_type: r.iqr for r in agg.collect()}
+        pdf = events.select("event_type", "value").toPandas()
+        for et, got in rows.items():
+            vals = pdf[pdf.event_type == et]["value"]
+            want = float(np.percentile(vals, 75) - np.percentile(vals, 25))
+            assert abs(got - want) < 1e-9, et
+
+        w = Window.partitionBy("event_type")
+        windowed = events.select("event_id", "event_type", iqr("value").over(w).alias("iqr"))
+        sample = windowed.limit(50).collect()
+        for r in sample:
+            assert abs(r.iqr - rows[r.event_type]) < 1e-9
+
+
+class TestMapInArrow:
+    def test_map_in_arrow_batch_transform(self, spark):
+        """mapInArrow: raw Arrow RecordBatch in/out — the zero-copy tier
+        below mapInPandas for byte-level work."""
+        import pyarrow as pa
+
+        def double_value(batches):
+            for batch in batches:
+                tbl = pa.table(
+                    {
+                        "event_id": batch.column("event_id"),
+                        "doubled": pa.compute.multiply(
+                            batch.column("value"), pa.scalar(2.0)
+                        ),
+                    }
+                )
+                for out in tbl.to_batches():
+                    yield out
+
+        events = load_table(spark, "events", SF_DIR).select("event_id", "value")
+        got = events.mapInArrow(double_value, "event_id long, doubled double")
+        joined = got.join(events, "event_id")
+        bad = joined.filter(
+            F.abs(F.col("doubled") - 2 * F.col("value")) > 1e-12
+        )
+        assert bad.count() == 0
+        assert got.count() == events.count()
+
+
+class TestSqlRegisteredUdf:
+    def test_python_udf_callable_from_sql(self, spark):
+        """spark.udf.register: the (slow-path, documented-as-such) escape
+        hatch is wired — a Python UDF invocable from the SQL surface."""
+        from pyspark.sql import types as T
+
+        spark.udf.register(
+            "py_luhn_digit",
+            lambda s: sum(int(c) for c in str(s)) % 10,
+            T.IntegerType(),
+        )
+        events = load_table(spark, "events", SF_DIR).limit(100)
+        events.createOrReplaceTempView("udf_events")
+        got = spark.sql(
+            "SELECT event_id, py_luhn_digit(event_id) AS d FROM udf_events"
+        ).collect()
+        assert len(got) == 100
+        for r in got:
+            assert r.d == sum(int(c) for c in str(r.event_id)) % 10
