@@ -4273,3 +4273,37 @@ def q83_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", F.col("_hit").isNotNull().alias("has_bulk_item")
     )
+
+
+@register(
+    "q84_grouping_metadata",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q84_grouping_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() metadata in a rollup: distinguishes 'aggregated over
+    this column' from a genuine NULL group key — the disambiguation every
+    report layer over rollup/cube output needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+        )
+    )
