@@ -4307,3 +4307,50 @@ def q84_grouping_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "llm_vocab_stats",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS type_token_ratio,
+           CAST(max(cnt) AS BIGINT) AS top_freq
+    FROM tf GROUP BY source
+    """,
+)
+def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics (corpus profiling: vocabulary
+    size, hapax legomena, type-token ratio, modal frequency) — the
+    Heaps/Zipf sanity report a tokenizer-training run starts from. Explode
+    → two stacked partial-aggregable groupBys sharing the (source, tok)
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("cnt") == 1, 1)).cast("bigint").alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+        ).alias("type_token_ratio"),
+        F.max("cnt").cast("bigint").alias("top_freq"),
+    )
