@@ -4354,3 +4354,139 @@ def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_token_ratio"),
         F.max("cnt").cast("bigint").alias("top_freq"),
     )
+
+
+@register(
+    "q85_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', CAST(e.ts AS DATE)) AS act_week
+      FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT)
+             AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, 2
+    """,
+)
+def q85_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent activity week — the canonical product-
+    analytics query. One min-aggregate (cohort assignment), one distinct
+    (user-week activity), one join back on user_id; all three share the
+    user_id shuffle key."""
+    events = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date")
+    firsts = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week.alias("act_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "q86_event_funnel",
+    """
+    WITH stamps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS viewed,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS clicked_after_view,
+           CAST(count(CASE WHEN t_buy > t_click AND t_click > t_view
+                           THEN 1 END) AS BIGINT) AS full_funnel
+    FROM stamps
+    """,
+)
+def q86_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): conditional-min
+    timestamps per user, then ordering predicates — a single aggregate
+    pass, no self-joins per stage (the naive N-way join formulation is
+    quadratic in stages)."""
+    events = _t(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stamps = events.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_buy"),
+    )
+    return stamps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .cast("bigint")
+        .alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("full_funnel"),
+    )
+
+
+@register(
+    "q87_ratio_to_report",
+    """
+    SELECT n_name,
+           round(sum(s_acctbal), 2) AS nation_bal,
+           round(round(sum(s_acctbal), 2)
+                 / sum(round(sum(s_acctbal), 2)) OVER (), 6) AS share,
+           CAST(rank() OVER (ORDER BY round(sum(s_acctbal), 2) DESC)
+                AS INT) AS balance_rank
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q87_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report) + rank over an aggregate: a
+    window over the AGGREGATED rows (25 nations), so the unpartitioned
+    window is bounded by the group count, never the fact table — the safe
+    place for an OVER () at scale."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("nation_bal"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("nation_bal").desc())
+    return agg.select(
+        "n_name",
+        "nation_bal",
+        F.round(
+            F.col("nation_bal") / F.sum("nation_bal").over(w_all), 6
+        ).alias("share"),
+        F.rank().over(w_rank).cast("int").alias("balance_rank"),
+    )
