@@ -22,6 +22,8 @@ and one bad payload must never fail the job.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,6 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crowdsorsa_etl_spark.functions import imagecodec
+
+# Malformed payloads that pass the magic-byte sniff can surface as any of
+# these from the stdlib codec (corrupt IDAT → zlib.error, truncated headers
+# → struct.error, palette index out of range → IndexError). A bad payload
+# must degrade to the unsupported/null path, never kill the task.
+_DECODE_ERRORS = (ValueError, struct.error, zlib.error, IndexError)
 
 IMAGE_META = T.StructType(
     [
@@ -100,7 +108,7 @@ def _decode_one(payload: bytes | None, allow_fake: bool) -> tuple | None:
     payload = bytes(payload)
     try:
         fmt, px = imagecodec.decode_image(payload)
-    except ValueError:
+    except _DECODE_ERRORS:
         if allow_fake:
             return _fake_decode(payload)
         return len(payload), "unsupported", None, None, None
@@ -220,7 +228,7 @@ def resize_images(
         body = bytes(payload)
         try:
             fmt, px = imagecodec.decode_image(body)
-        except ValueError:
+        except _DECODE_ERRORS:
             if not allow_fake:
                 return None
             if len(body) >= budget:

@@ -68,4 +68,9 @@ def read_pruned(
             cond = cond & (F.col(c) <= F.lit(hi))
     if not files:  # keep the schema, scan nothing (filter folds to false)
         files = [r["file_path"] for r in stats.select("file_path").collect()]
+    if not files:  # stats table itself is empty — no data files at all
+        raise ValueError(
+            "zone-map stats table lists no data files; build the index "
+            "with collect_file_stats() over a non-empty layout first"
+        )
     return spark.read.parquet(*files).filter(cond)

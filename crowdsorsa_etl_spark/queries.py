@@ -63,6 +63,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _sf_cache_dir(sf_dir: str, tag: str, table: str) -> str:
+    """Per-fixture scratch dir for queries that materialize a derived layout
+    (partitioned copy, zone-mapped copy, snapshot store).
+
+    The path is keyed on a content fingerprint of the source table (file
+    names + sizes + mtimes), not just the fixture basename: regenerating the
+    sf fixture in place changes the fingerprint, so stale cached layouts are
+    never served. Concurrent processes hashing the same unchanged fixture
+    share one path — safe because builders write via Spark's atomic-ish
+    overwrite and are idempotent for identical input.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        entries = sorted(os.listdir(src))
+    elif os.path.exists(src):
+        entries = [os.path.basename(src)]
+        src = os.path.dirname(src)
+    else:
+        entries = []
+    for name in entries:
+        st = os.stat(os.path.join(src, name))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"crowdsorsa_{tag}_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + h.hexdigest()[:12],
+    )
+
+
 # ===========================================================================
 # Relational core (SURVEY §2.2: aggregations, joins, windows, set ops, ...)
 # ===========================================================================
@@ -2459,10 +2495,7 @@ def q52_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.col("n_chars") / 1000.0, 6).alias("quality"),
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "crowdsorsa_evolution_" + os.path.basename(sf_dir.rstrip("/")),
-    )
+    base = _sf_cache_dir(sf_dir, "evolution", "documents")
     season1.write.mode("overwrite").parquet(base)
     season2.write.mode("append").parquet(base)
     return read_evolved(
@@ -2562,10 +2595,7 @@ def q53_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "crowdsorsa_dpp_" + os.path.basename(sf_dir.rstrip("/")),
-    )
+    base = _sf_cache_dir(sf_dir, "dpp", "orders")
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):  # reuse the partitioned copy across calls
         orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
@@ -3442,10 +3472,7 @@ def q68_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_pruned,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "crowdsorsa_zonemap_" + os.path.basename(sf_dir.rstrip("/")),
-    )
+    base = _sf_cache_dir(sf_dir, "zonemap", "lineitem")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         _t(spark, sf_dir, "lineitem").repartitionByRange(
             16, "l_shipdate"
@@ -4052,10 +4079,7 @@ def q81_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = _t(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "crowdsorsa_snap_" + os.path.basename(sf_dir.rstrip("/")),
-    )
+    base = _sf_cache_dir(sf_dir, "snap", "orders")
     if len(snapshot_versions(base)) < 2:  # build v1+v2 once per sf fixture
         snapshot_write(
             orders.filter(F.col("o_orderdate") < "1997-01-01"), base

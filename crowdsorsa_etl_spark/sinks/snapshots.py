@@ -30,8 +30,16 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_MANIFEST.json"
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer already claimed the version this write targeted."""
+
+
 def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
+
+
+def _claim_path(path: str, version: int) -> str:
+    return os.path.join(path, f"_v{version}.claim")
 
 
 def _read_manifest(path: str) -> dict:
@@ -56,14 +64,71 @@ def snapshot_versions(path: str) -> list[int]:
 
 def snapshot_write(df: DataFrame, path: str) -> int:
     """Write ``df`` as the next version; returns the new version number.
-    The version becomes visible only when the manifest pointer flips."""
+    The version becomes visible only when the manifest pointer flips.
+
+    Concurrency: the next version number is CLAIMED with an O_EXCL create of
+    ``_v<n>.claim`` before any data is written. Two concurrent writers that
+    both read ``current == N`` race the claim for N+1; exactly one wins, the
+    other raises :class:`SnapshotConflictError` (and may retry, re-reading
+    the manifest). Claim files persist after commit as commit markers —
+    that persistence is what keeps a slow writer from re-claiming a version
+    a faster writer already published. A writer that died AFTER claiming but
+    BEFORE the pointer flip leaves a claim with no manifest entry; clear it
+    with :func:`snapshot_repair`.
+    """
     manifest = _read_manifest(path)
     version = (manifest["current"] or 0) + 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
-    manifest["current"] = version
-    manifest["versions"] = sorted(set(manifest["versions"]) | {version})
-    _write_manifest(path, manifest)
+    os.makedirs(path, exist_ok=True)
+    try:
+        os.close(
+            os.open(
+                _claim_path(path, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        )
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"version {version} at {path} is already claimed by another "
+            "writer; re-read the manifest and retry"
+        ) from None
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+        manifest = _read_manifest(path)  # pick up any unrelated vacuum edits
+        manifest["current"] = version
+        manifest["versions"] = sorted(set(manifest["versions"]) | {version})
+        _write_manifest(path, manifest)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, f"v={version}"), ignore_errors=True)
+        try:
+            os.remove(_claim_path(path, version))
+        except OSError:
+            pass
+        raise
     return version
+
+
+def snapshot_repair(path: str) -> list[int]:
+    """Remove claims (and partial data dirs) for versions that never made it
+    into the manifest — the cleanup for a writer that died mid-commit.
+    Returns the version numbers whose claims were cleared."""
+    import shutil
+
+    committed = set(_read_manifest(path)["versions"])
+    cleared = []
+    if not os.path.isdir(path):
+        return cleared
+    for name in os.listdir(path):
+        if name.startswith("_v") and name.endswith(".claim"):
+            v = int(name[2:-6])
+            if v not in committed:
+                os.remove(os.path.join(path, name))
+                shutil.rmtree(
+                    os.path.join(path, f"v={v}"), ignore_errors=True
+                )
+                cleared.append(v)
+    return sorted(cleared)
 
 
 def snapshot_read(

@@ -80,10 +80,14 @@ def epoch_parquet_writer(path: str):
 
 def _swap_dirs(jvm, fs, path: str, tmp: str) -> None:
     """Replace ``path`` with the freshly-written ``tmp`` without a window
-    in which ``path`` does not exist: rename the current directory aside
-    (``path__old``), promote ``tmp``, then delete the old copy. A crash
-    mid-swap leaves either the old or the new table readable (possibly
-    under ``path__old``, recoverable by hand) — never neither.
+    in which the data is LOST: rename the current directory aside
+    (``path__old``), promote ``tmp``, then delete the old copy. Between the
+    two renames there IS a brief window in which ``path`` itself does not
+    exist — a concurrent reader can see FileNotFound mid-swap (the data is
+    intact under ``path__old``). A crash mid-swap leaves either the old or
+    the new table readable (possibly under ``path__old``, recoverable by
+    hand) — never neither. For concurrent-reader safety use the manifest
+    pointer in ``sinks/snapshots.py`` instead.
 
     Note: HDFS renames are atomic metadata ops; object stores emulate
     rename as copy+delete, so for S3-class storage a manifest/table

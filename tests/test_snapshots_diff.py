@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.operators.diff import diff_summary, table_diff
 from crowdsorsa_etl_spark.sinks.snapshots import (
+    SnapshotConflictError,
     snapshot_read,
+    snapshot_repair,
     snapshot_vacuum,
     snapshot_versions,
     snapshot_write,
@@ -52,6 +54,79 @@ class TestSnapshots:
         docs.limit(75).write.parquet(str(tmp_path / "tbl3" / "v=2"))  # orphan
         assert snapshot_read(spark, path).count() == 50  # pointer still v1
         assert snapshot_versions(path) == [1]
+
+    def test_concurrent_writers_one_wins_one_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two writers that both saw current == N race the claim for N+1:
+        exactly one commits, the other raises instead of clobbering, and no
+        orphan version directory is left behind. The lost-update
+        interleaving is forced deterministically: both threads' FIRST
+        manifest reads rendezvous at a barrier before either claims."""
+        import os
+        import threading
+
+        from crowdsorsa_etl_spark.sinks import snapshots as snap_mod
+
+        path = str(tmp_path / "tbl4")
+        docs = load_table(spark, "documents", SF_DIR)
+        snapshot_write(docs.limit(10), path)  # current == 1
+
+        barrier = threading.Barrier(2)
+        lock = threading.Lock()
+        gated = []
+        orig_read = snap_mod._read_manifest
+
+        def gated_read(p):
+            m = orig_read(p)
+            with lock:
+                gate_me = len(gated) < 2
+                gated.append(1)
+            if gate_me:  # only the two initial reads rendezvous
+                barrier.wait(timeout=30)
+            return m
+
+        monkeypatch.setattr(snap_mod, "_read_manifest", gated_read)
+        outcomes: list[tuple[str, object]] = []
+
+        def writer(n: int) -> None:
+            try:
+                outcomes.append(("ok", snapshot_write(docs.limit(n), path)))
+            except SnapshotConflictError as e:
+                outcomes.append(("conflict", e))
+
+        threads = [
+            threading.Thread(target=writer, args=(n,)) for n in (20, 30)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        kinds = sorted(k for k, _ in outcomes)
+        assert kinds == ["conflict", "ok"]
+        assert snapshot_versions(path) == [1, 2]
+        assert snapshot_read(spark, path).count() in (20, 30)
+        # no orphan directories: only v=1, v=2 exist
+        vdirs = sorted(
+            d for d in os.listdir(path) if d.startswith("v=")
+        )
+        assert vdirs == ["v=1", "v=2"]
+
+    def test_repair_clears_dead_writer_claim(self, spark, tmp_path):
+        path = str(tmp_path / "tbl5")
+        docs = load_table(spark, "documents", SF_DIR)
+        snapshot_write(docs.limit(10), path)
+        # simulate a writer that claimed v2 then died before the flip
+        import os
+
+        open(os.path.join(path, "_v2.claim"), "w").close()
+        docs.limit(20).write.parquet(os.path.join(path, "v=2"))
+        with pytest.raises(SnapshotConflictError):
+            snapshot_write(docs.limit(30), path)
+        assert snapshot_repair(path) == [2]
+        assert snapshot_write(docs.limit(30), path) == 2
+        assert snapshot_read(spark, path).count() == 30
 
 
 class TestTableDiff:
