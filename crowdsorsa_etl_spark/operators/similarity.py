@@ -431,6 +431,118 @@ def ivf_train_centroids(
     return centroids
 
 
+def kmeans_train_distributed(
+    corpus: DataFrame,
+    *,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+):
+    """Spherical k-means trained on the FULL corpus with distributed Lloyd
+    iterations — the 100 TB replacement for :func:`ivf_train_centroids`'s
+    bounded driver sample, which caps usable cluster counts at ~sample_size
+    while IVF wants n_lists≈√N and SemDeDup ~1e5 clusters at web scale.
+
+    Per iteration:
+
+    1. centroids (k×dim — broadcast-sized by construction, ≤ ~100 MB even at
+       k=1e5/dim=128) are broadcast;
+    2. ``mapInPandas`` streams the corpus in Arrow batches and keeps ONE
+       k×dim partial-sum matrix + k-length count vector per PARTITION
+       (map-side combine: the partition yields ≤ k rows no matter how many
+       vectors it holds);
+    3. a ``groupBy(cid)`` folds the ≤ n_partitions partial vectors per
+       centroid JVM-side (``zip_with`` add), so the driver collects exactly
+       k rows per iteration — never corpus rows.
+
+    Initialization is deterministic and identical to the sample trainer:
+    the first ``n_clusters`` vectors by id. With the same init and the same
+    argmax-cosine assignment rule, this matches ``ivf_train_centroids``
+    trained on the whole corpus up to float summation order (gated at 1e-6
+    in tests).
+
+    Returns a unit-normalized (n_clusters, dim) ndarray.
+    """
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    )
+    cents = np.array([r[1] for r in init_rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    dim = cents.shape[1]
+    vec_only = corpus.select(vec_col)  # column-pruned: training never needs ids
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            cent = bc.value
+            k = cent.shape[0]
+            sums = np.zeros_like(cent)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(x @ cent.T, axis=1)
+                np.add.at(sums, assign, x)
+                counts += np.bincount(assign, minlength=k)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": hit.astype("int32"),
+                    "psum": [sums[j] for j in hit],
+                    "cnt": counts[hit],
+                }
+            )
+
+        part = vec_only.mapInPandas(partials, "cid int, psum array<double>, cnt long")
+        agg = (
+            part.groupBy("cid")
+            .agg(
+                F.aggregate(
+                    F.collect_list("psum"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("csum"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()  # exactly ≤ k rows — the only driver-side data
+        )
+        bc.unpersist()
+        new_cents = cents.copy()  # empty clusters keep their previous centroid
+        for r in agg:
+            if r["cnt"]:
+                new_cents[r["cid"]] = np.asarray(r["csum"]) / r["cnt"]
+        cents = new_cents / np.maximum(
+            np.linalg.norm(new_cents, axis=1, keepdims=True), 1e-12
+        )
+    return cents
+
+
+def _train(
+    corpus: DataFrame,
+    *,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    trainer: str,
+):
+    """Dispatch to the bounded-sample or full-corpus distributed trainer."""
+    if trainer == "distributed":
+        return kmeans_train_distributed(
+            corpus, n_clusters=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    if trainer != "sample":
+        raise ValueError(f"trainer must be 'sample' or 'distributed', got {trainer!r}")
+    return ivf_train_centroids(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids,
@@ -471,6 +583,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 2048,
+    trainer: str = "sample",
 ) -> DataFrame:
     """Approximate top-k via IVF: score only the corpus vectors whose list
     is among each query's ``n_probe`` nearest centroids (~n_probe/n_lists of
@@ -479,11 +592,20 @@ def ivf_topk(
     The query set is collected once (bounded by definition, as in
     cosine_topk_vectorized); the corpus is assigned distributedly and never
     fully scored. Same output contract as cosine_topk.
+
+    ``trainer="distributed"`` trains the coarse quantizer on the FULL corpus
+    (:func:`kmeans_train_distributed`) so n_lists can track √N at scale;
+    the default bounded sample mirrors FAISS's train step.
     """
     import numpy as np
 
-    centroids = ivf_train_centroids(
-        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    centroids = _train(
+        corpus,
+        n_lists=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        trainer=trainer,
     )
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
@@ -532,6 +654,7 @@ def ivf_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 2048,
+    trainer: str = "sample",
 ) -> None:
     """Persist an IVF index as a parquet layout PARTITIONED BY list_id —
     the at-rest analog of FAISS inverted lists: a later search that probes
@@ -539,10 +662,15 @@ def ivf_write_index(
     scan, verified by plan test), i.e. ~n_probe/n_lists of the index bytes.
 
     Centroids are stored alongside (``<path>/_centroids``) so search needs
-    no retraining.
+    no retraining. ``trainer="distributed"`` trains on the full corpus.
     """
-    centroids = ivf_train_centroids(
-        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+    centroids = _train(
+        corpus,
+        n_lists=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        trainer=trainer,
     )
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
@@ -624,24 +752,31 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 2048,
+    trainer: str = "sample",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication in embedding
-    space. Cluster with the bounded-sample spherical k-means
-    (``ivf_train_centroids``), then WITHIN each cluster remove every vector
-    that has a higher-ranked neighbor (rank = cosine-to-centroid desc, id
-    asc) with pairwise cosine > ``epsilon``. The clustering is what makes
-    the pairwise step tractable: candidate pairs exist only inside a
+    space. Cluster with spherical k-means, then WITHIN each cluster remove
+    every vector that has a higher-ranked neighbor (rank = cosine-to-centroid
+    desc, id asc) with pairwise cosine > ``epsilon``. The clustering is what
+    makes the pairwise step tractable: candidate pairs exist only inside a
     cluster (|c|² per cluster, never n² globally) — the paper's recipe,
     expressed as one equi-join on list_id.
 
+    ``trainer="distributed"`` trains on the full corpus
+    (:func:`kmeans_train_distributed`) — required at scale, where n_clusters
+    must grow with the corpus (the paper uses ~1e5 clusters) to keep the
+    in-cluster |c|² pair step bounded; the bounded-sample default caps
+    n_clusters at ~sample_size.
+
     Output: (id, list_id, centroid_sim, keep) — one row per corpus vector.
     """
-    cents = ivf_train_centroids(
+    cents = _train(
         corpus,
         n_lists=n_clusters,
         id_col=id_col,
         vec_col=vec_col,
         sample_size=sample_size,
+        trainer=trainer,
     )
     assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     cent_df = corpus.sparkSession.createDataFrame(

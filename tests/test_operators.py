@@ -390,6 +390,87 @@ class TestEmbeddingDedupAndIVF:
         recall = len(truth & got) / len(truth)
         assert recall >= 0.85, f"IVF recall {recall:.3f} < 0.85"
 
+    def test_distributed_trainer_matches_driver_kmeans(self, spark):
+        # same deterministic init + same assignment rule → the distributed
+        # Lloyd trainer must reproduce the driver-side trainer run on the
+        # WHOLE corpus, up to float summation order
+        import numpy as np
+
+        from crowdsorsa_etl_spark.operators.similarity import (
+            ivf_train_centroids,
+            kmeans_train_distributed,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        n = emb.count()
+        driver = ivf_train_centroids(emb, n_lists=8, sample_size=n)
+        dist = kmeans_train_distributed(emb, n_clusters=8)
+        assert dist.shape == driver.shape
+        diff = float(np.abs(dist - driver).max())
+        assert diff < 1e-6, f"trainer divergence {diff:.2e} >= 1e-6"
+
+    def test_ivf_distributed_trainer_recall_64_lists(self, spark):
+        # n_lists=64 exceeds what a tiny sample could meaningfully train;
+        # the distributed trainer must keep the recall gate at that k
+        from crowdsorsa_etl_spark.operators.similarity import ivf_topk
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        q = emb.filter(F.col("vec_id") < 10)
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, q, k=10).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, q, k=10, n_lists=64, n_probe=16, trainer="distributed"
+            ).collect()
+        }
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.85, f"IVF(distributed, 64 lists) recall {recall:.3f} < 0.85"
+
+    def test_semdedup_distributed_trainer_keeps_planted_dups_out(self, spark):
+        # planted near-identical pair: exactly one of the two survives,
+        # whichever trainer produced the clustering
+        import numpy as np
+
+        from crowdsorsa_etl_spark.operators.similarity import semdedup
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 16))
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        dup = base[3] + rng.normal(scale=1e-3, size=16)
+        rows.append((100, [float(x) for x in dup]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup(df, n_clusters=4, epsilon=0.95, trainer="distributed").collect()
+        kept = {r.vec_id for r in out if r.keep}
+        assert len(out) == 41
+        assert (3 in kept) != (100 in kept), "exactly one of the planted pair survives"
+
+    def test_semdedup_keep_rate_stable_across_cluster_counts(self, spark):
+        # the keep decision is a property of the DATA (how many semantic
+        # near-dups exist), not of the clustering granularity: quadrupling
+        # n_clusters with the full-corpus trainer must not swing the keep
+        # rate — clusters only bound WHERE pairs are compared
+        from crowdsorsa_etl_spark.operators.similarity import semdedup
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        n = emb.count()
+
+        def keep_rate(out):
+            return sum(1 for r in out.collect() if r.keep) / n
+
+        base = keep_rate(semdedup(emb, n_clusters=16, epsilon=0.45))
+        scaled = keep_rate(
+            semdedup(emb, n_clusters=64, epsilon=0.45, trainer="distributed")
+        )
+        assert abs(base - scaled) <= 0.10, (
+            f"keep-rate moved {base:.3f} -> {scaled:.3f} across cluster counts"
+        )
+
     def test_ivf_probes_fraction_of_corpus(self, spark):
         # the probed candidate set must be a strict subset of the corpus —
         # scoring everything would defeat the index
