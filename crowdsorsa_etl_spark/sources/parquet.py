@@ -30,12 +30,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # SparkSession (e.g. the driver harness), not just our get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
-    # session.py nanosAsLong) and truncate to microseconds, matching how
-    # micro-resolution engines (DuckDB included) read the same file.
+    # events.ts has shipped as INT64 TIMESTAMP(NANOS) in some fixture builds
+    # (read as long nanos via nanosAsLong, truncated to micros) and as naive
+    # TIMESTAMP(MICROS) in others (read as TIMESTAMP_NTZ under Spark 4's
+    # inferTimestampNTZ default). Normalize both to session-TZ TIMESTAMP:
+    # with the session pinned to UTC the NTZ→LTZ cast is epoch-exact, and it
+    # matches how DuckDB treats the same naive values (epoch() reads them
+    # as-is). Downstream epoch math (unix_micros) requires LTZ.
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     expected = FIXTURE_TABLES.get(name)
     if expected is not None:
         # project to the declared column set (order + pruning); parquet
