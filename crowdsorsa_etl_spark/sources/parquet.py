@@ -22,28 +22,48 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one fixture table. Schemas are declared, never inferred."""
+    """Read one fixture table. Schemas are declared, never inferred.
+
+    Session contract (applies to ANY SparkSession passed in, including an
+    externally built one such as the driver harness):
+
+    * ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet carries
+      INT64 TIMESTAMP(NANOS) in some fixture builds; Spark refuses it
+      otherwise. Runtime SQL conf, so set here rather than at session build.
+    * ``spark.sql.session.timeZone=UTC`` — pinned unconditionally so that
+      naive fixture timestamps (TIMESTAMP_NTZ or raw nanos) convert to
+      session-TZ TIMESTAMP epoch-exactly, matching how DuckDB reads the same
+      naive values. Without the pin, session-TZ-sensitive ops
+      (``date_trunc``, ``F.window``) on fixture timestamps would diverge
+      from the oracle on a non-UTC session for one fixture encoding but not
+      the other. The pin is part of the documented load contract, not a
+      data-dependent side effect: it fires on every call, for every table.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # events.parquet carries INT64 TIMESTAMP(NANOS); Spark refuses it unless
-    # nanosAsLong is on. It is a runtime SQL conf, so set it HERE rather than
-    # at session build — the read path must work on any externally built
-    # SparkSession (e.g. the driver harness), not just our get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    # events.ts has shipped as INT64 TIMESTAMP(NANOS) in some fixture builds
-    # (read as long nanos via nanosAsLong, truncated to micros) and as naive
-    # TIMESTAMP(MICROS) in others (read as TIMESTAMP_NTZ under Spark 4's
-    # inferTimestampNTZ default). Normalize both to session-TZ TIMESTAMP:
-    # with the session pinned to UTC the NTZ→LTZ cast is epoch-exact, and it
-    # matches how DuckDB treats the same naive values (epoch() reads them
-    # as-is). Downstream epoch math (unix_micros) requires LTZ.
-    for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     expected = FIXTURE_TABLES.get(name)
+    declared = {f.name: f.dataType for f in expected.fields} if expected else {}
+    # Fixture timestamp columns have shipped as INT64 TIMESTAMP(NANOS) (read
+    # as long nanos via nanosAsLong) and as naive TIMESTAMP(MICROS) (read as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default) in different
+    # builds. Normalize every column DECLARED TimestampType to session-TZ
+    # TIMESTAMP — keyed on the declared schema, not on a column name, so
+    # orders.o_orderdate / lineitem.l_shipdate get the same treatment as
+    # events.ts if their encoding drifts. With the session pinned to UTC the
+    # NTZ→LTZ cast is epoch-exact. Downstream epoch math (unix_micros)
+    # requires LTZ.
+    for f in df.schema.fields:
+        dec = declared.get(f.name)
+        want_ts = (dec is not None and dec.simpleString() == "timestamp") or f.name == "ts"
+        if not want_ts:
+            continue
+        actual = f.dataType.simpleString()
+        if actual == "bigint":
+            df = df.withColumn(f.name, F.expr(f"timestamp_micros(`{f.name}` div 1000)"))
+        elif actual == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if expected is not None:
         # project to the declared column set (order + pruning); parquet
         # supplies the physical types, which the fixtures already match.

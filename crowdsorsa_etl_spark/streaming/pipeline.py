@@ -50,17 +50,44 @@ def _finalize_events(raw: DataFrame) -> DataFrame:
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based event stream (one file per micro-batch in tests; a real
-    deployment points this at an arriving-files directory or Kafka)."""
+    deployment points this at an arriving-files directory or Kafka).
+
+    A stream's schema is static, but the events fixture has shipped ``ts``
+    as INT64 TIMESTAMP(NANOS) in some builds and naive TIMESTAMP(MICROS) in
+    others (same drift load_table normalizes on the batch path). Peek one
+    footer driver-side at stream DEFINITION time and declare the matching
+    schema — declaring the nanos schema against a micros file silently
+    yields an empty/null stream. Session contract matches load_table:
+    nanosAsLong on, session TZ pinned UTC so the NTZ→LTZ cast is epoch-exact.
+    """
     import os
 
-    reader = spark.readStream.schema(EVENTS_RAW).option("maxFilesPerTrigger", 1)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    peek = spark.read.parquet(path).schema
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in peek).get("ts")
+    if ts_type == "bigint":
+        schema, finalize = EVENTS_RAW, _finalize_events
+    else:
+        schema = T.StructType(
+            [
+                f
+                if f.name != "ts"
+                else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_RAW.fields
+            ]
+        )
+        finalize = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.col("ts").cast("timestamp")
+        )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
     if path.endswith(".parquet") and os.path.isfile(path):
         # the file stream source requires a DIRECTORY; point it at the parent
         # and glob-filter to the one fixture file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return _finalize_events(raw)
+    return finalize(raw)
 
 
 def decode_kafka_events(records: DataFrame) -> DataFrame:

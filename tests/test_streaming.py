@@ -122,10 +122,14 @@ class TestKafkaContract:
             decode_kafka_events,
         )
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # build the wire payload from the canonical batch load (encoding-
+        # independent), converting ts to the documented long-nanos contract —
+        # reading the fixture with the raw nanos schema would bake in one
+        # particular fixture encoding and break when the build flips to
+        # naive micros
         raw = (
-            spark.read.schema(EVENTS_RAW)
-            .parquet("/root/testdata/sf0.001/events.parquet")
+            load_table(spark, "events", "/root/testdata/sf0.001")
+            .withColumn("ts", F.expr("unix_micros(ts)") * F.lit(1000))
             .limit(50)
         )
         # serialize to the Kafka wire shape: JSON value bytes + key bytes
