@@ -81,22 +81,28 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, t, sf_dir).limit(1).count()
 
-    # best-of-2 per query: one measured run is hostage to page-cache state
-    # and JIT/GC timing on a shared box; the min of two back-to-back runs
-    # is the standard steady-state estimator and stays comparable across
-    # rounds (each run still executes the FULL plan — nothing is cached
-    # between runs except what the OS/JVM would keep for any client)
+    # best-of-3 per query, with every run recorded: one measured run is
+    # hostage to page-cache state, JIT/GC timing, and — on the driver's box —
+    # concurrent load from its own oracle sweep (BENCH_r03 was inflated
+    # 12-16× by exactly that). The min of three back-to-back runs is the
+    # steady-state estimator; the full per-run spread ships in the JSON
+    # ("runs") so a contention-contaminated artifact is self-evidently
+    # invalid (huge max/min ratio) without needing a re-run to prove it.
+    # Each run still executes the FULL plan — nothing is cached between
+    # runs except what the OS/JVM would keep for any client.
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        spreads[name] = runs
+        print(f"# {name}: {timings[name]:.3f}s rows={n} runs={runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -107,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

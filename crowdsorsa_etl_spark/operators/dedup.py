@@ -23,6 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crowdsorsa_etl_spark.functions.portable_hash import (
+    combine60_spark,
+    cw_hash_spark,
+    h64_spark,
+    hex60_spark,
+)
 from crowdsorsa_etl_spark.functions.text import shingles
 
 _WS = r"\s+"
@@ -30,6 +36,24 @@ _WS = r"\s+"
 
 def _norm(col):
     return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+
+
+# Hash family selector. Default xxhash64 (fastest; Spark-only). With
+# ``portable=True`` every hash derives from md5 via functions/portable_hash,
+# so the identical signature pipeline is expressible as DuckDB SQL (see
+# queries_lsh_sql.py) and the driver's oracle gate can hash-compare the
+# output instead of recording rows-only. Same null-skipping semantics:
+# xxhash64 skips NULL args; the portable combine uses concat_ws, which both
+# engines define to skip NULLs.
+def _tok_hash(col, portable: bool):
+    return hex60_spark(col) if portable else F.xxhash64(col)
+
+
+def _combine_hash(cols, portable: bool, seed: str | int | None = None):
+    if portable:
+        return combine60_spark(*cols, seed=None if seed is None else str(seed))
+    pre = [] if seed is None else [F.lit(seed)]
+    return F.xxhash64(*pre, *cols)
 
 
 def exact_dedup(
@@ -62,6 +86,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    *,
+    portable: bool = False,
 ) -> DataFrame:
     """k minhashes per doc as columns mh0..mh{k-1}.
 
@@ -81,17 +107,24 @@ def minhash_signatures(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "t"),
-    ).select("id", "pos", F.xxhash64("t").alias("th"))
+    ).select("id", "pos", _tok_hash(F.col("t"), portable).alias("th"))
     w = Window.partitionBy("id").orderBy("pos")
     sh = toks.select(
         "id",
-        F.xxhash64(
-            "th",
-            *[F.lead("th", j).over(w) for j in range(1, shingle_k)],
+        _combine_hash(
+            [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, shingle_k)],
+            portable,
         ).alias("h"),
     )
+    # family members: portable uses Carter-Wegman (a_i·x + b_i) mod 2^31-1
+    # over the md5-derived shingle word — integer-multiply cost instead of
+    # num_hashes md5 digests PER SHINGLE, bit-identical in DuckDB
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+        F.min(
+            cw_hash_spark(F.col("h"), i)
+            if portable
+            else F.xxhash64(F.lit(i), F.col("h"))
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -104,6 +137,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    *,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -113,7 +148,9 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # materialize signatures once — the a/b sides of the self-join would
     # otherwise each recompute the whole explode→window→agg pipeline
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).localCheckpoint()
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, portable=portable
+    ).localCheckpoint()
     banded = sig.select(
         "id",
         F.explode(
@@ -121,12 +158,13 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
+                        _combine_hash(
+                            [
                                 F.col(f"mh{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
+                            portable,
+                            seed=f"b{b}" if portable else b,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -152,7 +190,11 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per doc: for each bit j, sum ±1 votes of token-hash
     bit j over all tokens; bit j of the result = (sum > 0).
@@ -163,10 +205,12 @@ def simhash_signatures(
     (The nested transform()/aggregate() expression form re-evaluates the
     token array per bit — 64x the string work.)
     """
+    # portable path uses the FULL 64-bit md5 word (h64), not hex60 — every
+    # bit position carries a vote, so a 60-bit word would pin bits 60-63
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(_norm(F.col(text_col)), " ")).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", (h64_spark(F.col("t")) if portable else F.xxhash64("t")).alias("h"))
 
     def vote(j: int):
         mask = F.shiftleft(F.lit(1).cast("bigint"), j)
@@ -188,7 +232,11 @@ def simhash_signatures(
 
 
 def simhash_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    portable: bool = False,
 ) -> DataFrame:
     """Docs grouped by identical simhash (the exact-collision tier; hamming-r
     search is `simhash_hamming_candidates` below).
@@ -198,7 +246,7 @@ def simhash_buckets(
     runs — sort_array + concat_ws makes the output stable and hashable.
     """
     return (
-        simhash_signatures(df, text_col, id_col)
+        simhash_signatures(df, text_col, id_col, portable=portable)
         .groupBy("simhash")
         .agg(
             F.concat_ws(
@@ -220,6 +268,7 @@ def simhash_hamming_candidates(
     *,
     radius: int = 8,
     bands: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance ≤ ``radius``.
 
@@ -249,7 +298,7 @@ def simhash_hamming_candidates(
         )
     width = 64 // bands  # last band absorbs the remainder bits
 
-    sig = simhash_signatures(df, text_col, id_col).localCheckpoint()
+    sig = simhash_signatures(df, text_col, id_col, portable=portable).localCheckpoint()
 
     def band_bits(b: int):
         shifted = F.shiftrightunsigned("simhash", b * width)
@@ -355,6 +404,7 @@ def winnow_fingerprints(
     *,
     k: int = 4,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., the MOSS
     algorithm): rolling k-gram hashes, one fingerprint per sliding window
@@ -373,13 +423,14 @@ def winnow_fingerprints(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "t"),
-    ).select("id", "pos", F.xxhash64("t").alias("th"))
+    ).select("id", "pos", _tok_hash(F.col("t"), portable).alias("th"))
     w_doc = Window.partitionBy("id").orderBy("pos")
     kg = toks.select(
         "id",
         "pos",
-        F.xxhash64(
-            "th", *[F.lead("th", j).over(w_doc) for j in range(1, k)]
+        _combine_hash(
+            [F.col("th")] + [F.lead("th", j).over(w_doc) for j in range(1, k)],
+            portable,
         ).alias("h"),
         # standard winnowing hashes only FULL k-grams: xxhash64 skips null
         # inputs, so trailing positions (lead beyond doc end) would hash
@@ -403,6 +454,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_doc_freq: int = 100,
+    portable: bool = False,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints — the
     copy-detection join. Fingerprints occurring in more than
@@ -412,7 +464,9 @@ def winnow_overlap_pairs(
 
     Output: (id_a, id_b, n_shared).
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k=k, window=window, portable=portable
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

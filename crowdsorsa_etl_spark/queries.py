@@ -31,6 +31,7 @@ from crowdsorsa_etl_spark.functions.text import (
     quality_score,
     token_count,
 )
+from crowdsorsa_etl_spark import lsh_oracles
 from crowdsorsa_etl_spark.operators.asof import asof_join
 from crowdsorsa_etl_spark.operators.dedup import (
     exact_dedup,
@@ -910,28 +911,39 @@ def flagship_doc_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_minhash_lsh")
+@register("llm_minhash_lsh", lsh_oracles.minhash_lsh_sql())
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    """Banded MinHash-LSH candidate pairs, portable-hash variant: every
+    signature word derives from md5 (functions/portable_hash), so the DuckDB
+    oracle re-derives the identical signatures and the driver hash-compares
+    the pairs — a full end-to-end correctness gate, not rows-only. The
+    xxhash64 default stays available for perf-sensitive library use."""
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), portable=True)
 
 
-@register("llm_simhash")
+@register("llm_simhash", lsh_oracles.simhash_buckets_sql())
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_buckets(_t(spark, sf_dir, "documents"))
+    """Exact-collision SimHash buckets over md5-derived 64-bit signatures
+    (portable=True → the oracle replays the same 64 bit-votes in SQL)."""
+    return simhash_buckets(_t(spark, sf_dir, "documents"), portable=True)
 
 
-@register("llm_simhash_hamming")
+@register("llm_simhash_hamming", lsh_oracles.simhash_hamming_sql(radius=4))
 def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming ≤ 4 near-dup pairs via pigeonhole bit-band LSH (rows-only:
-    xxhash64-based signatures aren't reproducible in the SQL oracle; the
-    brute-force-equality gate lives in tests/test_operators.py).
+    """Hamming ≤ 4 near-dup pairs via pigeonhole bit-band LSH. Portable
+    md5-derived signatures since round 5: the DuckDB oracle re-derives
+    signatures, bands, candidate pairs, and bit_count verification, closing
+    the rows-only gap; the brute-force-equality gate in
+    tests/test_operators.py still covers the xxhash64 default.
 
     radius=4 → 5 bands × 12 bits: 4096 buckets per band keeps bucket
     occupancy low even on this dup-heavy corpus (radius 8 would mean 7-bit
     bands — 128 buckets — whose hot buckets blow up the candidate join)."""
     from crowdsorsa_etl_spark.operators.dedup import simhash_hamming_candidates
 
-    return simhash_hamming_candidates(_t(spark, sf_dir, "documents"), radius=4)
+    return simhash_hamming_candidates(
+        _t(spark, sf_dir, "documents"), radius=4, portable=True
+    )
 
 
 @register("llm_multimodal_embed_topk")
@@ -951,14 +963,17 @@ def llm_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@register("llm_winnow_overlap")
+@register("llm_winnow_overlap", lsh_oracles.winnow_overlap_sql(min_shared=2))
 def llm_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint overlap pairs — MOSS-style copy
-    detection (rows-only: xxhash64 fingerprints aren't oracle-reproducible;
-    the shared-substring guarantee is unit-tested)."""
+    detection. Portable md5 k-gram hashes since round 5, so the DuckDB
+    oracle replays the k-gram → window-min → doc-freq-cap → join pipeline
+    verbatim; the shared-substring guarantee stays unit-tested."""
     from crowdsorsa_etl_spark.operators.dedup import winnow_overlap_pairs
 
-    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=2, portable=True
+    )
 
 
 @register("llm_lsh_topk")
@@ -4555,4 +4570,94 @@ def llm_ivf_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=64,
         n_probe=16,
         trainer="distributed",
+    )
+
+
+# ===========================================================================
+# Round 5: TPC-H Q21 decorrelation shape + portable-LSH oracle tier
+# ===========================================================================
+
+
+@register(
+    "q88_waiting_orders",
+    """
+    WITH f_orders AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN f_orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+          )
+    GROUP BY s_name
+    """,
+)
+def q88_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue — the hardest classic decorrelation shape: a
+    correlated EXISTS (another supplier touched the order) AND a correlated
+    NOT EXISTS (no OTHER supplier was late) against the same fact table,
+    both with an inequality correlation (``l_suppkey <>``), composed as one
+    semi join + one anti join (never a cartesian product).
+
+    The fixture lacks receipt/commit dates (TPC-H Q21's lateness test), so
+    "late" is l_shipdate > o_orderdate + 60 days on 'F'-status orders —
+    same plan shape, different constant. ``late`` is computed once and
+    reused by both the driving side and the NOT EXISTS branch (the
+    reference pattern recomputes it per subquery).
+
+    At 100 TB: late/all_pairs shuffle on l_orderkey for both the semi and
+    the anti join — one co-partitioned exchange each, no row explosion
+    (distinct pairs before the joins bound both sides by |orders|·|supps
+    per order|).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(f_orders, li.l_orderkey == f_orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+
+    l1 = late.alias("l1")
+    # EXISTS: some other supplier in the same order → left-semi
+    with_other = l1.join(
+        all_pairs.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER late supplier in the same order → left-anti
+    only_late = with_other.alias("w").join(
+        late.alias("l3"),
+        (F.col("w.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("w.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

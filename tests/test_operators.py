@@ -323,7 +323,11 @@ class TestLSHRecallGates:
         recall = len(truth & cand) / len(truth)
         assert recall >= 0.95, f"minhash-LSH recall {recall:.3f} < 0.95"
 
-    def test_simhash_hamming_equals_bruteforce(self, spark):
+    @pytest.mark.parametrize("portable", [False, True])
+    def test_simhash_hamming_equals_bruteforce(self, spark, portable):
+        """Pigeonhole-banding exactness, for BOTH hash families: the default
+        xxhash64 signatures and the md5-portable ones the oracle-checked
+        registry queries use (the guarantee is hash-family-independent)."""
         from crowdsorsa_etl_spark.operators.dedup import (
             simhash_hamming_candidates,
             simhash_signatures,
@@ -331,7 +335,10 @@ class TestLSHRecallGates:
         from crowdsorsa_etl_spark.sources.parquet import load_table
 
         docs = load_table(spark, "documents", "/root/testdata/sf0.001")
-        sigs = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+        sigs = {
+            r.id: r.simhash
+            for r in simhash_signatures(docs, portable=portable).collect()
+        }
         ids = sorted(sigs)
         for radius in (4, 8):
             brute = {
@@ -342,11 +349,55 @@ class TestLSHRecallGates:
             }
             cand = {
                 (r.id_a, r.id_b)
-                for r in simhash_hamming_candidates(docs, radius=radius).collect()
+                for r in simhash_hamming_candidates(
+                    docs, radius=radius, portable=portable
+                ).collect()
             }
             # pigeonhole banding guarantees EVERY pair within radius collides
             # in at least one band — candidates must equal brute force exactly
             assert cand == brute
+
+    def test_portable_minhash_recall_and_winnow_guarantee(self, spark):
+        """The portable (md5) hash family preserves the operators' semantic
+        gates: minhash-LSH recall vs exact Jaccard, and winnowing's
+        shared-run guarantee (a pair sharing ≥ k+window-1 tokens must share
+        a fingerprint)."""
+        from crowdsorsa_etl_spark.operators.dedup import winnow_overlap_pairs
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        truth = {
+            (r.id_a, r.id_b)
+            for r in token_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        cand = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(
+                docs, shingle_k=1, portable=True
+            ).collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.95, f"portable minhash-LSH recall {recall:.3f} < 0.95"
+
+        # winnowing shared-run guarantee, portable family: two docs sharing
+        # a run of ≥ k + window - 1 = 7 tokens MUST share a fingerprint
+        shared = "alpha bravo charlie delta echo foxtrot golf"
+        synth = spark.createDataFrame(
+            [
+                (1, f"start one two {shared} tail piece here"),
+                (2, f"{shared} completely different ending words now"),
+                (3, "nothing in common with the others at all whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in winnow_overlap_pairs(
+                synth, min_shared=1, portable=True
+            ).collect()
+        }
+        assert (1, 2) in pairs, "winnow portable missed the shared-run pair"
+        assert not any(3 in p for p in pairs)
 
 
 class TestEmbeddingDedupAndIVF:

@@ -287,3 +287,15 @@ class TestCostBasedOptimizer:
                 spark.conf.set("spark.sql.cbo.enabled", "false")
         finally:
             spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+class TestRound5Plans:
+    def test_q21_shape_semi_plus_anti_no_cartesian(self, spark):
+        """q88 (TPC-H Q21 analogue) must compose as one left-semi and one
+        left-anti hash/sort-merge join — the inequality correlation must NOT
+        degenerate into a cartesian/BNLJ plan."""
+        plan = plan_of(QUERIES["q88_waiting_orders"](spark, SF_DIR))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
