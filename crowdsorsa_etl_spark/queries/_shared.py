@@ -1,0 +1,242 @@
+"""The engine's query registry — the driver-contract surface.
+
+Every entry pairs a Spark DataFrame program with (where SQL-expressible) an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables. Column names and
+types are aligned on both sides because the driver's comparer sorts columns by
+name and hashes values (``__spark_entry__.py`` contract).
+
+Numeric-parity conventions:
+* double aggregates are ``round(x, 2)`` on both sides (partial-aggregation
+  order makes raw double sums differ in the last ulp);
+* cosine similarities round to 6 dp, computed with the same left-to-right
+  double accumulation in both engines;
+* DuckDB ``count``/``row_number``/``year`` return BIGINT where Spark returns
+  INT (or vice versa) — explicit casts pin both to the same type;
+* DuckDB ``sum(INTEGER)`` returns HUGEINT — always cast to BIGINT.
+
+Coverage map to SURVEY.md §2 is noted on each query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.functions.text import (
+    _LANG_MARKERS,
+    detect_language,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from crowdsorsa_etl_spark import lsh_oracles
+from crowdsorsa_etl_spark.operators.asof import asof_join
+from crowdsorsa_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_buckets,
+    token_jaccard_pairs,
+)
+from crowdsorsa_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from crowdsorsa_etl_spark.operators.topk import sessionize, topk_per_group
+from crowdsorsa_etl_spark.pipelines.flagship import order_documents
+from crowdsorsa_etl_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def _sf_cache_dir(sf_dir: str, tag: str, table: str) -> str:
+    """Per-fixture scratch dir for queries that materialize a derived layout
+    (partitioned copy, zone-mapped copy, snapshot store).
+
+    The path is keyed on a content fingerprint of the source table (file
+    names + sizes + mtimes), not just the fixture basename: regenerating the
+    sf fixture in place changes the fingerprint, so stale cached layouts are
+    never served. Concurrent processes hashing the same unchanged fixture
+    share one path — safe because builders write via Spark's atomic-ish
+    overwrite and are idempotent for identical input.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        entries = sorted(os.listdir(src))
+    elif os.path.exists(src):
+        entries = [os.path.basename(src)]
+        src = os.path.dirname(src)
+    else:
+        entries = []
+    for name in entries:
+        st = os.stat(os.path.join(src, name))
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"crowdsorsa_{tag}_"
+        + os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + h.hexdigest()[:12],
+    )
+
+
+
+# normalization used by both the LLM pack and the curation funnels
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+# Canonical registration order at the round-5 split (the driver's
+# correctness window samples a prefix of this; order drift breaks
+# cross-round comparability). Asserted by queries/__init__.py at import.
+_ORDER_SNAPSHOT = [
+    'q01_pricing_summary',
+    'q02_revenue_filter',
+    'q03_star_join',
+    'q04_bigjoin_priority',
+    'q05_semi_join',
+    'q06_anti_join',
+    'q07_topk_per_group',
+    'q08_window_nav',
+    'q09_rollup',
+    'q10_distinct_agg',
+    'q11_set_ops',
+    'q12_scalar_funcs',
+    'q13_asof_join',
+    'q14_json_extract',
+    'q15_pivot',
+    'q16_explode_tokens',
+    'q17_grouping_sets',
+    'q18_sessionize',
+    'q19_tumbling_window',
+    'q20_range_join',
+    'llm_exact_dedup',
+    'llm_token_jaccard',
+    'llm_text_stats',
+    'llm_quality',
+    'llm_lang_detect',
+    'llm_fingerprint',
+    'llm_cosine_topk',
+    'llm_multimodal_bytes',
+    'flagship_order_documents',
+    'flagship_doc_fields',
+    'llm_minhash_lsh',
+    'llm_simhash',
+    'llm_simhash_hamming',
+    'llm_multimodal_embed_topk',
+    'llm_winnow_overlap',
+    'llm_lsh_topk',
+    'llm_embedding_dups',
+    'llm_embedding_dups_lsh',
+    'llm_ivf_topk',
+    'q21_percentiles',
+    'q22_cross_join',
+    'q23_union_by_name',
+    'q24_correlated_agg',
+    'q25_string_funcs',
+    'q26_math_funcs',
+    'q27_null_funcs',
+    'q28_having',
+    'q29_top10_global',
+    'q30_range_frame',
+    'q31_rank_distributions',
+    'q32_first_last_value',
+    'q33_sliding_window',
+    'llm_embedding_stats',
+    'llm_cosine_topk_vectorized',
+    'q34_date_funcs',
+    'q35_array_hofs',
+    'q36_unpivot',
+    'q37_conditional_aggs',
+    'llm_trigram_topk',
+    'crowdsorsa_documents_2023',
+    'crowdsorsa_documents_2024',
+    'llm_dedup_clusters',
+    'q38_salted_distinct',
+    'q39_salted_join',
+    'q40_approx_aggs',
+    'q41_cube',
+    'q42_collect_agg',
+    'q43_shipping_priority',
+    'q44_regional_volume',
+    'q45_bination_volume',
+    'q47_hll_sketches',
+    'q46_gapfill_resample',
+    'q48_range_join_binned',
+    'llm_pii_redact',
+    'llm_quality_filter',
+    'llm_train_split',
+    'llm_seq_packing',
+    'llm_contamination',
+    'llm_domain_mix',
+    'llm_curation_funnel',
+    'q49_zorder_keys',
+    'q52_schema_evolution',
+    'q50_sql_parity',
+    'q51_decimal_aggs',
+    'q53_dpp_prune',
+    'q54_table_diff',
+    'llm_quantized_topk',
+    'q55_min_acctbal_supplier',
+    'q56_nation_value_share',
+    'q57_top_revenue_supplier',
+    'q58_supplier_part_counts',
+    'q59_large_orders',
+    'q60_dormant_customers',
+    'q61_interval_arith',
+    'q62_stratified_sample',
+    'q63_latest_per_key',
+    'q64_ffill_ignore_nulls',
+    'q65_pagerank',
+    'q66_histogram_quantiles',
+    'llm_repetition_filter',
+    'q67_incremental_agg',
+    'llm_span_dedup',
+    'q68_zone_map_scan',
+    'q69_rank_funcs',
+    'q70_regex_funcs',
+    'q71_nullsafe_join',
+    'q72_bitwise_aggs',
+    'q73_stats_aggs',
+    'llm_unigram_logprob',
+    'q74_data_quality',
+    'q75_rolling_stats',
+    'q76_fuzzy_match',
+    'llm_semdedup',
+    'q77_promo_revenue',
+    'q78_small_qty_revenue',
+    'q79_or_predicates',
+    'q80_try_casts',
+    'q81_snapshot_time_travel',
+    'llm_image_decode',
+    'llm_curation_funnel_v2',
+    'q82_bag_set_ops',
+    'q83_exists_flag',
+    'q84_grouping_metadata',
+    'llm_vocab_stats',
+    'q85_cohort_retention',
+    'q86_event_funnel',
+    'q87_ratio_to_report',
+    'llm_semdedup_scaled',
+    'llm_ivf_topk_scaled',
+    'q88_waiting_orders'
+]

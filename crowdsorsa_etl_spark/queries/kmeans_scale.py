@@ -1,0 +1,80 @@
+"""Round 4: full-corpus distributed k-means tier (SemDeDup / IVF at scale).
+
+Split from the original monolithic queries.py in round 5. Registration
+ORDER is load-bearing (the driver's correctness window samples the first 50
+registrations), so modules are imported in the original file order by
+queries/__init__.py, which also asserts the canonical order afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark import lsh_oracles  # noqa: F401
+from crowdsorsa_etl_spark.functions.text import (  # noqa: F401
+    _LANG_MARKERS,
+    detect_language,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from crowdsorsa_etl_spark.operators.asof import asof_join  # noqa: F401
+from crowdsorsa_etl_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_buckets,
+    token_jaccard_pairs,
+)
+from crowdsorsa_etl_spark.operators.similarity import cosine_topk, lsh_topk  # noqa: F401
+from crowdsorsa_etl_spark.operators.topk import sessionize, topk_per_group  # noqa: F401
+from crowdsorsa_etl_spark.pipelines.flagship import order_documents  # noqa: F401
+from crowdsorsa_etl_spark.queries._shared import (  # noqa: F401
+    _NORM_SQL,
+    _sf_cache_dir,
+    _t,
+    register,
+)
+
+# ===========================================================================
+# Round 4: full-corpus distributed k-means tier (SemDeDup / IVF at scale)
+# ===========================================================================
+
+
+@register("llm_semdedup_scaled")
+def llm_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at 64 clusters trained on the FULL corpus with distributed
+    Lloyd iterations (``operators/similarity.kmeans_train_distributed``) —
+    the 100 TB configuration, where n_clusters must track corpus size to
+    keep the in-cluster |c|^2 pair step bounded (the paper's ~1e5-cluster
+    regime). Rows-only: cluster cells are implementation-defined; the
+    quantitative gates are the trainer-parity (1e-6 vs driver k-means),
+    planted-duplicate keep-set, and keep-rate-stability tests in
+    tests/test_operators.py and tests/test_graph.py."""
+    from crowdsorsa_etl_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, n_clusters=64, epsilon=0.45, trainer="distributed")
+    return out.orderBy("vec_id")
+
+
+@register("llm_ivf_topk_scaled")
+def llm_ivf_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k with the coarse quantizer trained on the FULL corpus
+    (distributed Lloyd) at n_lists=64 — the configuration a 100 TB corpus
+    needs (n_lists ~ sqrt(N) exceeds any driver-side sample). Rows-only;
+    recall >= 0.85 vs exact cosine_topk is gated in tests/test_operators.py
+    (test_ivf_distributed_trainer_recall_64_lists)."""
+    from crowdsorsa_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_lists=64,
+        n_probe=16,
+        trainer="distributed",
+    )
+
+

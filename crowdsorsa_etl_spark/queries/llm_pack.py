@@ -1,0 +1,407 @@
+"""LLM-data-pipeline pack + LSH tier (exact dedup ... winnow, ANN entries).
+
+Split from the original monolithic queries.py in round 5. Registration
+ORDER is load-bearing (the driver's correctness window samples the first 50
+registrations), so modules are imported in the original file order by
+queries/__init__.py, which also asserts the canonical order afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark import lsh_oracles  # noqa: F401
+from crowdsorsa_etl_spark.functions.text import (  # noqa: F401
+    _LANG_MARKERS,
+    detect_language,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from crowdsorsa_etl_spark.operators.asof import asof_join  # noqa: F401
+from crowdsorsa_etl_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_buckets,
+    token_jaccard_pairs,
+)
+from crowdsorsa_etl_spark.operators.similarity import cosine_topk, lsh_topk  # noqa: F401
+from crowdsorsa_etl_spark.operators.topk import sessionize, topk_per_group  # noqa: F401
+from crowdsorsa_etl_spark.pipelines.flagship import order_documents  # noqa: F401
+from crowdsorsa_etl_spark.queries._shared import (  # noqa: F401
+    _NORM_SQL,
+    _sf_cache_dir,
+    _t,
+    register,
+)
+
+# ===========================================================================
+# LLM-data-pipeline operators (SURVEY §2.2 extension pack)
+# ===========================================================================
+
+
+
+@register(
+    "llm_exact_dedup",
+    f"""
+    SELECT md5({_NORM_SQL}) AS text_md5,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, lang AS blk,
+             unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM toks a JOIN toks b
+        ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.8
+    """,
+)
+def llm_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup ground truth (token-set Jaccard, lang-blocked)."""
+    return token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "llm_text_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS BIGINT)
+             AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "llm_quality",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT)
+             AS n_tokens,
+           round(len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))
+                 / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END, 6) AS alpha_ratio,
+           round(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END, 6) AS digit_ratio,
+           round((
+             CASE WHEN (CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
+                       BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))
+                         / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END >= 0.6
+                    THEN 1.0
+                    ELSE (len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))
+                          / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END) / 0.6 END
+             + CASE WHEN len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END <= 0.2
+                    THEN 1.0 ELSE 0.0 END
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(feats["digit_ratio"], 6).alias("digit_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_detect_sql() -> str:
+    """Generate the DuckDB oracle for detect_language from the same marker
+    table the Spark expression uses — parity by construction."""
+    score_exprs = {}
+    for lang, markers in _LANG_MARKERS.items():
+        parts = [
+            f"(len(string_split(' ' || lower(text) || ' ', '{m}')) - 1)"
+            for m in markers
+        ]
+        score_exprs[lang] = " + ".join(parts)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {greatest} THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    scores = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score_exprs.items())
+    return f"""
+    SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred
+    FROM (SELECT doc_id, {scores} FROM documents)
+    """
+
+
+@register("llm_lang_detect", _lang_detect_sql())
+def llm_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "llm_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fp_md5,
+           CAST(len(text) AS INT) AS n_chars_raw
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.length("text").alias("n_chars_raw"),
+    )
+
+
+@register(
+    "llm_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          FROM q JOIN c ON neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN baseline + oracle truth)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "llm_multimodal_bytes",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(len(text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def llm_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → UTF-8 bytes in a BinaryType column
+    (the decode/feature-extract path continues in operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# ===========================================================================
+# Rows-only entries (non-SQL-expressible: LSH internals use xxhash64, the
+# flagship emits nested JSON) — driver records a weaker rows-only check.
+# ===========================================================================
+
+
+@register("flagship_order_documents")
+def flagship_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return order_documents(spark, sf_dir)
+
+
+@register(
+    "flagship_doc_fields",
+    """
+    WITH units AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT o.o_orderkey AS order_key,
+           n.n_name AS municipality,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS begin_date,
+           CASE WHEN o.o_orderpriority = '1-URGENT'
+                THEN 'Urgent order for ' || c.c_name END AS notes,
+           CAST(coalesce(u.n, 0) AS BIGINT) AS n_units
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN units u ON o.o_orderkey = u.l_orderkey
+    """,
+)
+def flagship_doc_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level oracle for the flagship nested documents: parse the
+    emitted JSON BACK OUT with JSON-path expressions and hash-compare the
+    extracted business fields against an oracle that recomputes them from
+    the raw tables — a round-trip gate on the document assembly (the full
+    nested JSON itself stays rows-only: key ordering/whitespace are
+    serializer-specific)."""
+    docs = order_documents(spark, sf_dir)
+    jp = lambda p: F.get_json_object("document_json", p)  # noqa: E731
+    return docs.select(
+        "order_key",
+        jp("$.publicDocument.gatherings[0].municipality").alias("municipality"),
+        jp("$.publicDocument.gatherings[0].eventDate.begin").alias("begin_date"),
+        jp("$.publicDocument.notes").alias("notes"),
+        F.expr(
+            "json_array_length(get_json_object(document_json,"
+            " '$.publicDocument.gatherings[0].units'))"
+        ).cast("bigint").alias("n_units"),
+    )
+
+
+@register("llm_minhash_lsh", lsh_oracles.minhash_lsh_sql())
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs, portable-hash variant: every
+    signature word derives from md5 (functions/portable_hash), so the DuckDB
+    oracle re-derives the identical signatures and the driver hash-compares
+    the pairs — a full end-to-end correctness gate, not rows-only. The
+    xxhash64 default stays available for perf-sensitive library use."""
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), portable=True)
+
+
+@register("llm_simhash", lsh_oracles.simhash_buckets_sql())
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-collision SimHash buckets over md5-derived 64-bit signatures
+    (portable=True → the oracle replays the same 64 bit-votes in SQL)."""
+    return simhash_buckets(_t(spark, sf_dir, "documents"), portable=True)
+
+
+@register("llm_simhash_hamming", lsh_oracles.simhash_hamming_sql(radius=4))
+def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 4 near-dup pairs via pigeonhole bit-band LSH. Portable
+    md5-derived signatures since round 5: the DuckDB oracle re-derives
+    signatures, bands, candidate pairs, and bit_count verification, closing
+    the rows-only gap; the brute-force-equality gate in
+    tests/test_operators.py still covers the xxhash64 default.
+
+    radius=4 → 5 bands × 12 bits: 4096 buckets per band keeps bucket
+    occupancy low even on this dup-heavy corpus (radius 8 would mean 7-bit
+    bands — 128 buckets — whose hot buckets blow up the candidate join)."""
+    from crowdsorsa_etl_spark.operators.dedup import simhash_hamming_candidates
+
+    return simhash_hamming_candidates(
+        _t(spark, sf_dir, "documents"), radius=4, portable=True
+    )
+
+
+@register("llm_multimodal_embed_topk")
+def llm_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal similarity pipeline: binary payload → deterministic
+    feature extraction (mapInPandas) → exact cosine top-k — the composition
+    the engine is built for (rows-only: the fake encoder is
+    implementation-defined; the stage contracts are unit-tested)."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = extract_features(attach_binary_payload(docs), dim=16).localCheckpoint()
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("llm_winnow_overlap", lsh_oracles.winnow_overlap_sql(min_shared=2))
+def llm_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint overlap pairs — MOSS-style copy
+    detection. Portable md5 k-gram hashes since round 5, so the DuckDB
+    oracle replays the k-gram → window-min → doc-freq-cap → join pipeline
+    verbatim; the shared-substring guarantee stays unit-tested."""
+    from crowdsorsa_etl_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=2, portable=True
+    )
+
+
+@register("llm_lsh_topk")
+def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+@register(
+    "llm_embedding_dups",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+)
+def llm_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the ground truth the LSH tier
+    is recall-gated against; quadratic — verify-only at scale)."""
+    from crowdsorsa_etl_spark.operators.similarity import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register("llm_embedding_dups_lsh")
+def llm_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup pairs — the 100 TB path (rows-only: a
+    recall-gated subset of llm_embedding_dups, not an exact match by
+    design; gate in tests/test_operators.py)."""
+    from crowdsorsa_etl_spark.operators.similarity import embedding_cosine_pairs_lsh
+
+    return embedding_cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.35
+    )
+
+
+@register("llm_ivf_topk")
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (rows-only: k-means cells are implementation-defined;
+    recall gate vs exact cosine_topk in tests/test_operators.py)."""
+    from crowdsorsa_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=8
+    )
+
+
