@@ -161,6 +161,189 @@ def simhash_hamming_sql(radius: int = 4, bands: int | None = None) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# SRP (signed-random-projection) oracles — the round-6 pattern extension.
+#
+# The hyperplanes are deterministic Python literals (similarity._srp_plane:
+# integer hash → float in [-1, 1], no RNG state), so the oracle simply embeds
+# the SAME plane values as full-precision decimal literals (repr() round-trips
+# float64 exactly; DuckDB parses back to the identical double) and replays
+# bucket assignment with list_dot_product. Spark computes the projections in a
+# float64 numpy matmul (srp_buckets_arrow) while DuckDB folds sequentially —
+# the sign of the projection only disagrees when |proj| is within summation-
+# reordering error (~1e-13) of zero, measure-zero for real embeddings, and
+# llm_cosine_topk's green oracle already proves float-sum parity at 6 dp on
+# this fixture. Candidate sets therefore match exactly, and the re-rank
+# cosine uses the sequential expression path on both engines.
+# ---------------------------------------------------------------------------
+
+_COSINE = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _srp_bucket_sql(vec: str, dim: int, table: int, n_bits: int) -> str:
+    """One table's packed bucket key: sum of bit weights where the projection
+    onto plane (table, bit) is positive — mirrors similarity.srp_signature /
+    srp_buckets_arrow bit packing exactly."""
+    from crowdsorsa_etl_spark.operators.similarity import _srp_plane
+
+    terms = []
+    for bit in range(n_bits):
+        plane = ", ".join(repr(v) for v in _srp_plane(dim, table, bit))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{plane}]) > 0"
+            f" THEN {1 << bit} ELSE 0 END)"
+        )
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def _srp_banded_cte(dim: int, n_tables: int, n_bits: int) -> str:
+    """UNION ALL of per-table (id, tbl, bucket) rows over CTE ``e(id, v)`` —
+    the SQL image of posexplode(srp_buckets_arrow(...))."""
+    return "\n    UNION ALL\n".join(
+        f"    SELECT id, {t} AS tbl,\n"
+        f"        {_srp_bucket_sql('v', dim, t, n_bits)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+
+
+def lsh_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for similarity.lsh_topk on the embeddings table: SRP-bucket
+    corpus and queries per table, equi-join candidates, exact-cosine re-rank
+    of candidates only, row_number top-k. ``query_pred`` is over CTE
+    ``e(id, v)`` (id = vec_id)."""
+    cos = _COSINE.format(a="qa.v", b="nb.v")
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    banded AS (
+{_srp_banded_cte(dim, n_tables, n_bits)}
+    ),
+    q AS (SELECT id FROM e WHERE {query_pred}),
+    cand AS (
+      SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+      FROM banded cb
+      JOIN banded qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                    AND cb.id != qb.id
+      JOIN q ON qb.id = q.id
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+      FROM cand
+      JOIN e qa ON qa.id = cand.query_id
+      JOIN e nb ON nb.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s)
+    WHERE rank <= {k}
+    """
+
+
+def embedding_dups_lsh_sql(
+    dim: int = 64,
+    threshold: float = 0.35,
+    n_tables: int = 12,
+    n_bits: int = 3,
+) -> str:
+    """Oracle for similarity.embedding_cosine_pairs_lsh(..., portable=True):
+    SRP-bucket self-join candidates (id_a < id_b), dedup, sequential-cosine
+    verify against the threshold."""
+    cos = _COSINE.format(a="ea.v", b="eb.v")
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    banded AS (
+{_srp_banded_cte(dim, n_tables, n_bits)}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    s AS (
+      SELECT id_a, id_b, {cos} AS cosine
+      FROM pairs
+      JOIN e ea ON ea.id = pairs.id_a
+      JOIN e eb ON eb.id = pairs.id_b
+    )
+    SELECT id_a, id_b, cosine FROM s WHERE cosine >= {threshold}
+    """
+
+
+def multimodal_embed_topk_sql(dim: int = 16, k: int = 5) -> str:
+    """Oracle for the llm_multimodal_embed_topk composition: binary payload
+    (magic header + UTF-8 text bytes) → byte-histogram feature embedding →
+    float32 quantization → exact cosine top-k.
+
+    Replays multimodal.attach_binary_payload + extract_features in SQL: the
+    projection matrix is pure integer arithmetic
+    ((b*31 + d*17 + 7) * 2654435761 % 1000, exact in int64 on both engines)
+    so no literals are needed; byte values come from hex(payload) two-char
+    slices; the normalized embedding is CAST to FLOAT exactly as Spark's
+    array<float> schema quantizes the UDF output, then widened back to
+    double for the cosine re-rank — bit-identical quantization on both
+    engines (IEEE round-to-nearest), with the numpy-vs-SQL summation-order
+    ulp absorbed by the float32 rounding step.
+    """
+    cos = _COSINE.format(a="q.v", b="c.v")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, hex('\\x89IMG'::BLOB || encode(text)) AS hx
+      FROM documents
+    ),
+    byt AS (
+      SELECT doc_id,
+             strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2 * i + 1 AS INT), 1)) * 16
+             + strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2 * i + 2 AS INT), 1)) - 17 AS b
+      FROM h, unnest(range(CAST(length(hx) / 2 AS BIGINT))) AS t(i)
+    ),
+    hist AS (SELECT doc_id, b, count(*) AS cnt FROM byt GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(cnt) AS total FROM hist GROUP BY 1),
+    comp AS (
+      SELECT hist.doc_id, d,
+             sum((CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                 * ((((b * 31 + d * 17 + 7) * 2654435761) % 1000)
+                    / 500.0 - 1.0)) AS vraw
+      FROM hist
+      JOIN tot ON hist.doc_id = tot.doc_id,
+           unnest(range({dim})) AS t(d)
+      GROUP BY 1, 2
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(vraw * vraw)) AS nn
+            FROM comp GROUP BY 1),
+    e AS (
+      SELECT comp.doc_id AS vec_id,
+             CAST(list(CAST(vraw / nn AS FLOAT) ORDER BY d) AS DOUBLE[]) AS v
+      FROM comp JOIN nrm ON comp.doc_id = nrm.doc_id
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s)
+    WHERE rank <= {k}
+    """
+
+
 def winnow_overlap_sql(
     k: int = 4, window: int = 4, min_shared: int = 2, max_doc_freq: int = 100
 ) -> str:

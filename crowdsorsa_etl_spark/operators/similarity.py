@@ -338,6 +338,7 @@ def embedding_cosine_pairs_lsh(
     n_bits: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate embedding near-dup pairs: SRP-bucket self-join candidates
     + vectorized exact cosine verification — the 100 TB path (fixed-width
@@ -361,6 +362,13 @@ def embedding_cosine_pairs_lsh(
 
     Output: (id_a, id_b, cosine) — a subset of embedding_cosine_pairs
     (candidates missed by every table are lost; recall is gated in tests).
+
+    ``portable=True`` scores the verified pairs with the sequential
+    expression-path cosine (``dot``/``l2_norm`` fold) instead of the BLAS
+    pandas UDF, so the values match DuckDB's ``list_dot_product`` evaluation
+    order bit-for-bit after rounding — the oracle-parity tier
+    (lsh_oracles.embedding_dups_lsh_sql). The default stays the vectorized
+    verifier: at scale the Arrow batch matmul is the measured win.
     """
     # materialize buckets once — the a/b sides of the self-join would each
     # re-run the projection UDF otherwise
@@ -385,10 +393,18 @@ def embedding_cosine_pairs_lsh(
     )
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"))
+    if portable:
+        score = F.round(
+            dot(F.col("_av"), F.col("_bv"))
+            / (l2_norm(F.col("_av")) * l2_norm(F.col("_bv"))),
+            6,
+        )
+    else:
+        score = _cosine_arrow(F.col("_av"), F.col("_bv"))
     return (
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cosine", _cosine_arrow(F.col("_av"), F.col("_bv")))
+        .withColumn("cosine", score)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

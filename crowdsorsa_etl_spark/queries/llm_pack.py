@@ -325,12 +325,14 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_multimodal_embed_topk")
+@register("llm_multimodal_embed_topk", lsh_oracles.multimodal_embed_topk_sql())
 def llm_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal similarity pipeline: binary payload → deterministic
     feature extraction (mapInPandas) → exact cosine top-k — the composition
-    the engine is built for (rows-only: the fake encoder is
-    implementation-defined; the stage contracts are unit-tested)."""
+    the engine is built for. Oracle since round 6: the stand-in encoder is
+    pure integer/float arithmetic, so the DuckDB SQL replays payload → byte
+    histogram → projection → float32 quantization → cosine re-rank end to
+    end (lsh_oracles.multimodal_embed_topk_sql)."""
     from crowdsorsa_etl_spark.operators.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -355,8 +357,12 @@ def llm_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_lsh_topk")
+@register("llm_lsh_topk", lsh_oracles.lsh_topk_sql())
 def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k. Oracle since round 6: the hyperplanes are
+    deterministic literals, so the DuckDB SQL re-derives the same buckets,
+    candidate pairs, and sequential-cosine re-rank
+    (lsh_oracles.lsh_topk_sql) — candidate-for-candidate hash parity."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
@@ -381,15 +387,18 @@ def llm_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
-@register("llm_embedding_dups_lsh")
+@register("llm_embedding_dups_lsh", lsh_oracles.embedding_dups_lsh_sql())
 def llm_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH embedding near-dup pairs — the 100 TB path (rows-only: a
-    recall-gated subset of llm_embedding_dups, not an exact match by
-    design; gate in tests/test_operators.py)."""
+    """SRP-LSH embedding near-dup pairs — the 100 TB path. Oracle since
+    round 6: the DuckDB SQL replays bucket assignment from the same plane
+    literals and verifies the deduped candidates with the sequential
+    expression-path cosine (portable=True); recall vs the exact pairs stays
+    gated in tests/test_operators.py, and the BLAS verifier remains the
+    library default."""
     from crowdsorsa_etl_spark.operators.similarity import embedding_cosine_pairs_lsh
 
     return embedding_cosine_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.35
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.35, portable=True
     )
 
 
