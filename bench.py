@@ -67,10 +67,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # local-bench split tuning: fixture files are ~10-30 MB, so the cluster
-    # default (128 MB splits, session.py) would scan them single-threaded
+    # default (128 MB splits, session.py) would scan them single-threaded.
+    # Console progress is OFF: the JVM writes \r-progress lines to stdout,
+    # which corrupted the machine-readable summary line (BENCH_r05 parsed as
+    # null) — stdout must carry exactly one JSON line.
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
     # warm up JVM/codegen and parquet footers (file-index + schema reads)
@@ -106,19 +112,25 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": spreads,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(summary)
+    # self-recorded copy: survives even if a parent process mangles stdout
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json"), "w") as fh:
+        fh.write(line + "\n")
+    # stop Spark BEFORE printing: nothing (JVM shutdown chatter included)
+    # may write to stdout after the summary — it must be the last line
     spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

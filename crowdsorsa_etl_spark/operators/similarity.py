@@ -394,18 +394,37 @@ def embedding_cosine_pairs_lsh(
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"))
     if portable:
-        score = F.round(
-            dot(F.col("_av"), F.col("_bv"))
-            / (l2_norm(F.col("_av")) * l2_norm(F.col("_bv"))),
-            6,
-        )
-    else:
-        score = _cosine_arrow(F.col("_av"), F.col("_bv"))
-    return (
+        # norms hoisted per VECTOR (|N| fold evaluations, before the pair
+        # join) — the norm is a deterministic function of the vector, so the
+        # value is identical to computing it per pair, at 1/|pairs| the cost
+        ea = ea.withColumn("_an", l2_norm(F.col("_av")))
+        eb = eb.withColumn("_bn", l2_norm(F.col("_bv")))
+    verified = (
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cosine", score)
-        .filter(F.col("cosine") >= threshold)
+        .withColumn("cosine", _cosine_arrow(F.col("_av"), F.col("_bv")))
+    )
+    if portable:
+        # BLAS stays the bulk filter (with last-ulp slack so it can never
+        # drop a pair the sequential score would keep); the interpreted
+        # expression-path cosine — DuckDB's evaluation order — is recomputed
+        # only on the ~threshold-surviving pairs, so oracle parity costs one
+        # fold over survivors, not three folds over every candidate.
+        return (
+            verified.filter(F.col("cosine") >= threshold - 1e-4)
+            .withColumn(
+                "cosine",
+                F.round(
+                    dot(F.col("_av"), F.col("_bv"))
+                    / (F.col("_an") * F.col("_bn")),
+                    6,
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    return (
+        verified.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
