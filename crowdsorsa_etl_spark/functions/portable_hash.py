@@ -42,8 +42,11 @@ __all__ = [
     "combine60_spark",
     "combine60_sql",
     "CW_PRIME",
+    "CW_MULT",
     "cw_hash_spark",
     "cw_hash_sql",
+    "combine_cw_spark",
+    "combine_cw_sql",
 ]
 
 
@@ -110,6 +113,47 @@ def cw_hash_spark(col: Column, i: int) -> Column:
 def cw_hash_sql(expr: str, i: int) -> str:
     a, b = _cw_params(i)
     return f"((({expr}) % {CW_PRIME}) * {a} + {b}) % {CW_PRIME}"
+
+
+#: Base for the portable polynomial combine — any odd constant < 2^31 works;
+#: each step is h ← (h·BASE + (x mod p)) mod p, overflow-free in int64
+#: (h, x mod p < 2^31 ⇒ h·BASE + x < 2^62 + 2^31).
+CW_MULT = 1_000_003
+
+
+def _cw_seed(seed: int) -> int:
+    """Start value for a seeded polynomial combine (decorrelates band 0
+    from the unseeded combine)."""
+    return ((seed + 1) * 2654435761 + 40503) % CW_PRIME
+
+
+def combine_cw_spark(*cols: Column, seed: int = 0) -> Column:
+    """Polynomial combine of several non-negative bigint words mod 2^31-1 —
+    the integer-only portable multi-value hash (one multiply-add per word vs
+    one md5 digest + string concat for :func:`combine60_spark`). NULL inputs
+    are skipped (the step is a no-op), preserving xxhash64/concat_ws
+    null-skipping semantics for trailing sub-shingles."""
+    h: Column = F.lit(_cw_seed(seed)).cast("bigint")
+    for c in cols:
+        step = (h * F.lit(CW_MULT) + F.pmod(c.cast("bigint"), F.lit(CW_PRIME))) % F.lit(
+            CW_PRIME
+        )
+        h = F.when(c.isNull(), h).otherwise(step)
+    return h
+
+
+def combine_cw_sql(*exprs: str, seed: int = 0) -> str:
+    """DuckDB fragment computing the identical polynomial combine. The
+    multiplier is cast to BIGINT explicitly — DuckDB types bare int literals
+    INT32 and overflows the product otherwise."""
+    h = f"CAST({_cw_seed(seed)} AS BIGINT)"
+    for e in exprs:
+        step = (
+            f"((({h}) * CAST({CW_MULT} AS BIGINT)"
+            f" + (({e}) % {CW_PRIME})) % {CW_PRIME})"
+        )
+        h = f"(CASE WHEN ({e}) IS NULL THEN ({h}) ELSE {step} END)"
+    return h
 
 
 def combine60_spark(*cols: Column, seed: str | None = None) -> Column:

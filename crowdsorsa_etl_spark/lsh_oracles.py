@@ -2,8 +2,8 @@
 
 Each generator mirrors, fragment by fragment, the Spark plan built by the
 corresponding ``operators/dedup.py`` function with ``portable=True``: same
-normalization, same md5-derived hash words (functions/portable_hash), same
-null-skipping ``concat_ws`` combines, same band layout. Parameters are the
+normalization, same md5-derived token words (functions/portable_hash), same
+null-skipping Carter-Wegman polynomial combines, same band layout. Parameters are the
 single source of truth — the band loop that builds the Spark ``F.struct``
 array also unrolls the SQL ``UNION ALL`` here, so a parameter change cannot
 desynchronize the two engines.
@@ -16,7 +16,7 @@ llm_winnow_overlap) against DuckDB instead of recording rows-only.
 from __future__ import annotations
 
 from crowdsorsa_etl_spark.functions.portable_hash import (
-    combine60_sql,
+    combine_cw_sql,
     cw_hash_sql,
     h64_sql,
     hex60_sql,
@@ -46,16 +46,16 @@ def minhash_lsh_sql(
     lead_cols = ", ".join(
         f"lead(th, {j}) OVER w AS t{j}" for j in range(1, shingle_k)
     )
-    shingle = combine60_sql("th", *[f"t{j}" for j in range(1, shingle_k)])
+    shingle = combine_cw_sql("th", *[f"t{j}" for j in range(1, shingle_k)])
     mh_aggs = ",\n           ".join(
         f"min({cw_hash_sql('h', i)}) AS mh{i}" for i in range(num_hashes)
     )
     band_selects = "\n    UNION ALL\n".join(
         "    SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
             b=b,
-            bucket=combine60_sql(
+            bucket=combine_cw_sql(
                 *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
-                seed=f"b{b}",
+                seed=b,
             ),
         )
         for b in range(bands)
@@ -349,7 +349,7 @@ def winnow_overlap_sql(
 ) -> str:
     """Oracle for winnow_overlap_pairs(..., portable=True)."""
     lead_cols = ", ".join(f"lead(th, {j}) OVER w AS t{j}" for j in range(1, k))
-    kgram = combine60_sql("th", *[f"t{j}" for j in range(1, k)])
+    kgram = combine_cw_sql("th", *[f"t{j}" for j in range(1, k)])
     return f"""
     WITH {_TOKS},
     toks AS (SELECT id, pos, {hex60_sql('t')} AS th FROM raw),

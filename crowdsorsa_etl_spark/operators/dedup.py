@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.functions.portable_hash import (
-    combine60_spark,
+    combine_cw_spark,
     cw_hash_spark,
     h64_spark,
     hex60_spark,
@@ -41,17 +41,19 @@ def _norm(col):
 # Hash family selector. Default xxhash64 (fastest; Spark-only). With
 # ``portable=True`` every hash derives from md5 via functions/portable_hash,
 # so the identical signature pipeline is expressible as DuckDB SQL (see
-# queries_lsh_sql.py) and the driver's oracle gate can hash-compare the
-# output instead of recording rows-only. Same null-skipping semantics:
-# xxhash64 skips NULL args; the portable combine uses concat_ws, which both
-# engines define to skip NULLs.
+# lsh_oracles.py) and the driver's oracle gate can hash-compare the output
+# instead of recording rows-only. md5 is paid once per TOKEN; multi-value
+# combines (shingles, band buckets, k-grams) use the integer Carter-Wegman
+# polynomial — one multiply-add per word, no per-shingle digest (the round-5
+# md5-per-shingle combine cost 1.68× the xxhash64 tier). Same null-skipping
+# semantics: xxhash64 skips NULL args; the CW combine skips NULL words.
 def _tok_hash(col, portable: bool):
     return hex60_spark(col) if portable else F.xxhash64(col)
 
 
-def _combine_hash(cols, portable: bool, seed: str | int | None = None):
+def _combine_hash(cols, portable: bool, seed: int | None = None):
     if portable:
-        return combine60_spark(*cols, seed=None if seed is None else str(seed))
+        return combine_cw_spark(*cols, seed=seed or 0)
     pre = [] if seed is None else [F.lit(seed)]
     return F.xxhash64(*pre, *cols)
 
@@ -164,7 +166,7 @@ def minhash_lsh_candidates(
                                 for r in range(rows_per_band)
                             ],
                             portable,
-                            seed=f"b{b}" if portable else b,
+                            seed=b,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
