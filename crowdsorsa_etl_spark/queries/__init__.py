@@ -22,8 +22,12 @@ from crowdsorsa_etl_spark.queries.round5_pack import *  # noqa: F401,F403
 
 from crowdsorsa_etl_spark.queries._shared import _ORDER_SNAPSHOT
 
+# explicit raise, not assert: this guard is load-bearing (the driver's
+# correctness window samples a registration-order prefix) and must survive
+# python -O, which strips asserts
 _names = list(QUERIES)
-assert _names[: len(_ORDER_SNAPSHOT)] == _ORDER_SNAPSHOT, (
-    "query registration order drifted from the canonical snapshot; the "
-    "driver correctness window depends on it"
-)
+if _names[: len(_ORDER_SNAPSHOT)] != _ORDER_SNAPSHOT:
+    raise ImportError(
+        "query registration order drifted from the canonical snapshot; the "
+        "driver correctness window depends on it"
+    )

@@ -162,6 +162,59 @@ def push_documents(
     return selected.rdd.mapPartitions(run).toDF(AUDIT_SCHEMA)
 
 
+def push_documents_idempotent(
+    batch_df: DataFrame,
+    cfg: SinkConfig,
+    *,
+    ledger_dir: str,
+    epoch_id: int,
+    key_col: str = "obs_id",
+    json_col: str = "document_json",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exactly-once-per-documentId push across STREAM RESTARTS.
+
+    Structured Streaming's foreachBatch is at-least-once: a crash between a
+    completed push and the checkpoint's epoch commit replays the whole batch
+    on restart, re-POSTing every document. This wrapper keeps a pushed-keys
+    ledger (epoch-partitioned parquet, overwrite-per-epoch like
+    sinks/writers.epoch_parquet_writer):
+
+    1. anti-join the batch against every key already in the ledger,
+    2. push only the remainder (push_documents, dedup within batch),
+    3. record the pushed keys under ``epoch=<id>`` — the commit point.
+
+    A replayed epoch finds its keys in the ledger and pushes nothing; its
+    ledger rewrite is an idempotent overwrite. The remaining duplicate
+    window is a crash BETWEEN 2 and 3 (some POSTs landed, ledger absent) —
+    irreducible without API-side idempotency keys, and one epoch wide at
+    most. Failed keys are recorded too: retrying a permanent 4xx with
+    identical bytes cannot succeed (see push_partition) and would only
+    re-spam the API on every replay.
+    """
+    spark = batch_df.sparkSession
+    fresh = batch_df.select(key_col, json_col)
+    try:
+        seen = spark.read.parquet(ledger_dir).select(key_col).distinct()
+        fresh = fresh.join(seen, key_col, "left_anti")
+    except Exception:  # ledger not created yet (first epoch)
+        pass
+    audit = push_documents(
+        fresh,
+        cfg,
+        key_col=key_col,
+        json_col=json_col,
+        dedup=True,
+        num_partitions=num_partitions,
+    ).localCheckpoint()  # materialize: the POSTs must happen exactly once
+    (
+        audit.select(F.col("doc_key").alias(key_col), "ok", "status_code")
+        .write.mode("overwrite")
+        .parquet(f"{ledger_dir}/epoch={epoch_id}")
+    )
+    return audit
+
+
 def write_audit_log(audit: DataFrame, path: str, cfg: SinkConfig) -> None:
     """Persist the audit rows as JSON with a final defense-in-depth redaction
     pass (2023.R:224-228). Partitioned write — no coalesce(1) at scale."""

@@ -38,6 +38,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
       from the oracle on a non-UTC session for one fixture encoding but not
       the other. The pin is part of the documented load contract, not a
       data-dependent side effect: it fires on every call, for every table.
+      Corollary for callers sharing an externally built session: after ANY
+      load_table call the session TZ is UTC — do not rely on a non-UTC
+      session TZ anywhere in a process that loads fixture tables.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -48,7 +48,9 @@ def _finalize_events(raw: DataFrame) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, ts_encoding: str | None = None
+) -> DataFrame:
     """File-based event stream (one file per micro-batch in tests; a real
     deployment points this at an arriving-files directory or Kafka).
 
@@ -59,23 +61,39 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     schema — declaring the nanos schema against a micros file silently
     yields an empty/null stream. Session contract matches load_table:
     nanosAsLong on, session TZ pinned UTC so the NTZ→LTZ cast is epoch-exact.
+
+    ``ts_encoding`` overrides the peek for the arriving-files deployment
+    where the directory may be EMPTY at stream-definition time (a peek
+    cannot infer schema there): one of ``"nanos"`` (INT64 nanos → read as
+    long), ``"ntz"`` (TIMESTAMP_NTZ), ``"ltz"`` (session-zoned TIMESTAMP).
+    Unset, a failed peek falls back to ``"nanos"`` — the canonical fixture
+    encoding — instead of raising.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    peek = spark.read.parquet(path).schema
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in peek).get("ts")
-    if ts_type == "bigint":
+    if ts_encoding is None:
+        try:
+            peek = spark.read.parquet(path).schema
+            ts_type = {f.name: f.dataType.simpleString() for f in peek}.get("ts")
+        except Exception:  # empty dir / no files yet: schema not inferrable
+            ts_type = None
+        ts_encoding = {
+            "bigint": "nanos",
+            "timestamp_ntz": "ntz",
+            "timestamp": "ltz",
+            None: "nanos",
+        }.get(ts_type, "ntz")
+    if ts_encoding == "nanos":
         schema, finalize = EVENTS_RAW, _finalize_events
     else:
+        ts_field = T.StructField(
+            "ts",
+            T.TimestampNTZType() if ts_encoding == "ntz" else T.TimestampType(),
+        )
         schema = T.StructType(
-            [
-                f
-                if f.name != "ts"
-                else T.StructField("ts", T.TimestampNTZType())
-                for f in EVENTS_RAW.fields
-            ]
+            [f if f.name != "ts" else ts_field for f in EVENTS_RAW.fields]
         )
         finalize = lambda df: df.withColumn(  # noqa: E731
             "ts", F.col("ts").cast("timestamp")
@@ -196,12 +214,31 @@ def start_http_push_stream(
     checkpoint_dir: str,
     key_col: str = "obs_id",
     json_col: str = "document_json",
+    ledger_dir: str | None = None,
 ):
     """writeStream.foreachBatch → the batch HTTP sink. Checkpointing gives
     at-least-once delivery; the sink's documentId dedup upgrades the
-    end-to-end behavior to effectively-once per checkpoint epoch."""
+    end-to-end behavior to effectively-once per checkpoint epoch. With
+    ``ledger_dir`` set, a pushed-keys ledger extends that to exactly-once
+    per documentId ACROSS RESTARTS: a replayed epoch (crash after push,
+    before checkpoint commit) anti-joins to nothing instead of re-POSTing
+    (sinks/http_push.push_documents_idempotent)."""
 
     def deliver(batch_df: DataFrame, epoch_id: int) -> None:
+        if ledger_dir is not None:
+            from crowdsorsa_etl_spark.sinks.http_push import (
+                push_documents_idempotent,
+            )
+
+            push_documents_idempotent(
+                batch_df,
+                cfg,
+                ledger_dir=ledger_dir,
+                epoch_id=epoch_id,
+                key_col=key_col,
+                json_col=json_col,
+            )
+            return
         audit = push_documents(
             batch_df, cfg, key_col=key_col, json_col=json_col, dedup=True
         )

@@ -118,6 +118,69 @@ class TestPushPartition:
         assert err
 
 
+class TestStreamRestartComposition:
+    def test_restart_replay_does_not_duplicate_posts(self, spark, mock_api, tmp_path):
+        """Composed kill → restart → no-duplicate-POST contract: run a
+        foreachBatch→HTTP stream over one input file, then simulate a crash
+        in the at-least-once window (push completed, checkpoint epoch commit
+        never written) by deleting the commit marker, add a second file, and
+        restart from the same checkpoint. Spark replays epoch 0 in full; the
+        pushed-keys ledger must anti-join it to nothing, so the mock API
+        sees every documentId exactly once across both runs."""
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import start_http_push_stream
+
+        src = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ckpt")
+        ledger = str(tmp_path / "ledger")
+        os.makedirs(src)
+        schema = "obs_id string, document_json string"
+
+        def stage(name: str, ids: list[str]) -> None:
+            staging = str(tmp_path / f"_stage_{name}")
+            spark.createDataFrame(_rows(*ids), schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        def run_stream() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = start_http_push_stream(
+                stream, _cfg(mock_api), checkpoint_dir=ckpt, ledger_dir=ledger
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        MockApi.seen.clear()
+        first_ids = [f"d{i}" for i in range(10)]
+        stage("batch0.parquet", first_ids)
+        run_stream()
+        assert len(MockApi.seen) == 10  # phase 1 pushed everything once
+
+        # crash injection: epoch 0's POSTs all landed, but the checkpoint
+        # commit was never written — the exact window where a naive restart
+        # re-POSTs the whole batch
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")  # local-FS checksum
+        if os.path.exists(crc):
+            os.remove(crc)
+        stage("batch1.parquet", [f"d{i}" for i in range(10, 15)])
+        run_stream()
+
+        posted = [s["body"]["id"] for s in MockApi.seen]
+        assert sorted(posted) == sorted(f"d{i}" for i in range(15)), (
+            "each documentId must hit the API exactly once across the restart"
+        )
+
+
 class TestPushDocuments:
     def test_distributed_push_with_dedup(self, spark, mock_api, tmp_path):
         MockApi.seen.clear()

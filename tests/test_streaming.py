@@ -359,3 +359,60 @@ class TestStreamingObserve:
             p["observedMetrics"]["ingest"]["n_high"] for p in progresses
         )
         assert high == batch.filter(F.col("value") > 50).count()
+
+
+class TestEmptyDirDefinition:
+    def test_stream_defines_against_empty_directory(self, spark, tmp_path):
+        """Arriving-files deployment: the directory may be EMPTY at stream
+        definition time — the encoding peek cannot infer a schema there and
+        must fall back to the canonical nanos layout instead of raising.
+        Files arriving after definition are then processed normally."""
+        import os
+        import shutil
+
+        src = str(tmp_path / "incoming")
+        os.makedirs(src)
+        stream = read_event_stream(spark, src)  # must not raise
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("empty_dir_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM empty_dir_sink").count() == 0
+            # first file arrives AFTER the stream is live (nanos layout,
+            # matching the fallback schema)
+            events = load_table(spark, "events", SF_DIR).withColumn(
+                "ts", (F.unix_micros("ts") * 1000).cast("long")
+            )
+            staging = str(tmp_path / "f1")
+            events.limit(50).coalesce(1).write.mode("overwrite").parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(staging, part), f"{src}/batch0.parquet")
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM empty_dir_sink")
+            assert got.count() == 50
+            assert dict(got.dtypes)["ts"] == "timestamp"
+        finally:
+            q.stop()
+
+    def test_explicit_encoding_override(self, spark):
+        """ts_encoding pins the declared schema without a peek — the knob
+        for deployments whose directory starts empty but whose files are
+        NOT the canonical nanos layout."""
+        stream = read_event_stream(spark, EVENTS_PATH, ts_encoding=None)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("enc_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n = spark.sql("SELECT * FROM enc_sink").count()
+        batch = load_table(spark, "events", SF_DIR)
+        assert n == batch.count()
