@@ -1,0 +1,158 @@
+"""Round 6: n-ary Z-order layout keys + the flagship units-aggregation
+oracle layer.
+
+Split convention: registration ORDER is load-bearing (the driver's
+correctness window samples the first 50 registrations); this module is
+imported LAST by queries/__init__.py, so its entries append after the
+round-5 snapshot without disturbing the prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.queries._shared import _t, register
+
+
+# ===========================================================================
+# q89: 3-key Morton (Z-order) clustering keys — the n-ary generalization of
+# q49 (operators/zorder.z_value_n); oracle generated from the same bit loop.
+# ===========================================================================
+
+
+_Z3_KEYS = [
+    "o_custkey",
+    "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+    "o_orderkey % 1024",
+]
+
+
+def _zorder3_sql() -> str:
+    from crowdsorsa_etl_spark.operators.zorder import z_value_n_sql
+
+    z = z_value_n_sql(_Z3_KEYS)
+    return f"""
+    SELECT o_orderkey, {z} AS z,
+           CAST({z} >> 36 AS BIGINT) AS z_bucket
+    FROM orders
+    """
+
+
+@register("q89_zorder3_keys", _zorder3_sql())
+def q89_zorder3_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-key Z-order (Morton) clustering value over (customer, order-day,
+    orderkey-shard) — the n-ary layout expression behind
+    operators/zorder.zorder_write, which range-partitions + sorts by this
+    value so parquet min/max stats prune scans for predicates on ANY of the
+    three keys (Delta OPTIMIZE ZORDER BY c1,c2,c3 analog). The oracle SQL is
+    generated from the same round-robin bit-interleave loop
+    (z_value_n / z_value_n_sql) — parity by construction."""
+    from crowdsorsa_etl_spark.operators.zorder import z_value_n
+
+    orders = _t(spark, sf_dir, "orders")
+    z = z_value_n(
+        [
+            F.col("o_custkey"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ),
+            F.col("o_orderkey") % 1024,
+        ]
+    )
+    return orders.select(
+        "o_orderkey",
+        z.alias("z"),
+        F.shiftright(z, 36).cast("bigint").alias("z_bucket"),
+    )
+
+
+# ===========================================================================
+# flagship_units_agg: the S25 units-aggregation layer under a full oracle —
+# sorted collect_list structs per order (the exact pre-to_json shape the
+# flagship assembles), flattened with posexplode so every field INCLUDING
+# the array position is hash-compared against DuckDB's
+# list(struct_pack(...) ORDER BY ...). Complements flagship_doc_fields
+# (which oracles the scalar fields through a JSON round-trip); together
+# they cover every layer of S25 except the serializer itself.
+#
+# netPrice is the EXACT decimal product cast to double: double→DECIMAL(12,2)
+# inputs make the product exact fixed-point (no rounding step at all), and
+# the final decimal→double conversion is deterministic in both engines —
+# sidestepping the Spark-HALF_UP vs DuckDB-half-even divergence that any
+# round-to-2 of a .xx45/.xx55 product hits.
+# ===========================================================================
+
+
+_NET_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+    " AS DOUBLE)"
+)
+
+_UNITS_AGG_SQL = f"""
+    WITH u AS (
+      SELECT l_orderkey AS order_key,
+             list(struct_pack(
+                    lineNumber := l_linenumber,
+                    partKey := l_partkey,
+                    quantity := l_quantity,
+                    netPrice := {_NET_SQL},
+                    returnFlag := l_returnflag)
+                  ORDER BY l_linenumber, l_partkey, l_quantity,
+                           {_NET_SQL}, l_returnflag) AS units
+      FROM lineitem GROUP BY 1
+    ),
+    flat AS (
+      SELECT order_key,
+             CAST(generate_subscripts(units, 1) - 1 AS INT) AS pos,
+             unnest(units) AS unit
+      FROM u
+    )
+    SELECT order_key, pos,
+           unit.lineNumber AS line_number,
+           unit.partKey AS part_key,
+           unit.quantity AS quantity,
+           unit.netPrice AS net_price,
+           unit.returnFlag AS return_flag
+    FROM flat
+"""
+
+
+@register("flagship_units_agg", _UNITS_AGG_SQL)
+def flagship_units_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's units layer (pipelines/flagship.py:40-54) under a full
+    hash oracle: per-order sorted struct arrays, flattened position-by-
+    position. sort_array orders by the full struct (field by field), so the
+    oracle ORDER BY lists every field — the fixture has duplicate
+    l_linenumber within an order, making the tie-break load-bearing."""
+    li = _t(spark, sf_dir, "lineitem")
+    net = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    ).cast("double")
+    units = li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("lineNumber"),
+                    F.col("l_partkey").alias("partKey"),
+                    F.col("l_quantity").alias("quantity"),
+                    net.alias("netPrice"),
+                    F.col("l_returnflag").alias("returnFlag"),
+                )
+            )
+        ).alias("units")
+    )
+    return units.select(
+        "order_key",
+        F.posexplode("units").alias("pos", "unit"),
+    ).select(
+        "order_key",
+        "pos",
+        F.col("unit.lineNumber").alias("line_number"),
+        F.col("unit.partKey").alias("part_key"),
+        F.col("unit.quantity").alias("quantity"),
+        F.col("unit.netPrice").alias("net_price"),
+        F.col("unit.returnFlag").alias("return_flag"),
+    )

@@ -53,3 +53,65 @@ class TestZOrderLayout:
         # 16/64 of global in each dim; allow slack for range-boundary files
         assert sum(spreads_x) / len(spreads_x) < 0.5 * (side - 1)
         assert sum(spreads_y) / len(spreads_y) < 0.5 * (side - 1)
+
+
+class TestZValueNary:
+    def test_three_key_interleave_known_value(self, spark):
+        from crowdsorsa_etl_spark.operators.zorder import z_value_n
+
+        # x=1 (bit0), y=1 (bit0), w=1 (bit0) with n=3: positions 0,1,2 -> 0b111
+        df = spark.createDataFrame([(1, 1, 1)], "x int, y int, w int")
+        z = df.select(
+            z_value_n([F.col("x"), F.col("y"), F.col("w")], bits=4).alias("z")
+        ).first().z
+        assert z == 0b111
+        # x=2 -> bit1 of x at position 1*3+0=3; y=0, w=1 -> bit 2
+        df2 = spark.createDataFrame([(2, 0, 1)], "x int, y int, w int")
+        z2 = df2.select(
+            z_value_n([F.col("x"), F.col("y"), F.col("w")], bits=4).alias("z")
+        ).first().z
+        assert z2 == (1 << 3) | (1 << 2)
+
+    def test_two_key_wrapper_unchanged(self, spark):
+        # the 2-ary wrapper must reproduce the classic Morton value
+        df = spark.createDataFrame([(3, 5)], "x int, y int")
+        assert df.select(z_value(F.col("x"), F.col("y")).alias("z")).first().z == 39
+
+    def test_bit_budget_guard(self):
+        from crowdsorsa_etl_spark.operators.zorder import _bits_for
+
+        assert _bits_for(3, None) == 16
+        assert _bits_for(4, None) == 15
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _bits_for(4, 16)  # 64 bits overflows signed bigint
+
+    def test_three_key_layout_compact_in_all_dims(self, spark, tmp_path):
+        """16 files over an 8x8x8 grid: Z-sorted files must cover narrow
+        ranges of ALL THREE keys; a single-key sort leaves the other two
+        dimensions' per-file spread at ~the global spread."""
+        side = 16
+        n = side**3
+        df = spark.range(n).select(
+            (F.col("id") % side).cast("int").alias("x"),
+            ((F.col("id") / side) % side).cast("int").alias("y"),
+            (F.col("id") / (side * side)).cast("int").alias("w"),
+            F.col("id").alias("payload"),
+        )
+        path = str(tmp_path / "zed3")
+        zorder_write(df, path, "x", "y", "w", bits=4, num_files=16)
+
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        spreads = {"x": [], "y": [], "w": []}
+        for f in _glob.glob(path + "/*.parquet"):
+            t = _pq.read_table(f, columns=["x", "y", "w"])
+            for c in spreads:
+                vals = t.column(c).to_pylist()
+                if vals:
+                    spreads[c].append(max(vals) - min(vals))
+        for c, ss in spreads.items():
+            assert sum(ss) / len(ss) < 0.5 * (side - 1), c
