@@ -51,6 +51,12 @@ HEADLINE = [
     "llm_span_dedup",
     "q66_histogram_quantiles",
     "llm_repetition_filter",
+    # round 6: join-heavy shapes (VERDICT r5 'Next round' #7) — binned
+    # range join, Q21-analogue semi+anti composition, portable-hash
+    # banded-LSH self-join
+    "q48_range_join_binned",
+    "q88_waiting_orders",
+    "llm_minhash_lsh",
 ]
 
 
