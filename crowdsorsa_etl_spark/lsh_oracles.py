@@ -344,6 +344,114 @@ def multimodal_embed_topk_sql(dim: int = 16, k: int = 5) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN oracle — replay the driver-side numpy k-means in SQL.
+#
+# ivf_train_centroids is fully deterministic: the sample is the first
+# sample_size vectors by id, init is the first n_lists of them, assignment is
+# first-occurrence argmax (ties → lowest centroid index), probes come from a
+# stable argsort. All of those are INTEGER decisions, robust to the last-ulp
+# float differences between numpy's pairwise summation and SQL's sequential
+# folds (decision boundaries on real embeddings are ~1e-2 wide vs ~1e-15
+# drift); the final re-rank uses raw vectors with the proven sequential
+# cosine. The Lloyd iterations are unrolled as generated CTE blocks in
+# long (cid, d, value) format.
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    sample_size: int = 2048,
+    iterations: int = 5,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for similarity.ivf_topk (trainer='sample') on the embeddings
+    table. ``query_pred`` is over CTE ``xn(id, xv)`` (id = vec_id)."""
+
+    def norm(v: str) -> str:
+        return (
+            f"list_transform({v}, a -> a /"
+            f" greatest(sqrt(list_dot_product({v}, {v})), 1e-12))"
+        )
+
+    parts = [
+        f"""
+    e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    xn AS (SELECT id, {norm('v')} AS xv FROM e),
+    samp AS (SELECT id, xv FROM xn ORDER BY id LIMIT {sample_size}),
+    cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS c, xv AS cv
+      FROM (SELECT id, xv FROM samp ORDER BY id LIMIT {n_lists})
+    )"""
+    ]
+    prev = "cent0"
+    for it in range(1, iterations + 1):
+        parts.append(f"""
+    assign{it} AS (
+      SELECT id, xv, c AS cid FROM (
+        SELECT s.id, s.xv, ct.c,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY list_dot_product(s.xv, ct.cv) DESC, ct.c ASC) AS rn
+        FROM samp s, {prev} ct) t
+      WHERE rn = 1
+    ),
+    m{it} AS (
+      SELECT cid, d, sum(val) / count(*) AS mv
+      FROM (SELECT cid, unnest(xv) AS val, generate_subscripts(xv, 1) AS d
+            FROM assign{it}) t
+      GROUP BY 1, 2
+    ),
+    craw{it} AS (SELECT cid, list(mv ORDER BY d) AS cv FROM m{it} GROUP BY 1),
+    cent{it} AS (
+      SELECT p.c,
+             CASE WHEN r.cv IS NULL THEN p.cv
+                  ELSE {norm('r.cv')} END AS cv
+      FROM {prev} p LEFT JOIN craw{it} r ON p.c = r.cid
+    )""")
+        prev = f"cent{it}"
+    parts.append(f"""
+    assignF AS (
+      SELECT id, c AS list_id FROM (
+        SELECT x.id, ct.c,
+               row_number() OVER (PARTITION BY x.id
+                 ORDER BY list_dot_product(x.xv, ct.cv) DESC, ct.c ASC) AS rn
+        FROM xn x, {prev} ct) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, c AS list_id FROM (
+        SELECT q.id AS qid, ct.c,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY list_dot_product(q.xv, ct.cv) DESC, ct.c ASC) AS rn
+        FROM (SELECT id, xv FROM xn WHERE {query_pred}) q, {prev} ct) t
+      WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.qid AS query_id, a.id AS neighbor_id
+      FROM assignF a JOIN probes p ON a.list_id = p.list_id AND a.id != p.qid
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(eq.v, en.v)
+                   / (sqrt(list_dot_product(eq.v, eq.v))
+                      * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+      FROM cand
+      JOIN e eq ON eq.id = cand.query_id
+      JOIN e en ON en.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s) t
+    WHERE rank <= {k}""")
+    return "WITH " + ",".join(parts)
+
+
 def winnow_overlap_sql(
     k: int = 4, window: int = 4, min_shared: int = 2, max_doc_freq: int = 100
 ) -> str:

@@ -402,10 +402,15 @@ def llm_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ivf_topk")
+@register("llm_ivf_topk", lsh_oracles.ivf_topk_sql(n_lists=16, n_probe=8))
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (rows-only: k-means cells are implementation-defined;
-    recall gate vs exact cosine_topk in tests/test_operators.py)."""
+    """IVF ANN top-k. Oracle since round 6: the sample trainer is fully
+    deterministic (first-N init, first-occurrence argmax, stable argsort
+    probes — all integer decisions, robust to summation-order ulp), so the
+    DuckDB SQL replays the 5 unrolled Lloyd iterations, list assignment,
+    probe selection, and raw-vector re-rank end to end
+    (lsh_oracles.ivf_topk_sql). Recall gate vs exact cosine_topk stays in
+    tests/test_operators.py."""
     from crowdsorsa_etl_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
