@@ -359,24 +359,19 @@ def multimodal_embed_topk_sql(dim: int = 16, k: int = 5) -> str:
 # ---------------------------------------------------------------------------
 
 
-def ivf_topk_sql(
-    dim: int = 64,
-    k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 8,
-    sample_size: int = 2048,
-    iterations: int = 5,
-    query_pred: str = "id < 10",
-) -> str:
-    """Oracle for similarity.ivf_topk (trainer='sample') on the embeddings
-    table. ``query_pred`` is over CTE ``xn(id, xv)`` (id = vec_id)."""
+def _l2norm_sql(v: str) -> str:
+    """Unit-normalize a DOUBLE[] with the trainers' 1e-12 floor."""
+    return (
+        f"list_transform({v}, a -> a /"
+        f" greatest(sqrt(list_dot_product({v}, {v})), 1e-12))"
+    )
 
-    def norm(v: str) -> str:
-        return (
-            f"list_transform({v}, a -> a /"
-            f" greatest(sqrt(list_dot_product({v}, {v})), 1e-12))"
-        )
 
+def _kmeans_ctes(n_lists: int, sample_size: int, iterations: int) -> tuple[str, str]:
+    """Shared CTE chain for the sample-trainer replay: embeddings → e(id, v)
+    / xn(id, xv normalized) / samp / unrolled Lloyd iterations /
+    assignF(id, list_id). Returns (sql_fragment, final_centroid_cte)."""
+    norm = _l2norm_sql
     parts = [
         f"""
     e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -421,13 +416,30 @@ def ivf_topk_sql(
                  ORDER BY list_dot_product(x.xv, ct.cv) DESC, ct.c ASC) AS rn
         FROM xn x, {prev} ct) t
       WHERE rn = 1
-    ),
+    )""")
+    return ",".join(parts), prev
+
+
+def ivf_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    sample_size: int = 2048,
+    iterations: int = 5,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for similarity.ivf_topk (trainer='sample') on the embeddings
+    table. ``query_pred`` is over CTE ``xn(id, xv)`` (id = vec_id)."""
+    kmeans, cent = _kmeans_ctes(n_lists, sample_size, iterations)
+    parts = [kmeans]
+    parts.append(f"""
     probes AS (
       SELECT qid, c AS list_id FROM (
         SELECT q.id AS qid, ct.c,
                row_number() OVER (PARTITION BY q.id
                  ORDER BY list_dot_product(q.xv, ct.cv) DESC, ct.c ASC) AS rn
-        FROM (SELECT id, xv FROM xn WHERE {query_pred}) q, {prev} ct) t
+        FROM (SELECT id, xv FROM xn WHERE {query_pred}) q, {cent} ct) t
       WHERE rn <= {n_probe}
     ),
     cand AS (
@@ -450,6 +462,56 @@ def ivf_topk_sql(
           FROM s) t
     WHERE rank <= {k}""")
     return "WITH " + ",".join(parts)
+
+
+def semdedup_sql(
+    n_clusters: int = 16,
+    epsilon: float = 0.45,
+    sample_size: int = 2048,
+    iterations: int = 5,
+) -> str:
+    """Oracle for similarity.semdedup (trainer='sample'): same k-means
+    replay, then per-cluster centroid-similarity ranking and the
+    higher-ranked-neighbor removal rule. centroid_sim uses the FLOAT32-
+    quantized centroids (Spark ships them via an array<float> DataFrame)
+    while assignment uses the full float64 centroids — the oracle mirrors
+    both precisions."""
+    kmeans, cent = _kmeans_ctes(n_clusters, sample_size, iterations)
+    pair_cos = (
+        "round(list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return "WITH " + kmeans + f""",
+    cq AS (SELECT c, CAST(CAST(cv AS FLOAT[]) AS DOUBLE[]) AS cvq
+           FROM {cent}),
+    ranked AS (
+      SELECT e.id, a.list_id,
+             round(list_dot_product(e.v, cq.cvq)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cq.cvq, cq.cvq))), 6)
+               AS centroid_sim
+      FROM assignF a
+      JOIN e ON e.id = a.id
+      JOIN cq ON cq.c = a.list_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY list_id
+                 ORDER BY centroid_sim DESC, id ASC) AS rank
+      FROM ranked
+    ),
+    rm AS (
+      SELECT DISTINCT b.id
+      FROM rk a
+      JOIN rk b ON a.list_id = b.list_id AND a.rank < b.rank
+      JOIN e ea ON ea.id = a.id
+      JOIN e eb ON eb.id = b.id
+      WHERE {pair_cos} > {epsilon}
+    )
+    SELECT rk.id AS vec_id, rk.list_id, rk.centroid_sim,
+           (rm.id IS NULL) AS keep
+    FROM rk LEFT JOIN rm ON rk.id = rm.id
+    """
 
 
 def winnow_overlap_sql(

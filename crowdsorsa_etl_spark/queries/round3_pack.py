@@ -1293,14 +1293,17 @@ def q76_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_semdedup")
+@register("llm_semdedup", lsh_oracles.semdedup_sql(n_clusters=16, epsilon=0.45))
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (embedding-space semantic dedup): cluster-bounded pairwise
-    removal (``operators/similarity.semdedup``). Iterative k-means makes
-    it rows-only; the quantitative gate is the keep-set-invariant test in
-    tests/test_graph.py (planted near-duplicates, numpy-verified). The
-    fixture embeddings are random (max pairwise cosine ~0.5) so epsilon
-    0.45 exercises the removal path at this scale."""
+    removal (``operators/similarity.semdedup``). Oracle since round 6: the
+    sample trainer replay (lsh_oracles._kmeans_ctes) plus the per-cluster
+    ranking and higher-ranked-neighbor removal rule, with centroid_sim at
+    the same float32 centroid precision Spark uses. The keep-set-invariant
+    test in tests/test_graph.py (planted near-duplicates, numpy-verified)
+    stays as the semantic gate. The fixture embeddings are random (max
+    pairwise cosine ~0.5) so epsilon 0.45 exercises the removal path at
+    this scale."""
     from crowdsorsa_etl_spark.operators.similarity import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
