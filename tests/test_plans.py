@@ -299,3 +299,33 @@ class TestRound5Plans:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound6Plans:
+    def test_zorder3_is_shuffle_free_pruned_projection(self, spark):
+        """The n-ary Z-value is a pure codegen'd projection: zero exchanges,
+        zero joins, and the scan reads ONLY the three key columns."""
+        plan = plan_of(QUERIES["q89_zorder3_keys"](spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "o_orderkey" in plan and "o_custkey" in plan
+        # column pruning: payload columns never reach the scan
+        assert "o_totalprice" not in plan and "o_comment" not in plan
+
+    def test_units_agg_is_one_shuffle_with_partial_collect(self, spark):
+        """The flagship units layer: exactly one hash exchange on the order
+        key, with map-side partial_collect_list before it — the shape that
+        makes S25's nested assembly a single-shuffle pipeline at 100 TB."""
+        plan = plan_of(QUERIES["flagship_units_agg"](spark, SF_DIR))
+        assert plan.count(") Exchange") == 1  # formatted mode: one node
+        assert "hashpartitioning(l_orderkey" in plan
+        assert "partial_collect_list" in plan
+        assert "Join" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_embedding_dups_lsh_portable_rescore_after_prefilter(self, spark):
+        """The portable tier must keep the BLAS verifier as the bulk filter
+        (ArrowEvalPython present) and never fall into a nested-loop join."""
+        plan = plan_of(QUERIES["llm_embedding_dups_lsh"](spark, SF_DIR))
+        assert "NestedLoop" not in plan
+        assert "ArrowEvalPython" in plan or "EvalPython" in plan
