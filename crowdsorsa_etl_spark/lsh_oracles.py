@@ -344,6 +344,87 @@ def multimodal_embed_topk_sql(dim: int = 16, k: int = 5) -> str:
     """
 
 
+def dedup_clusters_sql(
+    num_hashes: int = 16, bands: int = 8, shingle_k: int = 3
+) -> str:
+    """Oracle for the full near-dedup pipeline (portable minhash edges →
+    connected components → per-doc cluster + keep flag). The Spark side
+    iterates pointer-doubling min-label propagation; the RESULT — component
+    = minimum doc id in the component — is iteration-free and deterministic,
+    so the oracle computes it directly with a recursive transitive-closure
+    CTE over the same edges (near-dup components are small by construction,
+    so the closure's row count stays bounded)."""
+    pairs = minhash_lsh_sql(num_hashes, bands, shingle_k)
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.id, s.dst
+      FROM reach JOIN sym s ON reach.r = s.src
+      WHERE s.dst != reach.id
+    ),
+    comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           (d.doc_id = COALESCE(c.component, d.doc_id)) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
+def pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Oracle for q65_pagerank: unroll the fixed-count power iterations as
+    CTE stages over the same supplier→part edge list. Every constant that
+    Spark computes driver-side in Python floats ((1-d)/n, d, 1/n) is emitted
+    with the same operation order and CAST AS DOUBLE so both engines do
+    identical IEEE arithmetic; per-iteration sums differ only in summation
+    order (~1e-16 relative), absorbed by the 8-dp rounding. The final
+    ORDER BY rounded-rank DESC, node LIMIT 100 matches the Spark query."""
+    base = f"CAST({1.0 - damping!r} AS DOUBLE)"  # Python-computed, repr-exact
+    d = f"CAST({damping!r} AS DOUBLE)"
+    parts = [
+        f"""
+    e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+          FROM lineitem WHERE l_partkey < 500),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (
+      SELECT node, deg.deg, CAST(1 AS DOUBLE) / nn.n AS rank
+      FROM nodes LEFT JOIN deg ON nodes.node = deg.src, nn
+    )"""
+    ]
+    prev = "r0"
+    for it in range(1, iterations + 1):
+        parts.append(f"""
+    dang{it} AS (SELECT coalesce(sum(rank), 0.0) AS dm
+                 FROM {prev} WHERE deg IS NULL),
+    contrib{it} AS (
+      SELECT e.dst, sum(r.rank / r.deg) AS incoming
+      FROM {prev} r JOIN e ON r.node = e.src
+      WHERE r.deg IS NOT NULL GROUP BY 1
+    ),
+    r{it} AS (
+      SELECT r.node, r.deg,
+             {base} / nn.n
+             + {d} * (coalesce(c.incoming, CAST(0 AS DOUBLE)) + g.dm / nn.n)
+               AS rank
+      FROM {prev} r
+      LEFT JOIN contrib{it} c ON r.node = c.dst, dang{it} g, nn
+    )""")
+        prev = f"r{it}"
+    parts.append(f"""
+    fin AS (SELECT node, round(rank, 8) AS rank FROM {prev})
+    SELECT node, rank FROM fin ORDER BY rank DESC, node LIMIT 100""")
+    return "WITH " + ",".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN oracle — replay the driver-side numpy k-means in SQL.
 #

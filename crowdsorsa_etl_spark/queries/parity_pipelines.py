@@ -66,14 +66,18 @@ def crowdsorsa_documents_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents_2024(obs).select("obs_id", "document_json")
 
 
-@register("llm_dedup_clusters")
+@register("llm_dedup_clusters", lsh_oracles.dedup_clusters_sql())
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash candidates → connected components → per-doc cluster + keep
-    flag (the full near-dedup pipeline; iterative, so rows-only)."""
+    flag (the full near-dedup pipeline). Oracle since round 6: component =
+    min doc id in the component is an iteration-free deterministic result,
+    so DuckDB recomputes it with a recursive transitive-closure CTE over
+    the same portable-hash edges (lsh_oracles.dedup_clusters_sql); Spark's
+    pointer-doubling iteration stays gated by its own convergence tests."""
     from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs)
+    pairs = minhash_lsh_candidates(docs, portable=True)
     return dedup_clusters(docs, pairs)
 
 

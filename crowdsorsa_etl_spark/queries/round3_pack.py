@@ -574,14 +574,16 @@ def q64_ffill_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q65_pagerank")
+@register("q65_pagerank", lsh_oracles.pagerank_sql(iterations=5))
 def q65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier->part shipment graph (distinct
     (l_suppkey, l_partkey) edges, part keys offset into their own id
-    space). Iterative power method — not SQL-expressible without recursive
-    CTE aggregation, so rows-only here; the quantitative gate is
-    tests/test_graph.py's exact numpy-reference comparison. 5 iterations
-    keeps the registered query inside the driver's per-query budget."""
+    space). Oracle since round 6: the iteration count is FIXED, so the
+    DuckDB SQL unrolls the 5 power iterations as CTE stages with the same
+    Python-float constants and dangling-mass redistribution
+    (lsh_oracles.pagerank_sql); summation-order drift (~1e-16) is absorbed
+    by the 8-dp rounding. tests/test_graph.py's exact numpy-reference
+    comparison remains the semantic gate."""
     from crowdsorsa_etl_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 500)
