@@ -281,9 +281,10 @@ def attribution_join(
     *,
     horizon: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click joins every view by the same
-    user within the trailing ``horizon`` — the classic attribution shape.
+    """Stream-stream join: each click joins every view by the same user
+    within the trailing ``horizon`` — the classic attribution shape.
 
     Both sides carry watermarks and the join condition bounds event time on
     BOTH ends, so Spark can size the join state to
@@ -291,6 +292,12 @@ def attribution_join(
     watermark + horizon — an unbounded-state stream-stream join is the
     canonical streaming OOM. The same code path works in batch (the tests
     cross-check batch vs stream results on the fixture).
+
+    ``how="left_outer"`` emits unattributed clicks (NULL view columns) once
+    the watermark passes their match horizon — the "which clicks found no
+    view" question that an inner join silently drops. Outer stream-stream
+    joins REQUIRE the watermark + both-sided time bound: Spark must know
+    when a row can no longer match before it may emit the NULL row.
     """
     v = (
         views.select(
@@ -317,6 +324,7 @@ def attribution_join(
             view_ts >= click_ts - INTERVAL {horizon}
             """
         ),
+        how,
     ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")
 
 

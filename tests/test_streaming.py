@@ -416,3 +416,48 @@ class TestEmptyDirDefinition:
         n = spark.sql("SELECT * FROM enc_sink").count()
         batch = load_table(spark, "events", SF_DIR)
         assert n == batch.count()
+
+
+class TestOuterStreamStreamJoin:
+    def test_left_outer_emits_unattributed_clicks(self, spark):
+        """Outer stream-stream join: unattributed clicks must emit with NULL
+        view columns once the watermark passes their match horizon; matched
+        pairs must equal the inner join exactly. Clicks newer than
+        (max event time - watermark) may legally be withheld — they could
+        still match future data — so the stream's NULL set is a subset of
+        batch's unmatched clicks, non-empty on this fixture."""
+        from crowdsorsa_etl_spark.streaming.pipeline import attribution_join
+
+        stream = read_event_stream(spark, EVENTS_PATH)
+        got = _run_to_completion(
+            attribution_join(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "click"),
+                how="left_outer",
+            ),
+            "t_attr_outer",
+            spark,
+        ).collect()
+
+        events = load_table(spark, "events", SF_DIR)
+        views_b = events.filter(F.col("event_type") == "view")
+        clicks_b = events.filter(F.col("event_type") == "click")
+        inner_b = {
+            (r.user_id, r.click_id, r.view_id)
+            for r in attribution_join(views_b, clicks_b).collect()
+        }
+        outer_b = attribution_join(views_b, clicks_b, how="left_outer").collect()
+        unmatched_b = {r.click_id for r in outer_b if r.view_id is None}
+
+        got_inner = {
+            (r.user_id, r.click_id, r.view_id)
+            for r in got
+            if r.view_id is not None
+        }
+        got_nulls = {r.click_id for r in got if r.view_id is None}
+
+        assert got_inner == inner_b  # matched pairs identical to inner join
+        assert got_nulls, "fixture must yield watermark-closed unmatched clicks"
+        assert got_nulls <= unmatched_b  # no false NULLs
+        # every null-emitted click is genuinely unmatched AND watermark-aged
+        assert not (got_nulls & {r.click_id for r in outer_b if r.view_id is not None})
