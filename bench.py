@@ -61,6 +61,11 @@ HEADLINE = [
     "q66_histogram_quantiles",
     "q67_incremental_agg",
     "q65_pagerank",
+    # round 6 — ADDITIVE: the 32 entries above are the cross-round
+    # comparable set; these record the round-6 operators' wall times
+    "q88_waiting_orders",
+    "q89_zorder3_keys",
+    "flagship_units_agg",
 ]
 
 

@@ -71,6 +71,7 @@ def main() -> None:
 
     spark = get_spark(app_name="check_oracle")
     failures = 0
+    record: dict[str, dict] = {}
     t_start = time.monotonic()
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -81,6 +82,7 @@ def main() -> None:
             spark_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            record[name] = {"status": "fail", "err": f"spark: {exc}"}
             failures += 1
             continue
         if name not in ORACLES:
@@ -88,11 +90,13 @@ def main() -> None:
                 f"ROWS  {name}: {len(spark_pdf)} rows (rows-only, no oracle)"
                 f" [{time.monotonic() - t0:.2f}s]"
             )
+            record[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             continue
         try:
             oracle_pdf = con.sql(ORACLES[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
+            record[name] = {"status": "fail", "err": f"duckdb: {exc}"}
             failures += 1
             continue
         errs = compare(name, spark_pdf, oracle_pdf)
@@ -101,9 +105,38 @@ def main() -> None:
             print(f"FAIL  {name}:")
             for e in errs:
                 print(f"      {e}")
+            record[name] = {"status": "fail", "err": "; ".join(errs)[:400]}
         else:
             print(f"OK    {name}: {len(spark_pdf)} rows [{time.monotonic() - t0:.2f}s]")
-    print(f"TOTAL {time.monotonic() - t_start:.1f}s for {len(QUERIES) if not only else len(only)} queries")
+            record[name] = {"status": "hash_match", "rows": len(spark_pdf)}
+    total_s = round(time.monotonic() - t_start, 1)
+    print(f"TOTAL {total_s}s for {len(QUERIES) if not only else len(only)} queries")
+    # full-sweep runs leave a committed machine-readable record: the local
+    # mirror of the driver's CORRECTNESS artifact, covering ALL registered
+    # queries instead of the driver's 50-slot window
+    if not only:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "total_sec": total_s,
+            "n_queries": len(record),
+            "n_hash_match": sum(
+                1 for r in record.values() if r["status"] == "hash_match"
+            ),
+            "n_rows_only": sum(
+                1 for r in record.values() if r["status"] == "rows_only"
+            ),
+            "n_fail": failures,
+            "queries": record,
+        }
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_SELF.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+        print(f"wrote {out}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
