@@ -73,5 +73,64 @@ class CrowdsorsaDimDataSource(DataSource):
         return _DimReader(rows)
 
 
+# ---------------------------------------------------------------------------
+# Custom STREAMING Python DataSource (Spark 4 SimpleDataSourceStreamReader):
+# the connector shape for "an upstream system the engine polls" — an API
+# pager, a change feed, a queue without a native Spark source. Offsets are
+# plain dicts persisted in the checkpoint; readBetweenOffsets() is the
+# crash-replay contract (Spark re-reads a committed range after restart, so
+# the generator MUST be deterministic per offset range — same discipline as
+# a Kafka offset range).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+def _gen_event(i: int) -> tuple:
+    """Deterministic synthetic event for offset i (integer hashing only, no
+    RNG state — any executor/replay produces identical rows)."""
+    h = (i * 2654435761 + 40503) & 0xFFFFFFFF
+    etype = ("view", "click", "purchase")[h % 3]
+    return (i, h % 1000, etype, round((h % 10_000) / 100.0, 2))
+
+
+class _EventStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, rows_per_batch: int, max_rows: int):
+        self._per = rows_per_batch
+        self._max = max_rows
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = start["offset"]
+        e = min(s + self._per, self._max)
+        return iter([_gen_event(i) for i in range(s, e)]), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_gen_event(i) for i in range(start["offset"], end["offset"])])
+
+
+class CrowdsorsaEventGenDataSource(DataSource):
+    """``spark.readStream.format("crowdsorsa_event_gen")`` — a bounded
+    deterministic event stream (options: rowsPerBatch, maxRows) exercising
+    the custom-streaming-connector path end to end: offsets in the
+    checkpoint, exact replay between committed offsets, restart resume."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crowdsorsa_event_gen"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, value double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _EventStreamReader(
+            rows_per_batch=int(self.options.get("rowsPerBatch", 100)),
+            max_rows=int(self.options.get("maxRows", 1000)),
+        )
+
+
 def register(spark) -> None:
     spark.dataSource.register(CrowdsorsaDimDataSource)
+    spark.dataSource.register(CrowdsorsaEventGenDataSource)
