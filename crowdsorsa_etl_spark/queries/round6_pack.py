@@ -156,3 +156,48 @@ def flagship_units_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit.netPrice").alias("net_price"),
         F.col("unit.returnFlag").alias("return_flag"),
     )
+
+
+# ===========================================================================
+# q90: bloom-filter file skipping — equality probe on an UNCLUSTERED column.
+# The layout is range-clustered by o_orderdate (time-ordered ingest), so
+# o_custkey zone maps straddle every file and cannot prune; the per-file
+# bloom index prunes to the handful of files actually holding the customer.
+# Oracle = the plain full-table filter (pruning is sound by construction;
+# the hash gate proves the pruned scan loses and invents nothing).
+# ===========================================================================
+
+
+@register(
+    "q90_bloom_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_custkey = 42
+    """,
+)
+def q90_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index data skipping (operators/skipping.collect_bloom_stats /
+    read_bloom_pruned): orders laid out range-clustered on o_orderdate
+    (16 files), a per-file bloom bitset built on o_custkey, and the
+    customer-42 probe scans ONLY the files whose bloom may contain the key
+    — the Delta bloom-file-index idea with the manifest as an explicit
+    table. Zone maps cannot prune this shape (every file's custkey range
+    is the full domain); pruning effectiveness is gated in
+    tests/test_skipping.py."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.skipping import (
+        collect_bloom_stats,
+        read_bloom_pruned,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    base = _sf_cache_dir(sf_dir, "bloomidx", "orders")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").repartitionByRange(
+            16, "o_orderdate"
+        ).sortWithinPartitions("o_orderdate").write.mode("overwrite").parquet(base)
+    stats = collect_bloom_stats(spark, base, "o_custkey")
+    return read_bloom_pruned(spark, stats, "o_custkey", 42).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

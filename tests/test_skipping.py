@@ -79,3 +79,76 @@ class TestSkipping:
         got = read_pruned(spark, stats, {"k": (90, None)})
         want = spark.read.parquet(clustered).filter(F.col("k") >= 90)
         assert got.count() == want.count() > 0
+
+
+class TestBloomIndex:
+    """Per-file bloom skipping: the equality-probe complement to zone maps
+    (unclustered high-cardinality column in a time-clustered layout)."""
+
+    def _layout(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        # 64 "customers" spread uniformly through a time-ordered layout of
+        # 16 files: every file holds ~every 4th customer — zone maps on
+        # custkey are useless (each file's range ~ the full domain)
+        df = spark.range(4096).select(
+            F.col("id").alias("order_id"),
+            (F.xxhash64("id") % 64).alias("cust"),
+            F.col("id").alias("ts"),
+        )
+        path = str(tmp_path / "facts")
+        df.repartitionByRange(16, "ts").write.mode("overwrite").parquet(path)
+        return path
+
+    def test_bloom_prunes_and_loses_nothing(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.operators.skipping import (
+            bloom_prune,
+            collect_bloom_stats,
+            read_bloom_pruned,
+        )
+
+        path = self._layout(spark, tmp_path)
+        stats = collect_bloom_stats(spark, path, "cust").localCheckpoint()
+        n_files = stats.count()
+        full = spark.read.parquet(path)
+
+        probe = full.select("cust").first().cust
+        exact = sorted(
+            r.order_id
+            for r in full.filter(F.col("cust") == probe).collect()
+        )
+        got = sorted(
+            r.order_id
+            for r in read_bloom_pruned(spark, stats, "cust", probe).collect()
+        )
+        assert got == exact  # sound: nothing lost, nothing invented
+        # the probe customer appears in a minority of files; the index must
+        # actually skip (false positives allowed, full-scan is a failure)
+        survivors = bloom_prune(spark, stats, probe).count()
+        assert survivors < n_files
+
+    def test_absent_value_scans_nothing_but_keeps_schema(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.skipping import (
+            bloom_prune,
+            collect_bloom_stats,
+            read_bloom_pruned,
+        )
+
+        path = self._layout(spark, tmp_path)
+        stats = collect_bloom_stats(spark, path, "cust").localCheckpoint()
+        # custs are xxhash64 % 64 ∈ (-64, 64); 10_000 cannot occur
+        assert bloom_prune(spark, stats, 10_000).count() == 0
+        out = read_bloom_pruned(spark, stats, "cust", 10_000)
+        assert out.count() == 0
+        assert set(out.columns) == {"order_id", "cust", "ts"}
+
+    def test_power_of_two_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.operators.skipping import collect_bloom_stats
+
+        path = self._layout(spark, tmp_path)
+        with _pytest.raises(ValueError):
+            collect_bloom_stats(spark, path, "cust", n_bits=1000)
