@@ -48,6 +48,26 @@ def merge_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def incremental_join_state(
+    delta: DataFrame,
+    dim: DataFrame,
+    *,
+    join_key: str,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Append-only delta maintenance of a JOIN-view aggregate: join ONLY the
+    delta batch against the dimension, then take its partial state. Correct
+    because an inner join distributes over union on the append-only side —
+    (F ∪ ΔF) ⋈ D = (F ⋈ D) ∪ (ΔF ⋈ D) — so the maintenance join is
+    delta-sized, never history-sized: at 100 TB the nightly batch joins
+    millions of rows against the dim while the view covers trillions.
+    (Dim UPDATES are out of scope by contract: a changed dim row invalidates
+    history and needs the affected groups recomputed — the same restriction
+    every warehouse's incremental-MV feature documents.)"""
+    return partial_state(delta.join(dim, join_key), keys, value_col)
+
+
 def finalize(state: DataFrame, *, round_dp: int = 2) -> DataFrame:
     """State → presentation columns (repo rounding conventions:
     ``avg = round(sum, dp) / cnt``, ulp-safe in both engines)."""

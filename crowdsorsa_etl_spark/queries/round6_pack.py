@@ -201,3 +201,64 @@ def q90_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bloom_pruned(spark, stats, "o_custkey", 42).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+# ===========================================================================
+# q91: incremental JOIN-view maintenance — q67's mergeable-state MV trick
+# extended to a joined view (revenue by nation over orders⋈customer⋈nation).
+# History and a delta batch are maintained separately; the delta pass joins
+# ONLY the delta against the dim (delta-sized work), and the merged state
+# must hash-match the full recompute — the incremental-MV correctness
+# contract.
+# ===========================================================================
+
+
+@register(
+    "q91_incremental_join_view",
+    """
+    SELECT n_name,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(o_totalprice) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS vmin,
+           round(max(o_totalprice), 2) AS vmax,
+           round(sum(o_totalprice), 2) / count(o_totalprice) AS vavg
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q91_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-view aggregate
+    (operators/incremental.incremental_join_state): orders split into a
+    deterministic history (o_orderkey % 5 != 0) and an arriving delta
+    batch; the delta joins the customer→nation dim alone, its partial
+    state merges with the history state, and finalize() must equal the
+    oracle's full recompute — join-distributes-over-union made testable."""
+    from crowdsorsa_etl_spark.operators.incremental import (
+        finalize,
+        incremental_join_state,
+        merge_states,
+        partial_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dim = (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    hist = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    state = partial_state(hist.join(dim, "o_custkey"), ["n_name"], "o_totalprice")
+    state = merge_states(
+        state,
+        incremental_join_state(
+            delta, dim, join_key="o_custkey", keys=["n_name"], value_col="o_totalprice"
+        ),
+    )
+    return finalize(state)

@@ -755,3 +755,58 @@ class TestSkewStress:
             ).collect()
         }
         assert exact == salted
+
+
+class TestIncrementalJoinView:
+    def test_multi_batch_maintenance_equals_full_recompute(self, spark):
+        """Three sequential delta batches folded into the state one at a
+        time must finish exactly where a full recompute lands — the
+        incremental-MV contract over a joined view."""
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.operators.incremental import (
+            finalize,
+            incremental_join_state,
+            merge_states,
+            partial_state,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        sf = "/root/testdata/sf0.001"
+        orders = load_table(spark, "orders", sf)
+        customer = load_table(spark, "customer", sf)
+        nation = load_table(spark, "nation", sf)
+        dim = customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        ).select(F.col("c_custkey").alias("o_custkey"), "n_name")
+
+        state = partial_state(
+            orders.filter(F.col("o_orderkey") % 4 == 0).join(dim, "o_custkey"),
+            ["n_name"],
+            "o_totalprice",
+        )
+        for r in (1, 2, 3):
+            delta = orders.filter(F.col("o_orderkey") % 4 == r)
+            state = merge_states(
+                state,
+                incremental_join_state(
+                    delta,
+                    dim,
+                    join_key="o_custkey",
+                    keys=["n_name"],
+                    value_col="o_totalprice",
+                ),
+            )
+        got = {
+            (r.n_name, r.total, r.n, r.vmin, r.vmax)
+            for r in finalize(state).collect()
+        }
+        full = {
+            (r.n_name, r.total, r.n, r.vmin, r.vmax)
+            for r in finalize(
+                partial_state(
+                    orders.join(dim, "o_custkey"), ["n_name"], "o_totalprice"
+                )
+            ).collect()
+        }
+        assert got == full
