@@ -344,6 +344,45 @@ def multimodal_embed_topk_sql(dim: int = 16, k: int = 5) -> str:
     """
 
 
+def countmin_sql(depth: int = 4, width: int = 1024, top_n: int = 20) -> str:
+    """Oracle for the Count-Min heavy-hitter query: derive the identical
+    d×w sketch from the same CW-over-md5 bucket assignments, estimate the
+    top-N exact tokens, report (token, exact_cnt, cm_est)."""
+    def cells(src: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"      SELECT {'token, ' if src == 'ptoks' else ''}{i} AS i,"
+            f" ({cw_hash_sql('th', i)}) % {width} AS bucket FROM {src}"
+            for i in range(depth)
+        )
+
+    return f"""
+    WITH raw AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+    ),
+    toks0 AS (SELECT token FROM raw WHERE token != ''),
+    cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+             FROM toks0 GROUP BY 1),
+    probes AS (SELECT token, exact_cnt FROM cnts
+               ORDER BY exact_cnt DESC, token LIMIT {top_n}),
+    toks AS (SELECT {hex60_sql('token')} AS th FROM toks0),
+    cells AS (
+{cells('toks')}
+    ),
+    sketch AS (SELECT i, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    ptoks AS (SELECT token, {hex60_sql('token')} AS th FROM probes),
+    pcells AS (
+{cells('ptoks')}
+    ),
+    est AS (
+      SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_est
+      FROM pcells LEFT JOIN sketch USING (i, bucket)
+      GROUP BY 1
+    )
+    SELECT p.token, p.exact_cnt, est.cm_est
+    FROM probes p JOIN est USING (token)
+    """
+
+
 def dedup_clusters_sql(
     num_hashes: int = 16, bands: int = 8, shingle_k: int = 3
 ) -> str:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crowdsorsa_etl_spark import lsh_oracles
 from crowdsorsa_etl_spark.queries._shared import _t, register
 
 
@@ -262,3 +263,39 @@ def q91_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return finalize(state)
+
+
+# ===========================================================================
+# q92: Count-Min heavy hitters — mergeable frequency sketch with the
+# portable CW hash family, so the d×w sketch and every estimate derive
+# identically in DuckDB (operators/cmsketch.py + lsh_oracles.countmin_sql).
+# ===========================================================================
+
+
+@register("q92_countmin_heavy", lsh_oracles.countmin_sql())
+def q92_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top-20 exact tokens:
+    (token, exact_cnt, cm_est). The sketch is one partial-aggregable
+    groupBy over d bucket assignments per token; estimates join |probes|·d
+    keys against the ≤ d·w-cell sketch. est ≥ exact by construction
+    (gated in tests/test_operators.py); the driver hash gate pins the
+    exact cell layout against DuckDB."""
+    from crowdsorsa_etl_spark.operators.cmsketch import (
+        count_min_estimate,
+        count_min_sketch,
+        _tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sketch = count_min_sketch(docs).localCheckpoint()
+    exact = (
+        _tokens(docs, "text")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    est = count_min_estimate(sketch, exact.select("token"))
+    return exact.join(est, "token").select(
+        "token", "exact_cnt", F.col("cm_est").cast("bigint")
+    )

@@ -810,3 +810,61 @@ class TestIncrementalJoinView:
             ).collect()
         }
         assert got == full
+
+
+class TestCountMinSketch:
+    def test_estimate_never_underestimates_and_merge_is_rebuild(self, spark):
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.operators.cmsketch import (
+            _tokens,
+            count_min_estimate,
+            count_min_sketch,
+            merge_sketches,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, "documents", sf)
+        sketch = count_min_sketch(docs).localCheckpoint()
+
+        exact = (
+            _tokens(docs, "text")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("exact"))
+        )
+        probes = exact.orderBy(F.col("exact").desc(), "token").limit(50)
+        est = count_min_estimate(sketch, probes.select("token"))
+        joined = probes.join(est, "token").collect()
+        assert len(joined) == probes.count()  # fixture vocab may be < 50
+        # CM guarantee: never an underestimate
+        assert all(r.cm_est >= r.exact for r in joined)
+        # at 4x1024 cells over this corpus, heavy hitters estimate tightly
+        heavy = [r for r in joined if r.exact >= 50]
+        assert heavy and all(r.cm_est <= 2 * r.exact for r in heavy)
+
+        # mergeability: sketch(half A) + sketch(half B) == sketch(all)
+        a = count_min_sketch(docs.filter(F.col("doc_id") % 2 == 0))
+        b = count_min_sketch(docs.filter(F.col("doc_id") % 2 == 1))
+        merged = {
+            (r.i, r.bucket, r.cnt) for r in merge_sketches(a, b).collect()
+        }
+        whole = {(r.i, r.bucket, r.cnt) for r in sketch.collect()}
+        assert merged == whole
+
+    def test_absent_token_estimates_small(self, spark):
+        from crowdsorsa_etl_spark.operators.cmsketch import (
+            count_min_estimate,
+            count_min_sketch,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        sketch = count_min_sketch(docs)
+        probes = docs.sparkSession.createDataFrame(
+            [("zzz-not-a-token-zzz",)], "token string"
+        )
+        est = count_min_estimate(sketch, probes).first()
+        # absent tokens only collide into other tokens' cells: the estimate
+        # is bounded by sketch collision noise, far below real heavy hitters
+        assert est.cm_est < 50
