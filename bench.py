@@ -66,6 +66,9 @@ HEADLINE = [
     "q88_waiting_orders",
     "q89_zorder3_keys",
     "flagship_units_agg",
+    "q90_bloom_scan",
+    "q91_incremental_join_view",
+    "q92_countmin_heavy",
 ]
 
 
