@@ -207,6 +207,22 @@ def deduped_events(events: DataFrame, *, watermark: str = "2 hours") -> DataFram
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def deduped_events_within_watermark(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Spark 3.5+ ``dropDuplicatesWithinWatermark``: dedup on event_id ALONE
+    — duplicates whose retransmitted copies carry a *different* timestamp
+    (the at-least-once-producer reality) still collapse, as long as the
+    copies arrive within the watermark delay of each other. The classic
+    ``dropDuplicates([id, ts])`` treats a re-stamped copy as a new event;
+    keying on id alone without this operator would keep UNBOUNDED state.
+    State per key expires ``watermark`` after first sight — same bound, more
+    honest semantics for retried producers."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def start_http_push_stream(
     docs_stream: DataFrame,
     cfg: SinkConfig,

@@ -329,3 +329,20 @@ class TestRound6Plans:
         plan = plan_of(QUERIES["llm_embedding_dups_lsh"](spark, SF_DIR))
         assert "NestedLoop" not in plan
         assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+class TestRound6LatePlans:
+    def test_incremental_join_view_joins_are_hash_not_cartesian(self, spark):
+        """Both maintenance joins (history and delta against the dim) must
+        be hash joins; the state merge is a union + re-aggregate."""
+        plan = plan_of(QUERIES["q91_incremental_join_view"](spark, SF_DIR))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "Union" in plan
+        assert "partial_sum" in plan  # map-side combine on the state merge
+
+    def test_countmin_probe_join_never_scans_corpus_twice_per_probe(self, spark):
+        """The estimate join keys |probes|*d rows against the sketch cells
+        — a hash join, never a nested loop over token strings."""
+        plan = plan_of(QUERIES["q92_countmin_heavy"](spark, SF_DIR))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan  # exact top-N stays bounded

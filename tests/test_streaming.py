@@ -461,3 +461,45 @@ class TestOuterStreamStreamJoin:
         assert got_nulls <= unmatched_b  # no false NULLs
         # every null-emitted click is genuinely unmatched AND watermark-aged
         assert not (got_nulls & {r.click_id for r in outer_b if r.view_id is not None})
+
+
+class TestDedupWithinWatermark:
+    def test_restamped_duplicates_collapse(self, spark, tmp_path):
+        """A retransmitted event with a LATER timestamp (at-least-once
+        producer that re-stamps on retry) must still dedup on event_id —
+        the case dropDuplicates([id, ts]) cannot catch."""
+        import os
+        import shutil
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            deduped_events_within_watermark,
+        )
+
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        base = load_table(spark, "events", SF_DIR).limit(20)
+        nanos = base.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+        # original batch + re-stamped duplicates (+1s) of the same ids
+        dup = nanos.withColumn("ts", F.col("ts") + F.lit(1_000_000_000))
+        for i, df in enumerate((nanos, dup)):
+            staging = str(tmp_path / f"s{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(staging, part), f"{src}/b{i}.parquet")
+
+        stream = read_event_stream(spark, src)
+        q = (
+            deduped_events_within_watermark(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_wm")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("SELECT event_id FROM dedup_wm").collect()
+        ids = [r.event_id for r in got]
+        assert sorted(set(ids)) == sorted(r.event_id for r in base.collect())
+        assert len(ids) == len(set(ids)), "re-stamped duplicates must collapse"
