@@ -291,6 +291,44 @@ def start_parquet_sink(
     )
 
 
+def start_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+):
+    """writeStream.foreachBatch → keyed upsert (sinks/writers.upsert_parquet):
+    the streaming CDC-apply pattern — each micro-batch MERGEs into the keyed
+    table, later values win per key by ``order_col``. Replaying a batch
+    after a crash re-applies the same upsert, which is idempotent by
+    construction (greatest-order_col-per-key is a fixpoint), so checkpoint +
+    upsert give exactly-once TABLE STATE without a table format. Batch
+    cadence only: every upsert rewrites the table (upsert_parquet's
+    documented cost); at 100 TB slot a Delta/Iceberg MERGE into this same
+    call site."""
+    from crowdsorsa_etl_spark.sinks.writers import upsert_parquet
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols=key_cols,
+            order_col=order_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def attribution_join(
     views: DataFrame,
     clicks: DataFrame,

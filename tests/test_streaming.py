@@ -503,3 +503,68 @@ class TestDedupWithinWatermark:
         ids = [r.event_id for r in got]
         assert sorted(set(ids)) == sorted(r.event_id for r in base.collect())
         assert len(ids) == len(set(ids)), "re-stamped duplicates must collapse"
+
+
+class TestStreamingUpsertSink:
+    def test_cdc_apply_keeps_latest_per_key(self, spark, tmp_path):
+        """Two micro-batches with overlapping user_ids: the upsert sink must
+        land the latest row per key (CDC apply), and replaying the same
+        batch (idempotence) must not change the table."""
+        import os
+        import shutil
+
+        from crowdsorsa_etl_spark.sinks.writers import upsert_parquet
+        from crowdsorsa_etl_spark.streaming.pipeline import start_upsert_sink
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "table")
+        ck = str(tmp_path / "ck")
+        os.makedirs(src)
+
+        events = load_table(spark, "events", SF_DIR).withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        )
+        b0 = events.filter(F.col("event_id") < 40)
+        # batch 1 re-keys 20 of the same users with LATER event ids
+        b1 = (
+            events.filter((F.col("event_id") >= 40) & (F.col("event_id") < 60))
+        )
+
+        for i, df in enumerate((b0, b1)):
+            staging = str(tmp_path / f"s{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(staging, part), f"{src}/b{i}.parquet")
+
+        stream = read_event_stream(spark, src)
+        q = start_upsert_sink(
+            stream, out, checkpoint_dir=ck, key_cols=["user_id"], order_col="event_id"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r.user_id: r.event_id for r in spark.read.parquet(out).collect()}
+        # ground truth: latest event_id per user over both batches
+        both = events.filter(F.col("event_id") < 60)
+        expect = {
+            r.user_id: r.event_id
+            for r in both.groupBy("user_id")
+            .agg(F.max("event_id").alias("event_id"))
+            .collect()
+        }
+        assert got == expect
+        # idempotent re-apply of the last batch: state unchanged (the staged
+        # copy carries raw nanos — finalize ts the way the stream did)
+        upsert_parquet(
+            spark,
+            out,
+            spark.read.parquet(str(tmp_path / "s1")).withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            ),
+            key_cols=["user_id"],
+            order_col="event_id",
+        )
+        again = {r.user_id: r.event_id for r in spark.read.parquet(out).collect()}
+        assert again == expect
