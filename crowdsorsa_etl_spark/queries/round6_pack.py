@@ -299,3 +299,32 @@ def q92_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "token").select(
         "token", "exact_cnt", F.col("cm_est").cast("bigint")
     )
+
+
+# ===========================================================================
+# q93: LATERAL correlated subquery — the per-row dependent-subquery join
+# (top-2 orders per rich customer). The identical ANSI string runs on both
+# engines, pinning Spark's lateral-subquery decorrelation against DuckDB.
+# ===========================================================================
+
+
+_Q93_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@register("q93_lateral_topk", _Q93_SQL)
+def q93_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT (SQL:1999 lateral
+    derived table; Spark 3.4+ decorrelates it to a ranked join). Expressed
+    through the SQL surface so the IDENTICAL string runs on both engines —
+    the same q50/q51 parity convention."""
+    from crowdsorsa_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q93_SQL)
