@@ -328,3 +328,102 @@ def q93_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q93_SQL)
+
+
+# ===========================================================================
+# q94/q95: the two classic TPC-H shapes the registry still lacked — Q10
+# (returned-item customer ranking) and Q13 (customer order-count
+# distribution via a join-predicate-filtered outer join). Q12/Q20 need
+# l_shipmode/l_commitdate/partsupp, which the driver fixtures do not carry.
+# ===========================================================================
+
+
+@register(
+    "q94_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2))
+                       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 2)
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q94_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue in 1996Q1. Fact chain
+    shuffles on its join keys, nation broadcasts, the top-20 rides a
+    revenue sort with a custkey tiebreak (deterministic LIMIT). Revenue is
+    the EXACT decimal sum cast to double — no round() step, so the
+    HALF_UP/half-even divergence on half-cent sums never fires (same
+    convention as flagship_units_agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(12,2)")
+                    - F.col("l_discount").cast("decimal(12,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q95_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q95_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count-per-customer histogram where the filter lives
+    in the JOIN CONDITION, not a WHERE — customers whose only orders are
+    urgent must still appear with c_count = 0 (a WHERE would drop them;
+    the left join + predicate keeps them). Two aggregations, both
+    partial-combined."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
