@@ -291,6 +291,17 @@ def start_parquet_sink(
     )
 
 
+def enrich_events(events: DataFrame, dim: DataFrame, *, on: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the (batch)
+    dimension — the most common streaming shape. The static side is
+    re-planned per micro-batch (so a refreshed dim snapshot is picked up on
+    the next trigger) and broadcast when small; no watermark is needed
+    because the static side holds no streaming state. Left join keeps
+    events whose key misses the dim (NULL attributes), matching the batch
+    semantics exactly — the same call works on a batch frame."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def start_upsert_sink(
     stream_df: DataFrame,
     path: str,
