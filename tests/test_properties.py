@@ -103,3 +103,100 @@ class TestAsofJoinProperty:
         for _, row in want.iterrows():
             expected = None if pd.isna(row.val) else int(row.val)
             assert got[row.event_id] == expected
+
+
+class TestZValueNProperty:
+    @settings(**_SETTINGS)
+    @given(
+        n_keys=st.integers(min_value=2, max_value=4),
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+    )
+    def test_interleave_is_injective_and_matches_python(self, spark, n_keys, rows):
+        """For in-range keys the n-ary Morton value is a bijection onto its
+        bit pattern: distinct tuples → distinct z; and the column expression
+        must equal a direct Python bit-interleave reference."""
+        from crowdsorsa_etl_spark.operators.zorder import z_value_n
+
+        bits = 8
+        tuples = [r[:n_keys] for r in rows]
+        df = spark.createDataFrame(
+            [(i, *t) for i, t in enumerate(tuples)],
+            "k long, " + ", ".join(f"c{j} int" for j in range(n_keys)),
+        )
+        got = {
+            r.k: r.z
+            for r in df.select(
+                "k",
+                z_value_n([F.col(f"c{j}") for j in range(n_keys)], bits).alias("z"),
+            ).collect()
+        }
+
+        def ref(t):
+            out = 0
+            for i in range(bits):
+                for j, v in enumerate(t):
+                    out |= ((v >> i) & 1) << (i * n_keys + j)
+            return out
+
+        for i, t in enumerate(tuples):
+            assert got[i] == ref(t)
+        assert len(set(got.values())) == len(set(tuples))
+
+
+class TestCombineCwProperty:
+    @settings(**_SETTINGS)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=(1 << 60) - 1)),
+                st.one_of(st.none(), st.integers(min_value=0, max_value=(1 << 60) - 1)),
+                st.one_of(st.none(), st.integers(min_value=0, max_value=(1 << 60) - 1)),
+            ),
+            min_size=1,
+            max_size=50,
+        ),
+        seed=st.integers(min_value=0, max_value=7),
+    )
+    def test_spark_equals_duckdb_on_random_words(self, spark, rows, seed):
+        """The polynomial combine's Spark column and DuckDB fragment must
+        agree on arbitrary 60-bit words with arbitrary NULL patterns — the
+        randomized extension of the edge-case lockstep tests."""
+        import duckdb
+
+        from crowdsorsa_etl_spark.functions.portable_hash import (
+            combine_cw_spark,
+            combine_cw_sql,
+        )
+
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        got = [
+            r.h
+            for r in df.select(
+                combine_cw_spark(F.col("a"), F.col("b"), F.col("c"), seed=seed).alias(
+                    "h"
+                )
+            ).collect()
+        ]
+        vals = ", ".join(
+            "({}, {}, {})".format(*("NULL" if v is None else v for v in row))
+            for row in rows
+        )
+        want = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT {combine_cw_sql('a', 'b', 'c', seed=seed)}"
+                f" FROM (VALUES {vals}) AS v(a, b, c)"
+            )
+            .fetchall()
+        ]
+        assert got == want
