@@ -57,6 +57,11 @@ HEADLINE = [
     "q48_range_join_binned",
     "q88_waiting_orders",
     "llm_minhash_lsh",
+    # round 6 additions: units aggregation (collect_list at fact scale),
+    # delta-maintained join view, Count-Min sketch build+probe
+    "flagship_units_agg",
+    "q91_incremental_join_view",
+    "q92_countmin_heavy",
 ]
 
 
