@@ -534,11 +534,18 @@ def kmeans_train_distributed(
             )
 
         part = vec_only.mapInPandas(partials, "cid int, psum array<double>, cnt long")
+        # array_sort before the fold: collect_list order is task-completion
+        # order, so without the sort the float summation order — and the
+        # trainer's last-ulp output — varies RUN TO RUN. Sorted partials
+        # make the trainer deterministic for a fixed partitioning, which is
+        # what lets the _scaled registry queries carry DuckDB oracles
+        # (integer k-means decisions are robust to the remaining fixed
+        # cross-engine summation-order difference).
         agg = (
             part.groupBy("cid")
             .agg(
                 F.aggregate(
-                    F.collect_list("psum"),
+                    F.array_sort(F.collect_list("psum")),
                     F.array_repeat(F.lit(0.0), dim),
                     lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
                 ).alias("csum"),

@@ -41,16 +41,22 @@ from crowdsorsa_etl_spark.queries._shared import (  # noqa: F401
 # ===========================================================================
 
 
-@register("llm_semdedup_scaled")
+@register(
+    "llm_semdedup_scaled",
+    lsh_oracles.semdedup_sql(n_clusters=64, epsilon=0.45, sample_size=1_000_000_000),
+)
 def llm_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at 64 clusters trained on the FULL corpus with distributed
     Lloyd iterations (``operators/similarity.kmeans_train_distributed``) —
     the 100 TB configuration, where n_clusters must track corpus size to
     keep the in-cluster |c|^2 pair step bounded (the paper's ~1e5-cluster
-    regime). Rows-only: cluster cells are implementation-defined; the
-    quantitative gates are the trainer-parity (1e-6 vs driver k-means),
-    planted-duplicate keep-set, and keep-rate-stability tests in
-    tests/test_operators.py and tests/test_graph.py."""
+    regime). Oracle since round 6: with the trainer's merge fold made
+    deterministic (array_sort), the full-corpus sequential Lloyd replay
+    (semdedup_sql with the sample = the whole corpus) produces the same
+    integer clustering decisions — the distributed partial sums differ from
+    the SQL's sequential sums only in the last ulp, far inside the argmax
+    margins. Trainer-parity (1e-6), planted-duplicate keep-set, and
+    keep-rate gates remain in tests/."""
     from crowdsorsa_etl_spark.operators.similarity import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -58,13 +64,17 @@ def llm_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
-@register("llm_ivf_topk_scaled")
+@register(
+    "llm_ivf_topk_scaled",
+    lsh_oracles.ivf_topk_sql(n_lists=64, n_probe=16, sample_size=1_000_000_000),
+)
 def llm_ivf_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k with the coarse quantizer trained on the FULL corpus
     (distributed Lloyd) at n_lists=64 — the configuration a 100 TB corpus
-    needs (n_lists ~ sqrt(N) exceeds any driver-side sample). Rows-only;
-    recall >= 0.85 vs exact cosine_topk is gated in tests/test_operators.py
-    (test_ivf_distributed_trainer_recall_64_lists)."""
+    needs (n_lists ~ sqrt(N) exceeds any driver-side sample). Oracle since
+    round 6 (same determinism argument as llm_semdedup_scaled: sorted
+    partial-sum fold + ulp-robust integer decisions); recall >= 0.85 vs
+    exact cosine_topk stays gated in tests/test_operators.py."""
     from crowdsorsa_etl_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
