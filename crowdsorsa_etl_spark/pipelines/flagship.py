@@ -36,7 +36,17 @@ def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment", "n_name")
     )
 
-    # units: one shuffle, map-side partial aggregation applies to collect_list
+    # units: one shuffle, map-side partial aggregation applies to collect_list.
+    # netPrice is the EXACT decimal product cast to double (no round step):
+    # double→DECIMAL(12,2) inputs make the product exact fixed-point, and the
+    # final decimal→double conversion is deterministic in every engine —
+    # the same convention flagship_units_agg proved, and what makes the
+    # full-JSON DuckDB oracle byte-exact (Spark round() is HALF_UP where
+    # DuckDB decimal rounding is half-even; any .xx45/.xx55 product diverges).
+    net_price = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    ).cast("double")
     units = lineitem.groupBy("l_orderkey").agg(
         F.sort_array(
             F.collect_list(
@@ -44,9 +54,7 @@ def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_linenumber").alias("lineNumber"),
                     F.col("l_partkey").alias("partKey"),
                     F.col("l_quantity").alias("quantity"),
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
-                    ).alias("netPrice"),
+                    net_price.alias("netPrice"),
                     F.col("l_returnflag").alias("returnFlag"),
                 )
             )

@@ -243,14 +243,87 @@ def llm_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Rows-only entries (non-SQL-expressible: LSH internals use xxhash64, the
-# flagship emits nested JSON) — driver records a weaker rows-only check.
+# Flagship full-JSON oracle: DuckDB assembles the IDENTICAL document string
+# that Spark's to_json(struct, ignoreNullFields=true) emits — struct fields in
+# declaration order, no whitespace, the nullable "notes" key conditionally
+# omitted, units sorted by the full struct (sort_array field-by-field
+# ordering), empty-units orders rendering "units":[].
+#
+# Byte-exactness rests on three conventions:
+# * netPrice is the exact DECIMAL(12,2) product cast to double (no round()
+#   step — pipelines/flagship.py), so both engines hold the same double and
+#   both print its shortest round-trip decimal form;
+# * doubles at these magnitudes (quantity 1-50, netPrice < 1.1e5) stay in
+#   both engines' non-scientific print range, and the shortest form is the
+#   2-to-4-decimal literal itself (double spacing at 1e5 is ~1.5e-11, so the
+#   literal uniquely identifies the double in both Jackson and DuckDB);
+# * string values pass through to_json() on the DuckDB side, which applies
+#   the same JSON escaping rules Jackson does for this ASCII fixture corpus
+#   (neither engine escapes '/').
 # ===========================================================================
 
+_FLAGSHIP_NET_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+    " AS DOUBLE)"
+)
 
-@register("flagship_order_documents")
+_FLAGSHIP_DOC_SQL = f"""
+    WITH units AS (
+      SELECT l_orderkey,
+             '[' || string_agg(
+               '{{"lineNumber":' || l_linenumber
+               || ',"partKey":' || l_partkey
+               || ',"quantity":' || CAST(l_quantity AS VARCHAR)
+               || ',"netPrice":' || CAST({_FLAGSHIP_NET_SQL} AS VARCHAR)
+               || ',"returnFlag":' || to_json(l_returnflag) || '}}',
+               ','
+               ORDER BY l_linenumber, l_partkey, l_quantity,
+                        {_FLAGSHIP_NET_SQL}, l_returnflag
+             ) || ']' AS units_json
+      FROM lineitem GROUP BY 1
+    ),
+    docs AS (
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority,
+             c.c_name, c.c_mktsegment, n.n_name, u.units_json,
+             'http://example.invalid/orders/' || o.o_orderkey AS docid,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS d
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN units u ON o.o_orderkey = u.l_orderkey
+    )
+    SELECT o_orderkey AS order_key,
+           o_totalprice AS total_price,
+           '{{"schema":"order-etl","documentId":' || to_json(docid)
+           || ',"publicDocument":{{"concealment":"PUBLIC","keywords":['
+           || to_json(CAST(o_orderkey AS VARCHAR)) || ','
+           || to_json('segment-' || c_mktsegment) || ']'
+           || CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN ',"notes":' || to_json('Urgent order for ' || c_name)
+                   ELSE '' END
+           || ',"gatherings":[{{"gatheringId":' || to_json(docid || '_G')
+           || ',"eventDate":{{"begin":"' || d || '","end":"' || d || '"}}'
+           || ',"municipality":' || to_json(n_name)
+           || ',"units":' || coalesce(units_json, '[]')
+           || '}}]}}}}' AS document_json
+    FROM docs
+"""
+
+
+@register("flagship_order_documents", _FLAGSHIP_DOC_SQL)
 def flagship_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entry() query (reference signature op, crowdsorsa-etl-2023.R:120-179
+    at TPC-H scale) under a FULL byte-exact JSON oracle since round 7 — the
+    nested document string itself is hash-compared, not just extracted
+    fields (flagship_doc_fields) or the units layer (flagship_units_agg)."""
     return order_documents(spark, sf_dir)
+
+
+# ===========================================================================
+# Rows-only entries (non-SQL-expressible: sketch internals, binary decode) —
+# driver records a weaker rows-only check.
+# ===========================================================================
 
 
 @register(
