@@ -55,7 +55,7 @@ def minhash_lsh_sql(
             b=b,
             bucket=combine_cw_sql(
                 *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
-                seed=b,
+                seed=b + 1,  # lockstep with dedup._combine_hash band seeding
             ),
         )
         for b in range(bands)

@@ -52,8 +52,12 @@ def _tok_hash(col, portable: bool):
 
 
 def _combine_hash(cols, portable: bool, seed: int | None = None):
+    # seed is None = the unseeded combine (family member 0); an EXPLICIT
+    # seed must select a different family member even when it equals 0 —
+    # callers pass seed=b+1 for band b so band 0 is actually decorrelated
+    # from the unseeded shingle combine (round-6 advice).
     if portable:
-        return combine_cw_spark(*cols, seed=seed or 0)
+        return combine_cw_spark(*cols, seed=seed if seed is not None else 0)
     pre = [] if seed is None else [F.lit(seed)]
     return F.xxhash64(*pre, *cols)
 
@@ -166,7 +170,7 @@ def minhash_lsh_candidates(
                                 for r in range(rows_per_band)
                             ],
                             portable,
-                            seed=b,
+                            seed=b + 1,  # b+1: band 0 ≠ unseeded combine
                         ).alias("bucket"),
                     )
                     for b in range(bands)

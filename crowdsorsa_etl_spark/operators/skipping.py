@@ -65,6 +65,7 @@ def collect_bloom_stats(
     *,
     n_bits: int = 8192,
     n_hashes: int = 5,
+    value_type: str = "bigint",
 ) -> DataFrame:
     """Per-file bloom bitsets for equality probes on ``col``:
     (file_path, bloom map<int, bigint>) — the bitset stored sparsely as
@@ -75,11 +76,19 @@ def collect_bloom_stats(
     per file. Built with ONE partial-aggregable groupBy chain: explode the
     k positions per row, bit_or the masks per (file, word), collect the
     sparse words per file.
+
+    ``value_type`` pins the PHYSICAL type hashed on both sides of the
+    index: xxhash64 hashes INT and BIGINT differently, so building at the
+    column's natural parquet type while probing at the probe literal's cast
+    type silently turns every probe into a false negative (all files
+    pruned). Build and probe (``bloom_prune``/``read_bloom_pruned``) must
+    be called with the SAME ``value_type``; both default to ``bigint``.
     """
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
     df = spark.read.parquet(path).select(
-        F.col("_metadata.file_path").alias("file_path"), F.col(col).alias("_v")
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col(col).cast(value_type).alias("_v"),
     )
     pos = F.explode(
         F.array(

@@ -184,21 +184,36 @@ def push_documents_idempotent(
     2. push only the remainder (push_documents, dedup within batch),
     3. record the pushed keys under ``epoch=<id>`` — the commit point.
 
-    A replayed epoch finds its keys in the ledger and pushes nothing; its
-    ledger rewrite is an idempotent overwrite. The remaining duplicate
-    window is a crash BETWEEN 2 and 3 (some POSTs landed, ledger absent) —
-    irreducible without API-side idempotency keys, and one epoch wide at
-    most. Failed keys are recorded too: retrying a permanent 4xx with
-    identical bytes cannot succeed (see push_partition) and would only
-    re-spam the API on every replay.
+    A replayed epoch finds its settled keys in the ledger and pushes
+    nothing. The epoch's ledger partition always records the FULL settled
+    key set for the batch — keys settled by this run UNION batch keys
+    already settled in an earlier ledger epoch — so a replay's overwrite
+    rewrites the same key set instead of erasing it with an empty audit
+    (a second crash after that erasure would otherwise re-POST).
+
+    Only SETTLED outcomes enter the ledger: 2xx successes and permanent
+    4xx client errors (retrying identical bytes cannot succeed, and
+    re-recording them only re-spams the API on every replay). Transient
+    failures — 5xx and connection errors that merely exhausted
+    push_partition's retry budget — are NOT recorded, so those documents
+    stay eligible for redelivery on the next epoch or restart.
+
+    The remaining duplicate window is a crash BETWEEN 2 and 3 (some POSTs
+    landed, ledger absent) — irreducible without API-side idempotency
+    keys, and one epoch wide at most.
     """
     spark = batch_df.sparkSession
-    fresh = batch_df.select(key_col, json_col)
-    try:
+    batch = batch_df.select(key_col, json_col)
+    fresh, seen = batch, None
+    # Explicit existence probe via the Hadoop FS API (works on HDFS/S3/local
+    # alike). A missing ledger means "first epoch"; any OTHER read failure
+    # (corrupt parquet, permissions, transient FS error) must propagate —
+    # silently treating it as first-epoch would re-POST every document.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_dir)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
         seen = spark.read.parquet(ledger_dir).select(key_col).distinct()
-        fresh = fresh.join(seen, key_col, "left_anti")
-    except Exception:  # ledger not created yet (first epoch)
-        pass
+        fresh = batch.join(seen, key_col, "left_anti")
     audit = push_documents(
         fresh,
         cfg,
@@ -207,8 +222,26 @@ def push_documents_idempotent(
         dedup=True,
         num_partitions=num_partitions,
     ).localCheckpoint()  # materialize: the POSTs must happen exactly once
+    settled_now = audit.filter(
+        F.col("ok") | F.col("status_code").between(400, 499)
+    ).select(F.col("doc_key").alias(key_col), "ok", "status_code")
+    ledger_rows = settled_now
+    if seen is not None:
+        # batch keys already settled in a previous epoch: re-record them in
+        # this epoch's partition so a replayed epoch's overwrite preserves
+        # the settled set (their original ok/status detail lives in the
+        # earlier epoch partition; membership is what the anti-join needs)
+        prior = (
+            batch.select(key_col)
+            .distinct()
+            .join(seen, key_col, "left_semi")
+            .withColumn("ok", F.lit(True))
+            .withColumn("status_code", F.lit(None).cast("int"))
+        )
+        ledger_rows = settled_now.unionByName(prior)
+    # cut lineage before overwriting a path the plan reads from
     (
-        audit.select(F.col("doc_key").alias(key_col), "ok", "status_code")
+        ledger_rows.localCheckpoint()
         .write.mode("overwrite")
         .parquet(f"{ledger_dir}/epoch={epoch_id}")
     )

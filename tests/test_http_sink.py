@@ -181,6 +181,78 @@ class TestStreamRestartComposition:
         )
 
 
+class TestIdempotentLedger:
+    def _push(self, spark, mock_api, ledger, epoch, ids):
+        from crowdsorsa_etl_spark.sinks.http_push import push_documents_idempotent
+
+        docs = spark.createDataFrame(
+            _rows(*ids), "obs_id string, document_json string"
+        )
+        return push_documents_idempotent(
+            docs, _cfg(mock_api), ledger_dir=str(ledger), epoch_id=epoch
+        )
+
+    def test_double_replay_preserves_ledger(self, spark, mock_api, tmp_path):
+        """A replayed epoch must rewrite its ledger partition with the SAME
+        settled key set, not an empty one — otherwise a second crash after
+        the replay re-POSTs the whole batch (round-6 defect)."""
+        ledger = tmp_path / "ledger"
+        MockApi.seen.clear()
+        self._push(spark, mock_api, ledger, 0, ["e1", "e2", "e3"])
+        assert len(MockApi.seen) == 3
+
+        for _ in range(2):  # two consecutive replays of the same epoch
+            self._push(spark, mock_api, ledger, 0, ["e1", "e2", "e3"])
+            assert len(MockApi.seen) == 3, "replay must not re-POST"
+            keys = {
+                r.obs_id
+                for r in spark.read.parquet(str(ledger)).collect()
+            }
+            assert keys == {"e1", "e2", "e3"}, (
+                "epoch overwrite must preserve the settled key set"
+            )
+
+    def test_transient_failures_stay_eligible(self, spark, mock_api, tmp_path):
+        """5xx/connection failures that exhaust the retry budget must NOT be
+        recorded as settled: the document is redelivered on replay. Permanent
+        4xx rejections ARE settled and never re-POSTed."""
+        ledger = tmp_path / "ledger"
+        MockApi.seen.clear()
+        MockApi.fail_countdown["led-flaky"] = 99  # > max_retries → exhausts
+        audit = self._push(
+            spark, mock_api, ledger, 0, ["led-ok", "led-bad", "led-flaky"]
+        ).collect()
+        by_key = {r.doc_key: r for r in audit}
+        assert by_key["led-ok"].ok
+        assert by_key["led-bad"].status_code == 400
+        assert by_key["led-flaky"].status_code == 503
+
+        settled = {r.obs_id for r in spark.read.parquet(str(ledger)).collect()}
+        assert settled == {"led-ok", "led-bad"}, (
+            "only 2xx and permanent 4xx keys are settled"
+        )
+
+        # outage over: the replayed epoch re-pushes ONLY the transient failure
+        MockApi.fail_countdown["led-flaky"] = 0
+        MockApi.seen.clear()
+        audit2 = self._push(
+            spark, mock_api, ledger, 0, ["led-ok", "led-bad", "led-flaky"]
+        ).collect()
+        assert [s["body"]["id"] for s in MockApi.seen] == ["led-flaky"]
+        assert audit2 and all(r.ok for r in audit2)
+        settled = {r.obs_id for r in spark.read.parquet(str(ledger)).collect()}
+        assert settled == {"led-ok", "led-bad", "led-flaky"}
+
+    def test_corrupt_ledger_raises_not_redelivers(self, spark, mock_api, tmp_path):
+        """A ledger that EXISTS but cannot be read must raise — degrading to
+        'first epoch' would silently re-POST everything."""
+        ledger = tmp_path / "ledger"
+        (ledger / "epoch=0").mkdir(parents=True)
+        (ledger / "epoch=0" / "part-0.parquet").write_bytes(b"not parquet")
+        with pytest.raises(Exception):
+            self._push(spark, mock_api, ledger, 1, ["z1"])
+
+
 class TestPushDocuments:
     def test_distributed_push_with_dedup(self, spark, mock_api, tmp_path):
         MockApi.seen.clear()

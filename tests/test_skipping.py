@@ -144,6 +144,38 @@ class TestBloomIndex:
         assert out.count() == 0
         assert set(out.columns) == {"order_id", "cust", "ts"}
 
+    def test_int32_column_probe_finds_files(self, spark, tmp_path):
+        """Build/probe hash-type symmetry: xxhash64(INT) != xxhash64(BIGINT),
+        so an int32-typed parquet column indexed at its natural type but
+        probed at the bigint default would prune EVERY file — silent false
+        negatives. The build side must cast to the probe's value_type."""
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.operators.skipping import (
+            collect_bloom_stats,
+            read_bloom_pruned,
+        )
+
+        df = spark.range(2048).select(
+            F.col("id").alias("order_id"),
+            (F.xxhash64("id") % 64).cast("int").alias("cust32"),  # int32!
+            F.col("id").alias("ts"),
+        )
+        path = str(tmp_path / "facts32")
+        df.repartitionByRange(8, "ts").write.mode("overwrite").parquet(path)
+
+        stats = collect_bloom_stats(spark, path, "cust32").localCheckpoint()
+        full = spark.read.parquet(path)
+        probe = int(full.select("cust32").first().cust32)
+        exact = sorted(
+            r.order_id for r in full.filter(F.col("cust32") == probe).collect()
+        )
+        got = sorted(
+            r.order_id
+            for r in read_bloom_pruned(spark, stats, "cust32", probe).collect()
+        )
+        assert got == exact and len(got) > 0
+
     def test_power_of_two_guard(self, spark, tmp_path):
         import pytest as _pytest
 
