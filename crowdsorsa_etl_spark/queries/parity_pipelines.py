@@ -37,32 +37,42 @@ from crowdsorsa_etl_spark.queries._shared import (  # noqa: F401
 )
 
 # ===========================================================================
-# Crowdsorsa parity pipelines as rows-only entries (their inputs are the
-# engine-generated observation fixtures, not the driver tables, so the
-# golden-JSON tests in tests/test_docmodel.py are their correctness gate)
+# Crowdsorsa parity pipelines under FULL independent-engine oracles (round 7):
+# the observation fixtures persist once to parquet (parity_oracles), both
+# engines read the identical bytes, and DuckDB replays the whole pipeline —
+# WKB parse, ring close, geodesic/planar area, doc assembly — byte-comparing
+# the emitted JSON. The golden tests in tests/test_docmodel.py remain the
+# trap-by-trap unit gates.
 # ===========================================================================
 
+from crowdsorsa_etl_spark import parity_oracles
 
-@register("crowdsorsa_documents_2023")
+
+@register("crowdsorsa_documents_2023", parity_oracles.documents_2023_sql())
 def crowdsorsa_documents_2023(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity 2023 (crowdsorsa-etl-2023.R:46-228) over the
+    persisted observation fixture, full-document JSON hash-oracled."""
     from crowdsorsa_etl_spark.pipelines.crowdsorsa import documents_2023
-    from crowdsorsa_etl_spark.sources.observations import (
-        municipality_dim,
-        observations_2023,
+    from crowdsorsa_etl_spark.schemas import MUNICIPALITY_KEY, OBSERVATIONS_2023
+
+    d = parity_oracles.ensure_observation_fixtures()
+    obs = spark.read.schema(OBSERVATIONS_2023).parquet(
+        f"{d}/observations_2023.parquet"
     )
-
-    obs = observations_2023(spark, n=200)
-    return documents_2023(obs, municipality_dim(spark)).select(
-        "obs_id", "document_json"
-    )
+    dim = spark.read.schema(MUNICIPALITY_KEY).parquet(f"{d}/municipality_key.parquet")
+    return documents_2023(obs, dim).select("obs_id", "document_json")
 
 
-@register("crowdsorsa_documents_2024")
+@register("crowdsorsa_documents_2024", parity_oracles.documents_2024_sql())
 def crowdsorsa_documents_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity 2024 (crowdsorsa-etl-2024.R:42-190), same scheme."""
     from crowdsorsa_etl_spark.pipelines.crowdsorsa import documents_2024
-    from crowdsorsa_etl_spark.sources.observations import observations_2024
+    from crowdsorsa_etl_spark.schemas import OBSERVATIONS_2024
 
-    obs = observations_2024(spark, n=200)
+    d = parity_oracles.ensure_observation_fixtures()
+    obs = spark.read.schema(OBSERVATIONS_2024).parquet(
+        f"{d}/observations_2024.parquet"
+    )
     return documents_2024(obs).select("obs_id", "document_json")
 
 

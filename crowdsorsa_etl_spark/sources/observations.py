@@ -157,7 +157,10 @@ def _unclosed_square(cx: float, cy: float, half: float) -> list[list[tuple[float
     return [ring[:-1]]  # drop the closing point → "invalid" for make_valid
 
 
-def observations_2023(spark: SparkSession, n: int = 200, seed: int = 7) -> DataFrame:
+def observation_rows_2023(n: int = 200, seed: int = 7) -> list[tuple]:
+    """Pure-Python 2023 fixture rows (no Spark) — shared by the Spark source
+    below and the parquet persistence in parity_oracles.py, so the DuckDB
+    oracle reads byte-identical inputs."""
     rng = random.Random(seed)
     taxa = list(TAXA_2023) + ["tuntematonlaji"]  # includes one unknown → NULL id
     rows = []
@@ -184,10 +187,15 @@ def observations_2023(spark: SparkSession, n: int = 200, seed: int = 7) -> DataF
                 None,
             )
         )
-    return spark.createDataFrame(rows, OBSERVATIONS_2023)
+    return rows
 
 
-def observations_2024(spark: SparkSession, n: int = 200, seed: int = 11) -> DataFrame:
+def observations_2023(spark: SparkSession, n: int = 200, seed: int = 7) -> DataFrame:
+    return spark.createDataFrame(observation_rows_2023(n, seed), OBSERVATIONS_2023)
+
+
+def observation_rows_2024(n: int = 200, seed: int = 11) -> list[tuple]:
+    """Pure-Python 2024 fixture rows (no Spark)."""
     rng = random.Random(seed)
     taxa = list(TAXA_2024) + ["tuntematonlaji"]
     rows = []
@@ -213,7 +221,11 @@ def observations_2024(spark: SparkSession, n: int = 200, seed: int = 11) -> Data
                 None,
             )
         )
-    return spark.createDataFrame(rows, OBSERVATIONS_2024)
+    return rows
+
+
+def observations_2024(spark: SparkSession, n: int = 200, seed: int = 11) -> DataFrame:
+    return spark.createDataFrame(observation_rows_2024(n, seed), OBSERVATIONS_2024)
 
 
 def municipality_dim(spark: SparkSession) -> DataFrame:
