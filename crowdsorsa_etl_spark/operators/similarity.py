@@ -41,6 +41,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+#: default ceiling for driver-side query collection — ~64k × dim-64 float
+#: vectors ≈ 32 MB, comfortably inside driver memory; anything bigger is a
+#: caller error (a fact-scale DataFrame on the query side), not a workload.
+MAX_QUERY_ROWS = 65_536
+
+
+def _collect_bounded(df: DataFrame, limit: int, what: str) -> list:
+    """collect() with a hard row bound: raise instead of OOMing the driver
+    when a caller passes a fact-scale DataFrame where a bounded query set is
+    required (round-6 advice). Costs one limit(n+1) scan — negligible next
+    to the collect itself."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what} has more than {limit} rows; this operator collects the "
+            f"{what} to the driver and is contractually bounded — repartition "
+            "the workload (e.g. self-join tiers) or raise max_queries "
+            "explicitly if the driver really has the memory"
+        )
+    return rows
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,28 +121,39 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    candidate_margin: int = 16,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k with numpy matrix math per Arrow batch.
 
     The hot loop is ``C_normed @ Q_normed.T`` inside ``mapInPandas`` — BLAS
     does |batch|×|Q| dot products at memory bandwidth instead of one
-    interpreted expression per pair. The query set (small by definition) is
-    collected once and broadcast to executors; the corpus streams through in
-    Arrow batches, so executor memory is one batch, never the corpus.
+    interpreted expression per pair. The query set (bounded; raises past
+    ``max_queries``) is collected once and broadcast to executors; the
+    corpus streams through in Arrow batches, so executor memory is one
+    batch, never the corpus.
 
-    Same contract as :func:`cosine_topk`; values can differ from it in the
-    last float ulp (BLAS pairwise summation), hence rounding to 6 dp happens
-    after the matrix product exactly as in the expression path.
+    BIT-EXACT contract (round 7): BLAS scores only SELECT candidates — the
+    top ``k + candidate_margin`` per query — which are then re-scored with
+    the expression path (``dot / (norm·norm)``, round 6) and re-ranked, so
+    the output is identical to :func:`cosine_topk` and the DuckDB oracle.
+    BLAS pairwise summation differs from sequential accumulation by ≲1e-12;
+    the margin makes candidate-set misses from such last-ulp ordering
+    effectively impossible. The re-score is a broadcast semi-join back to
+    the corpus — |Q|·(k+margin) rows, never a second full scoring pass.
     """
     import numpy as np
     import pandas as pd
 
     qid = query_id_col or id_col
-    q_rows = queries.select(F.col(qid), F.col(vec_col)).collect()
+    q_rows = _collect_bounded(
+        queries.select(F.col(qid), F.col(vec_col)), max_queries, "query set"
+    )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    n_cand = k + candidate_margin
 
     def score(batches):
         ids, mat = bc.value
@@ -133,19 +166,57 @@ def cosine_topk_vectorized(
                 {
                     "query_id": np.repeat(ids, len(n_ids)),
                     "neighbor_id": np.tile(n_ids, len(ids)),
-                    "cosine": np.round(sims.T.ravel(), 6),
+                    "cosine_blas": sims.T.ravel(),
                 }
             )
-            yield out[out.query_id != out.neighbor_id]
+            out = out[out.query_id != out.neighbor_id]
+            # per-batch partial top-(k+margin): bounds the shuffle to
+            # |Q|·(k+margin) rows per batch instead of |Q|·|batch|
+            yield out.sort_values(
+                ["query_id", "cosine_blas"], ascending=[True, False]
+            ).groupby("query_id", sort=False).head(n_cand)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
+        score, "query_id long, neighbor_id long, cosine_blas double"
+    )
+    w_blas = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_blas").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_blas))
+        .filter(F.col("_r") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-score of the candidates: same expression, same rounding, same
+    # tie-break as cosine_topk → bit-identical output
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -626,6 +697,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     sample_size: int = 2048,
     trainer: str = "sample",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only the corpus vectors whose list
     is among each query's ``n_probe`` nearest centroids (~n_probe/n_lists of
@@ -651,7 +723,9 @@ def ivf_topk(
     )
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "query set"
+    )
     spark = corpus.sparkSession
     probes = []
     for r in q_rows:
@@ -734,6 +808,7 @@ def ivf_query_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Search a persisted IVF index: assign each query to its n_probe
     nearest stored centroids driver-side (bounded), then scan ONLY the
@@ -746,7 +821,9 @@ def ivf_query_index(
     for r in cent_rows:
         centroids[r.list_id] = r.centroid
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "query set"
+    )
     probes = []
     for r in q_rows:
         qv = np.asarray(r[1], dtype=np.float64)

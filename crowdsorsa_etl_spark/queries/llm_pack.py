@@ -196,9 +196,10 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_cosine_topk",
-    """
+# shared with llm_cosine_topk_vectorized (same query shape; since round 7 the
+# BLAS path re-scores its candidates with the expression path, so both are
+# bit-identical to this oracle)
+COSINE_TOPK_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
@@ -214,8 +215,10 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
           FROM s)
     WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("llm_cosine_topk", COSINE_TOPK_ORACLE_SQL)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (the ANN baseline + oracle truth)."""
     emb = _t(spark, sf_dir, "embeddings")

@@ -429,11 +429,20 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_cosine_topk_vectorized")
+def _cosine_topk_oracle_sql() -> str:
+    from crowdsorsa_etl_spark.queries.llm_pack import COSINE_TOPK_ORACLE_SQL
+
+    return COSINE_TOPK_ORACLE_SQL
+
+
+@register("llm_cosine_topk_vectorized", _cosine_topk_oracle_sql())
 def llm_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """numpy/BLAS variant of llm_cosine_topk (rows-only: BLAS pairwise
-    summation can differ from the sequential oracle in the last ulp; the
-    agreement test lives in tests/test_operators.py)."""
+    """numpy/BLAS variant of llm_cosine_topk — hash-oracled since round 7:
+    BLAS selects top-(k+margin) candidates at memory bandwidth, then the
+    expression path re-scores them with the oracle's exact accumulation
+    order and rounding, so the output is bit-identical to llm_cosine_topk
+    (shared oracle SQL). The BLAS/expression agreement test remains in
+    tests/test_operators.py."""
     from crowdsorsa_etl_spark.operators.similarity import cosine_topk_vectorized
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -199,6 +199,24 @@ class TestVectorizedCosine:
              for r in cosine_topk_vectorized(emb, q, k=5).collect()}
         assert a == b
 
+    def test_query_side_collect_is_bounded(self, spark):
+        """A fact-scale DataFrame on the query side must raise, not OOM the
+        driver (round-6 advice). Covers every _collect_bounded call site
+        through the vectorized path."""
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.operators.similarity import (
+            cosine_topk_vectorized,
+            ivf_topk,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        with _pytest.raises(ValueError, match="more than 3 rows"):
+            cosine_topk_vectorized(emb, emb, k=5, max_queries=3).collect()
+        with _pytest.raises(ValueError, match="more than 3 rows"):
+            ivf_topk(emb, emb, k=5, max_queries=3).collect()
+
 
 class TestConnectedComponents:
     def test_chain_and_triangle(self, spark):
