@@ -37,17 +37,26 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Return (id, component) where component = min vertex id in the
     component. Edges are undirected; isolated vertices don't appear (join
     the corpus afterwards with a coalesce(component, id) for those).
+
+    ``reliable_checkpoints=True`` → loss-tolerant checkpoint() lineage
+    truncation (see operators/checkpointing.py).
     """
+    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
     # undirected → both directions once
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    sym = truncate_lineage(
+        sym.filter(F.col("src") != F.col("dst")).distinct(),
+        reliable=reliable_checkpoints,
+    )
 
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -93,9 +102,10 @@ def connected_components(
             .filter(F.col("new_component") != F.col("_old"))
         )
         n_changed = changed.count()
-        labels = doubled.select(
-            "id", F.col("new_component").alias("component")
-        ).localCheckpoint()  # truncate lineage every round
+        labels = truncate_lineage(  # truncate lineage every round
+            doubled.select("id", F.col("new_component").alias("component")),
+            reliable=reliable_checkpoints,
+        )
         if n_changed == 0:
             converged = True
             break

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -29,6 +31,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -37,21 +40,27 @@ def pagerank(
     + dangling_mass/N)``. Deterministic: fixed iteration count, pure
     double arithmetic, no sampling.
 
+    ``reliable_checkpoints=True`` truncates lineage with reliable
+    ``checkpoint()`` files instead of localCheckpoint, so an executor loss
+    at cluster scale recomputes from the last round's files instead of
+    failing the job (requires ``sparkContext.setCheckpointDir``; see
+    operators/checkpointing.py).
+
     Output: (node, rank) — ranks sum to 1 (up to fp rounding).
     """
     # materialize the (deduped) edge list once: every iteration's join
     # re-traverses its lineage otherwise, turning k iterations into k
     # re-scans of the source
-    e = (
+    e = truncate_lineage(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable=reliable_checkpoints,
     )
-    nodes = (
+    nodes = truncate_lineage(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable=reliable_checkpoints,
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -59,7 +68,7 @@ def pagerank(
     ranked = nodes.join(
         deg, nodes.node == deg.src, "left"
     ).select("node", "deg", F.lit(1.0 / n).alias("rank"))
-    ranked = ranked.localCheckpoint()
+    ranked = truncate_lineage(ranked, reliable=reliable_checkpoints)
 
     for i in range(iterations):
         # dangling mass as a LAZY 1-row broadcast (not a driver collect):
@@ -89,6 +98,6 @@ def pagerank(
             .select("node", "deg", new_rank.alias("rank"))
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranked = ranked.localCheckpoint()
+            ranked = truncate_lineage(ranked, reliable=reliable_checkpoints)
 
     return ranked.select("node", F.col("rank").cast("double"))

@@ -136,15 +136,50 @@ def q39_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q40_approx_aggs")
+@register(
+    "q40_approx_aggs",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_bound,
+           TRUE AS median_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q40_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, t-digest percentile) — the
-    100 TB substitutes for q10/q21; rows-only (sketch results are
-    engine-specific by design)."""
+    100 TB substitutes for q10/q21 — under an ERROR-BOUND oracle (round 7).
+
+    Sketch estimates are engine-specific by design, so the raw values can
+    never hash-match a different engine; instead both sides emit the EXACT
+    per-group distinct count plus boolean bound verdicts. A hash match
+    therefore proves (a) the exact counts agree with DuckDB and (b) Spark's
+    sketch landed within its documented bound of that independently-checked
+    truth — falsifiable, unlike the old rows-only record:
+    * HLL: |approx − exact| ≤ 3·rsd·exact (rsd = 0.02 → 6%, a ≥3σ bound);
+    * percentile_approx(accuracy=1000): returned value must lie between the
+      exact 0.495 and 0.505 quantiles (rank error ≤ 1/accuracy · n/2·5).
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.495, 0.505))"
+        ).alias("_median_band"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("_approx_parts") - F.col("n_exact"))
+            <= 3 * 0.02 * F.col("n_exact")
+        ).alias("hll_within_bound"),
+        F.col("_approx_median").between(
+            F.col("_median_band")[0], F.col("_median_band")[1]
+        ).alias("median_within_bound"),
     )
 
 
@@ -341,25 +376,61 @@ def q45_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q47_hll_sketches")
+@register(
+    "q47_hll_sketches",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS sketch_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           TRUE AS sketch_within_bound
+    FROM lineitem
+    """,
+)
 def q47_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg) —
     the re-aggregatable distinct-count pattern 100 TB rollups need: group
     sketches persist/merge WITHOUT rescanning the facts (the 'ALL' row is
     built by unioning the per-group sketches, not by a second scan).
-    Rows-only: sketch estimates are engine-specific; the accuracy gate
-    (within 5% of exact) lives in tests/test_queries.py."""
+
+    ERROR-BOUND oracle (round 7; see q40 for the scheme): sketch estimates
+    can't hash-match across engines, so both sides emit the exact distinct
+    counts (per group AND for the merged-'ALL' row) plus a boolean asserting
+    the estimate is within 5% of exact — the per-round falsifiable form of
+    the accuracy gate that also lives in tests/test_queries.py."""
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sk")
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("n_exact"),
     )
     per_est = per.select(
         "l_returnflag",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_parts"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("sketch_within_bound"),
     )
-    total = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_parts")
-    ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
+    # the ALL row merges the per-group SKETCHES (no second fact scan for the
+    # estimate); its exact count needs its own distinct, computed here once
+    exact_all = li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+    total = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx_all")
+        )
+        .crossJoin(exact_all)
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("_approx_all") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("sketch_within_bound"),
+        )
+    )
     return per_est.unionByName(total)
 
 

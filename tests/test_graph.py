@@ -48,6 +48,44 @@ class TestPageRank:
         total = sum(r.rank for r in pagerank(df, iterations=6).collect())
         assert total == pytest.approx(1.0, abs=1e-9)
 
+    def test_reliable_checkpoint_path(self, spark, tmp_path):
+        """Cluster-durable lineage truncation: same ranks through reliable
+        checkpoint() files, and a clear error when no checkpoint dir is set
+        (instead of a silent local fallback that would be wrong on a
+        cluster)."""
+        from crowdsorsa_etl_spark.operators.clusters import connected_components
+
+        df = spark.createDataFrame(EDGES, "src long, dst long")
+        old_dir = spark.sparkContext.getCheckpointDir()
+        assert old_dir is None
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            pagerank(df, iterations=2, reliable_checkpoints=True)
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            got = {
+                r.node: r.rank
+                for r in pagerank(
+                    df, iterations=10, reliable_checkpoints=True
+                ).collect()
+            }
+            want = _numpy_pagerank(EDGES, 9, iterations=10)
+            for v in range(9):
+                assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+            comp = {
+                r.id: r.component
+                for r in connected_components(
+                    spark.createDataFrame(
+                        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+                    ),
+                    reliable_checkpoints=True,
+                ).collect()
+            }
+            assert {comp[1], comp[2], comp[3]} == {1} and comp[10] == comp[11] == 10
+        finally:
+            spark.sparkContext.setCheckpointDir(None)
+
     def test_star_graph_center_dominates(self, spark):
         star = [(i, 0) for i in range(1, 8)]
         df = spark.createDataFrame(star, "src long, dst long")

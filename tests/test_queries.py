@@ -43,11 +43,14 @@ def test_rows_only_queries_run(spark, name):
 
 class TestHLLSketches:
     def test_estimates_within_5pct_of_exact(self, spark):
+        """q47's bound verdicts must hold, and its n_exact column must agree
+        with an independently computed exact distinct (the query now emits
+        exact + bound-verdict so the DuckDB oracle is falsifiable)."""
         from crowdsorsa_etl_spark.queries import QUERIES
         from crowdsorsa_etl_spark.sources.parquet import load_table
 
         got = {
-            r.l_returnflag: r.approx_parts
+            r.l_returnflag: r
             for r in QUERIES["q47_hll_sketches"](spark, "/root/testdata/sf0.001").collect()
         }
         li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
@@ -60,5 +63,7 @@ class TestHLLSketches:
             .collect()
         }
         exact["ALL"] = li.select("l_partkey").distinct().count()
-        for k, est in got.items():
-            assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+        assert set(got) == set(exact)
+        for k, row in got.items():
+            assert row.n_exact == exact[k], (k, row.n_exact, exact[k])
+            assert row.sketch_within_bound, k
