@@ -73,6 +73,12 @@ HEADLINE = [
     # expensive operators in the repo) now carry tracked wall times
     "llm_semdedup_scaled",
     "llm_ivf_topk_scaled",
+    # round-7 operators: BM25 retrieval, chunk materialization, PQ/ADC ANN,
+    # runtime-bloom join
+    "llm_bm25_topk",
+    "llm_doc_chunking",
+    "llm_pq_topk",
+    "q96_bloom_join_reduction",
 ]
 
 

@@ -667,3 +667,126 @@ def winnow_overlap_sql(
     FROM fr a JOIN fr b ON a.fp = b.fp AND a.id < b.id
     GROUP BY 1, 2 HAVING count(*) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py) — per-subspace k-means replayed in
+# long (subspace, centroid) format, ADC scoring through 6-dp-rounded
+# distance tables, exact sequential-cosine re-rank. Same integer-decision
+# robustness contract as the IVF replay above (argmin/argmax + ties-to-
+# lowest-index survive last-ulp summation differences; every float that
+# reaches a comparison is either rounded to a 1e-6 grid or feeds an
+# integer decision with ~1e-2-wide boundaries).
+# ---------------------------------------------------------------------------
+
+
+def pq_topk_sql(
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 32,
+    k: int = 5,
+    candidate_margin: int = 16,
+    sample_size: int = 2048,
+    iterations: int = 4,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for operators/pq.pq_topk on the embeddings table."""
+    sub = dim // m
+    norm = _l2norm_sql
+    slice_expr = f"xv[mi * {sub} + 1 : mi * {sub} + {sub}]"
+    d2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    parts = [
+        f"""
+    e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    xn AS (SELECT id, {norm('v')} AS xv FROM e),
+    samp AS (SELECT id, xv FROM xn ORDER BY id LIMIT {sample_size}),
+    mdim AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS mi),
+    subv AS (SELECT id, mi, {slice_expr} AS sv FROM samp CROSS JOIN mdim),
+    cent0 AS (
+      SELECT mi, CAST(rn - 1 AS INT) AS c, sv AS cv
+      FROM (SELECT mi, sv,
+                   row_number() OVER (PARTITION BY mi ORDER BY id) AS rn
+            FROM subv) t
+      WHERE rn <= {k_codes}
+    )"""
+    ]
+    prev = "cent0"
+    for it in range(1, iterations + 1):
+        assign_d2 = d2.format(a="s.sv", b="ct.cv")
+        parts.append(f"""
+    assign{it} AS (
+      SELECT id, mi, sv, c AS cid FROM (
+        SELECT s.id, s.mi, s.sv, ct.c,
+               row_number() OVER (PARTITION BY s.id, s.mi
+                 ORDER BY {assign_d2} ASC, ct.c ASC) AS rn
+        FROM subv s JOIN {prev} ct ON s.mi = ct.mi) t
+      WHERE rn = 1
+    ),
+    mean{it} AS (
+      SELECT mi, cid, d, sum(val) / count(*) AS mv
+      FROM (SELECT mi, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS d
+            FROM assign{it}) t
+      GROUP BY 1, 2, 3
+    ),
+    craw{it} AS (
+      SELECT mi, cid, list(mv ORDER BY d) AS cv FROM mean{it} GROUP BY 1, 2
+    ),
+    cent{it} AS (
+      SELECT p.mi, p.c, coalesce(r.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN craw{it} r ON p.mi = r.mi AND p.c = r.cid
+    )""")
+        prev = f"cent{it}"
+    code_d2 = d2.format(a="s.sv", b="ct.cv")
+    dt_d2 = d2.format(a="q.qv", b="ct.cv")
+    parts.append(f"""
+    subfull AS (SELECT id, mi, {slice_expr} AS sv FROM xn CROSS JOIN mdim),
+    codes AS (
+      SELECT id, mi, c AS code FROM (
+        SELECT s.id, s.mi, ct.c,
+               row_number() OVER (PARTITION BY s.id, s.mi
+                 ORDER BY {code_d2} ASC, ct.c ASC) AS rn
+        FROM subfull s JOIN {prev} ct ON s.mi = ct.mi) t
+      WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT id AS qid, mi, {slice_expr} AS qv
+      FROM (SELECT id, xv FROM xn WHERE {query_pred}) q CROSS JOIN mdim
+    ),
+    dt AS (
+      SELECT q.qid, q.mi, ct.c AS code, round({dt_d2}, 6) AS dist
+      FROM qsub q JOIN {prev} ct ON q.mi = ct.mi
+    ),
+    adc AS (
+      SELECT d.qid AS query_id, c.id AS neighbor_id,
+             round(sum(d.dist), 6) AS adc
+      FROM codes c
+      JOIN dt d ON c.mi = d.mi AND c.code = d.code AND c.id != d.qid
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adc) t
+      WHERE rn <= {k + candidate_margin}
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(eq.v, en.v)
+                   / (sqrt(list_dot_product(eq.v, eq.v))
+                      * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+      FROM cand
+      JOIN e eq ON eq.id = cand.query_id
+      JOIN e en ON en.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s) t
+    WHERE rank <= {k}""")
+    return "WITH " + ",".join(parts)

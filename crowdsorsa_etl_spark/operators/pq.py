@@ -1,0 +1,233 @@
+"""Product quantization (PQ) ANN — the FAISS-style compressed tier.
+
+Completes the engine's similarity ladder: brute force (exact oracle tier) →
+SRP-LSH (bucketed) → IVF (partition-pruned) → int8 SQ → **PQ** (this module):
+vectors compress to ``m`` byte-ish codes (64-float32 → 4-8 ints, 32-64×),
+and queries score the WHOLE corpus through per-subspace distance lookup
+tables (ADC — asymmetric distance computation) instead of full-width dot
+products. At 100 TB the encoded corpus is what you keep hot; raw vectors
+page in only for the final exact re-rank of a bounded candidate set.
+
+Determinism contract (what makes the DuckDB oracle possible, mirroring the
+IVF trainer at similarity.ivf_train_centroids):
+* the train sample is the first ``sample_size`` vectors by id; codebook init
+  is the first ``k_codes`` sample subvectors per subspace;
+* assignment is argmin squared-L2 with ties to the lowest code index —
+  integer decisions, robust to last-ulp summation differences;
+* distance-table entries round to 6 dp BEFORE the ADC sum, so both engines
+  sum identical multiples of 1e-6 and the rounded ADC score is
+  engine-independent regardless of summation order;
+* the final output re-scores ADC candidates with the sequential
+  expression-path cosine (bit-identical to cosine_topk's values).
+
+Scale shape: codebooks are (m × k_codes × subdim) doubles — broadcast-sized
+at any realistic setting; encoding is one mapInPandas pass (batch matmuls);
+ADC scoring is |corpus| × |Q| rows of m array lookups (whole-stage codegen,
+no Python), followed by a per-query top-(k+margin) window and a broadcast
+join back to raw vectors for the exact re-rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.similarity import (
+    MAX_QUERY_ROWS,
+    _collect_bounded,
+    dot,
+    l2_norm,
+)
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 4,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    iterations: int = 4,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks over unit-normalized vectors.
+
+    Returns an (m, k_codes, dim//m) float64 ndarray. Subspace trainers are
+    independent classic k-means (squared-L2, mean update, no
+    re-normalization — PQ codebooks live in subvector space, not on the
+    sphere); empty clusters keep their previous centroid.
+    """
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, k_codes, sub))
+    for mi in range(m):
+        xs = x[:, mi * sub : (mi + 1) * sub]
+        cent = xs[:k_codes].copy()  # deterministic init
+        for _ in range(iterations):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties → lowest index
+            for j in range(k_codes):
+                members = xs[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as ``m`` codes: (id, codes array<int>).
+
+    One mapInPandas pass; per batch the work is m batched matmul-style
+    distance computations against the broadcast codebooks.
+    """
+    m, k_codes, sub = codebooks.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.zeros((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                xs = x[:, mi * sub : (mi + 1) * sub]
+                d2 = ((xs[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 32,
+    candidate_margin: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    iterations: int = 4,
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ/ADC with exact re-rank.
+
+    Candidates = ADC top-(k + candidate_margin) per query (squared-L2 on
+    unit vectors is 2 − 2·cos, so ascending ADC ≈ descending cosine); the
+    output re-scores those exactly and returns (query_id, neighbor_id,
+    cosine, rank). Recall vs the exact brute force is gated in tests.
+    """
+    books = pq_train_codebooks(
+        corpus,
+        m=m,
+        k_codes=k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        iterations=iterations,
+    )
+    sub = books.shape[2]
+    enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "query set"
+    )
+    spark = corpus.sparkSession
+    q_data = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        # distance tables rounded to 6 dp — the engine-portability contract
+        tables = [
+            [
+                round(float(((qv[mi * sub : (mi + 1) * sub] - books[mi][c]) ** 2).sum()), 6)
+                for c in range(k_codes)
+            ]
+            for mi in range(m)
+        ]
+        q_data.append((int(r[0]), tables))
+    q_df = spark.createDataFrame(
+        q_data, "query_id long, dists array<array<double>>"
+    )
+
+    adc = (
+        enc.crossJoin(F.broadcast(q_df))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("dists"),
+                        F.col("codes"),
+                        lambda d, c: F.element_at(d, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc()
+    )
+    cand = (
+        adc.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k + candidate_margin)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -306,3 +306,34 @@ def q96_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.localCheckpoint()  # materialize INSIDE the conf scope
     finally:
         _restore_confs(spark, saved)
+
+
+# ===========================================================================
+# llm_pq_topk — product quantization ANN (see operators/pq.py docstring for
+# the compression arithmetic and the determinism contract that makes the
+# full k-means-replay oracle possible).
+# ===========================================================================
+
+from crowdsorsa_etl_spark import lsh_oracles
+
+
+@register(
+    "llm_pq_topk",
+    lsh_oracles.pq_topk_sql(
+        dim=64, m=8, k_codes=64, k=5, candidate_margin=32,
+        sample_size=2048, iterations=4, query_pred="id < 10",
+    ),
+)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank, fully hash-oracled:
+    DuckDB replays the per-subspace k-means (long-format unrolled Lloyd
+    iterations), the corpus encoding, the 6-dp distance tables, the ADC
+    candidate ranking, and the sequential-cosine re-score."""
+    from crowdsorsa_etl_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, m=8, k_codes=64, candidate_margin=32,
+        sample_size=2048, iterations=4,
+    )

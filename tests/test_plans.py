@@ -368,6 +368,16 @@ class TestRound7Plans:
         assert "Exchange" not in plan
         assert "Generate" in plan  # the posexplode
 
+    def test_pq_adc_scoring_is_codegen_with_broadcast_tables(self, spark):
+        """PQ: Python appears only in the ENCODE step (one mapInPandas);
+        the ADC scoring and both re-rank windows are JVM expressions with
+        the query/distance tables broadcast."""
+        plan = plan_of(QUERIES["llm_pq_topk"](spark, SF_DIR), "simple")
+        assert plan.count("MapInPandas") == 1  # encode only
+        assert "EvalPython" not in plan  # ADC scoring is pure expressions
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
     def test_bloom_join_reduction_injects_and_restores(self, spark):
         """q96 materializes under {bloom on, broadcast off} and must (a)
         leave the session confs untouched afterwards and (b) have run a

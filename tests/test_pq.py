@@ -1,0 +1,85 @@
+"""Product quantization: codebook shape/determinism, encode contract, and
+recall of the ADC-candidates + exact-re-rank pipeline vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train_codebooks,
+)
+from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+from crowdsorsa_etl_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestCodebooks:
+    def test_shape_and_determinism(self, spark):
+        emb = load_table(spark, "embeddings", SF_DIR)
+        a = pq_train_codebooks(emb, m=8, k_codes=16, iterations=2)
+        b = pq_train_codebooks(emb, m=8, k_codes=16, iterations=2)
+        assert a.shape == (8, 16, 8)
+        assert np.array_equal(a, b)  # fixed sample + init → bit-identical
+
+    def test_dim_divisibility_guard(self, spark):
+        import pytest
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train_codebooks(emb, m=7, k_codes=8)
+
+
+class TestEncode:
+    def test_codes_in_range_one_row_per_vector(self, spark):
+        emb = load_table(spark, "embeddings", SF_DIR)
+        books = pq_train_codebooks(emb, m=8, k_codes=16, iterations=2)
+        enc = pq_encode(emb, books).collect()
+        assert len(enc) == emb.count()
+        for r in enc:
+            assert len(r.codes) == 8
+            assert all(0 <= c < 16 for c in r.codes)
+
+
+class TestPQTopK:
+    def test_recall_vs_exact(self, spark):
+        """ADC top-(k+margin) + exact re-rank must recover most of the true
+        top-5 (0.92 measured at sf0.01 with these params; gate leaves
+        headroom for fixture regeneration)."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_topk(
+                emb, q, k=5, m=8, k_codes=64, candidate_margin=32
+            ).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.75
+
+    def test_exact_cosine_values_on_returned_rows(self, spark):
+        """Returned cosines are the expression-path values: every returned
+        (query, neighbor) pair carries the same rounded cosine the exact
+        brute force computes for that pair."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in cosine_topk(emb, q, k=50).collect()
+        }
+        for r in pq_topk(emb, q, k=5, m=8, k_codes=64).collect():
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:  # top-50 covers any plausible PQ pick
+                assert r.cosine == exact[key]
+
+    def test_query_collect_bounded(self, spark):
+        import pytest
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        with pytest.raises(ValueError, match="more than 3 rows"):
+            pq_topk(emb, emb, k=5, max_queries=3).collect()
