@@ -355,6 +355,65 @@ def st_make_valid_multi(wkb: pd.Series) -> pd.Series:
     return wkb.map(_make_valid_py)
 
 
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(ENVELOPE_SCHEMA)
+def st_envelope(wkb: pd.Series) -> pd.DataFrame:
+    """Bounding box of a WKB (multi)polygon — the index key for grid-cell
+    spatial joins (operators/spatial.py)."""
+
+    def env(buf):
+        if buf is None:
+            return (None, None, None, None)
+        xs, ys = [], []
+        for rings in _parse_wkb(bytes(buf)):
+            for ring in rings:
+                xs.extend(p[0] for p in ring)
+                ys.extend(p[1] for p in ring)
+        if not xs:
+            return (None, None, None, None)
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    parsed = wkb.map(env)
+    return pd.DataFrame(
+        {
+            "xmin": parsed.map(lambda e: e[0]),
+            "ymin": parsed.map(lambda e: e[1]),
+            "xmax": parsed.map(lambda e: e[2]),
+            "ymax": parsed.map(lambda e: e[3]),
+        }
+    )
+
+
+def _contains_py(buf: bytes | None, x: float, y: float) -> bool | None:
+    """Even-odd point-in-multipolygon: inside any shell minus its holes
+    (ring 0 = shell, rings 1+ = holes, per _make_valid_py's output
+    convention). Boundary points follow the ray-cast's half-open edge rule
+    — callers needing boundary guarantees must buffer."""
+    if buf is None or x is None or y is None:
+        return None
+    for rings in _parse_wkb(bytes(buf)):
+        if rings and _point_in_ring((x, y), rings[0]):
+            if not any(_point_in_ring((x, y), hole) for hole in rings[1:]):
+                return True
+    return False
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_contains_py(b, xx, yy) for b, xx, yy in zip(wkb, x, y)]
+    )
+
+
 def _to_geojson_py(buf: bytes | None) -> dict | None:
     if buf is None:
         return None

@@ -367,3 +367,53 @@ def documents_2024_sql() -> str:
       ||'}}]}}]}}}}' AS document_json
     FROM enriched
     """
+
+
+# ---------------------------------------------------------------------------
+# spatial-join oracle: ALL-PAIRS even-odd ray cast as the semantic ground
+# truth. The Spark side runs the grid-bucketed plan (operators/spatial.py);
+# hash-matching this oracle therefore proves BOTH the ray-cast verify and
+# the soundness/completeness of the cell prefilter (a lost or invented
+# candidate pair would break the match). Probe points derive from the
+# polygon envelopes with identical arithmetic in both engines (pure +-*/ on
+# fixture doubles — no libm, bit-identical), placed strictly inside /
+# outside so no probe sits on an edge (where ray-cast half-open semantics
+# would be representation-sensitive).
+# ---------------------------------------------------------------------------
+
+#: mirrors geo._point_in_ring's edge test EXACTLY (same operator order and
+#: precedence); the CASE guard makes the division safe in DuckDB's
+#: non-short-circuit AND (IEEE inf compares harmlessly under a false guard)
+_RAYCAST_EDGE = (
+    "CASE WHEN (pl.ys[i] > pt.py) != (pl.ys[i+1] > pt.py)"
+    " AND pt.px < pl.xs[i] + (pt.py - pl.ys[i]) * (pl.xs[i+1] - pl.xs[i])"
+    " / (pl.ys[i+1] - pl.ys[i]) THEN 1 ELSE 0 END"
+)
+
+
+def spatial_join_sql() -> str:
+    d = ensure_observation_fixtures().replace("'", "''")
+    obs = f"'{d}/observations_2024.parquet'"
+    return f"""
+    WITH {_points_cte(obs, 'tunniste', 'kunta')},
+    poly AS (SELECT tunniste AS poly_id, xs, ys FROM pts),
+    env AS (
+      SELECT poly_id,
+             list_min(xs) AS xmin, list_max(xs) AS xmax,
+             list_min(ys) AS ymin, list_max(ys) AS ymax
+      FROM poly
+    ),
+    probes AS (
+      SELECT poly_id || '_in' AS point_id,
+             (xmin + xmax) / 2.0 AS px, (ymin + ymax) / 2.0 AS py
+      FROM env
+      UNION ALL
+      SELECT poly_id || '_out',
+             xmax + (xmax - xmin) + 1.0, (ymin + ymax) / 2.0
+      FROM env
+    )
+    SELECT pt.point_id, pl.poly_id
+    FROM probes pt CROSS JOIN poly pl
+    WHERE (list_sum(list_transform(range(1, len(pl.xs)),
+             i -> {_RAYCAST_EDGE}))) % 2 = 1
+    """

@@ -337,3 +337,51 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, m=8, k_codes=64, candidate_margin=32,
         sample_size=2048, iterations=4,
     )
+
+
+# ===========================================================================
+# geo_spatial_join — grid-bucketed point-in-polygon join over the season
+# fixture polygons (see operators/spatial.py for the plan shape). The oracle
+# is the ALL-PAIRS semantic ground truth, so the hash gate proves both the
+# ray-cast verify and that the cell prefilter loses/invents nothing.
+# ===========================================================================
+
+
+from crowdsorsa_etl_spark import parity_oracles as _po
+
+
+@register("geo_spatial_join", _po.spatial_join_sql())
+def geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe points (envelope centers = inside; shifted = outside) against
+    the 2024 observation polygons through the grid-cell spatial join."""
+    from crowdsorsa_etl_spark import parity_oracles
+    from crowdsorsa_etl_spark.functions.geo import st_envelope
+    from crowdsorsa_etl_spark.operators.spatial import grid_spatial_join
+    from crowdsorsa_etl_spark.schemas import OBSERVATIONS_2024
+
+    d = parity_oracles.ensure_observation_fixtures()
+    polys = (
+        spark.read.schema(OBSERVATIONS_2024)
+        .parquet(f"{d}/observations_2024.parquet")
+        .select(F.col("tunniste").alias("poly_id"), "geometry_wkb")
+    )
+    env = polys.select("poly_id", st_envelope(F.col("geometry_wkb")).alias("e"))
+    pts = env.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.col("poly_id"), F.lit("_in")).alias("point_id"),
+                    ((F.col("e.xmin") + F.col("e.xmax")) / 2.0).alias("x"),
+                    ((F.col("e.ymin") + F.col("e.ymax")) / 2.0).alias("y"),
+                ),
+                F.struct(
+                    F.concat(F.col("poly_id"), F.lit("_out")).alias("point_id"),
+                    (
+                        F.col("e.xmax") + (F.col("e.xmax") - F.col("e.xmin")) + 1.0
+                    ).alias("x"),
+                    ((F.col("e.ymin") + F.col("e.ymax")) / 2.0).alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return grid_spatial_join(pts, polys, cell_size=1000.0)
