@@ -62,6 +62,12 @@ HEADLINE = [
     "flagship_units_agg",
     "q91_incremental_join_view",
     "q92_countmin_heavy",
+    # round 7: BM25 (postings shuffle), chunking (narrow), PQ/ADC ANN
+    # (|corpus|×|Q| lookup rows), runtime-bloom join
+    "llm_bm25_topk",
+    "llm_doc_chunking",
+    "llm_pq_topk",
+    "q96_bloom_join_reduction",
 ]
 
 
