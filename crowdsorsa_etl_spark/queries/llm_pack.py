@@ -19,7 +19,6 @@ from crowdsorsa_etl_spark.functions.text import (  # noqa: F401
     quality_score,
     token_count,
 )
-from crowdsorsa_etl_spark.operators.asof import asof_join  # noqa: F401
 from crowdsorsa_etl_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_candidates,
@@ -27,11 +26,9 @@ from crowdsorsa_etl_spark.operators.dedup import (  # noqa: F401
     token_jaccard_pairs,
 )
 from crowdsorsa_etl_spark.operators.similarity import cosine_topk, lsh_topk  # noqa: F401
-from crowdsorsa_etl_spark.operators.topk import sessionize, topk_per_group  # noqa: F401
 from crowdsorsa_etl_spark.pipelines.flagship import order_documents  # noqa: F401
-from crowdsorsa_etl_spark.queries._shared import (  # noqa: F401
+from crowdsorsa_etl_spark.queries._shared import (
     _NORM_SQL,
-    _sf_cache_dir,
     _t,
     register,
 )

@@ -11,27 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crowdsorsa_etl_spark import lsh_oracles  # noqa: F401
-from crowdsorsa_etl_spark.functions.text import (  # noqa: F401
-    _LANG_MARKERS,
-    detect_language,
-    quality_features,
-    quality_score,
-    token_count,
-)
-from crowdsorsa_etl_spark.operators.asof import asof_join  # noqa: F401
-from crowdsorsa_etl_spark.operators.dedup import (  # noqa: F401
-    exact_dedup,
-    minhash_lsh_candidates,
-    simhash_buckets,
-    token_jaccard_pairs,
-)
-from crowdsorsa_etl_spark.operators.similarity import cosine_topk, lsh_topk  # noqa: F401
-from crowdsorsa_etl_spark.operators.topk import sessionize, topk_per_group  # noqa: F401
-from crowdsorsa_etl_spark.pipelines.flagship import order_documents  # noqa: F401
-from crowdsorsa_etl_spark.queries._shared import (  # noqa: F401
-    _NORM_SQL,
-    _sf_cache_dir,
+from crowdsorsa_etl_spark.queries._shared import (
     _t,
     register,
 )
