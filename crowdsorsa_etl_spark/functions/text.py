@@ -54,6 +54,15 @@ def fix_year_typo(col: Column, bad: str = "2026", good: str = "2024") -> Column:
 
 _WS = r"\s+"
 
+
+def normalize_text(col: Column) -> Column:
+    """THE text normalization every text-keyed operator shares (dedup,
+    sketches, BM25, chunking) and that ``_NORM_SQL`` mirrors in DuckDB:
+    trim, collapse whitespace runs to single spaces, lowercase. Keep the
+    two in lockstep — a drift silently desynchronizes oracles."""
+    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+
+
 #: tiny per-language stopword seeds for the n-gram language heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of ", " to ", " is "],

@@ -27,11 +27,7 @@ from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.functions.portable_hash import cw_hash_spark, hex60_spark
 
-_WS = r"\s+"
-
-
-def _norm(col):
-    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
 
 
 def _tokens(df: DataFrame, text_col: str) -> DataFrame:

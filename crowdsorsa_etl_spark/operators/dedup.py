@@ -31,11 +31,7 @@ from crowdsorsa_etl_spark.functions.portable_hash import (
 )
 from crowdsorsa_etl_spark.functions.text import shingles
 
-_WS = r"\s+"
-
-
-def _norm(col):
-    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
 
 
 # Hash family selector. Default xxhash64 (fastest; Spark-only). With
@@ -52,10 +48,12 @@ def _tok_hash(col, portable: bool):
 
 
 def _combine_hash(cols, portable: bool, seed: int | None = None):
-    # seed is None = the unseeded combine (family member 0); an EXPLICIT
-    # seed must select a different family member even when it equals 0 —
-    # callers pass seed=b+1 for band b so band 0 is actually decorrelated
-    # from the unseeded shingle combine (round-6 advice).
+    # Convention: seed=None is the unseeded combine (family member 0), and
+    # band callers pass seed=b+1, so every band — including band 0 — uses a
+    # family member distinct from the unseeded shingle combine (round-6
+    # advice). NOTE an explicit seed=0 would still BE the unseeded member;
+    # decorrelation is the callers' 1-based convention, not a property of
+    # this function.
     if portable:
         return combine_cw_spark(*cols, seed=seed if seed is not None else 0)
     pre = [] if seed is None else [F.lit(seed)]

@@ -64,6 +64,12 @@ def pq_train_codebooks(
     )
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if len(x) < k_codes:
+        raise ValueError(
+            f"corpus sample has {len(x)} vectors but k_codes={k_codes}; "
+            "codebook init needs at least k_codes training vectors — "
+            "lower k_codes or grow the corpus/sample"
+        )
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -171,9 +171,15 @@ def cosine_topk_vectorized(
             )
             out = out[out.query_id != out.neighbor_id]
             # per-batch partial top-(k+margin): bounds the shuffle to
-            # |Q|·(k+margin) rows per batch instead of |Q|·|batch|
+            # |Q|·(k+margin) rows per batch instead of |Q|·|batch|.
+            # neighbor_id is a SORT KEY, not just payload: with ≥ n_cand
+            # exactly-tied scores (duplicate vectors) the kept subset must
+            # be the lowest ids — the same tie-break the global window and
+            # the exact re-rank apply — or a true top-k member could be
+            # dropped here and the bit-exact contract would break.
             yield out.sort_values(
-                ["query_id", "cosine_blas"], ascending=[True, False]
+                ["query_id", "cosine_blas", "neighbor_id"],
+                ascending=[True, False, True],
             ).groupby("query_id", sort=False).head(n_cand)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(

@@ -58,6 +58,31 @@ def prune_files(
     return stats.filter(cond)
 
 
+#: hash-type canonicalization for the bloom index: xxhash64 hashes INT and
+#: BIGINT (and FLOAT and DOUBLE) differently, so build and probe must agree
+#: on ONE physical type per type class. Integrals → bigint, fractionals →
+#: double, everything else → string: any probe value's python type then
+#: canonicalizes to the same class as the column it probes.
+def _canonical_hash_type(spark_type_name: str) -> str:
+    if spark_type_name in {"tinyint", "smallint", "int", "integer", "bigint", "long"}:
+        return "bigint"
+    if spark_type_name in {"float", "double", "decimal"}:
+        return "double"
+    return "string"
+
+
+def canonical_type_for_value(value) -> str:
+    """The canonical hash type for a probe VALUE (mirror of the column-side
+    derivation in collect_bloom_stats)."""
+    if isinstance(value, bool):
+        return "string"
+    if isinstance(value, int):
+        return "bigint"
+    if isinstance(value, float):
+        return "double"
+    return "string"
+
+
 def collect_bloom_stats(
     spark: SparkSession,
     path: str,
@@ -65,7 +90,7 @@ def collect_bloom_stats(
     *,
     n_bits: int = 8192,
     n_hashes: int = 5,
-    value_type: str = "bigint",
+    value_type: str | None = None,
 ) -> DataFrame:
     """Per-file bloom bitsets for equality probes on ``col``:
     (file_path, bloom map<int, bigint>) — the bitset stored sparsely as
@@ -77,16 +102,22 @@ def collect_bloom_stats(
     k positions per row, bit_or the masks per (file, word), collect the
     sparse words per file.
 
-    ``value_type`` pins the PHYSICAL type hashed on both sides of the
-    index: xxhash64 hashes INT and BIGINT differently, so building at the
-    column's natural parquet type while probing at the probe literal's cast
-    type silently turns every probe into a false negative (all files
-    pruned). Build and probe (``bloom_prune``/``read_bloom_pruned``) must
-    be called with the SAME ``value_type``; both default to ``bigint``.
+    Build and probe must hash the SAME physical type (xxhash64 hashes INT
+    and BIGINT differently — a mismatch silently prunes every file). With
+    ``value_type=None`` (default) the type derives from the column's
+    declared type by CLASS — integrals → bigint, fractionals → double,
+    else string — and ``bloom_prune``/``read_bloom_pruned`` derive the
+    identical class from the probe value's python type, so defaults agree
+    for int32/int64/string/double columns alike. Pass an explicit
+    ``value_type`` (to BOTH sides) only to override the class mapping.
     """
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
-    df = spark.read.parquet(path).select(
+    base = spark.read.parquet(path)
+    if value_type is None:
+        decl = dict(base.dtypes)[col]
+        value_type = _canonical_hash_type(decl.split("(")[0])
+    df = base.select(
         F.col("_metadata.file_path").alias("file_path"),
         F.col(col).cast(value_type).alias("_v"),
     )
@@ -146,11 +177,16 @@ def bloom_prune(
     bloom_stats: DataFrame,
     value,
     *,
-    value_type: str = "bigint",
+    value_type: str | None = None,
     n_bits: int = 8192,
     n_hashes: int = 5,
 ) -> DataFrame:
-    """Files whose bloom bitset has ALL k bits of ``value`` set."""
+    """Files whose bloom bitset has ALL k bits of ``value`` set.
+    ``value_type=None`` derives the canonical hash type from the probe
+    value's python type (must match the build-side derivation — see
+    collect_bloom_stats)."""
+    if value_type is None:
+        value_type = canonical_type_for_value(value)
     cond = F.lit(True)
     for p in _bloom_positions(spark, value, value_type, n_bits, n_hashes):
         word, bit = p >> 6, p & 63
@@ -170,13 +206,15 @@ def read_bloom_pruned(
     col: str,
     value,
     *,
-    value_type: str = "bigint",
+    value_type: str | None = None,
     n_bits: int = 8192,
     n_hashes: int = 5,
 ) -> DataFrame:
     """Scan only the files whose bloom filter may contain ``value``, then
     re-apply the exact equality (bloom is file-granular and admits false
     positives; it never admits false negatives)."""
+    if value_type is None:
+        value_type = canonical_type_for_value(value)
     survivors = bloom_prune(
         spark,
         bloom_stats,

@@ -50,12 +50,18 @@ from crowdsorsa_etl_spark.functions.text import MOJIBAKE_MAP
 
 
 def _fixture_fingerprint() -> str:
-    """Content-address the fixture dir on the generator SOURCE: editing
-    observations.py invalidates the cache automatically."""
+    """Content-address the fixture dir on the SOURCES the fixture bytes
+    depend on — the row generators (observations.py) AND the WKB encoder
+    (functions/geo.py) — so editing either invalidates the cache instead of
+    silently serving stale geometry bytes."""
+    import crowdsorsa_etl_spark.functions.geo as geo_mod
     import crowdsorsa_etl_spark.sources.observations as obs_mod
 
-    with open(obs_mod.__file__, "rb") as fh:
-        return hashlib.md5(fh.read()).hexdigest()[:12]
+    h = hashlib.md5()
+    for mod in (obs_mod, geo_mod):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
 
 
 def observation_fixture_dir() -> str:
@@ -128,6 +134,19 @@ def ensure_observation_fixtures() -> str:
         if not os.path.isdir(d):
             raise
     return d
+
+
+def _fixture_dir_for_sql() -> str:
+    """Fixture dir for SQL generation, which runs at registry IMPORT time:
+    materialize eagerly when possible (so the oracle works even if the
+    driver runs it before the Spark query), but never let a broken temp
+    dir / missing pyarrow turn into an import failure of the whole query
+    registry — the deterministic path alone keeps the SQL valid, and the
+    query functions re-ensure the files before any oracle can run."""
+    try:
+        return ensure_observation_fixtures()
+    except Exception:  # noqa: BLE001 — degraded: path-only, files written later
+        return observation_fixture_dir()
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +272,7 @@ def documents_2023_sql() -> str:
     ring close (the fixture's make_valid case), ceil'd spherical geodesic
     area, area-gated facts & geometry choice, mojibake repair, taxon decode,
     full nested JSON string in Spark's struct order."""
-    d = ensure_observation_fixtures().replace("'", "''")
+    d = _fixture_dir_for_sql().replace("'", "''")
     obs = f"'{d}/observations_2023.parquet'"
     dim = f"'{d}/municipality_key.parquet'"
     doc_id = "'http://tun.fi/HR.5835/'||id"
@@ -319,7 +338,7 @@ def documents_2024_sql() -> str:
     """Oracle for crowdsorsa_documents_2024: year-typo repair, lowercase
     taxon, ceil'd planar shoelace area from the RAW ring (no validity pass —
     2024 pipeline parity), abundance fields, facts always present."""
-    d = ensure_observation_fixtures().replace("'", "''")
+    d = _fixture_dir_for_sql().replace("'", "''")
     obs = f"'{d}/observations_2024.parquet'"
     doc_id = "'http://tun.fi/HR.5835/'||tunniste"
     return f"""
@@ -392,7 +411,7 @@ _RAYCAST_EDGE = (
 
 
 def spatial_join_sql() -> str:
-    d = ensure_observation_fixtures().replace("'", "''")
+    d = _fixture_dir_for_sql().replace("'", "''")
     obs = f"'{d}/observations_2024.parquet'"
     return f"""
     WITH {_points_cte(obs, 'tunniste', 'kunta')},

@@ -185,7 +185,9 @@ def llm_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    norm = normalize_text(F.col("text"))
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fp_md5"),

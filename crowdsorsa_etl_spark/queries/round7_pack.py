@@ -13,11 +13,7 @@ from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.queries._shared import _NORM_SQL, _t, register
 
-_WS = r"\s+"
-
-
-def _norm(col):
-    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
 
 
 # ===========================================================================

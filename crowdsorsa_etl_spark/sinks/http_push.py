@@ -65,6 +65,17 @@ class _TokenBucket:
         self._next_ok = max(now, self._next_ok) + self.min_interval
 
 
+#: 4xx statuses that are TRANSIENT despite the class: retrying identical
+#: bytes can succeed once the server recovers (timeout) or the rate window
+#: rolls (throttle). Everything else in 4xx is a permanent rejection of
+#: these bytes.
+TRANSIENT_4XX = frozenset({408, 429})
+
+
+def is_permanent_4xx(status) -> bool:
+    return status is not None and 400 <= status < 500 and status not in TRANSIENT_4XX
+
+
 def _redact(text: str | None, token: str) -> str | None:
     """Remove the access token anywhere it appears (2023.R:226)."""
     if text is None or not token:
@@ -118,8 +129,10 @@ def push_partition(
                 status, response, err = -1, None, str(exc)
             if 200 <= status < 300:
                 break
-            if 400 <= status < 500:
-                break  # client error: retrying identical bytes cannot help
+            if is_permanent_4xx(status):
+                break  # permanent client error: identical bytes cannot help
+            # 5xx, connection failures, and transient 4xx (408 timeout,
+            # 429 throttle) back off and retry
             time.sleep(cfg.retry_backoff_s * (2 ** (attempt - 1)))
 
         yield (
@@ -191,12 +204,13 @@ def push_documents_idempotent(
     rewrites the same key set instead of erasing it with an empty audit
     (a second crash after that erasure would otherwise re-POST).
 
-    Only SETTLED outcomes enter the ledger: 2xx successes and permanent
+    Only SETTLED outcomes enter the ledger: 2xx successes and PERMANENT
     4xx client errors (retrying identical bytes cannot succeed, and
     re-recording them only re-spams the API on every replay). Transient
-    failures — 5xx and connection errors that merely exhausted
-    push_partition's retry budget — are NOT recorded, so those documents
-    stay eligible for redelivery on the next epoch or restart.
+    failures — 5xx, connection errors, and the transient 4xx statuses 408
+    (timeout) and 429 (throttle) that merely exhausted push_partition's
+    retry budget — are NOT recorded, so those documents stay eligible for
+    redelivery on the next epoch or restart.
 
     The remaining duplicate window is a crash BETWEEN 2 and 3 (some POSTs
     landed, ledger absent) — irreducible without API-side idempotency
@@ -212,8 +226,12 @@ def push_documents_idempotent(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_dir)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
-        seen = spark.read.parquet(ledger_dir).select(key_col).distinct()
-        fresh = batch.join(seen, key_col, "left_anti")
+        seen = (
+            spark.read.parquet(ledger_dir)
+            .select(key_col, "ok", "status_code")
+            .dropDuplicates([key_col])
+        )
+        fresh = batch.join(seen.select(key_col), key_col, "left_anti")
     audit = push_documents(
         fresh,
         cfg,
@@ -222,22 +240,20 @@ def push_documents_idempotent(
         dedup=True,
         num_partitions=num_partitions,
     ).localCheckpoint()  # materialize: the POSTs must happen exactly once
-    settled_now = audit.filter(
-        F.col("ok") | F.col("status_code").between(400, 499)
-    ).select(F.col("doc_key").alias(key_col), "ok", "status_code")
+    permanent_4xx = (
+        F.col("status_code").between(400, 499)
+        & ~F.col("status_code").isin(sorted(TRANSIENT_4XX))
+    )
+    settled_now = audit.filter(F.col("ok") | permanent_4xx).select(
+        F.col("doc_key").alias(key_col), "ok", "status_code"
+    )
     ledger_rows = settled_now
     if seen is not None:
-        # batch keys already settled in a previous epoch: re-record them in
-        # this epoch's partition so a replayed epoch's overwrite preserves
-        # the settled set (their original ok/status detail lives in the
-        # earlier epoch partition; membership is what the anti-join needs)
-        prior = (
-            batch.select(key_col)
-            .distinct()
-            .join(seen, key_col, "left_semi")
-            .withColumn("ok", F.lit(True))
-            .withColumn("status_code", F.lit(None).cast("int"))
-        )
+        # batch keys already settled in a previous epoch: re-record their
+        # ORIGINAL ledger rows (ok/status preserved) in this epoch's
+        # partition, so a replayed epoch's overwrite neither erases the
+        # settled set nor rewrites failure accounting as success
+        prior = seen.join(batch.select(key_col).distinct(), key_col, "left_semi")
         ledger_rows = settled_now.unionByName(prior)
     # cut lineage before overwriting a path the plan reads from
     (

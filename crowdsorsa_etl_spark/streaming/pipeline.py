@@ -395,6 +395,13 @@ def attribution_join(
 
 # ---------------------------------------------------------------------------
 # Custom stateful operator — applyInPandasWithState
+#
+# Spark 4's successor API (transformWithStateInPandas: typed state
+# variables, TTL, timers) is the intended upgrade path; it is verified
+# UNAVAILABLE in this image — its driver-side state server needs
+# google.protobuf, which is broken here (ImportError: cannot import name
+# 'descriptor'), so the engine standardizes on applyInPandasWithState,
+# which covers the same per-key-state semantics without the extra runtime.
 # ---------------------------------------------------------------------------
 
 USER_STATS_SCHEMA = T.StructType(

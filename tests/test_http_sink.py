@@ -32,6 +32,9 @@ class MockApi(BaseHTTPRequestHandler):
         if doc_id.endswith("flaky") and MockApi.fail_countdown.get(doc_id, 0) > 0:
             MockApi.fail_countdown[doc_id] -= 1
             self._respond(503, {"error": "try later"})
+        elif doc_id.endswith("throttle") and MockApi.fail_countdown.get(doc_id, 0) > 0:
+            MockApi.fail_countdown[doc_id] -= 1
+            self._respond(429, {"error": "slow down"})
         elif doc_id.endswith("bad"):
             self._respond(400, {"error": f"rejected with {TOKEN}"})
         else:
@@ -103,6 +106,14 @@ class TestPushPartition:
         assert (status, ok, attempts) == (400, False, 1)
         assert TOKEN not in (body or "")
         assert len(MockApi.seen) == 1  # exactly one attempt
+
+    def test_429_retries_then_succeeds(self, mock_api):
+        """408/429 are transient DESPITE being 4xx: the same bytes succeed
+        once the rate window rolls, so they must retry (unlike 400)."""
+        MockApi.fail_countdown["doc-throttle"] = 2
+        out = list(push_partition(iter(_rows("doc-throttle")), _cfg(mock_api)))
+        (_, status, ok, attempts, *_rest) = out[0]
+        assert (status, ok, attempts) == (200, True, 3)
 
     def test_gives_up_after_max_retries(self, mock_api):
         MockApi.fail_countdown["doc2-flaky"] = 99
@@ -242,6 +253,33 @@ class TestIdempotentLedger:
         assert audit2 and all(r.ok for r in audit2)
         settled = {r.obs_id for r in spark.read.parquet(str(ledger)).collect()}
         assert settled == {"led-ok", "led-bad", "led-flaky"}
+
+    def test_throttled_keys_not_settled(self, spark, mock_api, tmp_path):
+        """A 429 that exhausts the retry budget must NOT settle the key —
+        the replayed epoch redelivers it (transient-4xx data-loss fix)."""
+        ledger = tmp_path / "ledger"
+        MockApi.seen.clear()
+        MockApi.fail_countdown["led-throttle"] = 99
+        self._push(spark, mock_api, ledger, 0, ["led2-ok", "led-throttle"])
+        settled = {r.obs_id for r in spark.read.parquet(str(ledger)).collect()}
+        assert settled == {"led2-ok"}
+
+        MockApi.fail_countdown["led-throttle"] = 0
+        MockApi.seen.clear()
+        self._push(spark, mock_api, ledger, 0, ["led2-ok", "led-throttle"])
+        assert [s["body"]["id"] for s in MockApi.seen] == ["led-throttle"]
+
+    def test_replay_preserves_original_failure_detail(self, spark, mock_api, tmp_path):
+        """A replayed epoch must re-record a permanently-failed key's
+        ORIGINAL ok/status, not rewrite it as success — the ledger doubles
+        as failure accounting."""
+        ledger = tmp_path / "ledger"
+        MockApi.seen.clear()
+        self._push(spark, mock_api, ledger, 0, ["led2-bad"])
+        self._push(spark, mock_api, ledger, 0, ["led2-bad"])  # replay
+        rows = spark.read.parquet(str(ledger)).collect()
+        assert len(rows) == 1
+        assert rows[0].ok is False and rows[0].status_code == 400
 
     def test_corrupt_ledger_raises_not_redelivers(self, spark, mock_api, tmp_path):
         """A ledger that EXISTS but cannot be read must raise — degrading to

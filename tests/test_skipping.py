@@ -176,6 +176,39 @@ class TestBloomIndex:
         )
         assert got == exact and len(got) > 0
 
+    def test_string_column_probe_finds_files(self, spark, tmp_path):
+        """Default value_type derivation must handle non-numeric columns:
+        a string column indexed and probed with the old bigint default cast
+        'F' → NULL on both sides and silently returned empty results."""
+        from pyspark.sql import functions as F
+
+        from crowdsorsa_etl_spark.operators.skipping import (
+            collect_bloom_stats,
+            read_bloom_pruned,
+        )
+
+        df = spark.range(1024).select(
+            F.col("id").alias("order_id"),
+            F.concat(F.lit("C"), (F.xxhash64("id") % 32).cast("string")).alias(
+                "code"
+            ),
+            F.col("id").alias("ts"),
+        )
+        path = str(tmp_path / "factsstr")
+        df.repartitionByRange(8, "ts").write.mode("overwrite").parquet(path)
+
+        stats = collect_bloom_stats(spark, path, "code").localCheckpoint()
+        full = spark.read.parquet(path)
+        probe = full.select("code").first().code
+        exact = sorted(
+            r.order_id for r in full.filter(F.col("code") == probe).collect()
+        )
+        got = sorted(
+            r.order_id
+            for r in read_bloom_pruned(spark, stats, "code", probe).collect()
+        )
+        assert got == exact and len(got) > 0
+
     def test_power_of_two_guard(self, spark, tmp_path):
         import pytest as _pytest
 
