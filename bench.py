@@ -79,6 +79,7 @@ HEADLINE = [
     "llm_doc_chunking",
     "llm_pq_topk",
     "q96_bloom_join_reduction",
+    "q97_scd2_versions",
 ]
 
 

@@ -381,3 +381,53 @@ def geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     return grid_spatial_join(pts, polys, cell_size=1000.0)
+
+
+# ===========================================================================
+# q97_scd2_versions — SCD2 dimension build from the events change log (see
+# operators/scd.py). Tracked attribute: the user's event_type; versions
+# collapse consecutive equal types and carry validity intervals.
+# ===========================================================================
+
+
+@register(
+    "q97_scd2_versions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           valid_from, valid_to,
+           CAST(version AS INT) AS version,
+           valid_to IS NULL AS is_current
+    FROM (SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER wv AS valid_to,
+                 row_number() OVER wv AS version
+          FROM changes
+          WINDOW wv AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    """,
+)
+def q97_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history SCD2 over (user_id, event_type) with a hash oracle:
+    version numbering, validity intervals, and the is_current flag are all
+    replayed by DuckDB windows with the identical (ts, event_id) order."""
+    from crowdsorsa_etl_spark.operators.scd import scd2_build
+
+    events = _t(spark, sf_dir, "events")
+    return scd2_build(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tracked_cols=["event_type"],
+        tie_break_cols=["event_id"],
+    ).select(
+        "user_id", "event_type", "valid_from", "valid_to", "version", "is_current"
+    )
