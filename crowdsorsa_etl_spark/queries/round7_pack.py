@@ -431,3 +431,67 @@ def q97_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "event_type", "valid_from", "valid_to", "version", "is_current"
     )
+
+
+@register(
+    "q98_scd2_asof_lookup",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             lag(ts) OVER w AS prev_ts
+      FROM events WHERE event_type != 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev
+    ),
+    versions AS (
+      SELECT user_id, event_type AS status_at_purchase, ts AS valid_from,
+             lead(ts) OVER wv AS valid_to
+      FROM changes
+      WINDOW wv AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id, e.ts, v.status_at_purchase
+    FROM events e
+    JOIN versions v
+      ON e.user_id = v.user_id
+     AND v.valid_from <= e.ts
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q98_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-lookup against the SCD2 dimension: for every purchase
+    event, the BROWSING status (the dimension is built from non-purchase
+    events) the user was in at that instant — the composition the
+    validity-interval layout exists for. Equi-join on the key co-locates
+    each event with its user's few versions; the interval predicate then
+    filters locally (never a blind range join across users)."""
+    from crowdsorsa_etl_spark.operators.scd import scd2_build
+
+    events = _t(spark, sf_dir, "events")
+    versions = scd2_build(
+        events.filter(F.col("event_type") != "purchase"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tracked_cols=["event_type"],
+        tie_break_cols=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(versions, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "status_at_purchase")
+    )

@@ -77,6 +77,21 @@ class TestScd2Build:
         # event_id 10 (Q) orders before 11 (P) at the shared timestamp
         assert k3 == [(1, "Q"), (2, "P")]
 
+    def test_asof_lookup_exactly_one_version_per_event(self, spark):
+        """Validity intervals PARTITION each key's timeline: a point lookup
+        at any covered instant matches exactly one version (the invariant
+        q98_scd2_asof_lookup relies on)."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        out = QUERIES["q98_scd2_asof_lookup"](spark, "/root/testdata/sf0.001")
+        assert (
+            out.groupBy("event_id").count().filter(F.col("count") > 1).count()
+            == 0
+        )
+        assert out.count() > 0
+        # the dimension excludes purchases, so no status is 'purchase'
+        assert out.filter(F.col("status_at_purchase") == "purchase").count() == 0
+
     def test_single_exchange_plan(self, spark):
         out = _build(spark)
         plan = out._sc._jvm.PythonSQLUtils.explainString(
