@@ -200,3 +200,115 @@ class TestCombineCwProperty:
             .fetchall()
         ]
         assert got == want
+
+
+class TestScd2Property:
+    @settings(**_SETTINGS)
+    @given(
+        log=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # key
+                st.integers(min_value=0, max_value=20),  # ts offset
+                st.sampled_from(["A", "B", "C", None]),  # tracked value
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_matches_python_reference(self, spark, log):
+        """scd2_build vs a straight-line python fold: same versions, same
+        intervals, same is_current — under ties (event_id breaks them),
+        nulls, and arbitrary run structure."""
+        from crowdsorsa_etl_spark.operators.scd import scd2_build
+
+        rows = [
+            (k, dt.datetime(2024, 1, 1) + dt.timedelta(hours=ts), v, i)
+            for i, (k, ts, v) in enumerate(log)
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, v string, eid long"
+        )
+        got = sorted(
+            (r.k, r.version, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_build(
+                df, key_cols=["k"], ts_col="ts", tracked_cols=["v"],
+                tie_break_cols=["eid"],
+            ).collect()
+        )
+
+        want = []
+        by_key: dict[int, list] = {}
+        for k, ts, v, eid in rows:
+            by_key.setdefault(k, []).append((ts, eid, v))
+        for k, evs in by_key.items():
+            evs.sort()
+            versions = []
+            prev = object()
+            for ts, _eid, v in evs:
+                if v != prev:
+                    versions.append([ts, None, v])
+                    prev = v
+            for a, b in zip(versions, versions[1:]):
+                a[1] = b[0]
+            for n, (vf, vt, v) in enumerate(versions, 1):
+                want.append((k, n, v, vf, vt, vt is None))
+        assert got == sorted(want)
+
+
+class TestSpatialJoinProperty:
+    @settings(**_SETTINGS)
+    @given(
+        polys=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),  # cx
+                st.integers(min_value=0, max_value=40),  # cy
+                st.integers(min_value=1, max_value=12),  # half
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        points=st.lists(
+            st.tuples(
+                st.integers(min_value=-5, max_value=45),
+                st.integers(min_value=-5, max_value=45),
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        cell=st.sampled_from([3.0, 10.0, 25.0]),
+    )
+    def test_matches_brute_force(self, spark, polys, points, cell):
+        """grid_spatial_join vs all-pairs ray cast, any cell size. Integer
+        coords + 0.5 offsets keep probe points off polygon edges (where
+        ray-cast half-open semantics are representation-sensitive — out of
+        the operator's contract)."""
+        from crowdsorsa_etl_spark.functions.geo import (
+            _contains_py,
+            polygons_to_wkb,
+        )
+        from crowdsorsa_etl_spark.operators.spatial import grid_spatial_join
+
+        def square(cx, cy, h):
+            return [[(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h),
+                     (cx - h, cy + h), (cx - h, cy - h)]]
+
+        gdf = spark.createDataFrame(
+            [(f"P{i}", polygons_to_wkb([square(cx, cy, h)]))
+             for i, (cx, cy, h) in enumerate(polys)],
+            "poly_id string, geometry_wkb binary",
+        )
+        pdf = spark.createDataFrame(
+            [(f"p{i}", x + 0.5, y + 0.5) for i, (x, y) in enumerate(points)],
+            "point_id string, x double, y double",
+        )
+        got = {
+            (r.point_id, r.poly_id)
+            for r in grid_spatial_join(pdf, gdf, cell_size=cell).collect()
+        }
+        want = {
+            (f"p{i}", f"P{j}")
+            for i, (x, y) in enumerate(points)
+            for j, (cx, cy, h) in enumerate(polys)
+            if _contains_py(polygons_to_wkb([square(cx, cy, h)]), x + 0.5, y + 0.5)
+        }
+        assert got == want
