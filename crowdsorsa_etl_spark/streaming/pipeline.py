@@ -269,6 +269,47 @@ def start_http_push_stream(
     )
 
 
+def start_scd2_stream(
+    changes_stream: DataFrame,
+    versions_dir: str,
+    *,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    tie_break_cols: list[str] | None = None,
+):
+    """writeStream.foreachBatch → incremental SCD2 maintenance: each
+    micro-batch of change events merges into the parquet versions table via
+    ``operators/scd.scd2_apply_batch`` (affected keys re-collapsed, runs
+    continuing across batches open no version). Late events — earlier than
+    their key's last change point — are DROPPED, the streaming analog of a
+    watermark expiry; the batch API's on_late="error" is for pipelines that
+    must fail loudly instead."""
+    from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_apply_batch(
+            batch_df.sparkSession,
+            versions_dir,
+            batch_df,
+            key_cols=key_cols,
+            ts_col=ts_col,
+            tracked_cols=tracked_cols,
+            tie_break_cols=tie_break_cols,
+            on_late="drop",
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def start_parquet_sink(
     stream_df: DataFrame,
     path: str,

@@ -99,3 +99,149 @@ class TestScd2Build:
         )
         # all three windows share one (key × order) partitioning
         assert plan.count(") Exchange") == 1
+
+
+class TestScd2ApplyBatch:
+    def _apply(self, spark, d, rows):
+        from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+
+        batch = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, status string, eid long"
+        )
+        return scd2_apply_batch(
+            spark, str(d), batch,
+            key_cols=["user_id"], ts_col="ts", tracked_cols=["status"],
+            tie_break_cols=["eid"],
+        )
+
+    def _full(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, status string, eid long"
+        )
+        return scd2_build(
+            df, key_cols=["user_id"], ts_col="ts", tracked_cols=["status"],
+            tie_break_cols=["eid"],
+        )
+
+    @staticmethod
+    def _key(df):
+        return sorted(
+            (r.user_id, r.version, r.status, r.valid_from, r.valid_to,
+             r.is_current)
+            for r in df.collect()
+        )
+
+    def test_incremental_equals_full_rebuild(self, spark, tmp_path):
+        """Two batches applied incrementally == scd2_build of the full log,
+        including a run CONTINUING across the batch boundary (no spurious
+        version) and an untouched key carried verbatim."""
+        d = tmp_path / "scd2"
+        b1 = [
+            (1, _ts("2024-01-01T00:00:00"), "A", 1),
+            (1, _ts("2024-01-02T00:00:00"), "B", 2),
+            (9, _ts("2024-01-01T00:00:00"), "Z", 3),  # untouched by batch 2
+        ]
+        b2 = [
+            (1, _ts("2024-01-03T00:00:00"), "B", 4),  # continues the B run
+            (1, _ts("2024-01-04T00:00:00"), "A", 5),
+            (2, _ts("2024-01-01T00:00:00"), "C", 6),  # brand-new key
+        ]
+        self._apply(spark, d, b1)
+        got = self._apply(spark, d, b2)
+        assert self._key(got) == self._key(self._full(spark, b1 + b2))
+        # persisted state matches the returned frame
+        assert self._key(spark.read.parquet(str(d))) == self._key(got)
+
+    def test_same_timestamp_boundary_tie(self, spark, tmp_path):
+        """A batch event AT the key's last change point merges after the
+        existing version row (source-rank tie-break): new value → a new
+        version at the same instant; same value → collapsed."""
+        d = tmp_path / "scd2"
+        t = _ts("2024-01-02T00:00:00")
+        self._apply(spark, d, [(1, _ts("2024-01-01T00:00:00"), "A", 1),
+                               (1, t, "B", 2)])
+        got = self._apply(spark, d, [(1, t, "C", 3)])
+        k1 = [(r.version, r.status) for r in got.collect()]
+        assert sorted(k1) == [(1, "A"), (2, "B"), (3, "C")]
+
+    def test_late_event_raises_or_drops(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+
+        d = tmp_path / "scd2"
+        self._apply(spark, d, [(1, _ts("2024-01-01T00:00:00"), "A", 1),
+                               (1, _ts("2024-01-05T00:00:00"), "B", 2)])
+        late = spark.createDataFrame(
+            [(1, _ts("2024-01-03T00:00:00"), "C", 3)],
+            "user_id long, ts timestamp, status string, eid long",
+        )
+        with _pytest.raises(ValueError, match="last change point"):
+            scd2_apply_batch(
+                spark, str(d), late, key_cols=["user_id"], ts_col="ts",
+                tracked_cols=["status"], tie_break_cols=["eid"],
+            )
+        got = scd2_apply_batch(
+            spark, str(d), late, key_cols=["user_id"], ts_col="ts",
+            tracked_cols=["status"], tie_break_cols=["eid"], on_late="drop",
+        )
+        assert sorted((r.version, r.status) for r in got.collect()) == [
+            (1, "A"), (2, "B"),
+        ]
+
+
+class TestScd2Stream:
+    def test_streaming_maintenance_matches_batch(self, spark, tmp_path):
+        """File-stream → foreachBatch SCD2: after both files process, the
+        versions table equals scd2_build over the full log."""
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import start_scd2_stream
+
+        src = str(tmp_path / "changes")
+        os.makedirs(src)
+        schema = "user_id long, ts timestamp, status string, eid long"
+        b1 = [(1, _ts("2024-01-01T00:00:00"), "A", 1),
+              (1, _ts("2024-01-02T00:00:00"), "B", 2)]
+        b2 = [(1, _ts("2024-01-03T00:00:00"), "B", 3),
+              (2, _ts("2024-01-01T00:00:00"), "C", 4)]
+
+        def stage(name, rows):
+            staging = str(tmp_path / f"_st_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        stage("b1.parquet", b1)
+        stage("b2.parquet", b2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_scd2_stream(
+            stream, str(tmp_path / "versions"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            key_cols=["user_id"], ts_col="ts", tracked_cols=["status"],
+            tie_break_cols=["eid"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = sorted(
+            (r.user_id, r.version, r.status, r.is_current)
+            for r in spark.read.parquet(str(tmp_path / "versions")).collect()
+        )
+        want = sorted(
+            (r.user_id, r.version, r.status, r.is_current)
+            for r in scd2_build(
+                spark.createDataFrame(b1 + b2, schema),
+                key_cols=["user_id"], ts_col="ts", tracked_cols=["status"],
+                tie_break_cols=["eid"],
+            ).collect()
+        )
+        assert got == want
