@@ -164,6 +164,43 @@ class TestScd2ApplyBatch:
         k1 = [(r.version, r.status) for r in got.collect()]
         assert sorted(k1) == [(1, "A"), (2, "B"), (3, "C")]
 
+    def test_late_run_split_is_caught(self, spark, tmp_path):
+        """THE counterexample the monotonic contract exists for: A@t1,A@t3
+        collapse to one version; late B@t2 would have to split that run —
+        which the collapsed table cannot replay. The guard must compare
+        against the run's LAST SEEN event (t3), not the last change point
+        (t1) which would wave the event through and silently diverge from
+        a full rebuild."""
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+
+        d = tmp_path / "scd2"
+        self._apply(spark, d, [(1, _ts("2024-01-01T00:00:00"), "A", 1),
+                               (1, _ts("2024-01-03T00:00:00"), "A", 2)])
+        split = spark.createDataFrame(
+            [(1, _ts("2024-01-02T00:00:00"), "B", 3)],
+            "user_id long, ts timestamp, status string, eid long",
+        )
+        with _pytest.raises(ValueError, match="last seen"):
+            scd2_apply_batch(
+                spark, str(d), split, key_cols=["user_id"], ts_col="ts",
+                tracked_cols=["status"], tie_break_cols=["eid"],
+            )
+
+    def test_same_ts_prior_versions_keep_order(self, spark, tmp_path):
+        """Two existing versions sharing one timestamp must re-collapse in
+        their ORIGINAL order on replay (version-number tie-break), not in
+        shuffle order."""
+        d = tmp_path / "scd2"
+        t = _ts("2024-01-01T00:00:00")
+        self._apply(spark, d, [(1, t, "Q", 10), (1, t, "P", 11)])
+        got = self._apply(spark, d, [(1, _ts("2024-01-02T00:00:00"), "P", 12)])
+        # P@t2 continues the current P version: still exactly Q then P
+        assert sorted((r.version, r.status) for r in got.collect()) == [
+            (1, "Q"), (2, "P"),
+        ]
+
     def test_late_event_raises_or_drops(self, spark, tmp_path):
         import pytest as _pytest
 
@@ -176,7 +213,7 @@ class TestScd2ApplyBatch:
             [(1, _ts("2024-01-03T00:00:00"), "C", 3)],
             "user_id long, ts timestamp, status string, eid long",
         )
-        with _pytest.raises(ValueError, match="last change point"):
+        with _pytest.raises(ValueError, match="last seen"):
             scd2_apply_batch(
                 spark, str(d), late, key_cols=["user_id"], ts_col="ts",
                 tracked_cols=["status"], tie_break_cols=["eid"],
