@@ -80,6 +80,7 @@ HEADLINE = [
     "llm_pq_topk",
     "q96_bloom_join_reduction",
     "q97_scd2_versions",
+    "llm_fuzzy_decontamination",
 ]
 
 

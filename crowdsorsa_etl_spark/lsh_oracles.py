@@ -790,3 +790,79 @@ def pq_topk_sql(
           FROM s) t
     WHERE rank <= {k}""")
     return "WITH " + ",".join(parts)
+
+
+def fuzzy_decontamination_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    corpus_pred: str = "id % 50 != 0",
+    probe_pred: str = "id % 50 = 0",
+    threshold: float = 0.5,
+) -> str:
+    """Oracle for llm_fuzzy_decontamination: cross-corpus banded-LSH
+    candidates (corpus side vs probe/eval side) verified with exact
+    token-set Jaccard — the same signature CTEs as minhash_lsh_sql, a
+    predicate-split cross join instead of the id< self-join, then the
+    llm_token_jaccard verification replayed on candidate pairs only."""
+    rows_per_band = num_hashes // bands
+    lead_cols = ", ".join(
+        f"lead(th, {j}) OVER w AS t{j}" for j in range(1, shingle_k)
+    )
+    shingle = combine_cw_sql("th", *[f"t{j}" for j in range(1, shingle_k)])
+    mh_aggs = ",\n           ".join(
+        f"min({cw_hash_sql('h', i)}) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=combine_cw_sql(
+                *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
+                seed=b + 1,
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_TOKS},
+    toks AS (SELECT id, pos, {hex60_sql('t')} AS th FROM raw),
+    sh0 AS (
+      SELECT id, th, {lead_cols}
+      FROM toks
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    sh AS (SELECT id, {shingle} AS h FROM sh0),
+    sig AS (
+      SELECT id,
+           {mh_aggs}
+      FROM sh GROUP BY id
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_bands_matched
+      FROM (SELECT * FROM banded WHERE {corpus_pred}) a
+      JOIN (SELECT * FROM banded WHERE {probe_pred}) b
+        ON a.band = b.band AND a.bucket = b.bucket
+      GROUP BY 1, 2
+    ),
+    dtok AS (
+      SELECT DISTINCT id, t FROM raw
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM dtok GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, c.n_bands_matched, count(*) AS n_common
+      FROM cand c
+      JOIN dtok ta ON ta.id = c.id_a
+      JOIN dtok tb ON tb.id = c.id_b AND tb.t = ta.t
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a AS doc_id, id_b AS eval_id, n_bands_matched,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """

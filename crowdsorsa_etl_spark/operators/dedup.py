@@ -134,6 +134,76 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int, portable: bool) -> DataFrame:
+    """(id, band, bucket) rows from a signature table — |bands| per doc."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _combine_hash(
+                            [
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                            portable,
+                            seed=b + 1,  # b+1: band 0 ≠ unseeded combine
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+
+
+def minhash_lsh_candidates_cross(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    *,
+    portable: bool = False,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Cross-corpus banded MinHash-LSH: candidate (corpus, probe) pairs —
+    the FUZZY decontamination primitive (exact n-gram contamination checks
+    miss paraphrases; banded signature collisions catch them).
+
+    Output: (id_a = corpus doc, id_b = probe doc, n_bands_matched). The
+    probe side (an eval/benchmark set — small by definition) broadcasts,
+    so the corpus never shuffles for the match: signature build is the
+    corpus's one hash shuffle, then a broadcast hash join on (band,
+    bucket). Set ``broadcast_probe=False`` for probe sets too big to
+    broadcast (falls back to a shuffle join on the band keys).
+    """
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_k, portable=portable
+    )
+    sig_p = minhash_signatures(
+        probe, text_col, id_col, num_hashes, shingle_k, portable=portable
+    )
+    a = _banded(sig_c, num_hashes, bands, portable).alias("a")
+    b = _banded(sig_p, num_hashes, bands, portable).alias("b")
+    if broadcast_probe:
+        b = F.broadcast(b)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_matched"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -155,27 +225,7 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, portable=portable
     ).localCheckpoint()
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _combine_hash(
-                            [
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                            portable,
-                            seed=b + 1,  # b+1: band 0 ≠ unseeded combine
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bucket")
+    banded = _banded(sig, num_hashes, bands, portable)
 
     # same-band-bucket self-join; dedup ordered pairs. The join key
     # (band, bucket) is uniform under xxhash64, so no skew salting needed.

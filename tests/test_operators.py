@@ -886,3 +886,48 @@ class TestCountMinSketch:
         # absent tokens only collide into other tokens' cells: the estimate
         # is bounded by sketch collision noise, far below real heavy hitters
         assert est.cm_est < 50
+
+
+class TestCrossCorpusLsh:
+    def test_planted_near_dup_found_across_split(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            minhash_lsh_candidates_cross,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank every sunny morning in july with friends"
+        )
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different words about spark plans "
+                            "and shuffle exchanges in a cluster")],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, base + " indeed"), (101, "unrelated benchmark question "
+                                            "about arithmetic and logic")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates_cross(corpus, probe).collect()
+        }
+        assert (1, 100) in got  # near-verbatim pair collides
+        assert (2, 101) not in got
+
+    def test_probe_side_broadcasts(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            minhash_lsh_candidates_cross,
+        )
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        out = minhash_lsh_candidates_cross(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
