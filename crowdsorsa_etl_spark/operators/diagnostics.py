@@ -1,0 +1,60 @@
+"""Shuffle-skew diagnostics — measure before you salt.
+
+`operators/skew.py` holds the cures (salted joins, two-stage distincts);
+this module is the diagnosis: which keys are hot, how hot relative to a
+uniform spread, and whether any single key exceeds what one reducer of the
+configured shuffle can absorb. At 100 TB this report is what decides
+between plain AQE skew handling (mild skew) and explicit salting (a key
+owning percent-level share); running it costs one partial-aggregated
+groupBy over the join column — negligible next to the join it protects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top_n: int = 20,
+    reducer_share_threshold: float | None = None,
+) -> DataFrame:
+    """Top-``top_n`` hottest keys with absolute count, share of all rows,
+    and ``skew_factor`` = count / (rows / distinct keys) — how many times a
+    uniform key's load this key carries. ``hot`` flags keys whose share
+    exceeds ``reducer_share_threshold`` (default ``1 / shuffle partitions``:
+    the key alone outweighs an average reducer's slice — the regime where
+    AQE's skew split stops being enough and salting pays).
+
+    Shape: ONE partial-agged groupBy on the keys; totals are a lazy 1-row
+    broadcast (no driver collect); the top-n is a TakeOrdered, not a sort.
+    """
+    if reducer_share_threshold is None:
+        reducer_share_threshold = 1.0 / int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("_total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_keys"),
+    )
+    share = F.col("n_rows") / F.col("_total")
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(share, 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_n_keys")), 2
+            ).alias("skew_factor"),
+            (share > F.lit(reducer_share_threshold)).alias("hot"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_n)
+    )

@@ -557,3 +557,36 @@ def llm_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "q99_skew_report",
+    """
+    WITH per_key AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    totals AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM per_key
+    )
+    SELECT l_suppkey, n_rows,
+           round(n_rows / total, 6) AS share,
+           round(n_rows / (total / n_keys), 2) AS skew_factor,
+           n_rows / total > 1.0 / 32 AS hot
+    FROM per_key CROSS JOIN totals
+    ORDER BY n_rows DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def q99_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis on lineitem's supplier key (operators/diagnostics):
+    the decide-before-salting report, hash-oracled. The threshold pins the
+    session's 32 shuffle partitions so both engines compute the same flag."""
+    from crowdsorsa_etl_spark.operators.diagnostics import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(
+        li, ["l_suppkey"], top_n=20, reducer_share_threshold=1.0 / 32
+    )

@@ -931,3 +931,29 @@ class TestCrossCorpusLsh:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSkewReport:
+    def test_hot_key_detected_with_exact_shares(self, spark):
+        from crowdsorsa_etl_spark.operators.diagnostics import key_skew_report
+
+        rows = [("hot", i) for i in range(60)] + [
+            (f"k{i}", i) for i in range(40)
+        ]  # 'hot' owns 60% of 100 rows; 41 keys total
+        df = spark.createDataFrame(rows, "k string, v long")
+        rep = {r.k: r for r in key_skew_report(
+            df, ["k"], top_n=5, reducer_share_threshold=0.25
+        ).collect()}
+        assert rep["hot"].n_rows == 60
+        assert rep["hot"].share == 0.6
+        assert rep["hot"].hot is True
+        assert rep["hot"].skew_factor == round(60 / (100 / 41), 2)
+        assert all(not r.hot for k, r in rep.items() if k != "hot")
+        assert len(rep) == 5  # top_n bound
+
+    def test_threshold_defaults_to_shuffle_partitions(self, spark):
+        from crowdsorsa_etl_spark.operators.diagnostics import key_skew_report
+
+        df = spark.createDataFrame([("a", 1)], "k string, v long")
+        # single key owns 100% > 1/32 default → hot
+        assert key_skew_report(df, ["k"]).first().hot is True
