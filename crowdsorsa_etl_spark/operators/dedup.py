@@ -219,7 +219,6 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands; two docs collide when any band of
     their signatures is identical. Output: (id_a, id_b, n_bands_matched).
     """
-    rows_per_band = num_hashes // bands
     # materialize signatures once — the a/b sides of the self-join would
     # otherwise each recompute the whole explode→window→agg pipeline
     sig = minhash_signatures(
@@ -448,6 +447,54 @@ def token_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard scoring of CANDIDATE pairs — the verify tier
+    behind every LSH candidate generator (one shared implementation so the
+    normalization/rounding conventions cannot drift between call sites).
+
+    ``cand`` carries (id_a, id_b, ...); all its columns pass through with
+    ``jaccard`` appended, filtered to ≥ ``threshold``. Cost is bounded by
+    |candidates| — the token joins touch only candidate rows.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_tid"),
+        F.explode(
+            F.array_distinct(F.split(_norm(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    sizes = toks.groupBy("_tid").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cand.join(toks.select(F.col("_tid").alias("id_a"), "tok"), "id_a")
+        .join(toks.select(F.col("_tid").alias("id_b"), "tok"), ["id_b", "tok"])
+        .groupBy(*cand.columns)
+        .agg(F.count(F.lit(1)).alias("_n_common"))
+    )
+    jac = F.round(
+        F.col("_n_common") / (F.col("_na") + F.col("_nb") - F.col("_n_common")),
+        6,
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_tid").alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_tid").alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(*cand.columns, "jaccard")
     )
 
 

@@ -104,28 +104,33 @@ def scd2_apply_batch(
     batches: a batch that continues a key's current value opens no version.
 
     MONOTONIC-APPEND CONTRACT (the reason this can use collapsed versions
-    instead of retaining raw events): an event EARLIER than its key's LAST
-    SEEN raw event could split a previously collapsed run ("A@t1, A@t3" +
-    late "B@t2" must yield A,B,A) — unrecoverable once the t3 event is
-    collapsed away. scd2_build therefore records each run's final raw
-    timestamp (``last_seen_ts``), and the guard compares against the key's
-    max of it — NOT merely the last change point, which would miss exactly
-    the run-splitting case. Late events are rejected: ``on_late="error"``
-    (default) raises; ``"drop"`` skips them (the watermark-expired branch
-    of a streaming pipeline). Events at or after the watermark merge
-    correctly, including same-timestamp ties — existing version rows order
-    BEFORE batch events at an equal timestamp (source-rank, then original
-    version number, ahead of the caller's tie-breaks).
+    instead of retaining raw events): an event AT OR BEFORE its key's LAST
+    SEEN raw event could split — or tie ambiguously against — a previously
+    collapsed run ("A@t1, A@t3" + late "B@t2" must yield A,B,A; "B@t3"
+    would need the collapsed A@t3 event to tie-break against) —
+    unrecoverable once the tail event is collapsed away. scd2_build
+    therefore records each run's final raw timestamp (``last_seen_ts``),
+    and the guard rejects anything ≤ the key's max of it (NULL timestamps
+    on existing keys too — they cannot be ordered against history):
+    ``on_late="error"`` (default) raises; ``"drop"`` skips them (the
+    watermark-expired branch of a streaming pipeline). Strictly-later
+    events merge exactly; same-timestamp PRIOR versions keep their
+    original order on replay (source-rank + original version tie-breaks).
 
-    After an incremental rebuild, ``last_seen_ts`` stays EXACT on the
-    current version (what the guard uses) and is best-effort on historical
-    versions (their collapsed tails are gone by design).
+    After an incremental rebuild, the key's max ``last_seen_ts`` never
+    regresses (the current version's value is floored at the previous
+    watermark — a drop-mode batch whose events ALL turn out late must not
+    lower the guard for the next batch); historical versions'
+    last_seen_ts are best-effort (their collapsed tails are gone by
+    design). Tables written before last_seen_ts existed are upgraded on
+    read with ``valid_from`` as a conservative watermark.
 
     Returns the new full versions DataFrame. The table swap uses
     write-to-temp + rename-aside (``sinks/writers._swap_dirs``), so a crash
     mid-write leaves the old or new table recoverable — never neither; a
-    plain overwrite would delete the only copy first and a restart would
-    silently rebuild history from one batch.
+    crash BETWEEN the two swap renames leaves the table under
+    ``<dir>__old``, which the fresh-build branch detects and refuses to
+    silently shadow with a one-batch rebuild.
     """
     if on_late not in {"error", "drop"}:
         raise ValueError(f"on_late must be 'error' or 'drop', got {on_late!r}")
@@ -135,41 +140,57 @@ def scd2_apply_batch(
     events = batch.select(*key_cols, ts_col, *tracked_cols, *ties)
 
     jvm = spark._jvm
-    jvm_path = jvm.org.apache.hadoop.fs.Path(versions_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    jvm_path = P(versions_dir)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     build_kw = dict(
         key_cols=key_cols, ts_col=ts_col, tracked_cols=tracked_cols
     )
     if not fs.exists(jvm_path):
+        # a crash between _swap_dirs' two renames leaves the real table at
+        # __old; treating that as "no table" would silently restart history
+        # from this one batch — refuse and point at the recovery
+        old = P(versions_dir.rstrip("/") + "__old")
+        if fs.exists(old):
+            raise ValueError(
+                f"{versions_dir} is missing but {versions_dir}__old exists — "
+                "a previous run crashed mid-swap; rename __old back into "
+                "place (its contents are the last complete table) before "
+                "applying more batches"
+            )
         out = scd2_build(events, tie_break_cols=ties, **build_kw).localCheckpoint()
         out.write.mode("overwrite").parquet(versions_dir)
         return out
 
     versions = spark.read.parquet(versions_dir)
+    if "last_seen_ts" not in versions.columns:  # pre-last_seen_ts table
+        versions = versions.withColumn("last_seen_ts", F.col("valid_from"))
     affected = events.select(*key_cols).distinct()
     untouched = versions.join(affected, key_cols, "left_anti")
     current = versions.join(affected, key_cols, "left_semi")
 
     # watermark = last SEEN raw event per key (not max valid_from — see
-    # docstring): anything earlier could split a collapsed run
+    # docstring): anything at-or-before it could split a collapsed run or
+    # tie against a collapsed tail event that no longer exists to order by
     last = current.groupBy(*key_cols).agg(F.max("last_seen_ts").alias("_last"))
     with_last = events.join(F.broadcast(last), key_cols, "left")
-    is_late = F.col("_last").isNotNull() & (F.col(ts_col) < F.col("_last"))
+    is_late = F.col("_last").isNotNull() & (
+        F.col(ts_col).isNull() | (F.col(ts_col) <= F.col("_last"))
+    )
     if on_late == "error":  # "drop" never pays the extra count job
         n_late = with_last.filter(is_late).count()
         if n_late:
             raise ValueError(
-                f"{n_late} batch event(s) precede their key's last seen "
-                "event; a collapsed SCD2 table cannot replay run splits — "
-                "feed late data through a raw-log rebuild, or pass "
-                "on_late='drop' for watermark-expired events"
+                f"{n_late} batch event(s) do not come strictly after their "
+                "key's last seen event; a collapsed SCD2 table cannot "
+                "replay run splits or watermark-boundary ties — feed late "
+                "data through a raw-log rebuild, or pass on_late='drop' "
+                "for watermark-expired events"
             )
-    ok = with_last.filter(~is_late | F.col("_last").isNull()).drop("_last")
+    ok = with_last.filter(~is_late).drop("_last")
 
-    # existing versions replayed as events. Tie order at an equal timestamp:
-    # source-rank 0 puts prior rows before batch events, and the original
-    # version number keeps SAME-TIMESTAMP prior versions in their original
-    # order (NULL-only tie-breaks would re-collapse them nondeterministically)
+    # existing versions replayed as events. Same-timestamp PRIOR versions
+    # keep their original order via (_src, original version) tie-breaks.
     tie_types = dict(events.dtypes)
     prior = current.select(
         *key_cols,
@@ -187,6 +208,17 @@ def scd2_apply_batch(
     rebuilt = scd2_build(
         merged, tie_break_cols=["_src", "_vord", *ties], **build_kw
     )
+    # floor the current version's last_seen_ts at the previous watermark:
+    # replaying priors at valid_from forgets collapsed tails, and a batch
+    # whose events for a key were ALL dropped as late would otherwise
+    # REGRESS the guard and admit the run-splitting event on its next try
+    rebuilt = rebuilt.join(F.broadcast(last), key_cols, "left").withColumn(
+        "last_seen_ts",
+        F.when(
+            F.col("is_current"),
+            F.greatest(F.col("last_seen_ts"), F.col("_last")),
+        ).otherwise(F.col("last_seen_ts")),
+    ).drop("_last")
     out = untouched.unionByName(rebuilt).localCheckpoint()  # cut read lineage
     tmp = versions_dir.rstrip("/") + "__scd2_tmp"
     out.write.mode("overwrite").parquet(tmp)

@@ -517,6 +517,7 @@ def llm_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the eval set), with band-collision count and exact token-set
     Jaccard ≥ 0.5; fully hash-oracled via the portable-hash tier."""
     from crowdsorsa_etl_spark.operators.dedup import (
+        jaccard_verify_pairs,
         minhash_lsh_candidates_cross,
     )
 
@@ -524,38 +525,11 @@ def llm_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
     cand = minhash_lsh_candidates_cross(corpus, probe, portable=True)
-
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(_norm(F.col("text")), " "))
-        ).alias("tok"),
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "n_bands_matched")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.round(
-        F.col("n_common")
-        / (F.col("na") + F.col("nb") - F.col("n_common")),
-        6,
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
-        .select(
-            F.col("id_a").alias("doc_id"),
-            F.col("id_b").alias("eval_id"),
-            "n_bands_matched",
-            "jaccard",
-        )
+    return jaccard_verify_pairs(cand, docs, threshold=0.5).select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("eval_id"),
+        "n_bands_matched",
+        "jaccard",
     )
 
 

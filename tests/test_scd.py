@@ -152,17 +152,71 @@ class TestScd2ApplyBatch:
         # persisted state matches the returned frame
         assert self._key(spark.read.parquet(str(d))) == self._key(got)
 
-    def test_same_timestamp_boundary_tie(self, spark, tmp_path):
-        """A batch event AT the key's last change point merges after the
-        existing version row (source-rank tie-break): new value → a new
-        version at the same instant; same value → collapsed."""
+    def test_at_watermark_event_is_ambiguous_and_rejected(self, spark, tmp_path):
+        """An event AT the key's last seen timestamp cannot be ordered
+        against the collapsed tail event it ties with (the caller tie-break
+        that would decide is gone), so it is late; strictly-later events
+        merge exactly."""
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+
         d = tmp_path / "scd2"
         t = _ts("2024-01-02T00:00:00")
         self._apply(spark, d, [(1, _ts("2024-01-01T00:00:00"), "A", 1),
                                (1, t, "B", 2)])
-        got = self._apply(spark, d, [(1, t, "C", 3)])
-        k1 = [(r.version, r.status) for r in got.collect()]
-        assert sorted(k1) == [(1, "A"), (2, "B"), (3, "C")]
+        tie = spark.createDataFrame(
+            [(1, t, "C", 3)],
+            "user_id long, ts timestamp, status string, eid long",
+        )
+        with _pytest.raises(ValueError, match="strictly after"):
+            scd2_apply_batch(
+                spark, str(d), tie, key_cols=["user_id"], ts_col="ts",
+                tracked_cols=["status"], tie_break_cols=["eid"],
+            )
+        got = self._apply(
+            spark, d, [(1, _ts("2024-01-02T00:00:01"), "C", 3)]
+        )
+        assert sorted((r.version, r.status) for r in got.collect()) == [
+            (1, "A"), (2, "B"), (3, "C"),
+        ]
+
+    def test_dropped_late_batch_does_not_regress_watermark(self, spark, tmp_path):
+        """drop-mode batch whose only event for a key is late must not lower
+        the key's last_seen_ts: the run-splitting event must STAY rejected
+        on its next delivery (the prior-replay-forgets-tails regression)."""
+        from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+
+        d = tmp_path / "scd2"
+        self._apply(spark, d, [(1, _ts("2024-01-01T00:00:00"), "A", 1),
+                               (1, _ts("2024-01-03T00:00:00"), "A", 2)])
+        late = [(1, _ts("2024-01-02T00:00:00"), "B", 3)]
+        batch = spark.createDataFrame(
+            late, "user_id long, ts timestamp, status string, eid long"
+        )
+        kw = dict(key_cols=["user_id"], ts_col="ts",
+                  tracked_cols=["status"], tie_break_cols=["eid"])
+        got = scd2_apply_batch(spark, str(d), batch, on_late="drop", **kw)
+        assert [(r.version, r.status) for r in got.collect()] == [(1, "A")]
+        # the watermark survived the drop-mode rebuild: redelivery still late
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="strictly after"):
+            scd2_apply_batch(spark, str(d), batch, **kw)
+
+    def test_crash_mid_swap_is_detected_not_shadowed(self, spark, tmp_path):
+        """If the table sits under __old after a mid-swap crash, the
+        fresh-build branch must refuse rather than silently restart history
+        from one batch."""
+        import os
+
+        import pytest as _pytest
+
+        d = tmp_path / "scd2"
+        self._apply(spark, d, [(1, _ts("2024-01-01T00:00:00"), "A", 1)])
+        os.rename(str(d), str(d) + "__old")  # simulate crash between renames
+        with _pytest.raises(ValueError, match="mid-swap"):
+            self._apply(spark, d, [(1, _ts("2024-01-02T00:00:00"), "B", 2)])
 
     def test_late_run_split_is_caught(self, spark, tmp_path):
         """THE counterexample the monotonic contract exists for: A@t1,A@t3
