@@ -81,6 +81,7 @@ HEADLINE = [
     "q96_bloom_join_reduction",
     "q97_scd2_versions",
     "llm_fuzzy_decontamination",
+    "q99_skew_report",
 ]
 
 
