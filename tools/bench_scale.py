@@ -68,6 +68,12 @@ HEADLINE = [
     "llm_doc_chunking",
     "llm_pq_topk",
     "q96_bloom_join_reduction",
+    # round-7 late additions: SCD2 history + as-of lookup (window-heavy
+    # over 10x events), cross-corpus LSH decontamination, skew report
+    "q97_scd2_versions",
+    "q98_scd2_asof_lookup",
+    "llm_fuzzy_decontamination",
+    "q99_skew_report",
 ]
 
 
