@@ -312,3 +312,119 @@ class TestSpatialJoinProperty:
             if _contains_py(polygons_to_wkb([square(cx, cy, h)]), x + 0.5, y + 0.5)
         }
         assert got == want
+
+
+class TestChunkingProperty:
+    @settings(**_SETTINGS)
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=1,
+                max_size=200,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_chunks_cover_all_tokens_with_stride(self, spark, texts):
+        """llm_doc_chunking's (64, 48) windows vs a python slicer: same
+        chunk grid, same tail handling, same text reassembly."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        rows = [(i, " ".join(toks), "en", "src", len(" ".join(toks)))
+                for i, toks in enumerate(texts)]
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            got = sorted(
+                (r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+                for r in QUERIES["llm_doc_chunking"](spark, d).collect()
+            )
+        want = []
+        for i, toks in enumerate(texts):
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, 48)):
+                sl = toks[start : start + 64]
+                want.append((i, ci, start, len(sl), " ".join(sl)))
+        assert got == sorted(want)
+
+
+class TestBm25Property:
+    @settings(**_SETTINGS)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["hash", "join", "scan", "filter", "agg"]),
+                min_size=1,
+                max_size=30,
+            ),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def test_matches_python_bm25(self, spark, docs):
+        """The registered BM25 (k1=1.2, b=0.75, Lucene idf, round-before-
+        sum) vs a python fold over the same corpus."""
+        import math
+        import os
+        import tempfile
+
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        rows = [(i, " ".join(toks), "en", "src", 1)
+                for i, toks in enumerate(docs)]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            got = {
+                (r.query_id, r.doc_id): (r.bm25, r.rank)
+                for r in QUERIES["llm_bm25_topk"](spark, d).collect()
+            }
+
+        # python reference (same queries as the registered entry)
+        queries = {1: ["hash", "join"], 2: ["window", "agg", "stream"],
+                   3: ["slow", "scan", "filter"]}
+        dls = {i: len(t) for i, t in enumerate(docs)}
+        n_docs, avgdl = len(docs), sum(dls.values()) / len(docs)
+        tf = {}
+        for i, t in enumerate(docs):
+            for tok in t:
+                tf[(i, tok)] = tf.get((i, tok), 0) + 1
+        df_t = {}
+        for (i, tok), _ in tf.items():
+            df_t[tok] = df_t.get(tok, 0) + 1
+        want = {}
+        for qid, terms in queries.items():
+            scores = {}
+            for i in range(len(docs)):
+                c = 0.0
+                for t in terms:
+                    if (i, t) not in tf:
+                        continue
+                    idf = math.log(
+                        1.0 + (float(n_docs) - df_t[t] + 0.5) / (df_t[t] + 0.5)
+                    )
+                    f = tf[(i, t)]
+                    c += round(
+                        idf * (f * 2.2)
+                        / (f + 1.2 * (1.0 - 0.75 + 0.75 * dls[i] / avgdl)),
+                        6,
+                    )
+                if c:
+                    scores[i] = round(c, 6)
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rank, (i, s) in enumerate(ranked[:10], 1):
+                want[(qid, i)] = (s, rank)
+        assert got == want
