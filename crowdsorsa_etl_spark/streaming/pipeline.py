@@ -19,7 +19,7 @@ would grow unboundedly — never ship a stateful query without one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -304,6 +304,112 @@ def start_scd2_stream(
 
     return (
         changes_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def start_curation_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    ledger_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    chunk_stride: int = 48,
+):
+    """Streaming LLM-data curation: the batch funnel (quality filter →
+    exact dedup → chunking) as an incremental ingest pipeline.
+
+    Per micro-batch (foreachBatch):
+
+    1. C4/Gopher-style quality filter (operators/curation verdict);
+    2. exact dedup BOTH within the batch AND against every previously
+       ingested document via a persistent md5 ledger (epoch-partitioned
+       parquet, same pattern as the HTTP push ledger — a replayed epoch
+       re-ingests nothing, so the corpus sink is effectively-once);
+    3. fixed-window chunking (the llm_doc_chunking 64/48 layout);
+    4. chunks append to ``out_dir`` partitioned parquet.
+
+    A duplicate document arriving in a LATER batch is dropped by the
+    ledger anti-join — cross-batch dedup, which a stateless map could not
+    do and dropDuplicatesWithinWatermark only does inside the watermark.
+    """
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.curation import (
+        quality_filter_signals,
+        quality_filter_verdict,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sig = quality_filter_signals(F.col(text_col))
+        keep, _reason = quality_filter_verdict(sig)
+        kept = batch_df.where(keep).withColumn(
+            "_md5", F.md5(normalize_text(F.col(text_col)))
+        )
+        # within-batch keep-first, then anti-join the cross-batch ledger
+        w = Window.partitionBy("_md5").orderBy(F.col(id_col))
+        fresh = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_dir)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        seen = None
+        if fs.exists(jvm_path):
+            seen = spark.read.parquet(ledger_dir).select("_md5").distinct()
+            fresh = fresh.join(seen, "_md5", "left_anti")
+        fresh = fresh.localCheckpoint()  # one evaluation feeds sink + ledger
+
+        toks = F.split(normalize_text(F.col(text_col)), " ")
+        sized = fresh.withColumn("_toks", toks).withColumn(
+            "_n", F.size("_toks")
+        ).filter(F.length(F.trim(F.col(text_col))) > 0)
+        chunks = sized.select(
+            id_col,
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(chunk_stride))
+            ).alias("chunk_idx", "start_token"),
+            "_toks",
+            "_n",
+        ).select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(
+                F.lit(chunk_size), F.col("_n") - F.col("start_token")
+            ).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("_toks"), F.col("start_token") + 1, F.lit(chunk_size)
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        chunks.write.mode("append").parquet(out_dir)
+        # commit point: the epoch's FULL ingested key set — fresh keys plus
+        # batch keys already in the ledger, so a REPLAYED epoch rewrites the
+        # same set instead of erasing it with an empty frame (the push-
+        # ledger replay lesson, sinks/http_push.py). Remaining duplicate
+        # window: a crash between the chunk append and this write re-appends
+        # one epoch's chunks on replay — dedupe downstream on (doc, chunk)
+        # or use the snapshot sink for a stricter contract.
+        ledger_rows = fresh.select("_md5")
+        if seen is not None:
+            prior = kept.select("_md5").distinct().join(seen, "_md5", "left_semi")
+            ledger_rows = ledger_rows.unionByName(prior)
+        ledger_rows.localCheckpoint().write.mode("overwrite").parquet(
+            f"{ledger_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()

@@ -597,3 +597,114 @@ class TestStreamStaticJoin:
         assert any(seg is None for _, seg in expect_set) or all(
             seg is not None for _, seg in expect_set
         )  # shape check only; parity above is the gate
+
+
+class TestCurationStream:
+    def test_cross_batch_dedup_and_chunks(self, spark, tmp_path):
+        """Streaming curation: quality filter drops junk, a duplicate text
+        arriving in a LATER batch is dropped by the ledger, and the chunk
+        output matches the batch chunker over the surviving docs."""
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_curation_stream,
+        )
+
+        good = " ".join(f"the token{i} and data value" for i in range(40))
+        good2 = " ".join(f"the other{i} in stream chunk" for i in range(50))
+        junk = "1 2"  # fails the min-token quality gate
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+
+        def stage(name, rows):
+            staging = str(tmp_path / f"_st_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        stage("b1.parquet", [(1, good), (2, junk)])
+        stage("b2.parquet", [(3, good), (4, good2)])  # 3 duplicates 1's text
+
+        out = str(tmp_path / "chunks")
+        q = start_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            ledger_dir=str(tmp_path / "ledger"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        chunks = spark.read.parquet(out)
+        docs_out = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+        assert docs_out == {1, 4}  # junk filtered, cross-batch dup dropped
+
+        # chunk layout matches the batch chunker's 64/48 grid
+        n_tokens_good = len(good.split())
+        want_chunks_1 = len(range(0, n_tokens_good, 48))
+        assert chunks.filter("doc_id = 1").count() == want_chunks_1
+        ledger = spark.read.parquet(str(tmp_path / "ledger"))
+        assert ledger.select("_md5").distinct().count() == 2
+
+    def test_restart_replay_appends_no_duplicate_chunks(self, spark, tmp_path):
+        """Kill after epoch 0 (commit marker deleted), restart: the replayed
+        epoch anti-joins to nothing against the ledger, so the chunk corpus
+        holds each document exactly once across the restart."""
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_curation_stream,
+        )
+
+        text = " ".join(f"the word{i} and data value" for i in range(40))
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+
+        def stage(name, rows):
+            staging = str(tmp_path / f"_st_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        out = str(tmp_path / "chunks")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            q = start_curation_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                out,
+                checkpoint_dir=ckpt,
+                ledger_dir=str(tmp_path / "ledger"),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        stage("b1.parquet", [(1, text)])
+        run()
+        n_after_first = spark.read.parquet(out).count()
+        assert n_after_first > 0
+
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        stage("b2.parquet", [(2, text + " extra tail beyond the duplicate")])
+        run()
+
+        chunks = spark.read.parquet(out)
+        assert chunks.count() == n_after_first + chunks.filter("doc_id = 2").count()
+        assert chunks.filter("doc_id = 1").count() == n_after_first
