@@ -100,6 +100,9 @@ def quality_filter_verdict(
     per-rule drop attribution a plain groupBy downstream.
     """
     rules = [
+        # NULL text ⇒ NULL signals ⇒ every comparison below is NULL and the
+        # first-fail chain would fall through to 'ok' — catch it explicitly
+        ("null_text", signals["n_tokens"].isNull()),
         ("too_short", signals["n_tokens"] < min_tokens),
         ("too_long", signals["n_tokens"] > max_tokens),
         ("repetitive", signals["distinct_ratio"] < min_distinct_ratio),

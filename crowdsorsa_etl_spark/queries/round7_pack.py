@@ -190,30 +190,12 @@ _CHUNK_STRIDE = 48
 )
 def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-window chunks per document (64/48), hash-oracled
-    including the chunk text itself."""
+    including the chunk text itself (shared grid: operators/chunking)."""
+    from crowdsorsa_etl_spark.operators.chunking import chunk_documents
+
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
-    ).filter(F.length(F.trim(F.col("text"))) > 0)
-    sized = base.withColumn("n", F.size("toks")).withColumn(
-        "starts", F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
-    )
-    return sized.select(
-        "doc_id",
-        F.posexplode("starts").alias("chunk_idx", "start_token"),
-        "toks",
-        "n",
-    ).select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("start_token").cast("int").alias("start_token"),
-        F.least(F.lit(_CHUNK_SIZE), F.col("n") - F.col("start_token"))
-        .cast("int")
-        .alias("n_tokens"),
-        F.array_join(
-            F.slice(F.col("toks"), F.col("start_token") + 1, F.lit(_CHUNK_SIZE)),
-            " ",
-        ).alias("chunk_text"),
+    return chunk_documents(
+        docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
     )
 
 

@@ -216,21 +216,18 @@ def push_documents_idempotent(
     landed, ledger absent) — irreducible without API-side idempotency
     keys, and one epoch wide at most.
     """
+    from crowdsorsa_etl_spark.sinks.ledger import (
+        epoch_ledger_rows,
+        read_ledger_keys,
+    )
+
     spark = batch_df.sparkSession
     batch = batch_df.select(key_col, json_col)
-    fresh, seen = batch, None
-    # Explicit existence probe via the Hadoop FS API (works on HDFS/S3/local
-    # alike). A missing ledger means "first epoch"; any OTHER read failure
-    # (corrupt parquet, permissions, transient FS error) must propagate —
-    # silently treating it as first-epoch would re-POST every document.
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_dir)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jvm_path):
-        seen = (
-            spark.read.parquet(ledger_dir)
-            .select(key_col, "ok", "status_code")
-            .dropDuplicates([key_col])
-        )
+    # missing ledger = first epoch; any OTHER read failure propagates
+    # (silently treating it as first-epoch would re-POST every document)
+    seen = read_ledger_keys(spark, ledger_dir, [key_col, "ok", "status_code"])
+    fresh = batch
+    if seen is not None:
         fresh = batch.join(seen.select(key_col), key_col, "left_anti")
     audit = push_documents(
         fresh,
@@ -247,14 +244,9 @@ def push_documents_idempotent(
     settled_now = audit.filter(F.col("ok") | permanent_4xx).select(
         F.col("doc_key").alias(key_col), "ok", "status_code"
     )
-    ledger_rows = settled_now
-    if seen is not None:
-        # batch keys already settled in a previous epoch: re-record their
-        # ORIGINAL ledger rows (ok/status preserved) in this epoch's
-        # partition, so a replayed epoch's overwrite neither erases the
-        # settled set nor rewrites failure accounting as success
-        prior = seen.join(batch.select(key_col).distinct(), key_col, "left_semi")
-        ledger_rows = settled_now.unionByName(prior)
+    # replay safety: the epoch partition records the FULL batch key set with
+    # original ok/status preserved (sinks/ledger.epoch_ledger_rows)
+    ledger_rows = epoch_ledger_rows(settled_now, seen, batch, key_col)
     # cut lineage before overwriting a path the plan reads from
     (
         ledger_rows.localCheckpoint()

@@ -344,67 +344,64 @@ def start_curation_stream(
         quality_filter_verdict,
     )
 
+    from crowdsorsa_etl_spark.operators.chunking import chunk_documents
+
+    if not 0 < chunk_stride <= chunk_size:  # validate at WIRING time, not
+        raise ValueError(                    # mid-epoch inside the stream
+            f"chunk_stride must be in (0, chunk_size]; got {chunk_stride}, "
+            f"size {chunk_size}"
+        )
+
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from crowdsorsa_etl_spark.functions.text import normalize_text
+        from crowdsorsa_etl_spark.operators.curation import (
+            quality_filter_signals,
+            quality_filter_verdict,
+        )
+        from crowdsorsa_etl_spark.sinks.ledger import (
+            epoch_ledger_rows,
+            read_ledger_keys,
+        )
+
         spark = batch_df.sparkSession
         sig = quality_filter_signals(F.col(text_col))
         keep, _reason = quality_filter_verdict(sig)
         kept = batch_df.where(keep).withColumn(
             "_md5", F.md5(normalize_text(F.col(text_col)))
         )
-        # within-batch keep-first, then anti-join the cross-batch ledger
+        # within-batch keep-first, then anti-join the cross-batch ledger.
+        # seen is materialized ONCE (it feeds both the anti-join and the
+        # epoch rewrite; re-reading the ledger per use would pay two full
+        # scans per micro-batch, growing with stream age)
         w = Window.partitionBy("_md5").orderBy(F.col(id_col))
         fresh = (
             kept.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_dir)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        seen = None
-        if fs.exists(jvm_path):
-            seen = spark.read.parquet(ledger_dir).select("_md5").distinct()
+        seen = read_ledger_keys(spark, ledger_dir, ["_md5"])
+        if seen is not None:
+            seen = seen.localCheckpoint()
             fresh = fresh.join(seen, "_md5", "left_anti")
         fresh = fresh.localCheckpoint()  # one evaluation feeds sink + ledger
 
-        toks = F.split(normalize_text(F.col(text_col)), " ")
-        sized = fresh.withColumn("_toks", toks).withColumn(
-            "_n", F.size("_toks")
-        ).filter(F.length(F.trim(F.col(text_col))) > 0)
-        chunks = sized.select(
-            id_col,
-            F.posexplode(
-                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(chunk_stride))
-            ).alias("chunk_idx", "start_token"),
-            "_toks",
-            "_n",
-        ).select(
-            id_col,
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.least(
-                F.lit(chunk_size), F.col("_n") - F.col("start_token")
-            ).cast("int").alias("n_tokens"),
-            F.array_join(
-                F.slice(
-                    F.col("_toks"), F.col("start_token") + 1, F.lit(chunk_size)
-                ),
-                " ",
-            ).alias("chunk_text"),
-        )
-        chunks.write.mode("append").parquet(out_dir)
-        # commit point: the epoch's FULL ingested key set — fresh keys plus
-        # batch keys already in the ledger, so a REPLAYED epoch rewrites the
-        # same set instead of erasing it with an empty frame (the push-
-        # ledger replay lesson, sinks/http_push.py). Remaining duplicate
-        # window: a crash between the chunk append and this write re-appends
-        # one epoch's chunks on replay — dedupe downstream on (doc, chunk)
-        # or use the snapshot sink for a stricter contract.
-        ledger_rows = fresh.select("_md5")
-        if seen is not None:
-            prior = kept.select("_md5").distinct().join(seen, "_md5", "left_semi")
-            ledger_rows = ledger_rows.unionByName(prior)
-        ledger_rows.localCheckpoint().write.mode("overwrite").parquet(
+        chunk_documents(
+            fresh,
+            text_col=text_col,
+            id_col=id_col,
+            size=chunk_size,
+            stride=chunk_stride,
+        ).write.mode("append").parquet(out_dir)
+        # commit point: the epoch's FULL ingested key set (replay rewrites
+        # the same set — sinks/ledger.epoch_ledger_rows). Remaining
+        # duplicate window: a crash between the chunk append and this write
+        # re-appends one epoch's chunks on replay — dedupe downstream on
+        # (doc, chunk) or use the snapshot sink for a stricter contract.
+        epoch_ledger_rows(
+            fresh.select("_md5"), seen, kept.select("_md5"), "_md5"
+        ).localCheckpoint().write.mode("overwrite").parquet(
             f"{ledger_dir}/epoch={epoch_id}"
         )
 

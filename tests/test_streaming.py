@@ -600,6 +600,17 @@ class TestStreamStaticJoin:
 
 
 class TestCurationStream:
+    @staticmethod
+    def _stage(spark, tmp_path, src, schema, name, rows):
+        import os
+
+        staging = str(tmp_path / f"_st_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(staging, part), os.path.join(src, name))
+
     def test_cross_batch_dedup_and_chunks(self, spark, tmp_path):
         """Streaming curation: quality filter drops junk, a duplicate text
         arriving in a LATER batch is dropped by the ledger, and the chunk
@@ -617,14 +628,7 @@ class TestCurationStream:
         os.makedirs(src)
         schema = "doc_id long, text string"
 
-        def stage(name, rows):
-            staging = str(tmp_path / f"_st_{name}")
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(staging)
-            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
-            os.rename(os.path.join(staging, part), os.path.join(src, name))
-
+        stage = lambda n, r: self._stage(spark, tmp_path, src, schema, n, r)  # noqa: E731
         stage("b1.parquet", [(1, good), (2, junk)])
         stage("b2.parquet", [(3, good), (4, good2)])  # 3 duplicates 1's text
 
@@ -668,14 +672,7 @@ class TestCurationStream:
         os.makedirs(src)
         schema = "doc_id long, text string"
 
-        def stage(name, rows):
-            staging = str(tmp_path / f"_st_{name}")
-            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(staging)
-            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
-            os.rename(os.path.join(staging, part), os.path.join(src, name))
-
+        stage = lambda n, r: self._stage(spark, tmp_path, src, schema, n, r)  # noqa: E731
         out = str(tmp_path / "chunks")
         ckpt = str(tmp_path / "ckpt")
 

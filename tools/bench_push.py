@@ -73,7 +73,10 @@ def main() -> None:
     n_ok = audit.filter("ok").count()
     wall = time.perf_counter() - t0
     server.shutdown()
+    server.server_close()
     spark.stop()
+    if _Api.n_seen < n_ok:  # the mock cross-checks the audit's claims
+        raise AssertionError(f"API saw {_Api.n_seen} POSTs but audit says {n_ok} ok")
 
     rate = n_ok / wall
     print(
