@@ -32,9 +32,9 @@ def chunk_documents(
             f"stride must be in (0, size]; got stride={stride}, size={size} "
             "(stride > size silently loses tokens)"
         )
-    base = df.select(
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         id_col, F.split(normalize_text(F.col(text_col)), " ").alias("_toks")
-    ).filter(F.length(F.trim(F.col(text_col))) > 0)
+    )
     sized = base.withColumn("_n", F.size("_toks")).withColumn(
         "_starts", F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
     )

@@ -152,6 +152,70 @@ def decode_images(
     return df.mapInPandas(batches, IMAGE_META)
 
 
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_wsum", T.LongType()),
+    ]
+)
+
+
+def image_checksums(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """bytes → exact integer pixel checksums via the REAL decode path.
+
+    ``pix_sum`` = Σ pixel values, ``pix_wsum`` = Σ pixel·(flat_index+1)
+    over the decoded row-major array (first channel). The weighted sum is
+    order-sensitive, so any decode bug that permutes, shifts, or rescales
+    pixels changes it — this is the hash-oracle surface for the codec
+    (queries/round3_pack.py llm_image_decode replays both sums in DuckDB
+    SQL straight from the source bytes, independent of this code path).
+    Integer outputs only: no float-rounding parity risk cross-engine.
+    """
+    import numpy as np
+
+    def checksum_one(payload):
+        if payload is None:
+            return None
+        try:
+            fmt, px = imagecodec.decode_image(bytes(payload))
+        except _DECODE_ERRORS:
+            return None
+        plane = px.reshape(px.shape[0], px.shape[1], -1)[:, :, 0]
+        flat = plane.reshape(-1).astype(np.int64)
+        return (
+            fmt,
+            int(px.shape[1]),
+            int(px.shape[0]),
+            int(flat.sum()),
+            int(np.dot(flat, np.arange(1, flat.size + 1, dtype=np.int64))),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[payload_col].map(checksum_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": decoded.map(lambda d: d and d[0]),
+                    "width": decoded.map(lambda d: d and d[1]),
+                    "height": decoded.map(lambda d: d and d[2]),
+                    "pix_sum": decoded.map(lambda d: d and d[3]),
+                    "pix_wsum": decoded.map(lambda d: d and d[4]),
+                }
+            )
+
+    return df.mapInPandas(batches, CHECKSUM_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1499,30 +1499,61 @@ def q81_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_image_decode")
+@register(
+    "llm_image_decode",
+    """
+    WITH hx AS (
+      SELECT doc_id, substr(hex(encode(coalesce(text, ''))), 1, 512) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    b AS (
+      SELECT doc_id, CASE WHEN length(h) = 0 THEN '00' ELSE h END AS h
+      FROM hx
+    ),
+    sized AS (SELECT doc_id, h, length(h) / 2 AS nbody FROM b),
+    idx AS (
+      SELECT doc_id, h, nbody,
+             unnest(generate_series(1, CAST(nbody AS BIGINT))) AS i
+      FROM sized
+    ),
+    bytes AS (
+      SELECT doc_id, nbody, i,
+             (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1))
+              - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+             - 1 AS v
+      FROM idx
+    )
+    SELECT doc_id,
+           'png' AS format,
+           CAST(8 AS INT) AS width,
+           CAST(ceil(max(nbody) / 8.0) AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v * i) AS BIGINT) AS pix_wsum
+    FROM bytes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real multimodal decode surface: render each document into a genuine
-    PNG (stdlib encoder), then run the REAL decode path (no fake fallback
-    — ``allow_fake=False``) and report typed image metadata. Rows-only
-    (mapInPandas both ways); byte-level codec correctness is pinned by
-    tests/test_imagecodec.py's 22 unit tests and the resize/roundtrip
-    Spark e2e tests."""
+    """Real multimodal decode surface, now FULLY hash-oracled: render each
+    document into a genuine PNG (stdlib encoder: one gray pixel per UTF-8
+    byte, 8 wide, zero-padded tail row), run the REAL decode path (no fake
+    fallback), and emit exact integer pixel checksums. The DuckDB oracle
+    never touches a PNG: it re-derives the expected pixels straight from
+    the text's UTF-8 bytes (hex(encode(text)) → per-byte values) and
+    replays both the plain and the position-weighted sum — so a bug in
+    EITHER the encoder or the decoder (shifted rows, wrong filter, palette
+    mixups, byte-order flips) breaks the position-weighted sum and the
+    hash. Integer-only output: no cross-engine float-rounding risk.
+    mean_luma/n_bytes stay covered by tests/test_imagecodec.py +
+    test_multimodal e2e."""
     from crowdsorsa_etl_spark.operators.multimodal import (
         attach_png_payload,
-        decode_images,
+        image_checksums,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     png = attach_png_payload(docs)
-    meta = decode_images(png, allow_fake=False)
-    return meta.select(
-        "doc_id",
-        "format",
-        "width",
-        "height",
-        "n_bytes",
-        F.round("mean_luma", 4).alias("mean_luma"),
-    ).orderBy("doc_id")
+    return image_checksums(png).orderBy("doc_id")
 
 
 @register(
