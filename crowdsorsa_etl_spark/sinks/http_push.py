@@ -184,6 +184,7 @@ def push_documents_idempotent(
     key_col: str = "obs_id",
     json_col: str = "document_json",
     num_partitions: int | None = None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Exactly-once-per-documentId push across STREAM RESTARTS.
 
@@ -215,20 +216,50 @@ def push_documents_idempotent(
     The remaining duplicate window is a crash BETWEEN 2 and 3 (some POSTs
     landed, ledger absent) — irreducible without API-side idempotency
     keys, and one epoch wide at most.
+
+    Per-batch cost stays FLAT in stream age (sinks/ledger.py scale
+    contract): the ledger is read pruned to the batch's key prefixes,
+    reduced to the batch-bounded ``settled_batch_slice`` with a broadcast
+    semi-join (the full history is scanned but never shuffled or
+    materialized), and — when ``compact_every`` is set — folded into the
+    prefix-partitioned base every N epochs so the scan itself stops
+    growing with the number of elapsed epochs.
     """
     from crowdsorsa_etl_spark.sinks.ledger import (
+        PREFIX_LEN,
+        compact_ledger,
         epoch_ledger_rows,
         read_ledger_keys,
+        settled_batch_slice,
     )
 
     spark = batch_df.sparkSession
     batch = batch_df.select(key_col, json_col)
+    # ≤256 distinct 2-hex prefixes — a bounded driver-side collect that
+    # buys directory-level pruning of the compacted ledger base
+    prefixes = [
+        r[0]
+        for r in batch.select(
+            F.lower(F.substring(F.col(key_col), 1, PREFIX_LEN))
+        )
+        .distinct()
+        .collect()
+    ]
     # missing ledger = first epoch; any OTHER read failure propagates
     # (silently treating it as first-epoch would re-POST every document)
-    seen = read_ledger_keys(spark, ledger_dir, [key_col, "ok", "status_code"])
+    seen = read_ledger_keys(
+        spark,
+        ledger_dir,
+        [key_col, "ok", "status_code"],
+        key_prefixes=prefixes,
+    )
+    settled_prior = settled_batch_slice(seen, batch, key_col)
     fresh = batch
-    if seen is not None:
-        fresh = batch.join(seen.select(key_col), key_col, "left_anti")
+    if settled_prior is not None:
+        settled_prior = settled_prior.localCheckpoint()  # batch-bounded
+        fresh = batch.join(
+            F.broadcast(settled_prior.select(key_col)), key_col, "left_anti"
+        )
     audit = push_documents(
         fresh,
         cfg,
@@ -245,14 +276,17 @@ def push_documents_idempotent(
         F.col("doc_key").alias(key_col), "ok", "status_code"
     )
     # replay safety: the epoch partition records the FULL batch key set with
-    # original ok/status preserved (sinks/ledger.epoch_ledger_rows)
-    ledger_rows = epoch_ledger_rows(settled_now, seen, batch, key_col)
+    # original ok/status preserved (sinks/ledger.epoch_ledger_rows) —
+    # settled_prior is already the batch-bounded slice of the history
+    ledger_rows = epoch_ledger_rows(settled_now, settled_prior, batch, key_col)
     # cut lineage before overwriting a path the plan reads from
     (
         ledger_rows.localCheckpoint()
         .write.mode("overwrite")
         .parquet(f"{ledger_dir}/epoch={epoch_id}")
     )
+    if compact_every and epoch_id % compact_every == compact_every - 1:
+        compact_ledger(spark, ledger_dir, key_col=key_col)
     return audit
 
 

@@ -14,23 +14,114 @@ way — see the round-7 advice trail in sinks/http_push.py):
   (fresh keys ∪ batch keys already settled), never the post-anti-join
   remainder — an empty overwrite erases history and re-fires on the next
   replay.
+
+Scale contract (the round-7 verdict's one flagged scale risk): per-batch
+cost must NOT grow with stream age. Three mechanisms keep it flat:
+
+* ``compact_ledger`` periodically folds all ``epoch=*`` partitions into a
+  deduplicated base table partitioned by a 2-hex-char key prefix
+  (``_kp``), so the per-batch read lists O(1) directories instead of one
+  per elapsed epoch, and small batches prune base partitions;
+* ``settled_batch_slice`` extracts the ONLY part of the ledger a batch
+  needs — rows whose key occurs in the batch — with a broadcast semi-join:
+  the (huge) ledger side is scanned but never shuffled, and the result is
+  bounded by batch size, safe to ``localCheckpoint``. Consumers must
+  never materialize or shuffle the full ``seen`` frame;
+* the full-ledger ``dropDuplicates`` that used to run on every read (a
+  per-batch shuffle of the entire history) is gone: semi/anti joins are
+  insensitive to duplicate build-side keys, compaction dedupes the base,
+  and ``settled_batch_slice`` dedupes its batch-sized output.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401 (callers' convenience)
+from pyspark.sql import functions as F
+
+#: width of the key-prefix partition value in the compacted base layout
+#: (2 hex chars → 256 partitions; md5-keyed ledgers spread uniformly).
+PREFIX_LEN = 2
 
 
-def read_ledger_keys(spark, ledger_dir: str, cols: list[str]) -> DataFrame | None:
-    """The ledger's settled rows (``cols``, deduped on the first col), or
-    None when the ledger does not exist yet. Existence is probed via the
-    Hadoop FS API (HDFS/S3/local alike); genuine read errors propagate."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(ledger_dir)
+def _hadoop_fs(spark, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jvm_path):
+    return jvm_path, fs
+
+
+def base_path(ledger_dir: str) -> str:
+    """Compacted-base location. A SIBLING of the epoch root (not nested
+    under it) so parquet partition discovery over the epoch dirs never
+    mixes ``epoch=`` and ``_kp=`` layouts."""
+    return ledger_dir.rstrip("/") + "__base"
+
+
+def read_ledger_keys(
+    spark,
+    ledger_dir: str,
+    cols: list[str],
+    *,
+    key_prefixes: list[str] | None = None,
+) -> DataFrame | None:
+    """The ledger's settled rows (``cols``): recent ``epoch=*`` partitions
+    unioned with the compacted base, or None when neither exists yet.
+    Existence is probed via the Hadoop FS API (HDFS/S3/local alike);
+    genuine read errors propagate.
+
+    ``key_prefixes`` (lowercase ``PREFIX_LEN``-char key prefixes present in
+    the current batch, ≤256 values) prunes base partitions — a small batch
+    reads only the base slices that could possibly contain its keys.
+
+    May contain duplicate keys across epochs (a re-arriving key's row is
+    copied into its new epoch partition for replay safety) — consumers use
+    semi/anti joins or ``settled_batch_slice``, which absorb duplicates.
+    """
+    frames: list[DataFrame] = []
+    jvm_path, fs = _hadoop_fs(spark, ledger_dir)
+    if fs.exists(jvm_path) and fs.listStatus(jvm_path):
+        df = spark.read.parquet(ledger_dir).select(*cols)
+        if key_prefixes is not None:
+            df = df.filter(
+                F.lower(F.substring(F.col(cols[0]), 1, PREFIX_LEN)).isin(
+                    key_prefixes
+                )
+            )
+        frames.append(df)
+    bpath = base_path(ledger_dir)
+    jvm_bpath, bfs = _hadoop_fs(spark, bpath)
+    if bfs.exists(jvm_bpath):
+        bdf = spark.read.parquet(bpath)
+        if key_prefixes is not None:
+            # filter on the PARTITION column → directory-level pruning
+            bdf = bdf.filter(F.col("_kp").isin(key_prefixes))
+        frames.append(bdf.select(*cols))
+    if not frames:
         return None
-    return spark.read.parquet(ledger_dir).select(*cols).dropDuplicates([cols[0]])
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def settled_batch_slice(
+    seen: DataFrame | None, batch_keys: DataFrame, key_col: str
+) -> DataFrame | None:
+    """Ledger rows whose key appears in this batch — the only ledger slice
+    a micro-batch needs, one row per key. The batch side is broadcast, so
+    the ledger is scanned (pruned by ``key_prefixes`` upstream) but never
+    shuffled; the result is bounded by batch size and safe to materialize.
+
+    Feeds both the pre-side-effect anti-join (``batch LEFT ANTI slice``,
+    slice side broadcast — the huge ledger never enters a join shuffle)
+    and the epoch rewrite (``epoch_ledger_rows``).
+    """
+    if seen is None:
+        return None
+    return seen.join(
+        F.broadcast(batch_keys.select(key_col).distinct()),
+        key_col,
+        "left_semi",
+    ).dropDuplicates([key_col])
 
 
 def epoch_ledger_rows(
@@ -42,8 +133,80 @@ def epoch_ledger_rows(
     """The rows to overwrite this epoch's partition with: keys settled by
     THIS run plus the batch's keys already settled earlier (their original
     ledger rows, so replay preserves failure accounting too). ``seen`` must
-    carry the same columns as ``settled_now``."""
-    if seen is None:
+    carry the same columns as ``settled_now``. Pass the bounded
+    ``settled_batch_slice`` result as ``seen`` when you already have it —
+    the slice of a slice is itself.
+    """
+    prior = settled_batch_slice(seen, batch_keys, key_col)
+    if prior is None:
         return settled_now
-    prior = seen.join(batch_keys.select(key_col).distinct(), key_col, "left_semi")
     return settled_now.unionByName(prior)
+
+
+def compact_ledger(
+    spark,
+    ledger_dir: str,
+    *,
+    key_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Fold every ``epoch=*`` partition into the deduplicated base table
+    (partitioned by the ``PREFIX_LEN``-hex-char key prefix ``_kp``), then
+    delete the epoch partitions. Caps per-batch read cost at O(base) no
+    matter how many epochs have elapsed, and enables prefix pruning.
+
+    ONE shuffle over (base ∪ epochs) per compaction — amortized across
+    ``compact_every`` epochs by the callers; never on the per-batch path.
+
+    Crash windows: the base swap is rename-aside (``writers._swap_dirs`` —
+    old data survives under ``__old`` until the new base is in place); a
+    crash between the swap and the epoch-dir delete leaves keys present in
+    both base and epochs, which readers absorb (duplicate keys are
+    harmless by the read contract above). Runs inside the foreachBatch
+    thread at the epoch commit point, so it never races a concurrent
+    epoch write.
+
+    Returns the number of distinct keys in the compacted base.
+    """
+    import math
+
+    from crowdsorsa_etl_spark.sinks.writers import _swap_dirs
+
+    jvm_path, fs = _hadoop_fs(spark, ledger_dir)
+    bpath = base_path(ledger_dir)
+    jvm_bpath, _ = _hadoop_fs(spark, bpath)
+
+    frames: list[DataFrame] = []
+    has_epochs = fs.exists(jvm_path) and fs.listStatus(jvm_path)
+    if has_epochs:
+        frames.append(spark.read.parquet(ledger_dir).drop("epoch"))
+    if fs.exists(jvm_bpath):
+        frames.append(spark.read.parquet(bpath).drop("_kp"))
+    if not frames:
+        return 0
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    merged = merged.dropDuplicates([key_col]).withColumn(
+        "_kp", F.lower(F.substring(F.col(key_col), 1, PREFIX_LEN))
+    )
+
+    total_bytes = 0
+    if has_epochs:
+        total_bytes += fs.getContentSummary(jvm_path).getLength()
+    if fs.exists(jvm_bpath):
+        total_bytes += fs.getContentSummary(jvm_bpath).getLength()
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    tmp = bpath + "__compact_tmp"
+    (
+        merged.repartition(n, F.col("_kp"))
+        .write.mode("overwrite")
+        .partitionBy("_kp")
+        .parquet(tmp)
+    )
+    n_keys = spark.read.parquet(tmp).count()
+    _swap_dirs(spark._jvm, fs, bpath, tmp)
+    if has_epochs:
+        fs.delete(jvm_path, True)
+    return n_keys

@@ -320,6 +320,7 @@ def start_curation_stream(
     id_col: str = "doc_id",
     chunk_size: int = 64,
     chunk_stride: int = 48,
+    compact_every: int | None = None,
 ):
     """Streaming LLM-data curation: the batch funnel (quality filter →
     exact dedup → chunking) as an incremental ingest pipeline.
@@ -337,6 +338,13 @@ def start_curation_stream(
     A duplicate document arriving in a LATER batch is dropped by the
     ledger anti-join — cross-batch dedup, which a stateless map could not
     do and dropDuplicatesWithinWatermark only does inside the watermark.
+
+    Per-batch cost stays FLAT in stream age (sinks/ledger.py scale
+    contract): the ledger read is pruned to the batch's md5 prefixes, the
+    anti-join runs against the batch-bounded ``settled_batch_slice`` (the
+    ledger is scanned but never shuffled or materialized), and — with
+    ``compact_every`` set — the epoch partitions fold into a deduplicated
+    prefix-partitioned base every N epochs, capping the scan itself.
     """
     from crowdsorsa_etl_spark.functions.text import normalize_text
     from crowdsorsa_etl_spark.operators.curation import (
@@ -361,8 +369,11 @@ def start_curation_stream(
             quality_filter_verdict,
         )
         from crowdsorsa_etl_spark.sinks.ledger import (
+            PREFIX_LEN,
+            compact_ledger,
             epoch_ledger_rows,
             read_ledger_keys,
+            settled_batch_slice,
         )
 
         spark = batch_df.sparkSession
@@ -371,20 +382,32 @@ def start_curation_stream(
         kept = batch_df.where(keep).withColumn(
             "_md5", F.md5(normalize_text(F.col(text_col)))
         )
-        # within-batch keep-first, then anti-join the cross-batch ledger.
-        # seen is materialized ONCE (it feeds both the anti-join and the
-        # epoch rewrite; re-reading the ledger per use would pay two full
-        # scans per micro-batch, growing with stream age)
+        # within-batch keep-first, then anti-join the cross-batch ledger
         w = Window.partitionBy("_md5").orderBy(F.col(id_col))
         fresh = (
             kept.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        seen = read_ledger_keys(spark, ledger_dir, ["_md5"])
-        if seen is not None:
-            seen = seen.localCheckpoint()
-            fresh = fresh.join(seen, "_md5", "left_anti")
+        # bounded-cost ledger probe (sinks/ledger.py scale contract):
+        # prefix-pruned read → broadcast-semi slice (batch-sized, the only
+        # thing materialized) → broadcast anti-join. The full history is
+        # scanned at most once and never shuffled or collected.
+        prefixes = [
+            r[0]
+            for r in kept.select(F.substring("_md5", 1, PREFIX_LEN))
+            .distinct()
+            .collect()
+        ]
+        seen = read_ledger_keys(
+            spark, ledger_dir, ["_md5"], key_prefixes=prefixes
+        )
+        settled_prior = settled_batch_slice(seen, kept.select("_md5"), "_md5")
+        if settled_prior is not None:
+            settled_prior = settled_prior.localCheckpoint()
+            fresh = fresh.join(
+                F.broadcast(settled_prior), "_md5", "left_anti"
+            )
         fresh = fresh.localCheckpoint()  # one evaluation feeds sink + ledger
 
         chunk_documents(
@@ -400,10 +423,12 @@ def start_curation_stream(
         # re-appends one epoch's chunks on replay — dedupe downstream on
         # (doc, chunk) or use the snapshot sink for a stricter contract.
         epoch_ledger_rows(
-            fresh.select("_md5"), seen, kept.select("_md5"), "_md5"
+            fresh.select("_md5"), settled_prior, kept.select("_md5"), "_md5"
         ).localCheckpoint().write.mode("overwrite").parquet(
             f"{ledger_dir}/epoch={epoch_id}"
         )
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            compact_ledger(spark, ledger_dir, key_col="_md5")
 
     return (
         docs_stream.writeStream.foreachBatch(ingest)
