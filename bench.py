@@ -82,6 +82,8 @@ HEADLINE = [
     "q97_scd2_versions",
     "llm_fuzzy_decontamination",
     "q99_skew_report",
+    # round 8 — IVF-PQ through the persisted index (partition-pruned ADC)
+    "llm_ivfpq_topk",
 ]
 
 

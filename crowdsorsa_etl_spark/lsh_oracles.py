@@ -680,100 +680,98 @@ def winnow_overlap_sql(
 # ---------------------------------------------------------------------------
 
 
-def pq_topk_sql(
-    dim: int = 64,
-    m: int = 4,
-    k_codes: int = 32,
-    k: int = 5,
-    candidate_margin: int = 16,
-    sample_size: int = 2048,
-    iterations: int = 4,
-    query_pred: str = "id < 10",
-) -> str:
-    """Oracle for operators/pq.pq_topk on the embeddings table."""
+_PQ_D2 = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+
+def _pq_train_ctes(
+    dim: int,
+    m: int,
+    k_codes: int,
+    iterations: int,
+    query_pred: str,
+    prefix: str = "",
+) -> tuple[str, str]:
+    """Shared CTE chain replaying pq_train_codebooks + pq_encode + the
+    per-query distance tables. Assumes ``xn(id, xv)`` and ``samp(id, xv)``
+    are already defined (see _kmeans_ctes / pq_topk_sql). Emits CTEs
+    ``{p}mdim {p}subv {p}cent0..N {p}assign/mean/craw{it} {p}subfull
+    {p}codes(id, mi, code) {p}qsub {p}dt(qid, mi, code, dist)``; returns
+    (sql_fragment, prefix)."""
+    p = prefix
     sub = dim // m
-    norm = _l2norm_sql
     slice_expr = f"xv[mi * {sub} + 1 : mi * {sub} + {sub}]"
-    d2 = (
-        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}))"
-    )
+    d2 = _PQ_D2
     parts = [
         f"""
-    e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-    xn AS (SELECT id, {norm('v')} AS xv FROM e),
-    samp AS (SELECT id, xv FROM xn ORDER BY id LIMIT {sample_size}),
-    mdim AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS mi),
-    subv AS (SELECT id, mi, {slice_expr} AS sv FROM samp CROSS JOIN mdim),
-    cent0 AS (
+    {p}mdim AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS mi),
+    {p}subv AS (SELECT id, mi, {slice_expr} AS sv
+                FROM samp CROSS JOIN {p}mdim),
+    {p}cent0 AS (
       SELECT mi, CAST(rn - 1 AS INT) AS c, sv AS cv
       FROM (SELECT mi, sv,
                    row_number() OVER (PARTITION BY mi ORDER BY id) AS rn
-            FROM subv) t
+            FROM {p}subv) t
       WHERE rn <= {k_codes}
     )"""
     ]
-    prev = "cent0"
+    prev = f"{p}cent0"
     for it in range(1, iterations + 1):
         assign_d2 = d2.format(a="s.sv", b="ct.cv")
         parts.append(f"""
-    assign{it} AS (
+    {p}assign{it} AS (
       SELECT id, mi, sv, c AS cid FROM (
         SELECT s.id, s.mi, s.sv, ct.c,
                row_number() OVER (PARTITION BY s.id, s.mi
                  ORDER BY {assign_d2} ASC, ct.c ASC) AS rn
-        FROM subv s JOIN {prev} ct ON s.mi = ct.mi) t
+        FROM {p}subv s JOIN {prev} ct ON s.mi = ct.mi) t
       WHERE rn = 1
     ),
-    mean{it} AS (
+    {p}mean{it} AS (
       SELECT mi, cid, d, sum(val) / count(*) AS mv
       FROM (SELECT mi, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS d
-            FROM assign{it}) t
+            FROM {p}assign{it}) t
       GROUP BY 1, 2, 3
     ),
-    craw{it} AS (
-      SELECT mi, cid, list(mv ORDER BY d) AS cv FROM mean{it} GROUP BY 1, 2
+    {p}craw{it} AS (
+      SELECT mi, cid, list(mv ORDER BY d) AS cv
+      FROM {p}mean{it} GROUP BY 1, 2
     ),
-    cent{it} AS (
+    {p}cent{it} AS (
       SELECT p.mi, p.c, coalesce(r.cv, p.cv) AS cv
-      FROM {prev} p LEFT JOIN craw{it} r ON p.mi = r.mi AND p.c = r.cid
+      FROM {prev} p LEFT JOIN {p}craw{it} r ON p.mi = r.mi AND p.c = r.cid
     )""")
-        prev = f"cent{it}"
+        prev = f"{p}cent{it}"
     code_d2 = d2.format(a="s.sv", b="ct.cv")
     dt_d2 = d2.format(a="q.qv", b="ct.cv")
     parts.append(f"""
-    subfull AS (SELECT id, mi, {slice_expr} AS sv FROM xn CROSS JOIN mdim),
-    codes AS (
+    {p}subfull AS (SELECT id, mi, {slice_expr} AS sv
+                   FROM xn CROSS JOIN {p}mdim),
+    {p}codes AS (
       SELECT id, mi, c AS code FROM (
         SELECT s.id, s.mi, ct.c,
                row_number() OVER (PARTITION BY s.id, s.mi
                  ORDER BY {code_d2} ASC, ct.c ASC) AS rn
-        FROM subfull s JOIN {prev} ct ON s.mi = ct.mi) t
+        FROM {p}subfull s JOIN {prev} ct ON s.mi = ct.mi) t
       WHERE rn = 1
     ),
-    qsub AS (
+    {p}qsub AS (
       SELECT id AS qid, mi, {slice_expr} AS qv
-      FROM (SELECT id, xv FROM xn WHERE {query_pred}) q CROSS JOIN mdim
+      FROM (SELECT id, xv FROM xn WHERE {query_pred}) q CROSS JOIN {p}mdim
     ),
-    dt AS (
+    {p}dt AS (
       SELECT q.qid, q.mi, ct.c AS code, round({dt_d2}, 6) AS dist
-      FROM qsub q JOIN {prev} ct ON q.mi = ct.mi
-    ),
-    adc AS (
-      SELECT d.qid AS query_id, c.id AS neighbor_id,
-             round(sum(d.dist), 6) AS adc
-      FROM codes c
-      JOIN dt d ON c.mi = d.mi AND c.code = d.code AND c.id != d.qid
-      GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY adc ASC, neighbor_id ASC) AS rn
-        FROM adc) t
-      WHERE rn <= {k + candidate_margin}
-    ),
+      FROM {p}qsub q JOIN {prev} ct ON q.mi = ct.mi
+    )""")
+    return ",".join(parts), p
+
+
+def _exact_rerank_sql(k: int) -> str:
+    """Closing CTE+SELECT shared by the PQ oracles: exact cosine re-rank of
+    ``cand(query_id, neighbor_id)`` against ``e(id, v)``."""
+    return f"""
     s AS (
       SELECT query_id, neighbor_id,
              round(list_dot_product(eq.v, en.v)
@@ -788,7 +786,101 @@ def pq_topk_sql(
                  PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
           FROM s) t
-    WHERE rank <= {k}""")
+    WHERE rank <= {k}"""
+
+
+def pq_topk_sql(
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 32,
+    k: int = 5,
+    candidate_margin: int = 16,
+    sample_size: int = 2048,
+    iterations: int = 4,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for operators/pq.pq_topk on the embeddings table."""
+    norm = _l2norm_sql
+    base = f"""
+    e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    xn AS (SELECT id, {norm('v')} AS xv FROM e),
+    samp AS (SELECT id, xv FROM xn ORDER BY id LIMIT {sample_size})"""
+    train, p = _pq_train_ctes(dim, m, k_codes, iterations, query_pred)
+    parts = [base, train]
+    parts.append(f"""
+    adc AS (
+      SELECT d.qid AS query_id, c.id AS neighbor_id,
+             round(sum(d.dist), 6) AS adc
+      FROM {p}codes c
+      JOIN {p}dt d ON c.mi = d.mi AND c.code = d.code AND c.id != d.qid
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adc) t
+      WHERE rn <= {k + candidate_margin}
+    ),{_exact_rerank_sql(k)}""")
+    return "WITH " + ",".join(parts)
+
+
+def ivfpq_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    m: int = 4,
+    k_codes: int = 32,
+    candidate_margin: int = 16,
+    sample_size: int = 2048,
+    ivf_iterations: int = 5,
+    pq_iterations: int = 4,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for operators/pq.ivfpq_write_index + ivfpq_query_index
+    (trainer='sample') on the embeddings table — the COMPOSED replay: the
+    IVF coarse k-means chain (_kmeans_ctes, shared with ivf_topk_sql)
+    yields assignF (corpus→list) and the query probes; the PQ chain
+    (_pq_train_ctes, shared with pq_topk_sql, 'pq'-prefixed names) yields
+    codes and per-query distance tables; ADC then scores ONLY (query,
+    neighbor) pairs whose list is probed by that query — exactly the
+    partition-pruned scan the Spark index does — before the exact
+    re-rank."""
+    kmeans, cent = _kmeans_ctes(n_lists, sample_size, ivf_iterations)
+    train, p = _pq_train_ctes(
+        dim, m, k_codes, pq_iterations, query_pred, prefix="pq"
+    )
+    parts = [kmeans, train]
+    parts.append(f"""
+    probes AS (
+      SELECT qid, c AS list_id FROM (
+        SELECT q.id AS qid, ct.c,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY list_dot_product(q.xv, ct.cv) DESC, ct.c ASC) AS rn
+        FROM (SELECT id, xv FROM xn WHERE {query_pred}) q, {cent} ct) t
+      WHERE rn <= {n_probe}
+    ),
+    pairs AS (
+      SELECT p.qid, a.id
+      FROM assignF a JOIN probes p ON a.list_id = p.list_id AND a.id != p.qid
+    ),
+    adc AS (
+      SELECT pr.qid AS query_id, pr.id AS neighbor_id,
+             round(sum(d.dist), 6) AS adc
+      FROM pairs pr
+      JOIN {p}codes c ON c.id = pr.id
+      JOIN {p}dt d ON d.qid = pr.qid AND d.mi = c.mi AND d.code = c.code
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adc) t
+      WHERE rn <= {k + candidate_margin}
+    ),{_exact_rerank_sql(k)}""")
     return "WITH " + ",".join(parts)
 
 

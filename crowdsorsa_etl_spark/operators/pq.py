@@ -237,3 +237,213 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_lists: int = 16,
+    m: int = 4,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    pq_iterations: int = 4,
+    trainer: str = "sample",
+) -> None:
+    """Persist an IVF-PQ index — the FAISS production tier and the capstone
+    of the ANN ladder: PQ codes stored PARTITIONED BY IVF list, so a search
+    that probes ``n_probe`` lists reads ~n_probe/n_lists of the (already
+    32×-compressed) code bytes, runs codegen ADC over that slice only, and
+    pages in raw vectors just for the final exact re-rank.
+
+    Layout under ``path``:
+
+    * ``list_id=<n>/``  — (id, codes, embedding) rows of that inverted
+      list. ADC scans prune to probed directories AND read only the
+      ``codes`` column (parquet column pruning); the ``embedding`` column
+      is touched only by the candidate re-rank join.
+    * ``_centroids``    — IVF coarse centroids (list_id, centroid).
+    * ``_codebooks``    — PQ codebooks (mi, code, cv).
+
+    One shared codebook across lists, trained on raw (unit-normalized)
+    vectors rather than per-list residuals: residual encoding buys recall
+    at the cost of per-list codebooks (n_lists × retrain) and an oracle
+    that must replay the subtraction; the shared-codebook form is FAISS's
+    ``IVFx,PQy`` with ``by_residual=false`` and keeps the DuckDB replay to
+    the two existing CTE chains. Recall is gated in tests either way.
+
+    Determinism matches pq_train_codebooks + similarity.ivf_train_centroids,
+    so the composed DuckDB oracle (lsh_oracles.ivfpq_topk_sql) replays the
+    whole index build symbolically.
+    """
+    from crowdsorsa_etl_spark.operators.similarity import _train, ivf_assign
+
+    centroids = _train(
+        corpus,
+        n_lists=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        trainer=trainer,
+    )
+    books = pq_train_codebooks(
+        corpus,
+        m=m,
+        k_codes=k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        iterations=pq_iterations,
+    )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "id", id_col
+    )
+    (
+        assigned.join(enc, id_col)
+        .select(id_col, "codes", vec_col, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    book_rows = [
+        (int(mi), int(c), [float(x) for x in books[mi][c]])
+        for mi in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "mi int, code int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_codebooks")
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    candidate_margin: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: probe ``n_probe`` lists per query
+    driver-side (bounded centroid set), scan ONLY those partitions'
+    ``codes`` column, score by 6-dp-rounded ADC lookup tables (pure
+    whole-stage-codegen array ops — encoding happened at WRITE time, so
+    the query plan has ZERO Python stages), take the top-(k+margin) ADC
+    candidates per query, and re-rank them exactly against the stored
+    raw vectors. Output contract matches cosine_topk:
+    (query_id, neighbor_id, cosine, rank)."""
+    cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        centroids[r.list_id] = r.centroid
+    book_rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
+    m = 1 + max(r.mi for r in book_rows)
+    k_codes = 1 + max(r.code for r in book_rows)
+    sub = len(book_rows[0].cv)
+    books = np.zeros((m, k_codes, sub))
+    for r in book_rows:
+        books[r.mi][r.code] = r.cv
+
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "query set"
+    )
+    probes = []
+    q_data = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        for l in np.argsort(-(centroids @ qv))[:n_probe]:
+            probes.append((int(r[0]), int(l)))
+        tables = [
+            [
+                round(
+                    float(
+                        ((qv[mi * sub : (mi + 1) * sub] - books[mi][c]) ** 2).sum()
+                    ),
+                    6,
+                )
+                for c in range(k_codes)
+            ]
+            for mi in range(m)
+        ]
+        q_data.append((int(r[0]), tables))
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    probed_lists = sorted({l for _, l in probes})
+    q_df = spark.createDataFrame(
+        q_data, "query_id long, dists array<array<double>>"
+    )
+
+    # list_id isin → PARTITION filter: only probed directories are scanned,
+    # and the ADC branch reads only (id, codes) of them (column pruning)
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_lists))
+    adc = (
+        index.select(id_col, "codes", "list_id")
+        .join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(q_df), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("dists"),
+                        F.col("codes"),
+                        lambda d, c: F.element_at(d, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        adc.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k + candidate_margin)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+
+    c = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -83,3 +83,78 @@ class TestPQTopK:
         emb = load_table(spark, "embeddings", SF_DIR)
         with pytest.raises(ValueError, match="more than 3 rows"):
             pq_topk(emb, emb, k=5, max_queries=3).collect()
+
+
+class TestIVFPQ:
+    def _index(self, spark, tmp_path, **kw):
+        from crowdsorsa_etl_spark.operators.pq import ivfpq_write_index
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        path = str(tmp_path / "ivfpq")
+        kw.setdefault("n_lists", 8)
+        kw.setdefault("m", 8)
+        kw.setdefault("k_codes", 16)
+        ivfpq_write_index(emb, path, **kw)
+        return emb, path
+
+    def test_layout_partitioned_by_list(self, spark, tmp_path):
+        import os
+
+        _, path = self._index(spark, tmp_path)
+        lists = {d for d in os.listdir(path) if d.startswith("list_id=")}
+        assert lists  # inverted lists as directories
+        assert os.path.isdir(os.path.join(path, "_centroids"))
+        assert os.path.isdir(os.path.join(path, "_codebooks"))
+
+    def test_recall_vs_exact(self, spark, tmp_path):
+        """Probing all lists (n_probe = n_lists) makes IVF lossless, so
+        recall equals plain PQ's; the gated setting probes half."""
+        from crowdsorsa_etl_spark.operators.pq import ivfpq_query_index
+
+        emb, path = self._index(spark, tmp_path, k_codes=64)
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_query_index(
+                spark, path, q, k=5, n_probe=4, candidate_margin=32
+            ).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.6  # half the lists
+
+    def test_exact_cosine_values_and_determinism(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.pq import ivfpq_query_index
+
+        emb, path = self._index(spark, tmp_path)
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in cosine_topk(emb, q, k=50).collect()
+        }
+        first = ivfpq_query_index(spark, path, q, k=5, n_probe=8).collect()
+        again = ivfpq_query_index(spark, path, q, k=5, n_probe=8).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+        for r in first:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:
+                assert r.cosine == exact[key]
+
+    def test_query_plan_prunes_partitions_no_python(self, spark, tmp_path):
+        """The production contract: the search scans ONLY probed list
+        directories (PartitionFilters on list_id) and runs zero Python
+        stages (encoding happened at write time)."""
+        from crowdsorsa_etl_spark.operators.pq import ivfpq_query_index
+
+        emb, path = self._index(spark, tmp_path)
+        q = emb.filter(F.col("vec_id") < 3)
+        plan = ivfpq_query_index(
+            spark, path, q, k=5, n_probe=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [list_id" in plan.replace(
+            "PartitionFilters: [isnotnull(list_id", "PartitionFilters: [list_id"
+        ) or "list_id IN" in plan
+        for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+            assert node not in plan, f"unexpected Python stage {node}"
