@@ -98,57 +98,15 @@ _BM25_ORACLE_SQL = f"""
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents per query under Lucene-style BM25, full hash oracle
     (see the block comment above for the scale shape and float-parity
-    conventions)."""
+    conventions). Round 8: runs through the shared operators/bm25 core —
+    the literal queries become a 3-row query TABLE (the generalized input
+    contract; llm_bm25_querytable / llm_bm25_incremental exercise the
+    derived-table and index-at-rest forms)."""
+    from crowdsorsa_etl_spark.operators.bm25 import bm25_topk
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("t")
-    )
-    postings = toks.groupBy("doc_id", "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    dlen = postings.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    qterms = spark.createDataFrame(
-        [(i, t) for i, s in _BM25_QUERIES for t in s.split()],
-        "query_id int, t string",
-    )
-    dft = (
-        postings.filter(F.col("t").isin(_BM25_TERMS))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    )
-    contrib = (
-        postings.join(F.broadcast(qterms), "t")
-        .join(F.broadcast(dft), "t")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "c",
-            F.round(
-                F.log(
-                    1.0
-                    + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * 2.2)
-                / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
-                6,
-            ),
-        )
-    )
-    scores = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("c"), 6).alias("bm25")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_K)
-        .select("query_id", "doc_id", "bm25", "rank")
-    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+    return bm25_topk(docs, qdf, k=_BM25_K)
 
 
 # ===========================================================================

@@ -58,3 +58,113 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, emb.filter(F.col("vec_id") < 10),
         k=5, n_probe=8, candidate_margin=32,
     )
+
+
+# ===========================================================================
+# llm_bm25_querytable / llm_bm25_incremental — the round-7 verdict's BM25
+# gaps closed: queries as a DataFrame (here DERIVED from the corpus inside
+# the plan — the decontamination-sweep shape: "for each eval doc, find the
+# training docs it retrieves"), and the postings index as an append-only
+# materialized view whose post-append results are proven IDENTICAL to a
+# full rebuild by the cross-engine oracle (the same merged≡rebuilt gate as
+# q67/q91). See operators/bm25.py for the MV algebra and scale shape.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+from crowdsorsa_etl_spark.queries.round7_pack import (
+    _BM25_CONTRIB_SQL,
+    _BM25_ORACLE_SQL,
+    _BM25_QUERIES,
+)
+
+_BM25_QT_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, t
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dlen
+    ),
+    qt AS (
+      SELECT CAST(doc_id AS INT) AS query_id,
+             string_split({_NORM_SQL}, ' ') AS qtoks
+      FROM documents WHERE doc_id < 3
+    ),
+    q AS (SELECT query_id, unnest(qtoks[1:4]) AS t FROM qt),
+    dft AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df
+      FROM postings
+      WHERE t IN (SELECT DISTINCT t FROM q)
+      GROUP BY t
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id, {_BM25_CONTRIB_SQL} AS c
+      FROM postings p
+      JOIN q ON p.t = q.t
+      JOIN dft ON p.t = dft.t
+      JOIN dlen ON p.doc_id = dlen.doc_id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS bm25
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, bm25, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS INT)
+               AS rank
+          FROM scores)
+    WHERE rank <= 10
+"""
+
+
+@register("llm_bm25_querytable", _BM25_QT_SQL)
+def llm_bm25_querytable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with a query TABLE built inside the plan: each of the first
+    three documents' leading 4 tokens becomes a query — no literals
+    anywhere, the full decontamination-sweep shape. Hash-oracled."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").cast("int").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 4), " "
+        ).alias("text"),
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+@register("llm_bm25_incremental", _BM25_ORACLE_SQL)
+def llm_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the index AT REST after incremental maintenance: build
+    postings from 90% of the corpus, APPEND the remaining 10% (pure file
+    append — distributive MV, existing rows untouched), then score. The
+    oracle is the FULL-corpus BM25 (identical to llm_bm25_topk's), so the
+    hash match proves merged ≡ rebuilt across engines."""
+    import shutil
+    import tempfile
+
+    from crowdsorsa_etl_spark.operators.bm25 import (
+        bm25_append_index,
+        bm25_query_index,
+        bm25_write_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25idx_")
+    try:
+        bm25_write_index(docs.filter(F.col("doc_id") % 10 != 0), path)
+        bm25_append_index(docs.filter(F.col("doc_id") % 10 == 0), path)
+        qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+        return bm25_query_index(spark, path, qdf, k=10).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
