@@ -433,3 +433,97 @@ def st_as_geojson_struct(wkb: pd.Series) -> pd.DataFrame:
             ),
         }
     )
+
+
+def _cross3(q1, q2, p) -> float:
+    """Orientation of p relative to directed segment q1→q2. The EXACT
+    expression order is load-bearing: parity_oracles.polygon_join_sql emits
+    the same (q2x−q1x)·(py−q1y) − (q2y−q1y)·(px−q1x) so both engines make
+    identical sign/zero decisions on identical doubles."""
+    return (q2[0] - q1[0]) * (p[1] - q1[1]) - (q2[1] - q1[1]) * (p[0] - q1[0])
+
+
+def _in_bbox(a, b, p) -> bool:
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _segments_intersect(p1, p2, q1, q2) -> bool:
+    """Inclusive segment intersection (shared endpoints / collinear overlap
+    / touching count as intersecting): the classic four-orientation test
+    plus collinear bbox checks."""
+    d1 = _cross3(q1, q2, p1)
+    d2 = _cross3(q1, q2, p2)
+    d3 = _cross3(p1, p2, q1)
+    d4 = _cross3(p1, p2, q2)
+    if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+        (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+    ):
+        return True
+    if d1 == 0 and _in_bbox(q1, q2, p1):
+        return True
+    if d2 == 0 and _in_bbox(q1, q2, p2):
+        return True
+    if d3 == 0 and _in_bbox(p1, p2, q1):
+        return True
+    if d4 == 0 and _in_bbox(p1, p2, q2):
+        return True
+    return False
+
+
+def _edges(buf: bytes):
+    """All boundary edges of a WKB multipolygon (shells AND holes — holes
+    are boundary too for the intersects predicate)."""
+    for rings in _parse_wkb(buf):
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                yield ring[i], ring[i + 1]
+
+
+def _intersects_py(a: bytes | None, b: bytes | None) -> bool | None:
+    """Exact polygon-polygon intersection: two closed regions intersect iff
+    their boundaries intersect (any edge pair) or one contains the other
+    (tested via one vertex — if no boundaries cross, containment of any
+    vertex is containment of the whole polygon). Even-odd hole semantics
+    come free from _contains_py (a polygon sitting inside the other's hole
+    is correctly NOT contained)."""
+    if a is None or b is None:
+        return None
+    a, b = bytes(a), bytes(b)
+    b_edges = list(_edges(b))
+    for p1, p2 in _edges(a):
+        for q1, q2 in b_edges:
+            if _segments_intersect(p1, p2, q1, q2):
+                return True
+    pa = _parse_wkb(a)
+    pb = _parse_wkb(b)
+    if not pa or not pb:
+        return False
+    av = pa[0][0][0]  # first vertex of first shell
+    bv = pb[0][0][0]
+    return bool(_contains_py(a, bv[0], bv[1]) or _contains_py(b, av[0], av[1]))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """Exact WKB-vs-WKB polygon intersection test (Arrow-batched)."""
+    return pd.Series([_intersects_py(a, b) for a, b in zip(wkb_a, wkb_b)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_translate(wkb: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    """Shift a WKB multipolygon by (dx, dy) — re-encoded via
+    polygons_to_wkb, so coordinates stay exact float64 sums."""
+
+    def move(buf, ddx, ddy):
+        if buf is None:
+            return None
+        moved = [
+            [[(x + ddx, y + ddy) for x, y in ring] for ring in rings]
+            for rings in _parse_wkb(bytes(buf))
+        ]
+        return polygons_to_wkb(moved)
+
+    return pd.Series([move(b, x, y) for b, x, y in zip(wkb, dx, dy)])

@@ -436,3 +436,77 @@ def spatial_join_sql() -> str:
     WHERE (list_sum(list_transform(range(1, len(pl.xs)),
              i -> {_RAYCAST_EDGE}))) % 2 = 1
     """
+
+
+def _raycast_inside(xs: str, ys: str, px: str, py: str) -> str:
+    """Even-odd ray-cast "strictly inside" over 1-indexed coord lists —
+    the same expression tree as _RAYCAST_EDGE / geo._point_in_ring."""
+    edge = (
+        f"CASE WHEN ({ys}[i] > {py}) != ({ys}[i+1] > {py})"
+        f" AND {px} < {xs}[i] + ({py} - {ys}[i]) * ({xs}[i+1] - {xs}[i])"
+        f" / ({ys}[i+1] - {ys}[i]) THEN 1 ELSE 0 END"
+    )
+    return f"(list_sum(list_transform(range(1, len({xs})), i -> {edge}))) % 2 = 1"
+
+
+def polygon_join_sql() -> str:
+    """ALL-PAIRS ground truth for operators/spatial.grid_polygon_join over
+    the 2024 fixture polygons vs their half-extent-shifted copies: a pair
+    intersects iff any boundary edge pair intersects (four-orientation
+    test + collinear bbox, the exact expression tree of
+    geo._segments_intersect) or one polygon's first vertex lies inside the
+    other (ray-cast). The hash gate therefore proves the grid prefilter,
+    the reference-cell dedup, and the exact verify all at once."""
+    d = _fixture_dir_for_sql().replace("'", "''")
+    obs = f"'{d}/observations_2024.parquet'"
+    # d1..d4: orientation cross products; EXACT operand order of geo._cross3
+    d1 = "((x4-x3)*(y1-y3) - (y4-y3)*(x1-x3))"
+    d2 = "((x4-x3)*(y2-y3) - (y4-y3)*(x2-x3))"
+    d3 = "((x2-x1)*(y3-y1) - (y2-y1)*(x3-x1))"
+    d4 = "((x2-x1)*(y4-y1) - (y2-y1)*(x4-x1))"
+    seg_pred = f"""(
+      ((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))
+      AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))
+    )
+    OR (({d1}) = 0 AND least(x3,x4) <= x1 AND x1 <= greatest(x3,x4)
+        AND least(y3,y4) <= y1 AND y1 <= greatest(y3,y4))
+    OR (({d2}) = 0 AND least(x3,x4) <= x2 AND x2 <= greatest(x3,x4)
+        AND least(y3,y4) <= y2 AND y2 <= greatest(y3,y4))
+    OR (({d3}) = 0 AND least(x1,x2) <= x3 AND x3 <= greatest(x1,x2)
+        AND least(y1,y2) <= y3 AND y3 <= greatest(y1,y2))
+    OR (({d4}) = 0 AND least(x1,x2) <= x4 AND x4 <= greatest(x1,x2)
+        AND least(y1,y2) <= y4 AND y4 <= greatest(y1,y2))"""
+    return f"""
+    WITH {_points_cte(obs, 'tunniste', 'kunta')},
+    polyA AS (SELECT tunniste AS a_id, xs, ys FROM pts),
+    polyB AS (
+      SELECT tunniste AS b_id,
+             list_transform(xs, v -> v + (list_max(xs) - list_min(xs)) / 2.0)
+               AS xs,
+             list_transform(ys, v -> v + (list_max(ys) - list_min(ys)) / 2.0)
+               AS ys
+      FROM pts
+    ),
+    eA AS (
+      SELECT a_id, xs[i] AS x1, ys[i] AS y1, xs[i+1] AS x2, ys[i+1] AS y2
+      FROM (SELECT a_id, xs, ys, unnest(range(1, len(xs))) AS i FROM polyA)
+    ),
+    eB AS (
+      SELECT b_id, xs[i] AS x3, ys[i] AS y3, xs[i+1] AS x4, ys[i+1] AS y4
+      FROM (SELECT b_id, xs, ys, unnest(range(1, len(xs))) AS i FROM polyB)
+    ),
+    seg AS (
+      SELECT DISTINCT a_id, b_id
+      FROM eA CROSS JOIN eB
+      WHERE {seg_pred}
+    ),
+    contain AS (
+      SELECT a.a_id, b.b_id
+      FROM polyA a CROSS JOIN polyB b
+      WHERE ({_raycast_inside('a.xs', 'a.ys', 'b.xs[1]', 'b.ys[1]')})
+         OR ({_raycast_inside('b.xs', 'b.ys', 'a.xs[1]', 'a.ys[1]')})
+    )
+    SELECT a_id, b_id FROM seg
+    UNION
+    SELECT a_id, b_id FROM contain
+    """

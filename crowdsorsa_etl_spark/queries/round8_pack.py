@@ -168,3 +168,43 @@ def llm_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bm25_query_index(spark, path, qdf, k=10).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ===========================================================================
+# geo_polygon_join — polygon-polygon grid spatial join (round-7 verdict gap
+# #4): fixture polygons vs their half-extent-shifted copies through
+# operators/spatial.grid_polygon_join. The oracle is the ALL-PAIRS ground
+# truth (segment-pair orientation tests + mutual vertex containment
+# replayed in SQL), so the hash gate proves the grid prefilter, the
+# reference-cell-ownership dedup, and the exact verify together.
+# ===========================================================================
+
+
+@register("geo_polygon_join", __import__(
+    "crowdsorsa_etl_spark.parity_oracles", fromlist=["polygon_join_sql"]
+).polygon_join_sql())
+def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersecting (original, shifted) polygon pairs via the grid join."""
+    from crowdsorsa_etl_spark import parity_oracles
+    from crowdsorsa_etl_spark.functions.geo import st_envelope, st_translate
+    from crowdsorsa_etl_spark.operators.spatial import grid_polygon_join
+    from crowdsorsa_etl_spark.schemas import OBSERVATIONS_2024
+
+    d = parity_oracles.ensure_observation_fixtures()
+    polys = (
+        spark.read.schema(OBSERVATIONS_2024)
+        .parquet(f"{d}/observations_2024.parquet")
+        .select(F.col("tunniste").alias("a_id"), F.col("geometry_wkb").alias("a_wkb"))
+    )
+    env = polys.select(
+        "a_id", "a_wkb", st_envelope(F.col("a_wkb")).alias("e")
+    )
+    shifted = env.select(
+        F.col("a_id").alias("b_id"),
+        st_translate(
+            F.col("a_wkb"),
+            (F.col("e.xmax") - F.col("e.xmin")) / 2.0,
+            (F.col("e.ymax") - F.col("e.ymin")) / 2.0,
+        ).alias("b_wkb"),
+    )
+    return grid_polygon_join(polys, shifted, cell_size=1000.0)
