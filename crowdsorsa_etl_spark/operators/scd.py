@@ -224,3 +224,160 @@ def scd2_apply_batch(
     out.write.mode("overwrite").parquet(tmp)
     _swap_dirs(jvm, fs, versions_dir, tmp)
     return out
+
+
+def _read_buffer(spark, buffer_dir: str, events_schema):
+    """(held_events | None, prev_watermark | None) from the buffer dir."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(buffer_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    held = wm = None
+    if fs.exists(P(buffer_dir.rstrip("/") + "/events")):
+        held = spark.read.parquet(buffer_dir.rstrip("/") + "/events")
+    if fs.exists(P(buffer_dir.rstrip("/") + "/wm")):
+        rows = spark.read.parquet(buffer_dir.rstrip("/") + "/wm").collect()
+        wm = rows[0][0] if rows else None
+    return held, wm
+
+
+def scd2_apply_batch_buffered(
+    spark,
+    versions_dir: str,
+    buffer_dir: str,
+    batch: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    tie_break_cols: list[str] | None = None,
+    max_delay_seconds: float,
+    on_late: str = "error",
+) -> DataFrame | None:
+    """``scd2_apply_batch`` that tolerates BOUNDED event-time disorder —
+    the round-7 verdict's asked-for watermark-buffer mode.
+
+    The monotonic-append contract exists because collapsed versions cannot
+    replay run splits; this wrapper therefore keeps the RAW events of the
+    still-reorderable tail in a side buffer and finalizes them only once
+    the stream watermark (max event time seen, minus ``max_delay_seconds``
+    — never regressing) passes them:
+
+    1. pool the held buffer with the batch; batch events AT OR BEFORE the
+       previous watermark are beyond-bound late → ``on_late`` policy
+       (error / drop), exactly the dropDuplicatesWithinWatermark stance;
+    2. events ≤ the new watermark FINALIZE through scd2_apply_batch — by
+       construction they are strictly later than everything previously
+       finalized (finalized ⇒ ≤ old watermark < new events), so inside the
+       bound the result is IDENTICAL to a fully-ordered rebuild
+       (property-tested); the inner call runs with ``on_late='drop'``,
+       which by the same argument can only ever drop crash-replayed
+       events — idempotent recovery, never silent data loss;
+    3. events above the new watermark are held (re-written buffer).
+
+    Returns the on-disk versions table after this batch (None when nothing
+    has finalized yet). ``scd2_flush_buffer`` drains the tail at stream
+    end. Crash windows: versions swap via rename-aside (inherited); a
+    crash between the versions swap and the buffer rewrite re-finalizes
+    the same events next batch, which step 2's guard absorbs.
+    """
+    if on_late not in {"error", "drop"}:
+        raise ValueError(f"on_late must be 'error' or 'drop', got {on_late!r}")
+    ties = list(tie_break_cols or [])
+    events = batch.select(*key_cols, ts_col, *tracked_cols, *ties)
+    held, prev_wm = _read_buffer(spark, buffer_dir, events.schema)
+
+    if prev_wm is not None:
+        beyond = F.col(ts_col).isNull() | (F.col(ts_col) <= F.lit(prev_wm))
+        if on_late == "error":
+            n_beyond = events.filter(beyond).count()
+            if n_beyond:
+                raise ValueError(
+                    f"{n_beyond} event(s) at or before the stream watermark "
+                    f"({prev_wm}) — beyond the {max_delay_seconds}s disorder "
+                    "bound; pass on_late='drop' to skip watermark-expired "
+                    "events"
+                )
+        events = events.filter(~beyond)
+    elif on_late == "error":
+        n_null = events.filter(F.col(ts_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"{n_null} event(s) have NULL {ts_col}; they cannot be "
+                "ordered against a watermark"
+            )
+        events = events.filter(F.col(ts_col).isNotNull())
+    else:
+        events = events.filter(F.col(ts_col).isNotNull())
+
+    pool = events if held is None else held.unionByName(events)
+    pool = pool.localCheckpoint()  # the buffer dir is overwritten below
+
+    max_ts = pool.agg(F.max(ts_col)).collect()[0][0]
+    if max_ts is None:  # empty batch + empty buffer
+        return None
+    new_wm = F.lit(max_ts) - F.expr(
+        f"INTERVAL {float(max_delay_seconds)} SECONDS"
+    )
+    if prev_wm is not None:
+        new_wm = F.greatest(new_wm, F.lit(prev_wm))  # never regress
+    wm_value = pool.limit(1).select(new_wm.alias("wm")).collect()[0][0]
+
+    finalize = pool.filter(F.col(ts_col) <= F.lit(wm_value))
+    hold = pool.filter(F.col(ts_col) > F.lit(wm_value))
+
+    out = None
+    if not finalize.isEmpty():
+        out = scd2_apply_batch(
+            spark,
+            versions_dir,
+            finalize,
+            key_cols=key_cols,
+            ts_col=ts_col,
+            tracked_cols=tracked_cols,
+            tie_break_cols=ties,
+            on_late="drop",  # only crash-replays can trip it (see docstring)
+        )
+    hold.localCheckpoint().write.mode("overwrite").parquet(
+        buffer_dir.rstrip("/") + "/events"
+    )
+    spark.createDataFrame([(wm_value,)], f"wm {dict(pool.dtypes)[ts_col]}").write.mode(
+        "overwrite"
+    ).parquet(buffer_dir.rstrip("/") + "/wm")
+    return out
+
+
+def scd2_flush_buffer(
+    spark,
+    versions_dir: str,
+    buffer_dir: str,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    tie_break_cols: list[str] | None = None,
+) -> DataFrame | None:
+    """Finalize every held event (end-of-stream / planned shutdown). The
+    buffer is emptied; the watermark advances to the flushed max."""
+    ties = list(tie_break_cols or [])
+    held, prev_wm = _read_buffer(spark, buffer_dir, None)
+    if held is None or held.isEmpty():
+        return None
+    held = held.localCheckpoint()
+    max_ts = held.agg(F.max(ts_col)).collect()[0][0]
+    out = scd2_apply_batch(
+        spark,
+        versions_dir,
+        held,
+        key_cols=key_cols,
+        ts_col=ts_col,
+        tracked_cols=tracked_cols,
+        tie_break_cols=ties,
+        on_late="drop",
+    )
+    held.filter(F.lit(False)).write.mode("overwrite").parquet(
+        buffer_dir.rstrip("/") + "/events"
+    )
+    spark.createDataFrame(
+        [(max_ts,)], f"wm {dict(held.dtypes)[ts_col]}"
+    ).write.mode("overwrite").parquet(buffer_dir.rstrip("/") + "/wm")
+    return out

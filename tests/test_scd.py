@@ -336,3 +336,129 @@ class TestScd2Stream:
             ).collect()
         )
         assert got == want
+
+
+class TestScd2Buffered:
+    SCHEMA = "user_id long, ts timestamp, status string, eid long"
+    KW = dict(
+        key_cols=["user_id"], ts_col="ts", tracked_cols=["status"],
+        tie_break_cols=["eid"],
+    )
+
+    def _apply(self, spark, vd, bd, rows, **kw):
+        from crowdsorsa_etl_spark.operators.scd import (
+            scd2_apply_batch_buffered,
+        )
+
+        return scd2_apply_batch_buffered(
+            spark, str(vd), str(bd),
+            spark.createDataFrame(rows, self.SCHEMA),
+            max_delay_seconds=kw.pop("max_delay_seconds", 172800.0),  # 2 days
+            **{**self.KW, **kw},
+        )
+
+    def _flush(self, spark, vd, bd):
+        from crowdsorsa_etl_spark.operators.scd import scd2_flush_buffer
+
+        return scd2_flush_buffer(spark, str(vd), str(bd), **self.KW)
+
+    def _full(self, spark, rows):
+        df = spark.createDataFrame(sorted(rows, key=lambda r: r[1]), self.SCHEMA)
+        return scd2_build(df, **self.KW)
+
+    @staticmethod
+    def _key(df):
+        return sorted(
+            (r.user_id, r.version, r.status, r.valid_from, r.valid_to,
+             r.is_current)
+            for r in df.collect()
+        )
+
+    def test_late_within_bound_equals_ordered_rebuild(self, spark, tmp_path):
+        """THE contract: arrival order scrambled within the disorder bound
+        → history identical to a fully-ordered rebuild, including a run
+        SPLIT by a late middle event (impossible for the unbuffered mode).
+        """
+        vd, bd = tmp_path / "v", tmp_path / "b"
+        all_rows = [
+            (1, _ts("2024-01-01T00:00:00"), "A", 1),
+            (1, _ts("2024-01-02T00:00:00"), "B", 2),  # arrives LATE
+            (1, _ts("2024-01-03T00:00:00"), "A", 3),
+            (2, _ts("2024-01-02T12:00:00"), "X", 4),
+        ]
+        # batch 1: t1 and t3 (t2 missing); batch 2 delivers t2 one day
+        # "later" plus t4 and a fresh max to advance the watermark
+        self._apply(spark, vd, bd, [all_rows[0], all_rows[2]])
+        self._apply(spark, vd, bd, [all_rows[1], all_rows[3],
+                                    (2, _ts("2024-01-06T00:00:00"), "Y", 5)])
+        self._flush(spark, vd, bd)
+        got = self._key(spark.read.parquet(str(vd)))
+        want = self._key(self._full(
+            spark, all_rows + [(2, _ts("2024-01-06T00:00:00"), "Y", 5)]
+        ))
+        assert got == want
+        k1 = [(r[1], r[2]) for r in got if r[0] == 1]
+        assert k1 == [(1, "A"), (2, "B"), (3, "A")]  # split replayed
+
+    def test_nothing_finalizes_before_watermark(self, spark, tmp_path):
+        import os
+
+        vd, bd = tmp_path / "v", tmp_path / "b"
+        out = self._apply(
+            spark, vd, bd, [(1, _ts("2024-01-01T00:00:00"), "A", 1)]
+        )
+        assert out is None  # everything within the delay window is held
+        assert not os.path.exists(str(vd))
+
+    def test_beyond_bound_raises_and_drop_skips(self, spark, tmp_path):
+        import pytest
+
+        vd, bd = tmp_path / "v", tmp_path / "b"
+        self._apply(spark, vd, bd, [
+            (1, _ts("2024-01-01T00:00:00"), "A", 1),
+            (1, _ts("2024-01-10T00:00:00"), "B", 2),  # wm → 2024-01-08
+        ])
+        with pytest.raises(ValueError, match="beyond"):
+            self._apply(spark, vd, bd, [
+                (1, _ts("2024-01-02T00:00:00"), "C", 3),
+            ])
+        # drop mode: expired event skipped, history unaffected
+        self._apply(spark, vd, bd, [
+            (1, _ts("2024-01-02T00:00:00"), "C", 3),
+        ], on_late="drop")
+        self._flush(spark, vd, bd)
+        got = self._key(spark.read.parquet(str(vd)))
+        assert [(r[1], r[2]) for r in got if r[0] == 1] == [(1, "A"), (2, "B")]
+
+    def test_many_batches_shuffled_property(self, spark, tmp_path):
+        """Randomized-but-seeded: 3 keys × 12 events, arrival = event time
+        plus bounded jitter, delivered in 4 arrival-order batches + flush
+        ≡ ordered rebuild."""
+        import random
+
+        rng = random.Random(8)
+        rows = []
+        eid = 0
+        for key in (1, 2, 3):
+            for day in range(1, 13):
+                eid += 1
+                rows.append(
+                    (key, _ts(f"2024-01-{day:02d}T00:00:00"),
+                     rng.choice("AB"), eid)
+                )
+        arrival = sorted(
+            rows, key=lambda r: (r[1], rng.random())
+        )
+        # bounded shuffle: swap neighbors within a 2-day window
+        for i in range(0, len(arrival) - 1, 2):
+            if rng.random() < 0.5:
+                arrival[i], arrival[i + 1] = arrival[i + 1], arrival[i]
+        vd, bd = tmp_path / "v", tmp_path / "b"
+        n = len(arrival) // 4
+        for b in range(4):
+            chunk = arrival[b * n : (b + 1) * n if b < 3 else len(arrival)]
+            self._apply(spark, vd, bd, chunk)
+        self._flush(spark, vd, bd)
+        assert self._key(spark.read.parquet(str(vd))) == self._key(
+            self._full(spark, rows)
+        )
