@@ -139,8 +139,15 @@ def cosine_topk_vectorized(
     the output is identical to :func:`cosine_topk` and the DuckDB oracle.
     BLAS pairwise summation differs from sequential accumulation by ≲1e-12;
     the margin makes candidate-set misses from such last-ulp ordering
-    effectively impossible. The re-score is a broadcast semi-join back to
-    the corpus — |Q|·(k+margin) rows, never a second full scoring pass.
+    effectively impossible.
+
+    Round 8 (the round-7 advice's flagged 2× regression): each batch's
+    surviving candidate rows CARRY their raw vector out of the Arrow
+    stage, so the exact re-score runs on |Q|·(k+margin) bounded rows with
+    no second corpus scan and no corpus-wide broadcast join — the corpus
+    is read exactly once. The carried floats are the same float32 array
+    values the corpus scan holds, so the expression-path cosine stays
+    bit-identical.
     """
     import numpy as np
     import pandas as pd
@@ -177,13 +184,20 @@ def cosine_topk_vectorized(
             # be the lowest ids — the same tie-break the global window and
             # the exact re-rank apply — or a true top-k member could be
             # dropped here and the bit-exact contract would break.
-            yield out.sort_values(
+            kept = out.sort_values(
                 ["query_id", "cosine_blas", "neighbor_id"],
                 ascending=[True, False, True],
             ).groupby("query_id", sort=False).head(n_cand)
+            # survivors carry their raw vector out of the Arrow stage —
+            # the exact re-score then needs no second corpus scan
+            vec_by_id = dict(zip(n_ids, pdf[vec_col]))
+            kept = kept.assign(_cvec=kept["neighbor_id"].map(vec_by_id))
+            yield kept
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, cosine_blas double"
+        score,
+        "query_id long, neighbor_id long, cosine_blas double,"
+        " _cvec array<float>",
     )
     w_blas = Window.partitionBy("query_id").orderBy(
         F.col("cosine_blas").desc(), F.col("neighbor_id").asc()
@@ -191,32 +205,24 @@ def cosine_topk_vectorized(
     cand = (
         scored.withColumn("_r", F.row_number().over(w_blas))
         .filter(F.col("_r") <= n_cand)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "_cvec")
     )
 
     # exact re-score of the candidates: same expression, same rounding, same
-    # tie-break as cosine_topk → bit-identical output
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        l2_norm(F.col(vec_col)).alias("_cnorm"),
-    )
+    # tie-break as cosine_topk → bit-identical output (the carried _cvec
+    # holds the same float32 values the corpus column does)
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
-    rescored = (
-        c.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("_qvec"), F.col("_cvec"))
-                / (F.col("_qnorm") * F.col("_cnorm")),
-                6,
-            ),
-        )
+    rescored = cand.join(F.broadcast(q), "query_id").withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qnorm") * l2_norm(F.col("_cvec"))),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
