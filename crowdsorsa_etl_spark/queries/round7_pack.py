@@ -197,6 +197,11 @@ _BLOOM_CONFS = {
     # force the shuffle join the rule targets (at 100 TB the filtered side
     # exceeds the broadcast threshold on its own)
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # let the rule fire at scaled local fixtures too: the default 10 MB
+    # creation-side cap declined the filter at the 100x spot-bench (the
+    # filtered orders build side is still bloom-sized in KEYS, which is
+    # what matters; the cap models executor memory, not correctness)
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
 }
 
 

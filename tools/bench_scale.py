@@ -74,6 +74,12 @@ HEADLINE = [
     "q98_scd2_asof_lookup",
     "llm_fuzzy_decontamination",
     "q99_skew_report",
+    # round 8: IVF-PQ through the persisted index, BM25 query-table and
+    # append-maintained index (geo_polygon_join is fixture-bound — its
+    # input does not scale with sf, so it is excluded by design)
+    "llm_ivfpq_topk",
+    "llm_bm25_querytable",
+    "llm_bm25_incremental",
 ]
 
 
@@ -119,10 +125,16 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         return round(best, 3)
 
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        base_times[name] = timed(fn, SRC)
-        results[name] = timed(fn, dest)
+        try:
+            base_times[name] = timed(fn, SRC)
+            results[name] = timed(fn, dest)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = str(exc)[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         ratio = results[name] / max(base_times[name], 1e-9)
         print(
             f"# {name}: sf0.1 {base_times[name]:.2f}s -> {mult}x {results[name]:.2f}s"
@@ -140,7 +152,9 @@ def main() -> None:
                 "ratios": {
                     n: round(results[n] / max(base_times[n], 1e-9), 2)
                     for n in HEADLINE
+                    if n in results
                 },
+                "errors": errors,
             }
         )
     )
