@@ -208,3 +208,74 @@ def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b_wkb"),
     )
     return grid_polygon_join(polys, shifted, cell_size=1000.0)
+
+
+# ===========================================================================
+# q100_scd2_buffered — the bounded-disorder SCD2 path (operators/scd
+# scd2_apply_batch_buffered) proven cross-engine: the events log is split
+# into two arrival batches with a deterministic subset of mid-timeline
+# events DELAYED into the second batch (disorder within the watermark
+# bound), applied through the buffer, and flushed. The oracle is q97's
+# fully-ordered full rebuild — a hash match proves buffered == ordered.
+# ===========================================================================
+
+
+def _q97_oracle() -> str:
+    from crowdsorsa_etl_spark.queries._shared import ORACLES
+
+    return ORACLES["q97_scd2_versions"]
+
+
+@register("q100_scd2_buffered", _q97_oracle())
+def q100_scd2_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 via the watermark buffer under bounded disorder ≡ q97's
+    ordered rebuild (shared oracle)."""
+    import shutil
+    import tempfile
+
+    from crowdsorsa_etl_spark.operators.scd import (
+        scd2_apply_batch_buffered,
+        scd2_flush_buffer,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_s = (hi - lo).total_seconds()
+    delay_s = max(span_s / 4.0, 1.0)
+    mid = F.lit(lo) + F.expr(f"INTERVAL {span_s / 2.0} SECONDS")
+    # deterministically delay ~20% of the events just before the midpoint
+    # into batch 2 — late, but within delay_s of batch 1's max
+    held_back = (
+        (F.col("event_id") % 5 == 0)
+        & (F.col("ts") > mid - F.expr(f"INTERVAL {delay_s / 2.0} SECONDS"))
+        & (F.col("ts") <= mid)
+    )
+    b1 = ev.filter((F.col("ts") <= mid) & ~held_back)
+    b2 = ev.filter((F.col("ts") > mid) | held_back)
+
+    kw = dict(
+        key_cols=["user_id"], ts_col="ts", tracked_cols=["event_type"],
+        tie_break_cols=["event_id"],
+    )
+    root = tempfile.mkdtemp(prefix="scd2buf_")
+    vd, bd = f"{root}/v", f"{root}/b"
+    try:
+        scd2_apply_batch_buffered(
+            spark, vd, bd, b1, max_delay_seconds=delay_s, **kw
+        )
+        scd2_apply_batch_buffered(
+            spark, vd, bd, b2, max_delay_seconds=delay_s, **kw
+        )
+        scd2_flush_buffer(spark, vd, bd, **kw)
+        return (
+            spark.read.parquet(vd)
+            .select(
+                "user_id", "event_type", "valid_from", "valid_to",
+                "version", "is_current",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
