@@ -82,8 +82,14 @@ HEADLINE = [
     "q97_scd2_versions",
     "llm_fuzzy_decontamination",
     "q99_skew_report",
-    # round 8 — IVF-PQ through the persisted index (partition-pruned ADC)
+    # round 8 — IVF-PQ through the persisted index (partition-pruned ADC),
+    # BM25 query-table + incremental postings, polygon-polygon grid join,
+    # bounded-disorder SCD2
     "llm_ivfpq_topk",
+    "llm_bm25_querytable",
+    "llm_bm25_incremental",
+    "geo_polygon_join",
+    "q100_scd2_buffered",
 ]
 
 

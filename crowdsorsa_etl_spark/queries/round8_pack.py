@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark import lsh_oracles
+from crowdsorsa_etl_spark import parity_oracles as _po
 from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir, _t, register
 
 
@@ -180,9 +181,7 @@ def llm_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("geo_polygon_join", __import__(
-    "crowdsorsa_etl_spark.parity_oracles", fromlist=["polygon_join_sql"]
-).polygon_join_sql())
+@register("geo_polygon_join", _po.polygon_join_sql())
 def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intersecting (original, shifted) polygon pairs via the grid join."""
     from crowdsorsa_etl_spark import parity_oracles
