@@ -205,3 +205,57 @@ def bm25_query_index(
         query_terms(queries, text_col=query_text_col, id_col=query_id_col),
         k=k,
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k_rrf: int = 60,
+    top_n: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings — the standard hybrid
+    retrieval combiner (BM25 ⊕ dense cosine ⊕ ...): each list contributes
+    1/(k_rrf + rank) for the items it ranked, missing items contribute 0,
+    fused top-n per query wins.
+
+    Scale shape: inputs are already per-query top-k lists (bounded — k·|Q|
+    rows each), so every join here is tiny regardless of corpus size; the
+    expensive work happened inside the individual retrievers, which carry
+    their own scale stories. Contributions round to 6 dp before the fused
+    sum (left-to-right over the rankings list) so the DuckDB oracle sums
+    identical multiples of 1e-6.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("item_id"),
+            F.round(1.0 / (F.lit(k_rrf) + F.col(rank_col)), 6).alias(
+                f"_c{i}"
+            ),
+        )
+        for i, df in enumerate(rankings)
+    ]
+    merged = contribs[0]
+    for c in contribs[1:]:
+        merged = merged.join(c, ["query_id", "item_id"], "full_outer")
+    fused = F.round(
+        sum(
+            (F.coalesce(F.col(f"_c{i}"), F.lit(0.0)) for i in range(len(contribs))),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("item_id").asc()
+    )
+    return (
+        merged.withColumn("rrf", fused)
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= top_n)
+        .select("query_id", "item_id", "rrf", "fused_rank")
+    )

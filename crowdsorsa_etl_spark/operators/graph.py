@@ -101,3 +101,47 @@ def pagerank(
             ranked = truncate_lineage(ranked, reliable=reliable_checkpoints)
 
     return ranked.select("node", F.col("rank").cast("double"))
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    The classic oriented-edge formulation: orient every edge low→high
+    (kills duplicates and self-loops), then one path join
+    (a→b→c) and one closing join (a→c) enumerate each triangle exactly
+    once as a < b < c. Per-node counts explode the corner list.
+
+    Scale shape: two equi-join shuffles over the oriented edge list; the
+    skew-prone step is the path join on hub nodes' b — at cluster scale
+    route hot b's through operators/skew.py salting (AQE skew-join
+    handles moderate cases). Never materializes anything bigger than the
+    wedge set that the closing join immediately filters.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e_ab = e
+    e_bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e_ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        e_ab.join(e_bc, "b")
+        .join(
+            e_ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -78,7 +78,8 @@ from crowdsorsa_etl_spark.queries.round7_pack import (
     _BM25_QUERIES,
 )
 
-_BM25_QT_SQL = f"""
+def _bm25_qt_sql(k: int = 10) -> str:
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t
       FROM documents
@@ -122,11 +123,11 @@ _BM25_QT_SQL = f"""
                PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS INT)
                AS rank
           FROM scores)
-    WHERE rank <= 10
+    WHERE rank <= {k}
 """
 
 
-@register("llm_bm25_querytable", _BM25_QT_SQL)
+@register("llm_bm25_querytable", _bm25_qt_sql())
 def llm_bm25_querytable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with a query TABLE built inside the plan: each of the first
     three documents' leading 4 tokens becomes a query — no literals
@@ -278,3 +279,151 @@ def q100_scd2_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ===========================================================================
+# llm_hybrid_retrieval — BM25 ⊕ dense-cosine reciprocal-rank fusion, the
+# standard hybrid retrieval shape of a RAG / decontamination stack. Both
+# retrievers are the engine's own oracled components; the fusion is
+# operators/bm25.rrf_fuse, and the oracle composes both rankings' SQL and
+# replays the 1/(60+rank) contributions exactly.
+# ===========================================================================
+
+_HYBRID_K_LIST = 20
+_HYBRID_TOP = 10
+
+_HYBRID_SQL = f"""
+    WITH bm AS ({{bm}}),
+    cosr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.cv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.neighbor_id ASC) AS INT) AS rank
+        FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3) q
+        JOIN (SELECT vec_id AS neighbor_id,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings) c ON c.neighbor_id != q.query_id
+      ) WHERE rank <= {_HYBRID_K_LIST}
+    ),
+    bmc AS (
+      SELECT CAST(query_id AS INT) AS query_id, doc_id AS item_id,
+             round(1.0 / (60 + rank), 6) AS c0
+      FROM bm
+    ),
+    cc AS (
+      SELECT CAST(query_id AS INT) AS query_id, neighbor_id AS item_id,
+             round(1.0 / (60 + rank), 6) AS c1
+      FROM cosr
+    ),
+    m AS (
+      SELECT coalesce(bmc.query_id, cc.query_id) AS query_id,
+             coalesce(bmc.item_id, cc.item_id) AS item_id,
+             round(coalesce(c0, 0.0) + coalesce(c1, 0.0), 6) AS rrf
+      FROM bmc FULL OUTER JOIN cc
+        ON bmc.query_id = cc.query_id AND bmc.item_id = cc.item_id
+    )
+    SELECT query_id, item_id, rrf, fused_rank
+    FROM (SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, item_id ASC) AS INT)
+               AS fused_rank
+          FROM m)
+    WHERE fused_rank <= {_HYBRID_TOP}
+"""
+
+
+@register(
+    "llm_hybrid_retrieval",
+    _HYBRID_SQL.format(bm=_bm25_qt_sql(_HYBRID_K_LIST)),
+)
+def llm_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the corpus-derived BM25 ranking (documents) and the
+    exact dense-cosine ranking (embeddings) for queries 0-2; fully
+    hash-oracled by composing both rankings' SQL."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.bm25 import bm25_topk, rrf_fuse
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").cast("int").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text(F.col("text")), " "), 1, 4), " "
+        ).alias("text"),
+    )
+    bm = bm25_topk(docs, queries, k=_HYBRID_K_LIST).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    cos = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_HYBRID_K_LIST
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("item_id"),
+        "rank",
+    )
+    return rrf_fuse([bm, cos], top_n=_HYBRID_TOP)
+
+
+# ===========================================================================
+# q101_triangle_count — triangle counting over the part co-purchase graph
+# (parts appearing in the same order), completing the graph tier next to
+# PageRank and connected components. Oriented-edge enumeration: each
+# triangle is produced exactly once as a < b < c; per-node counts explode
+# the corners. The oracle replays the same joins in DuckDB.
+# ===========================================================================
+
+
+@register(
+    "q101_triangle_count",
+    """
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_partkey < 300
+    ),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+)
+def q101_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph."""
+    from crowdsorsa_etl_spark.operators.graph import triangle_counts
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 300)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.alias("x")
+        .join(lp.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        triangle_counts(pairs)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

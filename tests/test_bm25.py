@@ -74,3 +74,46 @@ class TestBM25Index:
         assert "BroadcastExchange" in plan
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan
+
+
+class TestRRFFusion:
+    def test_fusion_math_and_missing_items(self, spark):
+        """Items in one list only get the other list's contribution as 0;
+        fused order follows sum of 1/(60+rank)."""
+        from crowdsorsa_etl_spark.operators.bm25 import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], "query_id int, item_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2)], "query_id int, item_id long, rank int"
+        )
+        rows = {r.item_id: (r.rrf, r.fused_rank)
+                for r in rrf_fuse([a, b], top_n=10).collect()}
+        c1, c2 = round(1 / 61, 6), round(1 / 62, 6)
+        assert rows[11][0] == round(c1 + c2, 6)  # in both lists
+        assert rows[10][0] == round(c1 + 0.0, 6)
+        assert rows[12][0] == round(c2 + 0.0, 6)
+        assert rows[11][1] == 1  # best fused
+        import pytest
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+
+
+class TestTriangleCounts:
+    def test_known_graph(self, spark):
+        """K4 minus one edge has 2 triangles; counts per corner are exact;
+        duplicate/reversed/self edges are absorbed."""
+        from crowdsorsa_etl_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [
+                (1, 2), (2, 3), (1, 3),          # triangle 123
+                (2, 4), (3, 4),                  # triangle 234
+                (2, 1), (3, 3), (1, 2),          # reversed, self, dup
+            ],
+            "src long, dst long",
+        )
+        got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+        assert got == {1: 1, 2: 2, 3: 2, 4: 1}
