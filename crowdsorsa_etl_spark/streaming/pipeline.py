@@ -278,6 +278,8 @@ def start_scd2_stream(
     ts_col: str,
     tracked_cols: list[str],
     tie_break_cols: list[str] | None = None,
+    max_delay_seconds: float | None = None,
+    buffer_dir: str | None = None,
 ):
     """writeStream.foreachBatch → incremental SCD2 maintenance: each
     micro-batch of change events merges into the parquet versions table via
@@ -285,21 +287,47 @@ def start_scd2_stream(
     continuing across batches open no version). Late events — earlier than
     their key's last change point — are DROPPED, the streaming analog of a
     watermark expiry; the batch API's on_late="error" is for pipelines that
-    must fail loudly instead."""
-    from crowdsorsa_etl_spark.operators.scd import scd2_apply_batch
+    must fail loudly instead.
+
+    ``max_delay_seconds`` (requires ``buffer_dir``) switches to the
+    BOUNDED-DISORDER path: events within that delay of the stream's max
+    event time are held in a raw-event buffer and finalized only once the
+    watermark passes them, so out-of-order arrival inside the bound —
+    including run splits — yields history identical to a fully-ordered
+    rebuild (operators/scd.scd2_apply_batch_buffered; q100's cross-engine
+    gate). Only beyond-bound events are dropped."""
+    from crowdsorsa_etl_spark.operators.scd import (
+        scd2_apply_batch,
+        scd2_apply_batch_buffered,
+    )
+
+    if (max_delay_seconds is None) != (buffer_dir is None):
+        raise ValueError(
+            "max_delay_seconds and buffer_dir must be set together"
+        )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        scd2_apply_batch(
-            batch_df.sparkSession,
-            versions_dir,
-            batch_df,
+        kw = dict(
             key_cols=key_cols,
             ts_col=ts_col,
             tracked_cols=tracked_cols,
             tie_break_cols=tie_break_cols,
             on_late="drop",
+        )
+        if max_delay_seconds is not None:
+            scd2_apply_batch_buffered(
+                batch_df.sparkSession,
+                versions_dir,
+                buffer_dir,
+                batch_df,
+                max_delay_seconds=max_delay_seconds,
+                **kw,
+            )
+            return
+        scd2_apply_batch(
+            batch_df.sparkSession, versions_dir, batch_df, **kw
         )
 
     return (
