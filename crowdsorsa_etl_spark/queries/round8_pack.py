@@ -49,7 +49,10 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = _sf_cache_dir(sf_dir, "ivfpq", "embeddings")
+    # tag carries the index parameters: changing them (or the encode
+    # format — bump the v1) invalidates the cached layout instead of
+    # serving an index the oracle no longer describes
+    path = _sf_cache_dir(sf_dir, "ivfpq_v1_l16m8k64", "embeddings")
     if not os.path.exists(os.path.join(path, "_centroids")):
         ivfpq_write_index(
             emb, path,
