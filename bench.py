@@ -86,6 +86,9 @@ HEADLINE = [
     # BM25 query-table + incremental postings, polygon-polygon grid join,
     # bounded-disorder SCD2
     "llm_ivfpq_topk",
+    "llm_ivfpq_residual_topk",
+    "llm_hybrid_retrieval",
+    "q101_triangle_count",
     "llm_bm25_querytable",
     "llm_bm25_incremental",
     "geo_polygon_join",

@@ -693,13 +693,18 @@ def _pq_train_ctes(
     iterations: int,
     query_pred: str,
     prefix: str = "",
+    src_samp: str = "samp",
+    src_full: str = "xn",
+    emit_query_tables: bool = True,
 ) -> tuple[str, str]:
     """Shared CTE chain replaying pq_train_codebooks + pq_encode + the
-    per-query distance tables. Assumes ``xn(id, xv)`` and ``samp(id, xv)``
-    are already defined (see _kmeans_ctes / pq_topk_sql). Emits CTEs
-    ``{p}mdim {p}subv {p}cent0..N {p}assign/mean/craw{it} {p}subfull
-    {p}codes(id, mi, code) {p}qsub {p}dt(qid, mi, code, dist)``; returns
-    (sql_fragment, prefix)."""
+    per-query distance tables. ``src_samp``/``src_full`` are (id, xv)
+    CTEs for the training sample and the full corpus — ``samp``/``xn``
+    for the raw-vector form, residual CTEs for by_residual (see
+    ivfpq_residual_topk_sql). Emits CTEs ``{p}mdim {p}subv {p}cent0..N
+    {p}assign/mean/craw{it} {p}subfull {p}codes(id, mi, code)`` and, when
+    ``emit_query_tables``, ``{p}qsub {p}dt(qid, mi, code, dist)`` over
+    raw query vectors from ``xn``; returns (sql_fragment, prefix)."""
     p = prefix
     sub = dim // m
     slice_expr = f"xv[mi * {sub} + 1 : mi * {sub} + {sub}]"
@@ -708,7 +713,7 @@ def _pq_train_ctes(
         f"""
     {p}mdim AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS mi),
     {p}subv AS (SELECT id, mi, {slice_expr} AS sv
-                FROM samp CROSS JOIN {p}mdim),
+                FROM {src_samp} CROSS JOIN {p}mdim),
     {p}cent0 AS (
       SELECT mi, CAST(rn - 1 AS INT) AS c, sv AS cv
       FROM (SELECT mi, sv,
@@ -748,7 +753,7 @@ def _pq_train_ctes(
     dt_d2 = d2.format(a="q.qv", b="ct.cv")
     parts.append(f"""
     {p}subfull AS (SELECT id, mi, {slice_expr} AS sv
-                   FROM xn CROSS JOIN {p}mdim),
+                   FROM {src_full} CROSS JOIN {p}mdim),
     {p}codes AS (
       SELECT id, mi, c AS code FROM (
         SELECT s.id, s.mi, ct.c,
@@ -756,7 +761,9 @@ def _pq_train_ctes(
                  ORDER BY {code_d2} ASC, ct.c ASC) AS rn
         FROM {p}subfull s JOIN {prev} ct ON s.mi = ct.mi) t
       WHERE rn = 1
-    ),
+    )""")
+    if emit_query_tables:
+        parts.append(f"""
     {p}qsub AS (
       SELECT id AS qid, mi, {slice_expr} AS qv
       FROM (SELECT id, xv FROM xn WHERE {query_pred}) q CROSS JOIN {p}mdim
@@ -882,6 +889,99 @@ def ivfpq_topk_sql(
       WHERE rn <= {k + candidate_margin}
     ),{_exact_rerank_sql(k)}""")
     return "WITH " + ",".join(parts)
+
+
+def ivfpq_residual_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    m: int = 4,
+    k_codes: int = 32,
+    candidate_margin: int = 16,
+    sample_size: int = 2048,
+    ivf_iterations: int = 5,
+    pq_iterations: int = 4,
+    query_pred: str = "id < 10",
+) -> str:
+    """Oracle for operators/pq.ivfpq_write_index(by_residual=True) +
+    ivfpq_query_index — the FAISS-default residual form: the PQ chain
+    trains and encodes over RESIDUAL vectors (x − assigned coarse
+    centroid, CTEs xnr/sampr), and the per-query distance tables are
+    built per PROBED LIST over (q − c_list), joined into ADC on
+    (query, neighbor's list)."""
+    sub = dim // m
+    kmeans, cent = _kmeans_ctes(n_lists, sample_size, ivf_iterations)
+    train, p = _pq_train_ctes(
+        dim, m, k_codes, pq_iterations, query_pred,
+        prefix="pq", src_samp="sampr", src_full="xnr",
+        emit_query_tables=False,
+    )
+    dt_d2 = _PQ_D2.format(a="q.qv", b="ct.cv")
+    pq_cent = f"{p}cent{pq_iterations}"
+    # MATERIALIZED is load-bearing: every PQ Lloyd iteration references
+    # the residual frames, and without it DuckDB re-inlines (and therefore
+    # re-runs) the entire coarse k-means chain once per reference —
+    # hundreds of seconds instead of seconds.
+    resid = f"""
+    xnr AS MATERIALIZED (
+      SELECT x.id,
+             list_transform(range(1, {dim} + 1),
+               i -> x.xv[i] - ct.cv[i]) AS xv
+      FROM xn x
+      JOIN assignF a ON x.id = a.id
+      JOIN {cent} ct ON a.list_id = ct.c
+    ),
+    sampr AS MATERIALIZED (
+      SELECT r.id, r.xv FROM xnr r JOIN samp s ON r.id = s.id)"""
+    tail = f"""
+    probes AS (
+      SELECT qid, c AS list_id FROM (
+        SELECT q.id AS qid, ct.c,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY list_dot_product(q.xv, ct.cv) DESC, ct.c ASC) AS rn
+        FROM (SELECT id, xv FROM xn WHERE {query_pred}) q, {cent} ct) t
+      WHERE rn <= {n_probe}
+    ),
+    {p}qres AS (
+      SELECT q.id AS qid, pr.list_id,
+             list_transform(range(1, {dim} + 1),
+               i -> q.xv[i] - ct.cv[i]) AS rv
+      FROM (SELECT id, xv FROM xn WHERE {query_pred}) q
+      JOIN probes pr ON pr.qid = q.id
+      JOIN {cent} ct ON pr.list_id = ct.c
+    ),
+    {p}qsub AS (
+      SELECT qid, list_id, mi,
+             rv[mi * {sub} + 1 : mi * {sub} + {sub}] AS qv
+      FROM {p}qres CROSS JOIN {p}mdim
+    ),
+    {p}dt AS (
+      SELECT q.qid, q.list_id, q.mi, ct.c AS code,
+             round({dt_d2}, 6) AS dist
+      FROM {p}qsub q JOIN {pq_cent} ct ON q.mi = ct.mi
+    ),
+    pairs AS (
+      SELECT p.qid, a.id, a.list_id
+      FROM assignF a JOIN probes p ON a.list_id = p.list_id AND a.id != p.qid
+    ),
+    adc AS (
+      SELECT pr.qid AS query_id, pr.id AS neighbor_id,
+             round(sum(d.dist), 6) AS adc
+      FROM pairs pr
+      JOIN {p}codes c ON c.id = pr.id
+      JOIN {p}dt d ON d.qid = pr.qid AND d.list_id = pr.list_id
+                  AND d.mi = c.mi AND d.code = c.code
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adc) t
+      WHERE rn <= {k + candidate_margin}
+    ),{_exact_rerank_sql(k)}"""
+    return "WITH " + ",".join([kmeans, resid, train, tail])
 
 
 def fuzzy_decontamination_sql(

@@ -51,6 +51,7 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     sample_size: int = 2048,
     iterations: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace k-means codebooks over unit-normalized vectors.
 
@@ -58,12 +59,20 @@ def pq_train_codebooks(
     independent classic k-means (squared-L2, mean update, no
     re-normalization — PQ codebooks live in subvector space, not on the
     sphere); empty clusters keep their previous centroid.
+
+    With ``centroids`` (IVF coarse centroids), trains on RESIDUALS
+    ``x − c_assigned`` — FAISS's ``by_residual`` default, which centers
+    each inverted list's distribution so the shared codebook spends its
+    codes on within-list variation. Assignment is the same
+    argmax-cosine / ties-to-lowest rule as similarity.ivf_assign.
     """
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        x = x - centroids[np.argmax(x @ centroids.T, axis=1)]
     if len(x) < k_codes:
         raise ValueError(
             f"corpus sample has {len(x)} vectors but k_codes={k_codes}; "
@@ -95,22 +104,27 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode each (normalized) vector as ``m`` codes: (id, codes array<int>).
 
     One mapInPandas pass; per batch the work is m batched matmul-style
-    distance computations against the broadcast codebooks.
+    distance computations against the broadcast codebooks. With
+    ``centroids``, encodes RESIDUALS vs the assigned coarse centroid
+    (same assignment rule as training — see pq_train_codebooks).
     """
     m, k_codes, sub = codebooks.shape
-    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    bc = corpus.sparkSession.sparkContext.broadcast((codebooks, centroids))
 
     def encode(batches):
-        books = bc.value
+        books, cents = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if cents is not None:
+                x = x - cents[np.argmax(x @ cents.T, axis=1)]
             codes = np.zeros((len(x), m), dtype=np.int32)
             for mi in range(m):
                 xs = x[:, mi * sub : (mi + 1) * sub]
@@ -251,6 +265,7 @@ def ivfpq_write_index(
     sample_size: int = 2048,
     pq_iterations: int = 4,
     trainer: str = "sample",
+    by_residual: bool = False,
 ) -> None:
     """Persist an IVF-PQ index — the FAISS production tier and the capstone
     of the ANN ladder: PQ codes stored PARTITIONED BY IVF list, so a search
@@ -264,19 +279,22 @@ def ivfpq_write_index(
       list. ADC scans prune to probed directories AND read only the
       ``codes`` column (parquet column pruning); the ``embedding`` column
       is touched only by the candidate re-rank join.
-    * ``_centroids``    — IVF coarse centroids (list_id, centroid).
+    * ``_centroids``    — IVF coarse centroids (list_id, centroid), stored
+      float64 (the residual path's distance tables subtract them — a
+      float32 roundtrip would desync the 6-dp oracle parity).
     * ``_codebooks``    — PQ codebooks (mi, code, cv).
+    * ``_meta``         — (by_residual,) so search picks the right tables.
 
-    One shared codebook across lists, trained on raw (unit-normalized)
-    vectors rather than per-list residuals: residual encoding buys recall
-    at the cost of per-list codebooks (n_lists × retrain) and an oracle
-    that must replay the subtraction; the shared-codebook form is FAISS's
-    ``IVFx,PQy`` with ``by_residual=false`` and keeps the DuckDB replay to
-    the two existing CTE chains. Recall is gated in tests either way.
+    ``by_residual=False`` (shared codebook over raw unit vectors) is
+    FAISS's ``IVFx,PQy`` with ``by_residual=false``; ``by_residual=True``
+    is the FAISS DEFAULT — codes encode ``x − c_assigned``, which centers
+    each list's distribution and buys recall at the cost of per-(query,
+    probed-list) distance tables (still broadcast-sized:
+    |Q|·n_probe·m·k_codes doubles).
 
     Determinism matches pq_train_codebooks + similarity.ivf_train_centroids,
-    so the composed DuckDB oracle (lsh_oracles.ivfpq_topk_sql) replays the
-    whole index build symbolically.
+    so the composed DuckDB oracles (lsh_oracles.ivfpq_topk_sql /
+    ivfpq_residual_topk_sql) replay the whole index build symbolically.
     """
     from crowdsorsa_etl_spark.operators.similarity import _train, ivf_assign
 
@@ -296,11 +314,16 @@ def ivfpq_write_index(
         vec_col=vec_col,
         sample_size=sample_size,
         iterations=pq_iterations,
+        centroids=centroids if by_residual else None,
     )
     assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).withColumnRenamed(
-        "id", id_col
-    )
+    enc = pq_encode(
+        corpus,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids if by_residual else None,
+    ).withColumnRenamed("id", id_col)
     (
         assigned.join(enc, id_col)
         .select(id_col, "codes", vec_col, "list_id")
@@ -311,7 +334,7 @@ def ivfpq_write_index(
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<float>",
+        "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
     book_rows = [
         (int(mi), int(c), [float(x) for x in books[mi][c]])
@@ -321,6 +344,9 @@ def ivfpq_write_index(
     spark.createDataFrame(
         book_rows, "mi int, code int, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_codebooks")
+    spark.createDataFrame(
+        [(bool(by_residual),)], "by_residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
 
 
 def ivfpq_query_index(
@@ -342,30 +368,15 @@ def ivfpq_query_index(
     the query plan has ZERO Python stages), take the top-(k+margin) ADC
     candidates per query, and re-rank them exactly against the stored
     raw vectors. Output contract matches cosine_topk:
-    (query_id, neighbor_id, cosine, rank)."""
-    cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
-    centroids = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
-    for r in cent_rows:
-        centroids[r.list_id] = r.centroid
-    book_rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
-    m = 1 + max(r.mi for r in book_rows)
-    k_codes = 1 + max(r.code for r in book_rows)
-    sub = len(book_rows[0].cv)
-    books = np.zeros((m, k_codes, sub))
-    for r in book_rows:
-        books[r.mi][r.code] = r.cv
+    (query_id, neighbor_id, cosine, rank).
 
-    q_rows = _collect_bounded(
-        queries.select(id_col, vec_col), max_queries, "query set"
-    )
-    probes = []
-    q_data = []
-    for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qv /= max(np.linalg.norm(qv), 1e-12)
-        for l in np.argsort(-(centroids @ qv))[:n_probe]:
-            probes.append((int(r[0]), int(l)))
-        tables = [
+    A ``by_residual`` index (``_meta``) gets per-(query, probed-list)
+    distance tables over ``q − c_list`` — |Q|·n_probe·m·k_codes doubles,
+    still broadcast-sized — joined on (query_id, list_id) so every code
+    row is scored against the table of ITS list's residual space."""
+
+    def table_for(qv):
+        return [
             [
                 round(
                     float(
@@ -377,21 +388,66 @@ def ivfpq_query_index(
             ]
             for mi in range(m)
         ]
-        q_data.append((int(r[0]), tables))
+
+    cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        centroids[r.list_id] = r.centroid
+    book_rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
+    m = 1 + max(r.mi for r in book_rows)
+    k_codes = 1 + max(r.code for r in book_rows)
+    sub = len(book_rows[0].cv)
+    books = np.zeros((m, k_codes, sub))
+    for r in book_rows:
+        books[r.mi][r.code] = r.cv
+    try:  # pre-_meta indexes (round-8 flat layout) default to flat
+        meta = spark.read.parquet(path.rstrip("/") + "/_meta").collect()
+        by_residual = bool(meta[0].by_residual) if meta else False
+    except Exception:  # noqa: BLE001 — missing _meta dir only
+        by_residual = False
+
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "query set"
+    )
+    probes = []
+    q_data = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        probed = [int(l) for l in np.argsort(-(centroids @ qv))[:n_probe]]
+        probes.extend((int(r[0]), l) for l in probed)
+        if by_residual:
+            q_data.extend(
+                (int(r[0]), l, table_for(qv - centroids[l])) for l in probed
+            )
+        else:
+            q_data.append((int(r[0]), table_for(qv)))
     probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
     probed_lists = sorted({l for _, l in probes})
-    q_df = spark.createDataFrame(
-        q_data, "query_id long, dists array<array<double>>"
-    )
+    if by_residual:
+        q_df = spark.createDataFrame(
+            q_data, "query_id long, list_id int, dists array<array<double>>"
+        )
+    else:
+        q_df = spark.createDataFrame(
+            q_data, "query_id long, dists array<array<double>>"
+        )
 
     # list_id isin → PARTITION filter: only probed directories are scanned,
     # and the ADC branch reads only (id, codes) of them (column pruning)
     index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_lists))
+    scored = index.select(id_col, "codes", "list_id")
+    if by_residual:
+        # q_df already carries (query_id, list_id): the equi-join on
+        # list_id pairs each code row with every query probing its list,
+        # each against the table of that list's residual space
+        scored = scored.join(F.broadcast(q_df), "list_id")
+    else:
+        scored = scored.join(F.broadcast(probe_df), "list_id").join(
+            F.broadcast(q_df), "query_id"
+        )
     adc = (
-        index.select(id_col, "codes", "list_id")
-        .join(F.broadcast(probe_df), "list_id")
-        .join(F.broadcast(q_df), "query_id")
-        .filter(F.col(id_col) != F.col("query_id"))
+        scored.filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "adc",
             F.round(

@@ -52,7 +52,7 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tag carries the index parameters: changing them (or the encode
     # format — bump the v1) invalidates the cached layout instead of
     # serving an index the oracle no longer describes
-    path = _sf_cache_dir(sf_dir, "ivfpq_v1_l16m8k64", "embeddings")
+    path = _sf_cache_dir(sf_dir, "ivfpq_v2_l16m8k64", "embeddings")
     if not os.path.exists(os.path.join(path, "_centroids")):
         ivfpq_write_index(
             emb, path,
@@ -429,4 +429,42 @@ def q101_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts(pairs)
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
+    )
+
+
+# ===========================================================================
+# llm_ivfpq_residual_topk — IVF-PQ in the FAISS-DEFAULT residual form
+# (by_residual=true): codes encode x − c_assigned, and the query builds a
+# distance table per probed list over q − c_list. The oracle composes the
+# coarse k-means chain, residual derivation (xnr/sampr), the codebook
+# chain over residuals, and the per-(query, list) tables.
+# ===========================================================================
+
+
+@register(
+    "llm_ivfpq_residual_topk",
+    lsh_oracles.ivfpq_residual_topk_sql(
+        dim=64, k=5, n_lists=16, n_probe=8, m=8, k_codes=64,
+        candidate_margin=32, sample_size=2048,
+        ivf_iterations=5, pq_iterations=4, query_pred="id < 10",
+    ),
+)
+def llm_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ through the persisted index."""
+    from crowdsorsa_etl_spark.operators.pq import (
+        ivfpq_query_index,
+        ivfpq_write_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _sf_cache_dir(sf_dir, "ivfpqr_v1_l16m8k64", "embeddings")
+    if not os.path.exists(os.path.join(path, "_centroids")):
+        ivfpq_write_index(
+            emb, path,
+            n_lists=16, m=8, k_codes=64, sample_size=2048, pq_iterations=4,
+            by_residual=True,
+        )
+    return ivfpq_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 10),
+        k=5, n_probe=8, candidate_margin=32,
     )

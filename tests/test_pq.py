@@ -158,3 +158,46 @@ class TestIVFPQ:
         ) or "list_id IN" in plan
         for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
             assert node not in plan, f"unexpected Python stage {node}"
+
+
+class TestIVFPQResidual:
+    def test_residual_recall_and_determinism(self, spark, tmp_path):
+        """by_residual=True (the FAISS default): codes encode x − c_list;
+        recall at the gated setting must at least match the flat gate, and
+        repeated searches are deterministic."""
+        from crowdsorsa_etl_spark.operators.pq import (
+            ivfpq_query_index,
+            ivfpq_write_index,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        path = str(tmp_path / "ivfpqr")
+        ivfpq_write_index(
+            emb, path, n_lists=8, m=8, k_codes=64, by_residual=True
+        )
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        first = ivfpq_query_index(
+            spark, path, q, k=5, n_probe=4, candidate_margin=32
+        ).collect()
+        again = ivfpq_query_index(
+            spark, path, q, k=5, n_probe=4, candidate_margin=32
+        ).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+        approx = {(r.query_id, r.neighbor_id) for r in first}
+        assert len(exact & approx) / len(exact) >= 0.6
+
+    def test_meta_flag_roundtrip(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.pq import ivfpq_write_index
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        for flag, name in ((True, "r"), (False, "f")):
+            path = str(tmp_path / name)
+            ivfpq_write_index(
+                emb, path, n_lists=4, m=8, k_codes=16, by_residual=flag
+            )
+            got = spark.read.parquet(f"{path}/_meta").collect()[0].by_residual
+            assert got is flag
