@@ -226,24 +226,19 @@ def push_documents_idempotent(
     growing with the number of elapsed epochs.
     """
     from crowdsorsa_etl_spark.sinks.ledger import (
-        PREFIX_LEN,
         compact_ledger,
         epoch_ledger_rows,
+        key_prefix,
         read_ledger_keys,
         settled_batch_slice,
     )
 
     spark = batch_df.sparkSession
     batch = batch_df.select(key_col, json_col)
-    # ≤256 distinct 2-hex prefixes — a bounded driver-side collect that
-    # buys directory-level pruning of the compacted ledger base
+    # ≤256 distinct md5-derived prefixes — a bounded driver-side collect
+    # that buys directory-level pruning of the compacted ledger base
     prefixes = [
-        r[0]
-        for r in batch.select(
-            F.lower(F.substring(F.col(key_col), 1, PREFIX_LEN))
-        )
-        .distinct()
-        .collect()
+        r[0] for r in batch.select(key_prefix(key_col)).distinct().collect()
     ]
     # missing ledger = first epoch; any OTHER read failure propagates
     # (silently treating it as first-epoch would re-POST every document)

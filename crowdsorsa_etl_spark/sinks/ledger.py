@@ -39,8 +39,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: width of the key-prefix partition value in the compacted base layout
-#: (2 hex chars → 256 partitions; md5-keyed ledgers spread uniformly).
+#: (2 hex chars → 256 partitions).
 PREFIX_LEN = 2
+
+
+def key_prefix(col) -> "F.Column":
+    """The bucketing prefix of a ledger key: ``p`` + 2 hex chars of
+    md5(key).
+
+    Hashing first (rather than taking the key's own leading characters) is
+    load-bearing: real keys share literal prefixes — every ``OBS24-…``
+    document id starts with "OB" — which would collapse the compacted base
+    into one partition, a single compaction reducer, and useless pruning.
+    md5 spreads ANY key type uniformly across the 256 buckets. The ``p``
+    marker keeps partition-value type inference at STRING — a batch whose
+    prefixes all happen to be digit-only ("21", "93") would otherwise
+    infer ``_kp`` as bigint and crash the isin prune on the next hex
+    value. Consumers compute their batch's prefix set with this same
+    expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit("p"), F.substring(F.md5(c), 1, PREFIX_LEN))
 
 
 def _hadoop_fs(spark, path: str):
@@ -68,9 +87,9 @@ def read_ledger_keys(
     Existence is probed via the Hadoop FS API (HDFS/S3/local alike);
     genuine read errors propagate.
 
-    ``key_prefixes`` (lowercase ``PREFIX_LEN``-char key prefixes present in
-    the current batch, ≤256 values) prunes base partitions — a small batch
-    reads only the base slices that could possibly contain its keys.
+    ``key_prefixes`` (``key_prefix()`` values present in the current
+    batch, ≤256 values) prunes base partitions — a small batch reads only
+    the base slices that could possibly contain its keys.
 
     May contain duplicate keys across epochs (a re-arriving key's row is
     copied into its new epoch partition for replay safety) — consumers use
@@ -81,11 +100,7 @@ def read_ledger_keys(
     if fs.exists(jvm_path) and fs.listStatus(jvm_path):
         df = spark.read.parquet(ledger_dir).select(*cols)
         if key_prefixes is not None:
-            df = df.filter(
-                F.lower(F.substring(F.col(cols[0]), 1, PREFIX_LEN)).isin(
-                    key_prefixes
-                )
-            )
+            df = df.filter(key_prefix(cols[0]).isin(key_prefixes))
         frames.append(df)
     bpath = base_path(ledger_dir)
     jvm_bpath, bfs = _hadoop_fs(spark, bpath)
@@ -188,7 +203,7 @@ def compact_ledger(
     for f in frames[1:]:
         merged = merged.unionByName(f)
     merged = merged.dropDuplicates([key_col]).withColumn(
-        "_kp", F.lower(F.substring(F.col(key_col), 1, PREFIX_LEN))
+        "_kp", key_prefix(key_col)
     )
 
     total_bytes = 0

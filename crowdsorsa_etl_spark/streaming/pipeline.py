@@ -397,9 +397,9 @@ def start_curation_stream(
             quality_filter_verdict,
         )
         from crowdsorsa_etl_spark.sinks.ledger import (
-            PREFIX_LEN,
             compact_ledger,
             epoch_ledger_rows,
+            key_prefix,
             read_ledger_keys,
             settled_batch_slice,
         )
@@ -423,9 +423,7 @@ def start_curation_stream(
         # scanned at most once and never shuffled or collected.
         prefixes = [
             r[0]
-            for r in kept.select(F.substring("_md5", 1, PREFIX_LEN))
-            .distinct()
-            .collect()
+            for r in kept.select(key_prefix("_md5")).distinct().collect()
         ]
         seen = read_ledger_keys(
             spark, ledger_dir, ["_md5"], key_prefixes=prefixes

@@ -13,6 +13,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+import hashlib
+
 from crowdsorsa_etl_spark.sinks.ledger import (
     base_path,
     compact_ledger,
@@ -20,6 +22,10 @@ from crowdsorsa_etl_spark.sinks.ledger import (
     read_ledger_keys,
     settled_batch_slice,
 )
+
+
+def _kp(key: str) -> str:
+    return "p" + hashlib.md5(key.encode()).hexdigest()[:2]
 
 
 def _write_epoch(spark, ledger_dir: str, epoch: int, keys: list[str]) -> None:
@@ -40,11 +46,13 @@ class TestLedgerCore:
         n = compact_ledger(spark, ledger, key_col="_md5")
         assert n == 3  # deduplicated
 
-        # epoch partitions are gone; the base is _kp-partitioned
+        # epoch partitions are gone; the base is partitioned by the
+        # md5-derived prefix (NOT the keys' own leading chars — real keys
+        # share literal prefixes)
         assert not os.path.exists(ledger)
         bdir = base_path(ledger)
         kps = {d for d in os.listdir(bdir) if d.startswith("_kp=")}
-        assert kps == {"_kp=aa", "_kp=ab", "_kp=ba"}
+        assert kps == {f"_kp={_kp(k)}" for k in ("aa1", "ab2", "ba3")}
 
         seen = read_ledger_keys(spark, ledger, ["_md5"])
         assert {r._md5 for r in seen.collect()} == {"aa1", "ab2", "ba3"}
@@ -64,10 +72,15 @@ class TestLedgerCore:
         compact_ledger(spark, ledger, key_col="_md5")
         _write_epoch(spark, ledger, 1, ["aa3", "cc4"])
 
+        want = {"aa1", "aa3"}
         seen = read_ledger_keys(
-            spark, ledger, ["_md5"], key_prefixes=["aa"]
+            spark, ledger, ["_md5"],
+            key_prefixes=sorted({_kp(k) for k in want}),
         )
-        assert {r._md5 for r in seen.collect()} == {"aa1", "aa3"}
+        got = {r._md5 for r in seen.collect()}
+        assert want <= got  # wanted keys always survive the prune
+        # anything extra merely shares an md5 prefix bucket — safe
+        assert all(_kp(k) in {_kp(w) for w in want} for k in got)
 
     def test_recompaction_merges_existing_base(self, spark, tmp_path):
         ledger = str(tmp_path / "ledger")
