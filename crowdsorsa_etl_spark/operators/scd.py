@@ -315,12 +315,11 @@ def scd2_apply_batch_buffered(
     max_ts = pool.agg(F.max(ts_col)).collect()[0][0]
     if max_ts is None:  # empty batch + empty buffer
         return None
-    new_wm = F.lit(max_ts) - F.expr(
-        f"INTERVAL {float(max_delay_seconds)} SECONDS"
-    )
-    if prev_wm is not None:
-        new_wm = F.greatest(new_wm, F.lit(prev_wm))  # never regress
-    wm_value = pool.limit(1).select(new_wm.alias("wm")).collect()[0][0]
+    from datetime import timedelta
+
+    wm_value = max_ts - timedelta(seconds=float(max_delay_seconds))
+    if prev_wm is not None and prev_wm > wm_value:
+        wm_value = prev_wm  # never regress
 
     finalize = pool.filter(F.col(ts_col) <= F.lit(wm_value))
     hold = pool.filter(F.col(ts_col) > F.lit(wm_value))
