@@ -468,3 +468,39 @@ def llm_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, emb.filter(F.col("vec_id") < 10),
         k=5, n_probe=8, candidate_margin=32,
     )
+
+
+# ===========================================================================
+# q102_recursive_cte — WITH RECURSIVE (Spark 4's recursive CTE support):
+# bounded-depth BFS hop distance over the undirected part co-purchase
+# graph. The SAME SQL text runs on both engines (SQL-entry parity, the
+# q50 pattern lifted to iteration): seeds = parts < 5, edges = co-purchase
+# pairs, min hop distance within 2 hops.
+# ===========================================================================
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_partkey < 100
+    ),
+    e0 AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    reach(node, d) AS (
+      SELECT DISTINCT a AS node, 0 AS d FROM e WHERE a < 5
+      UNION ALL
+      SELECT e.b, r.d + 1 FROM reach r JOIN e ON e.a = r.node WHERE r.d < 2
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register("q102_recursive_cte", _RECURSIVE_SQL)
+def q102_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS, one SQL text for both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_SQL)
