@@ -349,6 +349,7 @@ def start_curation_stream(
     chunk_size: int = 64,
     chunk_stride: int = 48,
     compact_every: int | None = None,
+    postings_dir: str | None = None,
 ):
     """Streaming LLM-data curation: the batch funnel (quality filter →
     exact dedup → chunking) as an incremental ingest pipeline.
@@ -361,7 +362,13 @@ def start_curation_stream(
        parquet, same pattern as the HTTP push ledger — a replayed epoch
        re-ingests nothing, so the corpus sink is effectively-once);
     3. fixed-window chunking (the llm_doc_chunking 64/48 layout);
-    4. chunks append to ``out_dir`` partitioned parquet.
+    4. chunks append to ``out_dir`` partitioned parquet;
+    5. with ``postings_dir``: the fresh documents also APPEND into the
+       BM25 postings index (operators/bm25.bm25_append_index) — the
+       ledger's exactly-once guarantee is precisely the "doc_ids are new"
+       contract the append-only postings MV requires, so the streaming
+       corpus stays retrievable with zero rebuilds (same replay caveat as
+       the chunk sink below).
 
     A duplicate document arriving in a LATER batch is dropped by the
     ledger anti-join — cross-batch dedup, which a stateless map could not
@@ -443,6 +450,12 @@ def start_curation_stream(
             size=chunk_size,
             stride=chunk_stride,
         ).write.mode("append").parquet(out_dir)
+        if postings_dir is not None:
+            from crowdsorsa_etl_spark.operators.bm25 import bm25_append_index
+
+            bm25_append_index(
+                fresh, postings_dir, text_col=text_col, id_col=id_col
+            )
         # commit point: the epoch's FULL ingested key set (replay rewrites
         # the same set — sinks/ledger.epoch_ledger_rows). Remaining
         # duplicate window: a crash between the chunk append and this write

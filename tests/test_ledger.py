@@ -297,3 +297,56 @@ class TestHttpPushCompaction:
             assert {r.obs_id for r in seen.collect()} == {"p1", "p2", "p3"}
         finally:
             server.shutdown()
+
+
+class TestCurationStreamPostings:
+    def test_streaming_postings_equal_batch_rebuild(self, spark, tmp_path):
+        """With postings_dir set, the curation stream maintains the BM25
+        index incrementally; after the stream drains, scoring through the
+        index equals a batch BM25 over exactly the kept, deduped corpus."""
+        from crowdsorsa_etl_spark.operators.bm25 import (
+            bm25_query_index,
+            bm25_topk,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_curation_stream,
+        )
+
+        text1 = " ".join(f"the token{i} and data value" for i in range(40))
+        text2 = " ".join(f"the other{i} in stream chunk" for i in range(50))
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+
+        stage = TestCurationStreamCompaction._stage
+        stage(spark, tmp_path, src, schema, "b1.parquet",
+              [(1, text1), (2, "1 2")])        # 2 fails the quality gate
+        stage(spark, tmp_path, src, schema, "b2.parquet",
+              [(3, text1), (4, text2)])        # 3 duplicates 1
+
+        postings = str(tmp_path / "bm25")
+        q = start_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            str(tmp_path / "chunks"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            ledger_dir=str(tmp_path / "ledger"),
+            postings_dir=postings,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        queries = spark.createDataFrame(
+            [(1, "the token1 data"), (2, "stream chunk")],
+            "query_id int, text string",
+        )
+        got = sorted(map(tuple,
+            bm25_query_index(spark, postings, queries, k=10).collect()))
+        kept = spark.createDataFrame(
+            [(1, text1), (4, text2)], schema  # junk + dup never indexed
+        )
+        want = sorted(map(tuple, bm25_topk(kept, queries, k=10).collect()))
+        assert got == want
