@@ -962,3 +962,32 @@ def semdedup(
             F.col("_rm").isNull().alias("keep"),
         )
     )
+
+
+def merge_topk(parts: list[DataFrame], *, k: int = 5) -> DataFrame:
+    """Merge per-slice cosine top-k results into the corpus-wide top-k.
+
+    Top-k under (cosine DESC, neighbor_id ASC) is a MONOID: the true
+    top-k over a union of corpus slices is the top-k of the slices'
+    top-k unions. That makes similarity search incrementally maintainable
+    under corpus APPEND — score only the delta slice against the queries,
+    merge with the standing result, never rescan history (the same
+    incremental-MV algebra as operators/incremental.py and the BM25
+    postings index). Inputs carry (query_id, neighbor_id, cosine, rank);
+    ranks are recomputed after the merge.
+    """
+    if not parts:
+        raise ValueError("merge_topk needs at least one part")
+    merged = parts[0].select("query_id", "neighbor_id", "cosine")
+    for p in parts[1:]:
+        merged = merged.unionByName(
+            p.select("query_id", "neighbor_id", "cosine")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -504,3 +504,32 @@ def q102_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE BFS, one SQL text for both engines."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ===========================================================================
+# llm_cosine_topk_incremental — similarity search maintained under corpus
+# append: 90% of the corpus is the standing slice, 10% arrives as a delta;
+# each slice is scored independently and the results MERGE (top-k is a
+# monoid under the shared tie-break). The oracle is the full-corpus brute
+# force — merged ≡ rescanned proven cross-engine, the q67/llm_bm25_
+# incremental gate applied to ANN.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.queries.llm_pack import COSINE_TOPK_ORACLE_SQL
+
+
+@register("llm_cosine_topk_incremental", COSINE_TOPK_ORACLE_SQL)
+def llm_cosine_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact top-k: slice scoring + monoid merge ≡ full scan."""
+    from crowdsorsa_etl_spark.operators.similarity import (
+        cosine_topk,
+        merge_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    return merge_topk(
+        [cosine_topk(base, q, k=5), cosine_topk(delta, q, k=5)], k=5
+    )
