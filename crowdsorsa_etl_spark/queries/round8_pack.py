@@ -533,3 +533,36 @@ def llm_cosine_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_topk(
         [cosine_topk(base, q, k=5), cosine_topk(delta, q, k=5)], k=5
     )
+
+
+# ===========================================================================
+# q103_heavy_hitters — Misra–Gries frequent tokens with O(k) memory: a
+# per-partition bounded summary (mapInPandas fold) proposes candidates,
+# an exact candidate-restricted second pass confirms. Because MG cannot
+# miss an item above n/(capacity+1) and the query threshold sits above
+# that bound, the OUTPUT is deterministically the exact ≥2%-share token
+# set — the oracle is a plain HAVING over exact counts, and any sketch
+# false-negative shows up as a missing row (hash mismatch).
+# ===========================================================================
+
+_HEAVY_HITTERS_SQL = f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE token <> ''),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM t CROSS JOIN n
+    GROUP BY token, n.total
+    HAVING count(*) >= greatest(CAST(ceil(0.02 * n.total) AS BIGINT), 1)
+"""
+
+
+@register("q103_heavy_hitters", _HEAVY_HITTERS_SQL)
+def q103_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with ≥2% corpus share, found via the bounded MG sketch +
+    exact confirm (operators/heavyhitters.py) — never a |vocab| groupBy."""
+    from crowdsorsa_etl_spark.operators.heavyhitters import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", capacity=64, min_share=0.02)
