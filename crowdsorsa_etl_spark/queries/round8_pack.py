@@ -566,3 +566,44 @@ def q103_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return heavy_hitters(docs, "text", capacity=64, min_share=0.02)
+
+
+# ===========================================================================
+# q104_ewma — bounded-span EWMA per key (operators/timeseries.py): the
+# sequential recurrence recast as a trailing-window weighted fold — one
+# window Exchange, O(span) state, no per-key sequential dependency. The
+# oracle replays the identical most-recent-first fold with list_reduce
+# over the frame-ordered array_agg; α=0.5 makes every weight an exact
+# power of two, so the pre-rounding doubles agree bit-for-bit.
+# ===========================================================================
+
+_EWMA_SQL = """
+    SELECT user_id, event_id,
+           round(
+             list_reduce(list_transform(list_reverse(w),
+                          (x, j) -> x * power(0.5, CAST(j - 1 AS DOUBLE))),
+                         (a, b) -> a + b)
+             / list_reduce(list_transform(list_reverse(w),
+                            (x, j) -> power(0.5, CAST(j - 1 AS DOUBLE))),
+                           (a, b) -> a + b),
+             6) AS ewma
+    FROM (
+      SELECT user_id, event_id,
+             array_agg(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS w
+      FROM events
+    )
+"""
+
+
+@register("q104_ewma", _EWMA_SQL)
+def q104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-10 EWMA of event values per user, ordered by (ts, event_id)."""
+    from crowdsorsa_etl_spark.operators.timeseries import ewma
+
+    events = _t(spark, sf_dir, "events")
+    return ewma(
+        events, "value", key_cols=["user_id"], order_cols=["ts", "event_id"],
+        alpha=0.5, span=10,
+    ).select("user_id", "event_id", "ewma")
