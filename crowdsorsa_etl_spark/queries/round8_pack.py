@@ -607,3 +607,94 @@ def q104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "value", key_cols=["user_id"], order_cols=["ts", "event_id"],
         alpha=0.5, span=10,
     ).select("user_id", "event_id", "ewma")
+
+
+# ===========================================================================
+# llm_url_canonical_cap — URL canonicalization + registered-domain
+# extraction + per-domain quota (functions/url.py): the curation trio
+# that keys web corpora. Raw URLs are assembled deterministically from
+# document columns (messy on purpose: casing, www, default port,
+# tracking params, trailing slash, fragment); BOTH engines canonicalize
+# with the same rule set — the oracle replays it via
+# functions/url.canonical_url_sql so the two stay in one source of
+# truth. Quota = top-5 docs per domain by (n_chars DESC, doc_id).
+# ===========================================================================
+
+_RAW_URL_SQL = """
+    SELECT doc_id, n_chars,
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) || source ||
+      (CASE WHEN doc_id % 5 = 0 THEN '.Example.CO.UK' ELSE '.COM' END) ||
+      (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+      '/docs/' || CAST(doc_id AS VARCHAR) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) ||
+      '&a=' || CAST(doc_id % 5 AS VARCHAR) ||
+      (CASE WHEN doc_id % 2 = 0 THEN '&fbclid=abc' ELSE '' END) ||
+      (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS raw_url
+    FROM documents
+"""
+
+
+def _url_cap_sql() -> str:
+    from crowdsorsa_etl_spark.functions.url import canonical_url_sql
+
+    return f"""
+    SELECT doc_id, url_canon, domain, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT doc_id, url_canon, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM ({canonical_url_sql(_RAW_URL_SQL)})
+    )
+    WHERE rnk <= 5
+    """
+
+
+@register("llm_url_canonical_cap", _url_cap_sql())
+def llm_url_canonical_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize messy URLs, key on registered domain, keep 5 per
+    domain — all narrow expressions plus one window shuffle on domain."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.functions.url import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 5 == 0, F.lit(".Example.CO.UK")).otherwise(
+            F.lit(".COM")
+        ),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="),
+        (did % 7).cast("string"),
+        F.lit("&a="),
+        (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit("&fbclid=abc")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    enriched = docs.select(
+        "doc_id",
+        "n_chars",
+        canonicalize_url(raw).alias("url_canon"),
+        registered_domain(url_host(raw)).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        enriched.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "url_canon", "domain", "rnk")
+    )
