@@ -102,3 +102,111 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the stronger space-filling curve (no Morton "seams":
+# consecutive curve positions are always grid neighbors, so equal-size
+# file ranges have strictly better worst-case locality; what Delta Lake
+# added as OPTIMIZE ... HILBERT and Iceberg exposes as a sort transform).
+# Same engine shape as Z-order: a pure integer column expression feeding
+# repartitionByRange + sortWithinPartitions.
+#
+# The classic xy2d bit loop (rx/ry quadrant digit, Gray-ish digit
+# accumulate, reflect+swap rotation) is sequential across bit levels; it
+# runs as an F.aggregate fold over the level list — LINEAR expression
+# size (the lambda is applied at runtime, not unrolled), all integer
+# ops, fully codegen. The oracle replays the identical loop as a
+# bounded-depth recursive CTE generated from the same constants.
+# ---------------------------------------------------------------------------
+
+
+def hilbert_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert curve index d of grid cell (x, y) on a 2^bits × 2^bits
+    grid. Inputs must be non-negative and < 2^bits."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31]; got {bits}")
+    n = 1 << bits
+    levels = F.array(*[F.lit(n >> (i + 1)).cast("bigint") for i in range(bits)])
+    init = F.struct(
+        x.cast("bigint").alias("x"),
+        y.cast("bigint").alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        rx = F.when(ax.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        ry = F.when(ay.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        d2 = ad + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        nx = (
+            F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - ay).otherwise(ay))
+            .otherwise(ax)
+            .cast("bigint")
+        )
+        ny = (
+            F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - ax).otherwise(ax))
+            .otherwise(ay)
+            .cast("bigint")
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(levels, init, step)["d"]
+
+
+def hilbert_cte_sql(
+    src_sql: str, id_expr: str, x_expr: str, y_expr: str, bits: int = 16
+) -> str:
+    """DuckDB recursive-CTE replay of :func:`hilbert_value` over
+    ``src_sql`` rows — one iteration per bit level, final state at s=0.
+    Returns a query yielding (id, h)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31]; got {bits}")
+    n = 1 << bits
+    return f"""
+    WITH RECURSIVE hil AS (
+      SELECT {id_expr} AS id,
+             CAST({x_expr} AS BIGINT) AS x,
+             CAST({y_expr} AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d,
+             CAST({n // 2} AS BIGINT) AS s
+      FROM ({src_sql})
+      UNION ALL
+      SELECT id,
+        CASE WHEN (y & s) = 0
+             THEN CASE WHEN (x & s) > 0 THEN {n - 1} - y ELSE y END
+             ELSE x END,
+        CASE WHEN (y & s) = 0
+             THEN CASE WHEN (x & s) > 0 THEN {n - 1} - x ELSE x END
+             ELSE y END,
+        d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                        (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)),
+        s // 2
+      FROM hil WHERE s > 0
+    )
+    SELECT id, d AS h FROM hil WHERE s = 0
+    """
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """zorder_write's Hilbert twin: cluster files along the Hilbert curve
+    of (x_col, y_col)."""
+    hed = df.withColumn(
+        "_h", hilbert_value(F.col(x_col), F.col(y_col), bits)
+    )
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        hed.repartitionByRange(parts, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -698,3 +698,43 @@ def llm_url_canonical_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "url_canon", "domain", "rnk")
     )
+
+
+# ===========================================================================
+# q105_hilbert_layout — Hilbert-curve clustering keys over (customer,
+# order-day): the stronger space-filling curve next to q49's Z-order
+# (consecutive curve positions are always grid neighbors — no Morton
+# seams), behind operators/zorder.hilbert_write. Spark runs the xy2d bit
+# loop as a runtime F.aggregate fold; the oracle replays the IDENTICAL
+# loop as a bounded-depth recursive CTE generated from the same
+# constants (zorder.hilbert_cte_sql) — integer-exact, no float parity
+# concerns.
+# ===========================================================================
+
+
+def _hilbert_sql() -> str:
+    from crowdsorsa_etl_spark.operators.zorder import hilbert_cte_sql
+
+    inner = hilbert_cte_sql(
+        "SELECT o_orderkey, o_custkey, o_orderdate FROM orders",
+        "o_orderkey",
+        "o_custkey & 65535",
+        "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535",
+        bits=16,
+    )
+    return f"SELECT id AS o_orderkey, h FROM ({inner})"
+
+
+@register("q105_hilbert_layout", _hilbert_sql())
+def q105_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert index per order over (custkey, order-day), 2^16 grid."""
+    from crowdsorsa_etl_spark.operators.zorder import hilbert_value
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    y = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).bitwiseAND(F.lit(65535))
+    return orders.select(
+        "o_orderkey", hilbert_value(x, y, bits=16).alias("h")
+    )
