@@ -93,6 +93,12 @@ HEADLINE = [
     "llm_bm25_incremental",
     "geo_polygon_join",
     "q100_scd2_buffered",
+    # round-8 later additions: MG heavy hitters, bounded-span EWMA, URL
+    # canonicalization + domain caps, Hilbert layout keys
+    "q103_heavy_hitters",
+    "q104_ewma",
+    "llm_url_canonical_cap",
+    "q105_hilbert_layout",
 ]
 
 

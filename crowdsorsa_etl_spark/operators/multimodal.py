@@ -370,3 +370,111 @@ def extract_features(
     return df.mapInPandas(
         batches, f"vec_id long, embedding array<float>"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio — the third modality leg (image ↑, video frame-sample ↑, audio
+# here). Same architecture: a REAL stdlib container codec
+# (functions/audiocodec.py — RIFF/WAVE PCM16 via the wave module) behind
+# Arrow-batched mapInPandas stages, integer-only features so the DuckDB
+# oracle can replay them from the source bytes with zero float-parity
+# risk.
+# ---------------------------------------------------------------------------
+
+
+def attach_wav_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Fixture adapter for the real audio decode path: synthesize a PCM16
+    waveform from each document's UTF-8 bytes (sample_i = (byte_i − 128)
+    · 256 — full int16 swing, sign split at 0x80) and wrap it in a
+    genuine WAV container so downstream ops exercise header parse +
+    sample decode end-to-end."""
+    import numpy as np
+
+    from crowdsorsa_etl_spark.functions import audiocodec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                body = (text or "").encode("utf-8")[:256] or b"\x00"
+                samples = (
+                    np.frombuffer(body, dtype=np.uint8).astype(np.int32) - 128
+                ) * 256
+                payloads.append(
+                    audiocodec.encode_wav_pcm16(
+                        samples.astype(np.int16), sample_rate=sample_rate
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id long, payload binary")
+
+
+def audio_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    frame: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """WAV payload → integer frame features: decode through the real
+    codec, then per document — sample count, header sample rate, full
+    frames at (frame, hop) (one short frame when the signal is shorter
+    than ``frame``), summed per-frame energy Σs², the max frame energy,
+    and signal zero crossings (sign-split count). All integers: the
+    oracle re-derives every value from the source bytes."""
+    import numpy as np
+
+    from crowdsorsa_etl_spark.functions import audiocodec
+
+    if frame < 1 or hop < 1:
+        raise ValueError(f"frame and hop must be >= 1; got {frame}, {hop}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "energy_sum": [],
+                "max_frame_energy": [],
+                "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                samples, rate, _ = audiocodec.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n = len(s)
+                if n < frame:
+                    frames = [s]
+                else:
+                    frames = [
+                        s[i : i + frame]
+                        for i in range(0, n - frame + 1, hop)
+                    ]
+                energies = [int((f * f).sum()) for f in frames]
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(frames))
+                out["energy_sum"].append(sum(energies))
+                out["max_frame_energy"].append(max(energies))
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id long, n_samples int, sample_rate int, n_frames int, "
+        "energy_sum long, max_frame_energy long, zero_crossings long",
+    )

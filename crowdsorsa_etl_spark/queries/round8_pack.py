@@ -738,3 +738,88 @@ def q105_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", hilbert_value(x, y, bits=16).alias("h")
     )
+
+
+# ===========================================================================
+# llm_audio_frame_energy — the audio modality leg, fully hash-oracled
+# like llm_image_decode: synthesize PCM16 waveforms from document bytes,
+# wrap in REAL RIFF/WAVE containers (functions/audiocodec.py), decode
+# through the real wave-module path, and emit integer frame features
+# (Σs² per (64,32) frame, max frame energy, zero crossings). The oracle
+# never parses a WAV: it re-derives samples straight from the text's
+# UTF-8 bytes and replays the framing arithmetic — a header-parse bug,
+# byte-order flip, or framing off-by-one breaks the hash.
+# ===========================================================================
+
+_AUDIO_SQL = """
+    WITH hx AS (
+      SELECT doc_id, substr(hex(encode(coalesce(text, ''))), 1, 512) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    b AS (
+      SELECT doc_id, CASE WHEN length(h) = 0 THEN '00' ELSE h END AS h
+      FROM hx
+    ),
+    sized AS (SELECT doc_id, h, CAST(length(h) / 2 AS BIGINT) AS n FROM b),
+    idx AS (
+      SELECT doc_id, h, n, unnest(generate_series(1, n)) AS i FROM sized
+    ),
+    smp AS (
+      SELECT doc_id, n, i,
+             CAST(((strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1))
+                    - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+                   - 1 - 128) * 256 AS BIGINT) AS s
+      FROM idx
+    ),
+    docs AS (SELECT DISTINCT doc_id, n FROM smp),
+    nf AS (
+      SELECT doc_id, n,
+             CASE WHEN n < 64 THEN 1 ELSE (n - 64) // 32 + 1 END AS n_frames
+      FROM docs
+    ),
+    fr AS (
+      SELECT doc_id, n, unnest(generate_series(1, n_frames)) AS f FROM nf
+    ),
+    fe AS (
+      SELECT fr.doc_id, fr.f, sum(smp.s * smp.s) AS fe
+      FROM fr JOIN smp ON smp.doc_id = fr.doc_id
+        AND smp.i >= (fr.f - 1) * 32 + 1
+        AND smp.i <= CASE WHEN fr.n < 64 THEN fr.n
+                          ELSE (fr.f - 1) * 32 + 64 END
+      GROUP BY 1, 2
+    ),
+    agg_e AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+             CAST(sum(fe) AS BIGINT) AS energy_sum,
+             CAST(max(fe) AS BIGINT) AS max_frame_energy
+      FROM fe GROUP BY 1
+    ),
+    zc AS (
+      SELECT a.doc_id,
+             CAST(count(*) FILTER (WHERE (a.s < 0) <> (b2.s < 0)) AS BIGINT)
+               AS zero_crossings
+      FROM smp a JOIN smp b2
+        ON a.doc_id = b2.doc_id AND b2.i = a.i + 1
+      GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(d.n AS INT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           agg_e.n_frames, agg_e.energy_sum, agg_e.max_frame_energy,
+           coalesce(zc.zero_crossings, 0) AS zero_crossings
+    FROM docs d
+    JOIN agg_e ON d.doc_id = agg_e.doc_id
+    LEFT JOIN zc ON d.doc_id = zc.doc_id
+"""
+
+
+@register("llm_audio_frame_energy", _AUDIO_SQL)
+def llm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode → integer frame-energy features per document."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_frame_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_frame_features(attach_wav_payload(docs))

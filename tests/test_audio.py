@@ -1,0 +1,88 @@
+"""Audio modality: WAV codec round-trip, decode guards, frame features."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.functions.audiocodec import (
+    decode_wav,
+    encode_wav_pcm16,
+)
+from crowdsorsa_etl_spark.operators.multimodal import (
+    attach_wav_payload,
+    audio_frame_features,
+)
+
+
+class TestCodec:
+    def test_roundtrip_mono(self):
+        s = np.array([0, 1, -1, 32767, -32768, 256], dtype=np.int16)
+        payload = encode_wav_pcm16(s, sample_rate=8000)
+        back, rate, ch = decode_wav(payload)
+        assert rate == 8000 and ch == 1
+        assert np.array_equal(back, s)
+
+    def test_roundtrip_stereo(self):
+        s = np.arange(8, dtype=np.int16)
+        payload = encode_wav_pcm16(s, sample_rate=44100, channels=2)
+        back, rate, ch = decode_wav(payload)
+        assert rate == 44100 and ch == 2
+        assert back.shape == (4, 2)
+        assert np.array_equal(back.reshape(-1), s)
+
+    def test_rejects_non_riff(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"\x89PNG\r\n\x1a\nrest")
+
+    def test_rejects_truncated_container(self):
+        payload = encode_wav_pcm16(np.array([1, 2, 3], dtype=np.int16))
+        with pytest.raises(ValueError):
+            decode_wav(payload[:10])
+
+
+class TestFrameFeatures:
+    def _features(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = audio_frame_features(attach_wav_payload(df)).collect()
+        return {r["doc_id"]: r for r in rows}
+
+    def test_sample_values_and_energy(self, spark):
+        # 'A' = 0x41 = 65 -> sample (65-128)*256 = -16128
+        got = self._features(spark, ["A"])[0]
+        assert got["n_samples"] == 1
+        assert got["sample_rate"] == 16000
+        assert got["n_frames"] == 1
+        assert got["energy_sum"] == 16128 * 16128
+        assert got["max_frame_energy"] == 16128 * 16128
+        assert got["zero_crossings"] == 0
+
+    def test_zero_crossings_split_at_0x80(self, spark):
+        # bytes: 'A'(65, neg) '\xc3\xa9' é utf-8 (195 pos, 169 pos) -> one crossing
+        got = self._features(spark, ["Aé"])[0]
+        assert got["n_samples"] == 3
+        assert got["zero_crossings"] == 1
+
+    def test_framing_matches_stft_convention(self, spark):
+        text = "x" * 200  # 200 samples >= frame 64: (200-64)//32+1 = 5 frames
+        got = self._features(spark, [text])[0]
+        assert got["n_frames"] == 5
+        v = (ord("x") - 128) * 256
+        assert got["max_frame_energy"] == 64 * v * v
+        assert got["energy_sum"] == 5 * 64 * v * v
+
+    def test_empty_text_gets_one_zero_byte(self, spark):
+        got = self._features(spark, [""])[0]
+        assert got["n_samples"] == 1
+        # byte 0 -> sample (0-128)*256
+        assert got["energy_sum"] == (128 * 256) ** 2
+
+    def test_guard(self, spark):
+        df = attach_wav_payload(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        )
+        with pytest.raises(ValueError, match="frame"):
+            audio_frame_features(df, frame=0)
