@@ -821,5 +821,9 @@ def llm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_frame_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")  # prune the scan: Arrow stages eat rows whole
+    )
     return audio_frame_features(attach_wav_payload(docs))

@@ -395,3 +395,41 @@ class TestRound7Plans:
         assert df.count() > 0
         after = {k: spark.conf.get(k) for k in before}
         assert after == before
+
+
+class TestRound8bPlans:
+    def test_url_canonical_cap_single_window_exchange(self, spark):
+        """URL canonicalize/domain are narrow expressions; the only
+        Exchange is the domain window's, and no Python stage exists."""
+        plan = plan_of(QUERIES["llm_url_canonical_cap"](spark, SF_DIR))
+        assert plan.count("Exchange") <= 2  # hashpartitioning(domain) + AQE read
+        assert "EvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "Join" not in plan
+
+    def test_hilbert_keys_no_exchange(self, spark):
+        """The Hilbert index is a pure projection over the scan."""
+        plan = plan_of(QUERIES["q105_hilbert_layout"](spark, SF_DIR))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "EvalPython" not in plan
+
+    def test_heavy_hitters_confirm_pass_shape(self, spark):
+        """Pass 2 of MG heavy hitters: candidate filter pushes into the
+        scan side as an isin, aggregation partials map-side; no join at
+        all (the candidate set is a literal)."""
+        plan = plan_of(QUERIES["q103_heavy_hitters"](spark, SF_DIR))
+        assert "Join" not in plan
+        assert "partial_count" in plan
+        assert "MapInPandas" not in plan  # pass 1 already collected
+
+    def test_audio_features_narrow(self, spark):
+        """Audio encode+decode are two chained Arrow stages over the
+        scan — no shuffle, no join."""
+        plan = plan_of(QUERIES["llm_audio_frame_energy"](spark, SF_DIR), "simple")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert plan.count("MapInPandas") == 2  # attach + features
+        # the scan is pruned to the two columns the Arrow stages need
+        full = plan_of(QUERIES["llm_audio_frame_energy"](spark, SF_DIR))
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in full
