@@ -1058,3 +1058,56 @@ def fuzzy_decontamination_sql(
     JOIN sizes sb ON id_b = sb.id
     WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
     """
+
+
+def setsim_join_sql(threshold: float = 0.5, shingle_k: int = 3) -> str:
+    """Oracle for operators/setsim.setsim_prefix_join: brute-force all-pairs
+    exact shingle-set Jaccard, deliberately IGNORANT of the prefix filter —
+    if the filter ever drops a qualifying pair (an unsoundness in the prefix
+    length or the size bound), the hash comparison breaks. Threshold
+    decisions replay the identical integer cross-multiplication."""
+    from crowdsorsa_etl_spark.operators.setsim import threshold_fraction
+
+    p, q = threshold_fraction(threshold)
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(shingle_k))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM}, ' ') AS arr FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, {gram} AS shingle
+      FROM toks, UNNEST(range(1, len(arr) - {shingle_k} + 2)) AS t(i)
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS ia, b.id AS ib, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(c AS BIGINT) AS n_common,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON ia = sa.id
+    JOIN sizes sb ON ib = sb.id
+    WHERE c * {q} >= {p} * (sa.n + sb.n - c)
+    """
+
+
+def editdist_join_sql(max_dist: int = 6) -> str:
+    """Oracle for operators/setsim.editdist_join: all-pairs levenshtein over
+    the shared normalized text, prefiltered only by the length-difference
+    NECESSARY condition (ed(a,b) >= |len(a)-len(b)|, so the filter cannot
+    drop a qualifying pair). Independent of the Spark side's LSH candidate
+    generation — an LSH recall miss breaks the hash."""
+    return f"""
+    WITH s AS (
+      SELECT doc_id AS id, {_NORM} AS txt, length({_NORM}) AS l
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.txt, b.txt) AS INT) AS dist
+    FROM s a JOIN s b
+      ON a.id < b.id AND abs(a.l - b.l) <= {max_dist}
+    WHERE levenshtein(a.txt, b.txt) <= {max_dist}
+    """
