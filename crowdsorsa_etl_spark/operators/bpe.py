@@ -1,0 +1,187 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning.
+
+Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+Units" (ACL'16): repeatedly find the most frequent adjacent symbol pair in
+the corpus and merge it into a new symbol. Real tokenizer trainers do this
+over the WORD-COUNT dictionary, not the raw corpus — a 100 TB corpus
+compresses to a vocabulary-sized (word, count) table after one map-side-
+combined aggregation, and every merge iteration is then a small shuffle over
+that table. This module follows the same shape:
+
+1. ``words``  — one aggregation over the corpus: (word, count), cached once;
+2. per merge iteration: explode adjacent symbol pairs of each word's
+   current representation (weighted by word count), take the global
+   argmax pair (ties broken by pair text — deterministic), rewrite the
+   representations with the merged symbol;
+3. output — the ordered merge table (merge_rank, pair, weighted_count),
+   the artifact a tokenizer ships.
+
+The argmax of each iteration is a single row; it is collected to the driver
+to parameterize the next iteration's rewrite expression (the same bounded
+k-rows-per-iteration round-trip contract as the IVF k-means trainer in
+operators/similarity.py). The RETURNED DataFrame recomputes every
+iteration's argmax as a genuine Spark aggregation — the collected values
+steer plan construction only, and both computations are deterministic, so
+they cannot disagree.
+
+Merge application uses literal string ops shared verbatim by the DuckDB
+oracle: the representation keeps symbols space-separated; doubling the
+separators first makes one non-overlapping ``replace`` pass equal greedy
+left-to-right BPE merging (consecutive occurrences "a b a b" no longer
+share a delimiter after doubling, so none is missed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
+
+__all__ = ["bpe_learn_merges", "bpe_merges_sql"]
+
+
+def _char_spaced(col: Column) -> Column:
+    """'key' -> 'k e y' (initial symbol sequence; ASCII corpus)."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _apply_merge(rep: Column, sym_a: str, sym_b: str) -> Column:
+    """Merge every adjacent (sym_a, sym_b) in a space-separated symbol
+    string, greedy left-to-right. Space-doubling makes consecutive
+    occurrences non-overlapping for the single replace pass."""
+    doubled = F.concat(
+        F.lit(" "), F.replace(rep, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    merged = F.replace(
+        doubled,
+        F.lit(f" {sym_a}  {sym_b} "),
+        F.lit(f" {sym_a}{sym_b} "),
+    )
+    return F.trim(F.regexp_replace(merged, " +", " "))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, total): adjacent symbol pairs weighted by word count."""
+    arr = F.split(F.col("rep"), " ")
+    return (
+        words.select(
+            F.col("cnt"),
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.zip_with(
+                        F.slice(arr, 1, F.size(arr) - 1),
+                        F.slice(arr, 2, F.size(arr) - 1),
+                        lambda x, y: F.concat_ws(" ", x, y),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("total"))
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+
+    Output: (merge_rank int, pair string, weighted_count bigint) — one row
+    per merge, in learned order. ``pair`` is the two symbols space-joined.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+
+    words = (
+        df.select(
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(_char_spaced(F.col("word")).alias("rep"), "cnt")
+        # each iteration's argmax job and each output branch rescan this —
+        # pin the aggregated dictionary instead of re-reading the corpus
+        .localCheckpoint()
+    )
+
+    best_rows = []
+    cur = words
+    for i in range(1, n_merges + 1):
+        pairs = _pair_counts(cur)
+        ranked = pairs.orderBy(F.desc("total"), F.asc("pair")).limit(1)
+        best_rows.append(
+            ranked.select(
+                F.lit(i).cast("int").alias("merge_rank"), "pair", "total"
+            )
+        )
+        # bounded driver round-trip: exactly ONE row, to build the next
+        # iteration's literal rewrite expression
+        top = ranked.collect()
+        if not top:  # corpus exhausted (every word is a single symbol)
+            break
+        sym_a, sym_b = top[0]["pair"].split(" ")
+        cur = cur.select(
+            _apply_merge(F.col("rep"), sym_a, sym_b).alias("rep"), "cnt"
+        ).localCheckpoint()
+
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def bpe_merges_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle: the identical computation as unrolled CTEs — same
+    normalization, same char spacing, same space-doubling replace, same
+    (total DESC, pair ASC) argmax. A drift anywhere in the merge loop
+    (missed occurrence, tie-break, weighting) breaks the hash."""
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    ctes = [
+        f"""words AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+      ) WHERE len(word) > 0 GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
+      FROM words
+    )"""
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT arr[i] || ' ' || arr[i+1] AS pair,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
+           UNNEST(range(1, len(arr))) AS t(i)
+      GROUP BY 1
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT CAST({i} AS INT) AS merge_rank, pair, total
+      FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
+    )"""
+        )
+        if i < n_merges:
+            pat = (
+                f"' ' || (SELECT string_split(pair, ' ')[1] FROM b{i}) || "
+                f"'  ' || (SELECT string_split(pair, ' ')[2] FROM b{i}) || ' '"
+            )
+            rep = f"' ' || (SELECT replace(pair, ' ', '') FROM b{i}) || ' '"
+            ctes.append(
+                f"""w{i} AS MATERIALIZED (
+      SELECT trim(regexp_replace(
+               replace(' ' || replace(rep, ' ', '  ') || ' ', {pat}, {rep}),
+               ' +', ' ', 'g')) AS rep, cnt
+      FROM w{i - 1}
+    )"""
+            )
+        selects.append(f"SELECT * FROM b{i}")
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

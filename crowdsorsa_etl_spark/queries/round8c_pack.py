@@ -53,3 +53,23 @@ def llm_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return editdist_join(docs, max_dist=6)
+
+
+# ===========================================================================
+# llm_bpe_merges — distributed BPE tokenizer training (the word-count-
+# dictionary formulation real trainers use: the corpus collapses to one
+# (word, count) aggregation, merges iterate over that). The oracle unrolls
+# the identical merge loop as DuckDB CTEs — same normalization, char
+# spacing, space-doubling replace, and (total DESC, pair ASC) argmax.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.bpe import bpe_merges_sql as _bpe_sql
+
+
+@register("llm_bpe_merges", _bpe_sql(n_merges=8))
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned over the documents corpus."""
+    from crowdsorsa_etl_spark.operators.bpe import bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, n_merges=8)
