@@ -190,3 +190,51 @@ def pack_sequences(
         "pack_bin",
         F.floor((cumsum - F.col(token_col)) / F.lit(budget)).cast("bigint"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Quota sampling to an ABSOLUTE per-group token budget — the "mix this
+    corpus as 30B tokens of web + 5B of code" primitive. ``llm_domain_mix``
+    keeps a fixed FRACTION per source; this keeps docs, in deterministic
+    md5 order, until the group's token budget is exhausted.
+
+    A doc is kept when the budget is not yet spent at the doc's START
+    (``cum - own < budget``): the document that crosses the budget line is
+    taken whole, never truncated — matching how corpus mixers overshoot by
+    at most one document rather than splitting one.
+
+    Deterministic and engine-stable: the admission order is
+    ``(md5('budget:' || key), key)`` — re-running the pipeline (or replaying
+    it in another engine) admits the identical document set.
+
+    Output: input columns + cum_tokens (bigint) + kept (boolean).
+
+    At 100 TB: one window per group key. A group that dominates the corpus
+    makes that window a single reducer — for such skew, compute per-partition
+    partial token sums first and broadcast the per-group partition offsets
+    (the two-phase pattern in operators/global_rank.py); the admission rule
+    is unchanged because the order key is hash-uniform.
+    """
+    order_key = F.md5(
+        F.concat(F.lit("budget:"), F.col(key_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(default_budget)
+    for g, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == g, F.lit(b)).otherwise(budget)
+    cum = F.sum(token_col).over(w).cast("bigint")
+    return df.withColumn("cum_tokens", cum).withColumn(
+        "kept", (F.col("cum_tokens") - F.col(token_col)) < budget
+    )
