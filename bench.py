@@ -99,6 +99,15 @@ HEADLINE = [
     "q104_ewma",
     "llm_url_canonical_cap",
     "q105_hilbert_layout",
+    # round-8c: exact prefix-filtered set-similarity join, edit-distance
+    # join, BPE vocabulary learning, token-budget mixing, PSI drift,
+    # apriori pair mining
+    "llm_setsim_join",
+    "llm_editdist_join",
+    "llm_bpe_merges",
+    "llm_token_budget_mix",
+    "q106_drift_psi",
+    "q107_frequent_pairs",
 ]
 
 

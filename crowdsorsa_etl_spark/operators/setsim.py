@@ -105,16 +105,21 @@ def setsim_prefix_join(
     module docstring for the prefix-filter argument and the scale shape.
     """
     p, q = threshold_fraction(threshold)
+    # the shingle table feeds the rank window AND both verify sides —
+    # pin it once instead of re-running the explode+distinct three times
+    # (at cluster scale: persist to storage rather than executor memory)
     sh = shingle_sets(
         df, text_col=text_col, id_col=id_col, shingle_k=shingle_k
-    )
+    ).localCheckpoint()
 
     # global canonical order: rare shingles first (minimizes prefix-join
-    # fan-out). One map-side-combined agg; attach is a shuffle on the
-    # shingle key (AQE broadcasts small vocabularies at runtime).
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gfreq"))
+    # fan-out). The frequency attaches via a window over the shingle key —
+    # ONE exchange on shingle instead of the agg+join pair a dimension
+    # table would cost.
     ranked = (
-        sh.join(freq, "shingle")
+        sh.withColumn(
+            "gfreq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn(
             "pos",
             F.row_number().over(
