@@ -108,6 +108,11 @@ HEADLINE = [
     "llm_token_budget_mix",
     "q106_drift_psi",
     "q107_frequent_pairs",
+    # round-8d: BPE apply (learn-then-encode), bigram-LM scoring,
+    # token-budget shard assignment via the distributed global prefix sum
+    "llm_bpe_encode",
+    "llm_bigram_logprob",
+    "q108_shard_assignment",
 ]
 
 

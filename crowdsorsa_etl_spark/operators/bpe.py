@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
 
-__all__ = ["bpe_learn_merges", "bpe_merges_sql"]
+__all__ = [
+    "bpe_learn_merges",
+    "bpe_merges_sql",
+    "bpe_encode",
+    "bpe_encode_sql",
+]
 
 
 def _char_spaced(col: Column) -> Column:
@@ -185,3 +190,126 @@ def bpe_merges_sql(n_merges: int = 8) -> str:
             )
         selects.append(f"SELECT * FROM b{i}")
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table (the APPLY side of BPE).
+
+    ``merges`` is the ordered artifact ``bpe_learn_merges`` produces — the
+    vocabulary-sized table every tokenizer ships; passing it as literals is
+    the distributed-inference shape (broadcast-by-constant-folding, zero
+    joins). Each document's words are char-spaced and every merge is applied
+    in rank order via the same space-doubling single-replace pass the
+    trainer uses, inside nested ``transform`` lambdas — fully narrow, zero
+    Exchange, whole-stage codegen end to end.
+
+    At real vocabulary sizes (32k merges) a 32k-deep expression chain would
+    blow codegen; the production variant loops the same merge table inside
+    one ``mapInPandas`` batch function. The expression form is exact for the
+    demo-scale tables this repo trains and keeps the hot path JVM-side.
+
+    Output: (id_col, n_tokens bigint, tokens_md5) — md5 of the final
+    space-joined symbol stream, so any drift in merge application (order,
+    greediness, a missed adjacent occurrence) breaks the oracle hash.
+    Documents with no tokens after normalization are dropped (both engines).
+    """
+    # pyspark derives the lambda arity from the python signature, so the
+    # merge symbols are bound via a closure factory (default-arg binding
+    # would read as a 3-arg lambda and fail analysis)
+    def _merge_fn(a: str, b: str):
+        return lambda r: _apply_merge(r, a, b)
+
+    words = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    reps = F.transform(words, lambda w: _char_spaced(w))
+    for sym_a, sym_b in merges:
+        reps = F.transform(reps, _merge_fn(sym_a, sym_b))
+    full = F.concat_ws(" ", reps)
+    return (
+        df.select(F.col(id_col), full.alias("_toks"))
+        .filter(F.length("_toks") > 0)
+        .select(
+            id_col,
+            F.size(F.split(F.col("_toks"), " ")).cast("bigint").alias("n_tokens"),
+            F.md5(F.col("_toks")).alias("tokens_md5"),
+        )
+    )
+
+
+def bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for learn-then-encode: re-learns the merge table with
+    the ``bpe_merges_sql`` CTE chain (all ``n_merges`` rewrites this time),
+    then applies every merge to each document's char-spaced words with the
+    identical space-doubling replace, and folds the per-word symbol streams
+    back in word order. Independent of the Spark path end to end — the
+    merge list is NOT passed in; a wrong learned merge breaks this hash
+    just as a wrong application would."""
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    ctes = [
+        f"""words AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+      ) WHERE len(word) > 0 GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
+      FROM words
+    ),
+    dw0 AS MATERIALIZED (
+      SELECT doc_id, i AS ord,
+             trim(regexp_replace(arr[i], '(.)', '\\1 ', 'g')) AS rep
+      FROM (SELECT doc_id, string_split({norm}, ' ') AS arr FROM documents),
+           UNNEST(range(1, len(arr) + 1)) AS t(i)
+      WHERE len(arr[i]) > 0
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT arr[i] || ' ' || arr[i+1] AS pair,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
+           UNNEST(range(1, len(arr))) AS t(i)
+      GROUP BY 1
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT pair FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
+    )"""
+        )
+        pat = (
+            f"' ' || (SELECT string_split(pair, ' ')[1] FROM b{i}) || "
+            f"'  ' || (SELECT string_split(pair, ' ')[2] FROM b{i}) || ' '"
+        )
+        rep = f"' ' || (SELECT replace(pair, ' ', '') FROM b{i}) || ' '"
+        rewrite = (
+            f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
+            f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""w{i} AS MATERIALIZED (
+      SELECT {rewrite} AS rep, cnt FROM w{i - 1}
+    )"""
+            )
+        ctes.append(
+            f"""dw{i} AS MATERIALIZED (
+      SELECT doc_id, ord, {rewrite} AS rep FROM dw{i - 1}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id,
+           CAST(sum(len(string_split(rep, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(rep, ' ' ORDER BY ord)) AS tokens_md5
+    FROM dw{n_merges} GROUP BY doc_id"""
+    )

@@ -122,3 +122,61 @@ def rank_distributions(
         .withColumn("drnk", rn.cast("int"))
         .drop("_grn")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight_col: str,
+    *,
+    cum_col: str = "global_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``weight_col`` over a global ordering, with no
+    single-partition window anywhere in the plan — the same two-phase
+    range-sort trick as ``with_global_row_number`` with per-partition SUMS
+    (not counts) as the bounded driver round-trip. ``cum_col`` is the
+    INCLUSIVE prefix sum (current row counted).
+
+    The in-partition running sum is a window partitioned by the range
+    partition id — every partition's window state stays local; the driver
+    only ever sees one number per partition, exactly like AQE statistics.
+    ``order_cols`` must be a deterministic unique ordering.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
+
+    sums = sorted(
+        (r["_pid"], r["_w"])
+        for r in part.groupBy(pid.alias("_pid"))
+        .agg(F.sum(weight_col).cast("bigint").alias("_w"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for p, w in sums:
+        offsets.append((p, running))
+        running += w
+
+    off_df = spark.createDataFrame(offsets, "_pid bigint, _off bigint")
+    local_cum = F.sum(weight_col).over(
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(cum_col, (F.col("_off") + local_cum).cast("bigint"))
+        .drop("_pid", "_mid", "_off")
+    )

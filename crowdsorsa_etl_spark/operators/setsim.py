@@ -230,7 +230,12 @@ def editdist_join(
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("txt_a", "txt_b").cast("int").alias("dist"),
+            # thresholded levenshtein (Spark 3.5+) runs the banded O(n*d)
+            # algorithm and returns -1 past the bound — the verify step is
+            # linear in text length instead of quadratic
+            F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist)
+            .cast("int")
+            .alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )

@@ -1,0 +1,194 @@
+"""Round 8d: BPE tokenization (the apply side of the learned merge table),
+bigram-LM quality scoring, and token-budget training-shard assignment with a
+distributed global prefix sum.
+
+Registration ORDER is load-bearing (the driver's correctness window samples
+the first 50 registrations); this module is imported LAST by
+queries/__init__.py, so its entries append after the round-8c tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.queries._shared import _t, register
+
+
+# ===========================================================================
+# llm_bpe_encode — learn-then-APPLY: the companion to llm_bpe_merges.
+# Learning collects the n-row merge table (the artifact a tokenizer ships);
+# application is pure narrow column expressions — zero Exchange over the
+# corpus. The oracle re-learns AND re-applies independently in DuckDB, so a
+# wrong learned merge and a wrong application both break the hash.
+# ===========================================================================
+
+_BPE_MERGES = 8
+
+
+def _bpe_encode_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql(n_merges=_BPE_MERGES)
+
+
+@register("llm_bpe_encode", _bpe_encode_oracle())
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the corpus-learned BPE merge table:
+    train 8 merges over the word-count dictionary (vocabulary-sized shuffle,
+    bounded 8-row driver round-trip), then encode each doc with the merges
+    as literal expressions — the encode stage is fully narrow and stays in
+    whole-stage codegen. Output carries the token count and an md5 of the
+    full symbol stream per doc."""
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode, bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    # the merge table IS the bounded artifact (n_merges rows, like a shipped
+    # tokenizer.json) — collecting it is the contract, not a scale leak
+    merge_rows = bpe_learn_merges(docs, n_merges=_BPE_MERGES).collect()
+    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
+    return bpe_encode(docs, merges)
+
+
+# ===========================================================================
+# llm_bigram_logprob — corpus-trained bigram LM with add-one smoothing: the
+# CCNet/KenLM perplexity-filter shape one order up from llm_unigram_logprob.
+# P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Two corpus-keyed shuffles build
+# the model (bigram counts, unigram counts); scoring is two joins whose
+# build sides are Zipf-small at real scale (AQE broadcasts from observed
+# size) plus one per-doc aggregate.
+# ===========================================================================
+
+
+@register(
+    "llm_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(arr) AS tok FROM toks) GROUP BY tok
+    ),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM uni),
+    big AS (
+      SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+    ),
+    bcnt AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+      FROM big GROUP BY w1, w2
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln((bcnt.bc + 1.0) / (uni.cnt + v.vsize)))
+                 / count(*), 6) AS avg_logprob
+    FROM big
+    JOIN bcnt ON big.w1 = bcnt.w1 AND big.w2 = bcnt.w2
+    JOIN uni ON big.w1 = uni.tok
+    CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram log-probability per document (conditional on
+    the preceding token), trained on the corpus itself. Docs with fewer
+    than two tokens drop out on both engines (no bigram to score)."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim("text")), " ")
+    toks = docs.select("doc_id", arr.alias("arr"))
+    uni = toks.select(F.explode("arr").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # vocab size as a lazy 1-row broadcast, never a driver collect
+    v = uni.agg(F.count(F.lit(1)).cast("bigint").alias("vsize"))
+    a = F.col("arr")
+    pairs = F.when(
+        F.size(a) >= 2,
+        F.zip_with(
+            F.slice(a, 1, F.size(a) - 1),
+            F.slice(a, 2, F.size(a) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bcnt = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bc")
+    )
+    return (
+        big.join(bcnt, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("bc") + 1.0) / (F.col("cnt") + F.col("vsize"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ===========================================================================
+# q108_shard_assignment — pack documents into training shards of at most
+# ~SHARD_BUDGET tokens each (docs are atomic; a doc starts in the shard its
+# running prefix sum lands in). The oracle is the textbook single window
+# `sum() OVER (ORDER BY doc_id)`; the Spark side computes the SAME global
+# prefix sum with the two-phase range-sort + per-partition-offsets pattern —
+# no single-partition WindowExec anywhere in the plan (asserted in tests).
+# This is the shard-writer math of every training-data export pipeline.
+# ===========================================================================
+
+_SHARD_BUDGET = 20_000  # tokens per shard; fixture corpus ≈ 40 shards
+
+
+@register(
+    "q108_shard_assignment",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                      / {_SHARD_BUDGET}.0) AS INT) AS shard_id
+    FROM d
+    """,
+)
+def q108_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget shard assignment via a distributed global
+    cumulative sum (range partition → local sort → per-partition sum offsets
+    → partitioned window), so the 100 TB export never funnels through one
+    window task."""
+    from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    out = with_global_cumsum(
+        d, [F.col("doc_id")], "n_tokens", cum_col="cum_tokens"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(_SHARD_BUDGET))
+        .cast("int")
+        .alias("shard_id"),
+    )
