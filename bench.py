@@ -113,6 +113,7 @@ HEADLINE = [
     "llm_bpe_encode",
     "llm_bigram_logprob",
     "q108_shard_assignment",
+    "llm_dedup_index",
 ]
 
 

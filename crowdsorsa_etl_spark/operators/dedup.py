@@ -586,3 +586,139 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Signature index at rest: incremental near-dup dedup against a corpus
+# ---------------------------------------------------------------------------
+
+
+def lsh_write_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    bucket_prefixes: int = 64,
+) -> None:
+    """Materialize the corpus's banded MinHash rows under ``path``/bands,
+    PARTITIONED by a bucket prefix (``pmod(bucket, bucket_prefixes)``) — the
+    dedup analogue of the IVF/BM25 index-at-rest tier: an incoming batch
+    reads only the partitions its own buckets hash into, so per-batch match
+    cost is driven by batch size, not corpus size (the scan shows
+    PartitionFilters, asserted in tests).
+
+    Contract: query/append must pass the SAME (num_hashes, bands,
+    shingle_k, portable, bucket_prefixes) — signatures are only comparable
+    under one parameterization (same stance as the BM25/IVF indexes).
+    """
+    banded = _banded(
+        minhash_signatures(
+            docs, text_col, id_col, num_hashes, shingle_k, portable=portable
+        ),
+        num_hashes,
+        bands,
+        portable,
+    )
+    (
+        banded.withColumn(
+            "pfx", F.pmod(F.col("bucket"), F.lit(bucket_prefixes)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(path.rstrip("/") + "/bands")
+    )
+
+
+def lsh_append_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    bucket_prefixes: int = 64,
+) -> None:
+    """Corpus APPEND: the delta's banded rows land as new files in the same
+    prefix partitions — existing rows are never read or rewritten (banded
+    signatures are distributive over documents, like BM25 postings).
+    Contract: ``new_docs`` ids are new; dedupe upstream (the curation
+    ledger) before appending."""
+    banded = _banded(
+        minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_k, portable=portable
+        ),
+        num_hashes,
+        bands,
+        portable,
+    )
+    (
+        banded.withColumn(
+            "pfx", F.pmod(F.col("bucket"), F.lit(bucket_prefixes)).cast("int")
+        )
+        .write.mode("append")
+        .partitionBy("pfx")
+        .parquet(path.rstrip("/") + "/bands")
+    )
+
+
+def lsh_match_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    portable: bool = False,
+    bucket_prefixes: int = 64,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Candidate (corpus, batch) near-dup pairs against the index at rest:
+    (id_a = corpus id, id_b = batch id, n_bands_matched) — identical output
+    to ``minhash_lsh_candidates_cross`` over the same corpus (gated by
+    llm_dedup_index's oracle), without recomputing a single corpus
+    signature.
+
+    The batch's distinct bucket prefixes (≤ ``bucket_prefixes`` ints — a
+    bounded driver round-trip, like IVF's probed lists) become a partition
+    filter on the index scan; the batch side broadcasts, so the corpus
+    index is never shuffled. Per-batch cost: batch signature build + a
+    pruned index read."""
+    b = _banded(
+        minhash_signatures(
+            batch, text_col, id_col, num_hashes, shingle_k, portable=portable
+        ),
+        num_hashes,
+        bands,
+        portable,
+    ).withColumn(
+        "pfx", F.pmod(F.col("bucket"), F.lit(bucket_prefixes)).cast("int")
+    )
+    b = b.localCheckpoint()  # prefix collect + join reuse one computation
+    pfxs = sorted(r["pfx"] for r in b.select("pfx").distinct().collect())
+    corpus = spark.read.parquet(path.rstrip("/") + "/bands").filter(
+        F.col("pfx").isin(pfxs)
+    )
+    probe = b.alias("b")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    return (
+        corpus.alias("a")
+        .join(
+            probe,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_matched"))
+    )

@@ -192,3 +192,73 @@ def q108_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard_id"),
     )
+
+
+# ===========================================================================
+# llm_dedup_index — near-dup dedup against the SIGNATURE INDEX AT REST: the
+# dedup analogue of llm_bm25_incremental. The corpus's banded MinHash rows
+# are persisted partitioned by bucket prefix (half at write, half via
+# append — so the oracle gates the incremental path too); the probe batch
+# matches by reading only its own prefixes and broadcasting itself. The
+# oracle is the full cross-corpus LSH + exact-Jaccard replay — identical
+# results to computing everything from scratch, proven cross-engine.
+# ===========================================================================
+
+
+@register(
+    "llm_dedup_index",
+    None,  # oracle attached below (generator import kept local)
+)
+def llm_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-batch near-dup detection (doc_id % 25 == 0 plays the batch)
+    against the persisted corpus signature index, exact-Jaccard verified at
+    0.3 — per-batch cost is batch-sized, the corpus never recomputes or
+    shuffles a signature."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_append_index,
+        lsh_match_index,
+        lsh_write_index,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    probe = docs.filter(F.col("doc_id") % 25 == 0)
+
+    path = _sf_cache_dir(sf_dir, "lshidx_v1_h16b8s3", "documents")
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        # half the corpus at write time, half appended — the registered
+        # result therefore gates incremental maintenance, not just build
+        lsh_write_index(
+            corpus.filter(F.col("doc_id") % 2 == 0), path, portable=True
+        )
+        lsh_append_index(
+            corpus.filter(F.col("doc_id") % 2 == 1), path, portable=True
+        )
+        open(marker, "w").close()
+
+    cand = lsh_match_index(spark, path, probe, portable=True)
+    return jaccard_verify_pairs(cand, docs, threshold=0.3).select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("batch_id"),
+        "n_bands_matched",
+        "jaccard",
+    )
+
+
+def _dedup_index_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    sql = lsh_oracles.fuzzy_decontamination_sql(
+        corpus_pred="id % 25 != 0", probe_pred="id % 25 = 0", threshold=0.3
+    )
+    return sql.replace("AS eval_id", "AS batch_id")
+
+
+from crowdsorsa_etl_spark.queries._shared import ORACLES as _O  # noqa: E402
+
+_O["llm_dedup_index"] = _dedup_index_oracle()

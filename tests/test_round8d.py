@@ -169,3 +169,71 @@ class TestBigramLogprob:
             n, lp = out[doc_id]
             assert n == len(bigs)
             assert lp == pytest.approx(round(s / len(bigs), 6), abs=2e-6)
+
+
+class TestLshIndex:
+    """Signature index at rest: build/append/match against the direct path."""
+
+    def _corpus_probe(self, spark):
+        from crowdsorsa_etl_spark.sources.parquet import load_table
+
+        docs = load_table(spark, "documents", SF_DIR)
+        return (
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs,
+        )
+
+    def test_index_match_equals_direct_cross(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            lsh_match_index,
+            lsh_write_index,
+            minhash_lsh_candidates_cross,
+        )
+
+        corpus, probe, _ = self._corpus_probe(spark)
+        path = str(tmp_path / "idx")
+        lsh_write_index(corpus, path)
+        got = {
+            (r.id_a, r.id_b, r.n_bands_matched)
+            for r in lsh_match_index(spark, path, probe).collect()
+        }
+        expect = {
+            (r.id_a, r.id_b, r.n_bands_matched)
+            for r in minhash_lsh_candidates_cross(corpus, probe).collect()
+        }
+        assert got == expect and got  # non-trivial on the fixture
+
+    def test_append_equals_full_rebuild(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            lsh_append_index,
+            lsh_match_index,
+            lsh_write_index,
+        )
+
+        corpus, probe, _ = self._corpus_probe(spark)
+        inc = str(tmp_path / "inc")
+        lsh_write_index(corpus.filter(F.col("doc_id") % 3 == 0), inc)
+        lsh_append_index(corpus.filter(F.col("doc_id") % 3 == 1), inc)
+        lsh_append_index(corpus.filter(F.col("doc_id") % 3 == 2), inc)
+        full = str(tmp_path / "full")
+        lsh_write_index(corpus, full)
+        a = {tuple(r) for r in lsh_match_index(spark, inc, probe).collect()}
+        b = {tuple(r) for r in lsh_match_index(spark, full, probe).collect()}
+        assert a == b and a
+
+    def test_match_scan_is_partition_pruned(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            lsh_match_index,
+            lsh_write_index,
+        )
+
+        corpus, probe, _ = self._corpus_probe(spark)
+        path = str(tmp_path / "idx")
+        lsh_write_index(corpus, path)
+        # a tiny batch touches few prefixes — the index scan must carry a
+        # partition filter on pfx, and the batch side must broadcast
+        out = lsh_match_index(spark, path, probe.limit(3))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [pfx" in plan or "pfx IN" in plan, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
