@@ -114,6 +114,7 @@ HEADLINE = [
     "llm_bigram_logprob",
     "q108_shard_assignment",
     "llm_dedup_index",
+    "llm_dedup_canonical",
 ]
 
 

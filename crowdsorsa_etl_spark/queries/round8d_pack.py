@@ -262,3 +262,51 @@ def _dedup_index_oracle() -> str:
 from crowdsorsa_etl_spark.queries._shared import ORACLES as _O  # noqa: E402
 
 _O["llm_dedup_index"] = _dedup_index_oracle()
+
+
+# ===========================================================================
+# llm_dedup_canonical — canonical-document selection per near-dup cluster:
+# after clustering, real pipelines keep ONE representative per cluster, and
+# "the longest version" is the standard choice (truncated/mirrored copies
+# lose). Composition of existing tiers: portable LSH pairs → connected
+# components → per-cluster argmax(n_chars, tie → min doc_id). The window is
+# partitioned by cluster_id — no global funnel; cluster sizes are bounded
+# by construction (near-dup groups, not arbitrary joins).
+# ===========================================================================
+
+
+def _dedup_canonical_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    clusters = lsh_oracles.dedup_clusters_sql()
+    return f"""
+    WITH base AS ({clusters})
+    SELECT b.doc_id, b.cluster_id, d.n_chars,
+           (row_number() OVER (PARTITION BY b.cluster_id
+                               ORDER BY d.n_chars DESC, b.doc_id ASC) = 1)
+             AS keep
+    FROM base b JOIN documents d ON b.doc_id = d.doc_id
+    """
+
+
+@register("llm_dedup_canonical", _dedup_canonical_oracle())
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the longest document of every near-dup cluster (ties broken by
+    doc_id) — the representative-selection step between dedup clustering
+    and the training-set export."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, portable=True)
+    cl = dedup_clusters(docs, pairs).drop("keep")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_chars", "keep")
+    )
