@@ -807,3 +807,103 @@ def streaming_heavy_hitter_candidates(spark, state_dir: str) -> DataFrame:
     return toks.select(
         "token", "est", F.lit(int(n_total)).cast("bigint").alias("n_total")
     )
+
+
+def start_shard_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_budget: int = 20_000,
+):
+    """Continuous training-shard export: every micro-batch's documents get
+    GLOBAL shard ids continuing the running token total from all prior
+    epochs — the streaming form of q108_shard_assignment, so a training
+    corpus can be exported shard-by-shard while ingest is still running.
+
+    Per micro-batch (foreachBatch): the distributed global cumsum
+    (``global_rank.with_global_cumsum`` — range sort, per-partition sum
+    offsets, no single-partition window) over the batch, shifted by the
+    carried total; output lands under ``out_dir/epoch=<e>`` partitioned by
+    shard_id, and the new running total (ONE number) is written to
+    ``state_dir/epoch=<e>``.
+
+    Replay safety follows the epoch-versioned state posture
+    (start_heavy_hitters_stream): epoch e reads the newest state < e, so a
+    crashed-and-replayed epoch recomputes from the SAME carried total and
+    overwrites the same paths — no double-advance of the shard counter.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
+
+    if shard_budget < 1:
+        raise ValueError(f"shard_budget must be >= 1; got {shard_budget}")
+
+    spark_active = docs_stream.sparkSession
+
+    def _carried_total(e: int) -> int:
+        if not os.path.isdir(state_dir):
+            return 0
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        if not prior:
+            return 0
+        rows = (
+            spark_active.read.schema("total long")
+            .parquet(os.path.join(state_dir, f"epoch={max(prior)}"))
+            .collect()
+        )
+        return int(rows[0]["total"]) if rows else 0
+
+    def assign(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        offset = _carried_total(int(epoch_id))
+        d = batch_df.select(
+            F.col(id_col),
+            F.size(F.split(F.lower(F.trim(text_col)), " "))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        out = with_global_cumsum(
+            d, [F.col(id_col)], "n_tokens", cum_col="_batch_cum"
+        ).withColumn("cum_tokens", F.col("_batch_cum") + F.lit(offset))
+        out = out.select(
+            id_col,
+            "n_tokens",
+            "cum_tokens",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / float(shard_budget)
+            )
+            .cast("int")
+            .alias("shard_id"),
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
+        )
+        # ONE number of state per epoch — the carried running total
+        batch_total = d.agg(F.sum("n_tokens").cast("bigint")).collect()[0][0]
+        (
+            spark_active.createDataFrame(
+                [(offset + int(batch_total),)], "total long"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

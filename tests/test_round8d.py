@@ -237,3 +237,88 @@ class TestLshIndex:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [pfx" in plan or "pfx IN" in plan, plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestStreamingShards:
+    def _stage(self, spark, tmp_path, src, schema, name, rows):
+        import os
+
+        staging = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+    def _run(self, spark, src, schema, out, state, ckpt, budget=10):
+        from crowdsorsa_etl_spark.streaming.pipeline import start_shard_stream
+
+        q = start_shard_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            state,
+            checkpoint_dir=ckpt,
+            shard_budget=budget,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_shards_continue_across_epochs(self, spark, tmp_path):
+        import os
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        # 4 tokens per doc, budget 10: shard boundaries at 10/20/...
+        b1 = [(i, "w x y z") for i in range(3)]       # cum 4,8,12
+        b2 = [(10 + i, "w x y z") for i in range(3)]  # cum 16,20,24
+        self._stage(spark, tmp_path, src, schema, "b1.parquet", b1)
+        self._stage(spark, tmp_path, src, schema, "b2.parquet", b2)
+
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        self._run(spark, src, schema, out, state, str(tmp_path / "ckpt"))
+
+        rows = {
+            r.doc_id: r
+            for r in spark.read.parquet(out).collect()
+        }
+        assert len(rows) == 6
+        # cross-epoch continuation: batch-2 docs start at cum 12, not 0
+        assert rows[10].cum_tokens == 16
+        # the exact batch semantics of q108: shard = start // budget
+        for r in rows.values():
+            assert r.shard_id == (r.cum_tokens - r.n_tokens) // 10
+        # starts: doc0=0, doc2=8 -> shard 0; doc10=12, doc11=16 -> shard 1;
+        # doc12 starts at 20 -> shard 2
+        assert rows[0].shard_id == 0 and rows[2].shard_id == 0
+        assert rows[10].shard_id == 1 and rows[12].shard_id == 2
+
+    def test_replayed_epoch_does_not_advance_counter(self, spark, tmp_path):
+        import os
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        self._stage(
+            spark, tmp_path, src, schema, "b1.parquet", [(1, "a b c")]
+        )
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._run(spark, src, schema, out, state, ckpt)
+        # crash-before-commit: epoch 0 replays
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        self._run(spark, src, schema, out, state, ckpt)
+
+        latest = spark.read.schema("total long").parquet(
+            os.path.join(state, "epoch=0")
+        ).collect()
+        assert latest[0]["total"] == 3  # not 6
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1 and got[0].cum_tokens == 3

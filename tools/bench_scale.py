@@ -80,6 +80,18 @@ HEADLINE = [
     "llm_ivfpq_topk",
     "llm_bm25_querytable",
     "llm_bm25_incremental",
+    # round 8c/8d: prefix-filtered setsim join (candidate volume is the
+    # risk), BPE learn (dictionary-sized iterations) + encode (narrow),
+    # bigram LM (two corpus shuffles + Zipf joins), global-cumsum shard
+    # assignment (range exchange + bounded offsets), dedup signature index
+    # (build+append+pruned match), heavy hitters (bounded summaries)
+    "llm_setsim_join",
+    "llm_bpe_merges",
+    "llm_bpe_encode",
+    "llm_bigram_logprob",
+    "q108_shard_assignment",
+    "llm_dedup_index",
+    "q103_heavy_hitters",
 ]
 
 
