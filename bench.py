@@ -115,6 +115,7 @@ HEADLINE = [
     "q108_shard_assignment",
     "llm_dedup_index",
     "llm_dedup_canonical",
+    "llm_embedding_covariance",
 ]
 
 

@@ -310,3 +310,37 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_chars", "keep")
     )
+
+
+# ===========================================================================
+# llm_embedding_covariance — the PCA/whitening fit statistic: the upper
+# triangle of the embedding covariance, ONE aggregation pass (d(d+1)/2
+# covar_samp states, map-side combined — the bounded-summary posture; no
+# row ever reaches the driver). The eigen/projection steps live in
+# operators/pca.py behind numpy gates (tests/test_round8d.py) — the
+# covariance is the only corpus-sized computation and the one worth an
+# oracle. 16-dim block here; the operator takes any dim.
+# ===========================================================================
+
+_COV_DIM = 16
+
+
+def _cov_oracle() -> str:
+    cells = ",\n    ".join(
+        f"SELECT CAST({i} AS INT) AS i, CAST({j} AS INT) AS j,"
+        f" round(covar_samp(embedding[{i + 1}], embedding[{j + 1}]), 4)"
+        f" AS cov FROM embeddings"
+        for i in range(_COV_DIM)
+        for j in range(i, _COV_DIM)
+    ).replace(",\n    SELECT", "\n    UNION ALL\n    SELECT")
+    return cells
+
+
+@register("llm_embedding_covariance", _cov_oracle())
+def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance of the first 16 embedding dims (i <= j), rounded
+    to 4 dp on both engines (partial-agg order differs in the last ulp)."""
+    from crowdsorsa_etl_spark.operators.pca import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, _COV_DIM)
