@@ -344,3 +344,84 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_covariance(emb, _COV_DIM)
+
+
+# ===========================================================================
+# llm_quality_classifier — model-based quality filtering, the fastText/
+# logistic-regression shape of CCNet/GPT-3-style curation: a LINEAR scorer
+# over the engine's quality features with shipped literal weights. Inference
+# is pure narrow column expressions (broadcast-by-constant-folding — the
+# same posture as bpe_encode's merge table); the oracle recomputes every
+# feature AND the weighted sum in SQL from one shared weight table, so a
+# drift in either breaks the hash. The score is the LOGIT (monotone in the
+# probability; avoids cross-libm exp() in the parity contract).
+# ===========================================================================
+
+#: (feature, weight) — the single source of truth for BOTH engines
+_QC_WEIGHTS: list[tuple[str, float]] = [
+    ("intercept", -2.0),
+    ("alpha_ratio", 3.0),
+    ("digit_ratio", -4.0),
+    ("punct_ratio", 1.5),
+    ("upper_ratio", -2.0),
+    ("log_tokens", 0.35),
+    ("mean_token_len", 0.08),
+]
+
+
+def _qc_oracle() -> str:
+    nn = "CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END"
+    ntok = (
+        "CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 "
+        "THEN 0 ELSE len(regexp_split_to_array("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
+    )
+    alpha = "len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))"
+    feat_sql = {
+        "intercept": "1.0",
+        "alpha_ratio": f"{alpha} / {nn}",
+        "digit_ratio": f"len(regexp_replace(text, '[^0-9]', '', 'g')) / {nn}",
+        "punct_ratio": f"len(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / {nn}",
+        "upper_ratio": f"len(regexp_replace(text, '[^A-ZÄÖÅ]', '', 'g')) / {nn}",
+        "log_tokens": f"ln(({ntok}) + 1.0)",
+        "mean_token_len": (
+            f"CASE WHEN ({ntok}) = 0 THEN 0.0 "
+            f"ELSE {alpha} * 1.0 / ({ntok}) END"
+        ),
+    }
+    # left-to-right sum in _QC_WEIGHTS order — same association both engines
+    acc = " + ".join(f"({w}) * ({feat_sql[f]})" for f, w in _QC_WEIGHTS)
+    return f"""
+    SELECT doc_id, round({acc}, 6) AS logit,
+           (({acc}) >= 0.0) AS keep
+    FROM documents
+    """
+
+
+@register("llm_quality_classifier", _qc_oracle())
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over the shared feature pack: logit +
+    keep verdict per document, zero joins, zero Python."""
+    from crowdsorsa_etl_spark.functions.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    ntok = f["n_tokens"].cast("double")
+    feats = {
+        "intercept": F.lit(1.0),
+        "alpha_ratio": f["alpha_ratio"],
+        "digit_ratio": f["digit_ratio"],
+        "punct_ratio": f["punct_ratio"],
+        "upper_ratio": f["upper_ratio"],
+        "log_tokens": F.log(ntok + 1.0),
+        "mean_token_len": F.coalesce(f["mean_token_len"], F.lit(0.0)),
+    }
+    acc = None
+    for name, w in _QC_WEIGHTS:
+        term = F.lit(w) * feats[name]
+        acc = term if acc is None else acc + term
+    return docs.select(
+        "doc_id",
+        F.round(acc, 6).alias("logit"),
+        (acc >= 0.0).alias("keep"),
+    )

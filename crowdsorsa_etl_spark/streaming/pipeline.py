@@ -835,6 +835,10 @@ def start_shard_stream(
     (start_heavy_hitters_stream): epoch e reads the newest state < e, so a
     crashed-and-replayed epoch recomputes from the SAME carried total and
     overwrites the same paths — no double-advance of the shard counter.
+
+    State growth: one single-row file per epoch; only the NEWEST epoch < e
+    is ever read, so older ``state_dir/epoch=*`` dirs are garbage — safe to
+    delete on any cadence (keep the latest two for replay headroom).
     """
     import os
 

@@ -390,3 +390,53 @@ class TestPca:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestQualityClassifier:
+    def test_matches_python_reference(self, spark):
+        import math
+        import re
+
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.queries.round8d_pack import _QC_WEIGHTS
+
+        out = {
+            r.doc_id: (r.logit, r.keep)
+            for r in QUERIES["llm_quality_classifier"](spark, SF_DIR).collect()
+        }
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        for doc_id, text in zip(
+            tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            nn = max(len(text), 1)
+            stripped = re.sub(r"^\s+|\s+$", "", text)
+            ntok = 0 if not stripped else len(re.split(r"\s+", stripped))
+            alpha = len(re.sub(r"[^A-Za-zÀ-öø-ÿ]", "", text))
+            feats = {
+                "intercept": 1.0,
+                "alpha_ratio": alpha / nn,
+                "digit_ratio": len(re.sub(r"[^0-9]", "", text)) / nn,
+                "punct_ratio": len(re.sub(r"[^\.,;:!\?]", "", text)) / nn,
+                "upper_ratio": len(re.sub(r"[^A-ZÄÖÅ]", "", text)) / nn,
+                "log_tokens": math.log(ntok + 1.0),
+                "mean_token_len": (alpha / ntok) if ntok else 0.0,
+            }
+            logit = sum(w * feats[f] for f, w in _QC_WEIGHTS)
+            got_logit, got_keep = out[doc_id]
+            assert got_logit == pytest.approx(round(logit, 6), abs=2e-6)
+            assert got_keep == (logit >= 0.0)
+
+    def test_plan_is_narrow(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        plan = (
+            QUERIES["llm_quality_classifier"](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
