@@ -116,6 +116,7 @@ HEADLINE = [
     "llm_dedup_index",
     "llm_dedup_canonical",
     "llm_embedding_covariance",
+    "llm_quality_classifier",
 ]
 
 
