@@ -117,6 +117,9 @@ HEADLINE = [
     "llm_dedup_canonical",
     "llm_embedding_covariance",
     "llm_quality_classifier",
+    "q109_cumulative_distinct",
+    "q110_interval_merge",
+    "llm_image_phash_dups",
 ]
 
 

@@ -478,3 +478,124 @@ def audio_frame_features(
         "doc_id long, n_samples int, sample_rate int, n_frames int, "
         "energy_sum long, max_frame_energy long, zero_crossings long",
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+#: aHash geometry: 64 sample pixels packed as 8 bands of 8 bits
+_AHASH_PIXELS = 64
+_AHASH_BANDS = 8
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual average-hash over the REAL decode path: the first 64
+    row-major pixels of the first channel (zero-padded), each thresholded
+    against the 64-sample mean with INTEGER math (``v*64 >= sum`` — no
+    float, no rounding parity risk), packed as 8 big-endian 8-bit band
+    values. Output: (doc_id, bands array<long> of length 8).
+
+    Bands (not one 64-bit word) keep the cross-engine arithmetic unsigned-
+    safe and feed the hamming pigeonhole join directly: hamming(a, b) ≤ 7
+    over 64 bits forces at least one of 8 bands to be IDENTICAL.
+    """
+    import numpy as np
+
+    def ahash_one(payload):
+        if payload is None:
+            return None
+        try:
+            _, px = imagecodec.decode_image(bytes(payload))
+        except _DECODE_ERRORS:
+            return None
+        plane = px.reshape(px.shape[0], px.shape[1], -1)[:, :, 0]
+        flat = plane.reshape(-1).astype(np.int64)[:_AHASH_PIXELS]
+        if flat.shape[0] < _AHASH_PIXELS:
+            flat = np.pad(flat, (0, _AHASH_PIXELS - flat.shape[0]))
+        s = int(flat.sum())
+        bits = (flat * _AHASH_PIXELS >= s).astype(np.int64)
+        width = _AHASH_PIXELS // _AHASH_BANDS
+        return [
+            int(
+                sum(
+                    int(bits[b * width + j]) << (width - 1 - j)
+                    for j in range(width)
+                )
+            )
+            for b in range(_AHASH_BANDS)
+        ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "bands": pdf[payload_col].map(ahash_one),
+                }
+            )
+
+    return df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def image_ahash_dups(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate IMAGES: pairs (id_a < id_b, hamming <= max_hamming)
+    over the 64-bit aHash. Candidates come from the band-equality
+    pigeonhole (sound for max_hamming < n_bands: fewer than 8 differing
+    bits cannot touch all 8 bands); the exact hamming verify is integer
+    xor + bit_count — pure codegen after the decode stage, never
+    all-pairs. The image twin of simhash_hamming_candidates.
+    """
+    if not (0 <= max_hamming < _AHASH_BANDS):
+        raise ValueError(
+            f"pigeonhole needs 0 <= max_hamming < {_AHASH_BANDS}"
+        )
+    sig = image_ahash(
+        df, payload_col=payload_col, id_col=id_col
+    ).filter(F.col("bands").isNotNull()).localCheckpoint()
+    banded = sig.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode("bands").alias("band", "v"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ha = sig.select(F.col("doc_id").alias("id_a"), F.col("bands").alias("ba"))
+    hb = sig.select(F.col("doc_id").alias("id_b"), F.col("bands").alias("bb"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("ba"),
+            F.col("bb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -425,3 +425,216 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(acc, 6).alias("logit"),
         (acc >= 0.0).alias("keep"),
     )
+
+
+# ===========================================================================
+# q109_cumulative_distinct — running COUNT(DISTINCT) per key, the window
+# SQL can't express directly (no `count(distinct) OVER`): first-occurrence
+# flag via a (user, event_type) window, then a running sum. Both windows
+# are partitioned by user — no global funnel; this is the standard
+# "distinct items seen so far" engagement metric.
+# ===========================================================================
+
+
+@register(
+    "q109_cumulative_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q109_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: how many DISTINCT event types the user had produced as of
+    each event (ties broken by event_id — a unique ordering, the engine's
+    window-determinism contract)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("bigint")
+            .alias("distinct_types_so_far"),
+        )
+    )
+
+
+# ===========================================================================
+# q110_interval_merge — gaps-and-islands interval coalescing: merge each
+# user's overlapping/adjacent event intervals [ts, ts + value minutes]
+# into maximal spans. The classic two-window form: a new island starts
+# where the running max of prior ends leaves a gap; islands then aggregate.
+# Everything is partitioned by user — the 100 TB cost is one hash Exchange.
+# ===========================================================================
+
+
+@register(
+    "q110_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 60000000, 0) AS BIGINT) AS e,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+                    PARTITION BY user_id ORDER BY s, e) AS BIGINT)
+               AS island
+      FROM marked
+    )
+    SELECT user_id, island,
+           CAST(min(s) AS BIGINT) AS span_start_us,
+           CAST(max(e) AS BIGINT) AS span_end_us,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def q110_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals [ts, ts + value minutes] into
+    maximal spans (microsecond integer arithmetic on both engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    e = s + F.round(F.col("value") * 60000000, 0).cast("bigint")
+    iv = ev.select(
+        "user_id", s.alias("s"), e.alias("e"), "event_id"
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("bigint")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").cast("bigint").alias("span_start_us"),
+        F.max("e").cast("bigint").alias("span_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+
+
+# ===========================================================================
+# llm_image_phash_dups — perceptual near-dup IMAGE detection through the
+# real codec: render each doc into a genuine PNG (one gray pixel per UTF-8
+# byte — the llm_image_decode fixture), decode it back, aHash the first
+# 8×8 pixel block with integer-only math, and find pairs within hamming 7
+# via the 8-band pigeonhole. The DuckDB oracle never touches a PNG: it
+# re-derives the 64 sample bytes from hex(encode(text)), replays the
+# integer threshold/packing, and brute-forces ALL pairs — so a decode bug,
+# a threshold drift, a bit-order flip, or a pigeonhole recall miss (a
+# dropped qualifying pair) each break the hash.
+# ===========================================================================
+
+
+def _phash_oracle() -> str:
+    # v(i): byte i (1-based) of the first 64, absent -> 0
+    return """
+    WITH hx AS (
+      SELECT doc_id, substr(hex(encode(coalesce(text, ''))), 1, 128) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    bytes AS (
+      SELECT doc_id, i,
+             CASE WHEN length(h) >= 2*i THEN
+               (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1))
+                - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+               - 1
+             ELSE 0 END AS v
+      FROM hx, UNNEST(range(1, 65)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM bytes GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.i,
+             CASE WHEN b.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+      FROM bytes b JOIN tot t ON b.doc_id = t.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS INT) AS band,
+             CAST(sum(bit * (1 << (7 - CAST((i - 1) % 8 AS INT)))) AS BIGINT)
+               AS v
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id, list(v ORDER BY band) AS bands FROM bands GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.bands[1], b.bands[1]))
+              + bit_count(xor(a.bands[2], b.bands[2]))
+              + bit_count(xor(a.bands[3], b.bands[3]))
+              + bit_count(xor(a.bands[4], b.bands[4]))
+              + bit_count(xor(a.bands[5], b.bands[5]))
+              + bit_count(xor(a.bands[6], b.bands[6]))
+              + bit_count(xor(a.bands[7], b.bands[7]))
+              + bit_count(xor(a.bands[8], b.bands[8])) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.bands[1], b.bands[1]))
+        + bit_count(xor(a.bands[2], b.bands[2]))
+        + bit_count(xor(a.bands[3], b.bands[3]))
+        + bit_count(xor(a.bands[4], b.bands[4]))
+        + bit_count(xor(a.bands[5], b.bands[5]))
+        + bit_count(xor(a.bands[6], b.bands[6]))
+        + bit_count(xor(a.bands[7], b.bands[7]))
+        + bit_count(xor(a.bands[8], b.bands[8])) <= 7
+    """
+
+
+@register("llm_image_phash_dups", _phash_oracle())
+def llm_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by perceptual aHash within hamming 7, through
+    the real PNG encode/decode round-trip; pigeonhole candidates, integer
+    xor/bit_count verify."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_png_payload,
+        image_ahash_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_ahash_dups(attach_png_payload(docs), max_hamming=7)

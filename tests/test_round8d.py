@@ -440,3 +440,65 @@ class TestQualityClassifier:
             .toString()
         )
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestImagePhash:
+    def _payloads(self, spark, texts):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_png_payload,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        return attach_png_payload(df)
+
+    def test_identical_images_hamming_zero(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import image_ahash_dups
+
+        png = self._payloads(spark, ["hello world", "hello world", "zzz"])
+        rows = image_ahash_dups(png, max_hamming=7).collect()
+        assert any(
+            r.id_a == 0 and r.id_b == 1 and r.hamming == 0 for r in rows
+        )
+
+    def test_pigeonhole_matches_bruteforce(self, spark):
+        import itertools
+
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            image_ahash,
+            image_ahash_dups,
+        )
+
+        texts = [f"sample text number {i} with shared prefix" for i in range(12)]
+        png = self._payloads(spark, texts)
+        sig = {
+            r.doc_id: r.bands for r in image_ahash(png).collect()
+        }
+        expect = set()
+        for a, b in itertools.combinations(sorted(sig), 2):
+            h = sum(
+                bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b])
+            )
+            if h <= 7:
+                expect.add((a, b, h))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in image_ahash_dups(png, max_hamming=7).collect()
+        }
+        assert got == expect
+
+    def test_bands_are_bytes(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import image_ahash
+
+        png = self._payloads(spark, ["abc def ghi", ""])
+        for r in image_ahash(png).collect():
+            assert len(r.bands) == 8
+            assert all(0 <= v <= 255 for v in r.bands)
+
+    def test_radius_guard(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import image_ahash_dups
+
+        png = self._payloads(spark, ["x"])
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_ahash_dups(png, max_hamming=8)
