@@ -142,6 +142,10 @@ def with_global_cumsum(
     partition id — every partition's window state stays local; the driver
     only ever sees one number per partition, exactly like AQE statistics.
     ``order_cols`` must be a deterministic unique ordering.
+
+    NULL weights count as 0 (both in the per-partition offsets and the
+    in-partition running sum) — the SQL ``sum(coalesce(w, 0)) OVER ...``
+    contract.
     """
     from pyspark.sql import Window
 
@@ -157,10 +161,11 @@ def with_global_cumsum(
     )
     pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
 
+    w_expr = F.coalesce(F.col(weight_col), F.lit(0))
     sums = sorted(
         (r["_pid"], r["_w"])
         for r in part.groupBy(pid.alias("_pid"))
-        .agg(F.sum(weight_col).cast("bigint").alias("_w"))
+        .agg(F.coalesce(F.sum(w_expr), F.lit(0)).cast("bigint").alias("_w"))
         .collect()
     )
     offsets, running = [], 0
@@ -169,7 +174,7 @@ def with_global_cumsum(
         running += w
 
     off_df = spark.createDataFrame(offsets, "_pid bigint, _off bigint")
-    local_cum = F.sum(weight_col).over(
+    local_cum = F.sum(w_expr).over(
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

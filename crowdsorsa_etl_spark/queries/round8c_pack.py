@@ -70,11 +70,15 @@ from crowdsorsa_etl_spark.operators.bpe import bpe_merges_sql as _bpe_sql
 
 @register("llm_bpe_merges", _bpe_sql(n_merges=8))
 def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 BPE merges learned over the documents corpus."""
+    """First 8 BPE merges learned over the documents corpus.
+
+    Pinned to strategy="distributed" so the per-merge Spark-job loop keeps
+    its own oracle gate; the production driver-loop strategy is gated by
+    llm_bpe_merges_256 (round9_pack)."""
     from crowdsorsa_etl_spark.operators.bpe import bpe_learn_merges
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_learn_merges(docs, n_merges=8)
+    return bpe_learn_merges(docs, n_merges=8, strategy="distributed")
 
 
 # ===========================================================================

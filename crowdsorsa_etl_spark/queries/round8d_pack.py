@@ -231,15 +231,29 @@ def llm_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _sf_cache_dir(sf_dir, "lshidx_v1_h16b8s3", "documents")
     marker = os.path.join(path, "_built")
     if not os.path.exists(marker):
+        # Build into a process-unique staging dir, then atomically rename
+        # into place: two concurrent builders sharing the cache path must
+        # not both run lsh_append_index against it (duplicated banded rows
+        # would inflate n_bands_matched). The loser's rename fails on the
+        # existing dir and its staging copy is discarded.
+        import shutil
+
+        stage = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         # half the corpus at write time, half appended — the registered
         # result therefore gates incremental maintenance, not just build
         lsh_write_index(
-            corpus.filter(F.col("doc_id") % 2 == 0), path, portable=True
+            corpus.filter(F.col("doc_id") % 2 == 0), stage, portable=True
         )
         lsh_append_index(
-            corpus.filter(F.col("doc_id") % 2 == 1), path, portable=True
+            corpus.filter(F.col("doc_id") % 2 == 1), stage, portable=True
         )
-        open(marker, "w").close()
+        open(os.path.join(stage, "_built"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            # a concurrent builder won the race; use its index
+            shutil.rmtree(stage, ignore_errors=True)
 
     cand = lsh_match_index(spark, path, probe, portable=True)
     return jaccard_verify_pairs(cand, docs, threshold=0.3).select(
@@ -503,7 +517,7 @@ def q109_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
-      SELECT user_id, s, e,
+      SELECT user_id, s, e, event_id,
              CASE WHEN max(e) OVER (
                     PARTITION BY user_id ORDER BY s, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -514,8 +528,9 @@ def q109_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
       SELECT user_id, s, e,
              CAST(sum(new_island) OVER (
-                    PARTITION BY user_id ORDER BY s, e) AS BIGINT)
-               AS island
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
       FROM marked
     )
     SELECT user_id, island,
@@ -545,9 +560,12 @@ def q110_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_island",
         F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
     )
+    # Unique ordering key (s, event_id) on BOTH engines: a ROWS frame over a
+    # non-unique order is peer-order-nondeterministic and diverges from
+    # DuckDB's default RANGE frame on ties (round-8 advice).
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = marked.withColumn(

@@ -1,0 +1,39 @@
+"""Round 9: production-scale BPE merge learning (driver loop), exact
+substring dedup (Lee et al. 2022 tier), IVF-PQ incremental append, and the
+distributed-fit quality classifier.
+
+Registration ORDER is load-bearing (the driver's correctness window samples
+the first 50 registrations); this module is imported LAST by
+queries/__init__.py, so its entries append after the round-8d tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.queries._shared import _t, register
+
+
+# ===========================================================================
+# llm_bpe_merges_256 — BPE learning at a production-ish merge count: the
+# merge LOOP runs on the driver over the collected (word, count) dictionary
+# (vocabulary-sized by construction) with incremental pair-count updates —
+# ONE Spark job total instead of one job per merge. The oracle unrolls all
+# 256 stages in DuckDB (balanced-union output so the plan tree stays under
+# DuckDB's depth guard); sf0.01's vocabulary exhausts before 256 merges, so
+# the early-break / no-op-stage guards on BOTH engines are exercised for
+# real, not just in unit fixtures.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.bpe import bpe_merges_sql as _bpe_sql
+
+
+@register("llm_bpe_merges_256", _bpe_sql(n_merges=256))
+def llm_bpe_merges_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 256 BPE merges via the driver-loop strategy (the 32k-vocab
+    production shape: no per-merge cluster round-trip)."""
+    from crowdsorsa_etl_spark.operators.bpe import bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, n_merges=256, strategy="driver")

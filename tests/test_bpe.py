@@ -112,6 +112,60 @@ class TestBpeLearnMerges:
         with pytest.raises(ValueError):
             bpe_learn_merges(df, n_merges=0)
 
+    def test_rejects_bad_strategy(self, spark):
+        df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            bpe_learn_merges(df, n_merges=1, strategy="gpu")
+
+
+class TestDriverStrategyParity:
+    """The driver-loop strategy (production merge counts) must be
+    bit-identical to the distributed per-merge-job loop."""
+
+    def test_distributed_vs_driver_on_fixture(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        dist = bpe_learn_merges(docs, n_merges=6, strategy="distributed")
+        drv = bpe_learn_merges(docs, n_merges=6, strategy="driver")
+        assert (
+            [tuple(r) for r in dist.orderBy("merge_rank").collect()]
+            == [tuple(r) for r in drv.orderBy("merge_rank").collect()]
+        )
+
+    def test_driver_loop_exhaustion_and_reference_parity(self, spark):
+        # more merges than the corpus supports: the driver loop must break
+        # early at exactly the reference trainer's stopping point
+        texts = ["ababa cc", "ababa cc dd"]
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        rows = (
+            bpe_learn_merges(df, n_merges=256, strategy="driver")
+            .orderBy("merge_rank")
+            .collect()
+        )
+        assert [(r.pair, r.total) for r in rows] == _reference_bpe(texts, 256)
+
+    def test_auto_picks_driver_under_threshold(self, spark):
+        df = spark.createDataFrame([(0, "aa ab aa")], ["doc_id", "text"])
+        # auto with a generous threshold = driver result
+        got = bpe_learn_merges(df, n_merges=2, strategy="auto")
+        drv = bpe_learn_merges(df, n_merges=2, strategy="driver")
+        assert (
+            [tuple(r) for r in got.orderBy("merge_rank").collect()]
+            == [tuple(r) for r in drv.orderBy("merge_rank").collect()]
+        )
+
+    def test_auto_falls_back_to_distributed(self, spark):
+        df = spark.createDataFrame(
+            [(0, "low lower low"), (1, "new newer new")], ["doc_id", "text"]
+        )
+        got = bpe_learn_merges(
+            df, n_merges=3, strategy="auto", max_driver_words=1
+        )
+        dist = bpe_learn_merges(df, n_merges=3, strategy="distributed")
+        assert (
+            [tuple(r) for r in got.orderBy("merge_rank").collect()]
+            == [tuple(r) for r in dist.orderBy("merge_rank").collect()]
+        )
+
 
 def _spark_merges_df(spark, df, n):
     rows = bpe_learn_merges(df, n_merges=n).orderBy("merge_rank").collect()
