@@ -139,14 +139,21 @@ def heavy_hitters(
     total = sum(r["est"] for r in rows if r["token"] is None)
     candidate_set = sorted({r["token"] for r in rows if r["token"] is not None})
     threshold = max(int(math.ceil(min_share * total)), 1)
+    spark = df.sparkSession
     if not candidate_set:
-        spark = df.sparkSession
         return spark.createDataFrame([], "token string, cnt long")
-    # pass 2: exact confirm restricted to the bounded candidate set —
-    # the isin literal keeps the corpus scan shuffle-free; the count
-    # shuffle moves ≤ capacity × partitions distinct keys
+    # pass 2: exact confirm restricted to the bounded candidate set via a
+    # BROADCAST LEFT-SEMI join — shuffle-free on the corpus side like an
+    # isin literal, but without a capacity×partitions-element In-expression
+    # in the plan (at 64 × 2000 partitions that literal is a 128k-node
+    # expression tree; the broadcast relation costs the same bytes once and
+    # keeps the plan small). The count shuffle then moves ≤ capacity ×
+    # partitions distinct keys.
+    cand_df = spark.createDataFrame(
+        [(t,) for t in candidate_set], "token string"
+    )
     return (
-        toks.filter(F.col("token").isin(candidate_set))
+        toks.join(F.broadcast(cand_df), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))

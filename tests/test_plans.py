@@ -415,13 +415,19 @@ class TestRound8bPlans:
         assert "EvalPython" not in plan
 
     def test_heavy_hitters_confirm_pass_shape(self, spark):
-        """Pass 2 of MG heavy hitters: candidate filter pushes into the
-        scan side as an isin, aggregation partials map-side; no join at
-        all (the candidate set is a literal)."""
-        plan = plan_of(QUERIES["q103_heavy_hitters"](spark, SF_DIR))
-        assert "Join" not in plan
-        assert "partial_count" in plan
+        """Pass 2 of MG heavy hitters: the bounded candidate set confirms
+        via a BROADCAST left-semi join (shuffle-free on the corpus side,
+        no capacity×partitions-element In-expression in the plan);
+        aggregation partials map-side."""
+        plan = plan_of(QUERIES["q103_heavy_hitters"](spark, SF_DIR), "simple")
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        # exactly one data shuffle (the count agg); candidates go broadcast
+        assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+        assert " In(" not in plan and "token IN" not in plan
         assert "MapInPandas" not in plan  # pass 1 already collected
+        assert "partial_count" in plan_of(
+            QUERIES["q103_heavy_hitters"](spark, SF_DIR)
+        )
 
     def test_audio_features_narrow(self, spark):
         """Audio encode+decode are two chained Arrow stages over the
