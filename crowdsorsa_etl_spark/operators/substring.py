@@ -1,0 +1,252 @@
+"""Exact substring deduplication — the Lee et al. (2022) tier.
+
+"Deduplicating Training Data Makes Language Models Better" (ACL'22) removes
+every substring of >= N tokens that occurs more than once across the corpus
+(their EXACTSUBSTR, built single-node on a suffix array). The distributed
+re-expression used here is the k-shingle-run formulation:
+
+1. **Shingle index** — every k-token window of every document, keyed by a
+   128-bit content hash (md5 of the space-joined window; both engines
+   replay the same hash, so the oracle is exact cross-engine). One corpus
+   scan, fully column-side (``transform`` over ``sequence`` — no Python).
+2. **Duplicated windows** — a window position is flagged iff its shingle
+   occurs >= 2 times corpus-wide. One hash exchange on the shingle key
+   (a count window over ``partitionBy(shingle)``), the only data-sized
+   shuffle in the operator.
+3. **Maximal runs** — flagged start positions coalesce per document into
+   maximal token spans (gaps-and-islands over the per-doc position order:
+   starts p and p' overlap-or-touch iff p' - p <= k, because both cover k
+   tokens). Per-doc windows only — no global funnel.
+
+Every span this emits has >= k duplicated tokens, and any substring that
+literally occurs twice (length >= k) is fully covered by emitted spans —
+the k-shingle formulation is a guaranteed superset of EXACTSUBSTR's
+removal set (every k-window of a repeated substring repeats too), which is
+the conservative direction for training-data hygiene. A suffix array is a
+single-machine data structure; the shingle-run form is how the same
+contract distributes (cf. the BigQuery/Spark reimplementations of C4's
+three-sentence span dedup).
+
+Scale: the shingle index is corpus-token-sized (one row per token, ~k
+bytes hashed per row) — the same order as the BM25 postings build or the
+MinHash shingle stage, both proven at the 100x spot-bench. Boilerplate
+shingles skew the count exchange; AQE's skew handling plus the 128-bit
+key's uniformity bound the hot partitions.
+
+Reference parity note: the crowdsorsa reference (R scripts) has no
+substring dedup — this is a north-star LLM-pipeline operator
+(SURVEY.md "beyond the reference" tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
+
+__all__ = [
+    "duplicated_substring_spans",
+    "remove_duplicated_substrings",
+    "substring_spans_sql",
+    "substring_clean_sql",
+]
+
+
+def _token_array(text_col: str) -> Column:
+    return F.split(_norm(F.coalesce(F.col(text_col), F.lit(""))), " ")
+
+
+def _shingle_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, sh): 0-based start position and md5 of each k-token window.
+
+    ``sequence`` is guarded for docs shorter than k tokens (Spark's
+    sequence(1, stop) DESCENDS when stop < 1 instead of returning empty).
+    """
+    arr = _token_array(text_col)
+    n = F.size(arr)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(shingles).alias("pos", "sh")
+    ).withColumn("pos", F.col("pos").cast("int"))
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    *,
+    min_run: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans of >= ``min_run`` tokens per document.
+
+    Output: (id_col, span_start int, span_end int, n_tokens int) — 0-based
+    inclusive token positions; ``n_tokens = span_end - span_start + 1``.
+    A span means: every ``min_run``-token window inside it occurs at least
+    twice somewhere in the corpus (including elsewhere in the same doc).
+    """
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    k = min_run
+    sh = _shingle_positions(df, id_col, text_col, k)
+
+    # one exchange on the 128-bit shingle key; flagged = corpus-wide count>=2
+    w_sh = Window.partitionBy("sh")
+    flagged = (
+        sh.withColumn("_c", F.count(F.lit(1)).over(w_sh))
+        .filter(F.col("_c") >= 2)
+        .select(id_col, "pos")
+    )
+
+    # gaps-and-islands per doc: start positions <= k apart cover
+    # overlapping-or-touching k-token windows (unique order key: pos)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = flagged.withColumn(
+        "_ni",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= k, 0).otherwise(1),
+    )
+    islands = marked.withColumn("_isl", F.sum("_ni").over(w_run))
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("int").alias("n_tokens"),
+    ).drop("_isl")
+
+
+def remove_duplicated_substrings(
+    df: DataFrame,
+    *,
+    min_run: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every token covered by a duplicated >= ``min_run``-token run
+    (the EXACTSUBSTR removal step) and return per-doc clean stats.
+
+    Output: (id_col, n_kept bigint, clean_md5 string) — md5 of the
+    space-joined surviving tokens in original order ('' when everything
+    was removed), so any off-by-one in span coverage breaks the hash.
+    Documents whose normalized text is empty are dropped (both engines).
+
+    Spans are collected per doc (bounded: spans per doc <= tokens/min_run)
+    and the removal itself is column-side: one broadcast-eligible shuffle
+    join of docs against their span lists, then a pure ``filter`` lambda
+    over the token array — no Python, no second corpus shuffle.
+    """
+    spans = duplicated_substring_spans(
+        df, min_run=min_run, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    arr = _token_array(text_col)
+    toks = df.select(F.col(id_col), arr.alias("_arr")).filter(
+        F.size(F.col("_arr")) > F.lit(0)
+    )
+    # split('') yields [''] — the empty doc; drop it like the oracle does
+    toks = toks.filter(~((F.size("_arr") == 1) & (F.element_at("_arr", 1) == "")))
+    joined = toks.join(per_doc, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ),
+    )
+    idx = F.transform(
+        F.sequence(F.lit(0), F.size("_arr") - 1),
+        lambda i: F.struct(
+            i.alias("i"), F.element_at(F.col("_arr"), i + 1).alias("w")
+        ),
+    )
+    kept = F.filter(
+        idx,
+        lambda x: ~F.exists(
+            F.col("_spans"),
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] <= s["span_end"]),
+        ),
+    )
+    clean = F.concat_ws(" ", F.transform(kept, lambda x: x["w"]))
+    return joined.select(
+        id_col,
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles — the identical definition replayed in SQL (same
+# normalization, same md5 shingle key, same island rule), brute-force where
+# the Spark side is engineered (plain IN-subquery instead of the count
+# window, EXISTS coverage instead of coalesced spans for the clean side).
+# --------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))"
+
+
+def _shingle_cte(k: int) -> str:
+    return f"""toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS arr FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(array_to_string(arr[CAST(i AS INT):CAST(i + {k} - 1 AS INT)], ' ')) AS s
+      FROM toks, UNNEST(range(1, len(arr) - {k} + 2)) AS t(i)
+    ),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+    fl AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup))"""
+
+
+def substring_spans_sql(k: int = 8) -> str:
+    return f"""
+    WITH {_shingle_cte(k)},
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= {k} THEN 0 ELSE 1 END AS ni
+      FROM fl
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isld
+      FROM mk
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {k} - 1 AS INT) AS span_end,
+           CAST(max(pos) - min(pos) + {k} AS INT) AS n_tokens
+    FROM isl GROUP BY doc_id, isld
+    """
+
+
+def substring_clean_sql(k: int = 8) -> str:
+    return f"""
+    WITH {_shingle_cte(k)},
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS t, arr[CAST(i AS INT)] AS w
+      FROM toks, UNNEST(range(1, len(arr) + 1)) AS t(i)
+      WHERE NOT (len(arr) = 1 AND arr[1] = '')
+    ),
+    kept AS (
+      SELECT doc_id, t, w FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM fl
+        WHERE fl.doc_id = tok.doc_id
+          AND tok.t BETWEEN fl.pos AND fl.pos + {k} - 1
+      )
+    )
+    SELECT tok.doc_id,
+           CAST(coalesce(count(kept.t), 0) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(kept.w, ' ' ORDER BY kept.t), '')) AS clean_md5
+    FROM (SELECT DISTINCT doc_id FROM tok) tok
+    LEFT JOIN kept ON kept.doc_id = tok.doc_id
+    GROUP BY tok.doc_id
+    """

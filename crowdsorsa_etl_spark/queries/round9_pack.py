@@ -37,3 +37,41 @@ def llm_bpe_merges_256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, n_merges=256, strategy="driver")
+
+
+# ===========================================================================
+# llm_substring_dedup — exact substring dedup (Lee et al. ACL'22
+# EXACTSUBSTR, distributed as k-shingle runs): every maximal token span of
+# >= 8 tokens whose every 8-token window repeats corpus-wide. The oracle
+# brute-forces the identical definition (IN-subquery flagging, same md5
+# shingle key, same island rule) — a missed window, an off-by-one in span
+# extension, or an island-merge bug breaks the hash.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.substring import (
+    substring_clean_sql as _sub_clean_sql,
+    substring_spans_sql as _sub_spans_sql,
+)
+
+
+@register("llm_substring_dedup", _sub_spans_sql(k=8))
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substring runs (>= 8 tokens) per document."""
+    from crowdsorsa_etl_spark.operators.substring import (
+        duplicated_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, min_run=8)
+
+
+@register("llm_substring_dedup_clean", _sub_clean_sql(k=8))
+def llm_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step: drop every token covered by a duplicated run and
+    hash the surviving token stream (md5 gates exact coverage)."""
+    from crowdsorsa_etl_spark.operators.substring import (
+        remove_duplicated_substrings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_substrings(docs, min_run=8)

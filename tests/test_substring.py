@@ -1,0 +1,124 @@
+"""Exact substring dedup gates (Lee et al. EXACTSUBSTR tier): planted
+duplicates are found with exact span boundaries, unique text is untouched,
+within-doc repetition counts, and the removal step keeps precisely the
+uncovered tokens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.substring import (
+    duplicated_substring_spans,
+    remove_duplicated_substrings,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def _spans(spark, texts, k):
+    df = duplicated_substring_spans(_docs(spark, texts), min_run=k)
+    return sorted(tuple(r) for r in df.collect())
+
+
+W = "w{} "  # unique filler words
+
+
+def _uniq(start, n):
+    """n globally-unique tokens."""
+    return " ".join(f"u{start + i}" for i in range(n))
+
+
+class TestDuplicatedSubstringSpans:
+    def test_planted_cross_doc_duplicate(self, spark):
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+        texts = [
+            _uniq(0, 5) + " " + dup + " " + _uniq(100, 4),  # dup at pos 5..14
+            _uniq(200, 3) + " " + dup + " " + _uniq(300, 6),  # dup at pos 3..12
+        ]
+        got = _spans(spark, texts, 8)
+        assert got == [(0, 5, 14, 10), (1, 3, 12, 10)]
+
+    def test_unique_corpus_has_no_spans(self, spark):
+        texts = [_uniq(0, 30), _uniq(1000, 30)]
+        assert _spans(spark, texts, 8) == []
+
+    def test_within_doc_repetition_counts(self, spark):
+        phrase = "p1 p2 p3 p4 p5 p6 p7 p8"  # exactly k=8 tokens
+        texts = [phrase + " " + _uniq(0, 10) + " " + phrase]
+        got = _spans(spark, texts, 8)
+        # both occurrences flagged: pos 0..7 and pos 18..25
+        assert got == [(0, 0, 7, 8), (0, 18, 25, 8)]
+
+    def test_overlapping_windows_coalesce_to_one_span(self, spark):
+        dup = " ".join(f"d{i}" for i in range(20))  # 20-token duplicate
+        texts = [dup + " " + _uniq(0, 5), _uniq(100, 5) + " " + dup]
+        got = _spans(spark, texts, 8)
+        # one maximal span per doc, not 13 window-sized ones
+        assert got == [(0, 0, 19, 20), (1, 5, 24, 20)]
+
+    def test_shorter_than_min_run_not_flagged(self, spark):
+        dup7 = "s1 s2 s3 s4 s5 s6 s7"  # 7 tokens < min_run=8
+        texts = [dup7 + " " + _uniq(0, 10), dup7 + " " + _uniq(100, 10)]
+        assert _spans(spark, texts, 8) == []
+
+    def test_docs_shorter_than_k_are_ignored(self, spark):
+        texts = ["tiny doc here", "tiny doc here", ""]
+        assert _spans(spark, texts, 8) == []
+        # ... but count as duplicates at a smaller k
+        got = _spans(spark, texts, 2)
+        assert got == [(0, 0, 2, 3), (1, 0, 2, 3)]
+
+    def test_normalization_applies(self, spark):
+        dup = "A  B C D E F G H"  # normalizes to 'a b c d e f g h'
+        texts = [dup + " " + _uniq(0, 4), "a b c d e f g h " + _uniq(100, 4)]
+        got = _spans(spark, texts, 8)
+        assert got == [(0, 0, 7, 8), (1, 0, 7, 8)]
+
+    def test_rejects_bad_min_run(self, spark):
+        with pytest.raises(ValueError):
+            duplicated_substring_spans(_docs(spark, ["a b"]), min_run=1)
+
+
+class TestRemoveDuplicatedSubstrings:
+    def test_removal_keeps_exactly_uncovered_tokens(self, spark):
+        dup = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+        keep0, keep1 = _uniq(0, 6), _uniq(100, 6)
+        texts = [keep0 + " " + dup, dup + " " + keep1]
+        out = {
+            r["doc_id"]: (r["n_kept"], r["clean_md5"])
+            for r in remove_duplicated_substrings(
+                _docs(spark, texts), min_run=8
+            ).collect()
+        }
+        import hashlib
+
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        assert out[0] == (6, md5(keep0))
+        assert out[1] == (6, md5(keep1))
+
+    def test_doc_fully_removed_hashes_empty(self, spark):
+        dup = " ".join(f"x{i}" for i in range(12))
+        out = {
+            r["doc_id"]: (r["n_kept"], r["clean_md5"])
+            for r in remove_duplicated_substrings(
+                _docs(spark, [dup, dup]), min_run=8
+            ).collect()
+        }
+        import hashlib
+
+        empty = hashlib.md5(b"").hexdigest()
+        assert out == {0: (0, empty), 1: (0, empty)}
+
+    def test_untouched_docs_pass_through(self, spark):
+        texts = [_uniq(0, 12), _uniq(100, 12)]
+        out = remove_duplicated_substrings(_docs(spark, texts), min_run=8)
+        rows = {r["doc_id"]: r["n_kept"] for r in out.collect()}
+        assert rows == {0: 12, 1: 12}
+
+    def test_plan_stays_jvm_side(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = duplicated_substring_spans(docs, min_run=8)._jdf.queryExecution().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
