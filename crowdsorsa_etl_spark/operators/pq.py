@@ -349,6 +349,101 @@ def ivfpq_write_index(
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
 
 
+def _load_index_artifacts(spark, path: str):
+    """(centroids ndarray, books ndarray, by_residual) from a persisted
+    IVF-PQ index — the frozen training artifacts every post-build
+    operation (search, append) shares."""
+    cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        centroids[r.list_id] = r.centroid
+    book_rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
+    m = 1 + max(r.mi for r in book_rows)
+    k_codes = 1 + max(r.code for r in book_rows)
+    sub = len(book_rows[0].cv)
+    books = np.zeros((m, k_codes, sub))
+    for r in book_rows:
+        books[r.mi][r.code] = r.cv
+    try:  # pre-_meta indexes (round-8 flat layout) default to flat
+        meta = spark.read.parquet(path.rstrip("/") + "/_meta").collect()
+        by_residual = bool(meta[0].by_residual) if meta else False
+    except Exception:  # noqa: BLE001 — missing _meta dir only
+        by_residual = False
+    return centroids, books, by_residual
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch into an existing IVF-PQ index — the
+    index-maintenance tier matching dedup.lsh_append_index and
+    bm25.bm25_append_index.
+
+    Centroids and codebooks are FROZEN (read from the index, never
+    retrained): assignment and encoding are deterministic per-vector given
+    the artifacts, so append-then-search is IDENTICAL to a full rebuild
+    whose training sample lies inside the base corpus — the property the
+    llm_ivfpq_incremental oracle proves cross-engine. Cost is
+    batch-sized: one assign + encode pass over the new vectors and a pure
+    file append into the affected ``list_id=`` partitions; existing rows
+    are never read, rewritten, or shuffled. Per-partition search pruning
+    (PartitionFilters) is unchanged — appended files land inside the same
+    directory layout.
+
+    When the corpus distribution drifts from the frozen centroids, append
+    quality degrades — watch ``ivfpq_index_stats`` (falling within-list
+    centroid cosine, skewing list sizes) as the retrain trigger.
+    """
+    from crowdsorsa_etl_spark.operators.similarity import ivf_assign
+
+    spark = new_vectors.sparkSession
+    centroids, books, by_residual = _load_index_artifacts(spark, path)
+    assigned = ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(
+        new_vectors,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids if by_residual else None,
+    ).withColumnRenamed("id", id_col)
+    (
+        assigned.join(enc, id_col)
+        .select(id_col, "codes", vec_col, "list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_index_stats(spark, path: str) -> DataFrame:
+    """Per-list health stats of a persisted IVF-PQ index — the retrain
+    trigger for the append path: (list_id, n_vectors, mean_centroid_cos).
+    A drifting corpus shows up as skewed list sizes and falling mean
+    cosine of vectors to their own list centroid; compare against the
+    numbers recorded at build time to decide when frozen artifacts have
+    aged out. One pruned-column scan + a broadcast join — no Python."""
+    cent = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    index = spark.read.parquet(path).select("list_id", "embedding")
+    joined = index.join(F.broadcast(cent), "list_id")
+    cos = F.round(
+        dot(F.col("embedding"), F.col("centroid"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("centroid"))),
+        6,
+    )
+    return (
+        joined.withColumn("_cos", cos)
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("_cos"), 6).alias("mean_centroid_cos"),
+        )
+    )
+
+
 def ivfpq_query_index(
     spark,
     path: str,
@@ -389,22 +484,8 @@ def ivfpq_query_index(
             for mi in range(m)
         ]
 
-    cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
-    centroids = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
-    for r in cent_rows:
-        centroids[r.list_id] = r.centroid
-    book_rows = spark.read.parquet(path.rstrip("/") + "/_codebooks").collect()
-    m = 1 + max(r.mi for r in book_rows)
-    k_codes = 1 + max(r.code for r in book_rows)
-    sub = len(book_rows[0].cv)
-    books = np.zeros((m, k_codes, sub))
-    for r in book_rows:
-        books[r.mi][r.code] = r.cv
-    try:  # pre-_meta indexes (round-8 flat layout) default to flat
-        meta = spark.read.parquet(path.rstrip("/") + "/_meta").collect()
-        by_residual = bool(meta[0].by_residual) if meta else False
-    except Exception:  # noqa: BLE001 — missing _meta dir only
-        by_residual = False
+    centroids, books, by_residual = _load_index_artifacts(spark, path)
+    m, k_codes, sub = books.shape
 
     q_rows = _collect_bounded(
         queries.select(id_col, vec_col), max_queries, "query set"

@@ -75,3 +75,58 @@ def llm_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicated_substrings(docs, min_run=8)
+
+
+# ===========================================================================
+# llm_ivfpq_incremental — IVF-PQ index maintenance: build the index from a
+# base corpus, APPEND a batch with FROZEN centroids/codebooks (pure file
+# append into the list partitions — batch-sized cost, existing rows never
+# touched), then search. The oracle replays the FULL-corpus IVF-PQ build
+# symbolically (training sample = first 256 ids, which the base contains
+# by construction), so the hash match proves append-then-search ≡ full
+# rebuild cross-engine — the same merged≡rebuilt gate as
+# llm_bm25_incremental and llm_dedup_index.
+# ===========================================================================
+
+from crowdsorsa_etl_spark import lsh_oracles as _lo
+
+
+@register(
+    "llm_ivfpq_incremental",
+    _lo.ivfpq_topk_sql(
+        dim=64, k=5, n_lists=16, n_probe=8, m=8, k_codes=64,
+        candidate_margin=32, sample_size=256,
+        ivf_iterations=5, pq_iterations=4, query_pred="id < 10",
+    ),
+)
+def llm_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search through an index built base-then-append: the batch's
+    codes are assigned/encoded with the stored artifacts and appended into
+    the existing ``list_id=`` partitions."""
+    import shutil
+    import tempfile
+
+    from crowdsorsa_etl_spark.operators.pq import (
+        ivfpq_append_index,
+        ivfpq_query_index,
+        ivfpq_write_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # base keeps every id < 256 — the deterministic training sample — so
+    # frozen-artifact append is provably identical to the full rebuild
+    base = emb.filter((F.col("vec_id") < 256) | (F.col("vec_id") % 10 != 0))
+    batch = emb.filter((F.col("vec_id") >= 256) & (F.col("vec_id") % 10 == 0))
+    path = tempfile.mkdtemp(prefix="ivfpqidx_")
+    try:
+        ivfpq_write_index(
+            base, path,
+            n_lists=16, m=8, k_codes=64, sample_size=256, pq_iterations=4,
+        )
+        ivfpq_append_index(batch, path)
+        return ivfpq_query_index(
+            spark, path, emb.filter(F.col("vec_id") < 10),
+            k=5, n_probe=8, candidate_margin=32,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

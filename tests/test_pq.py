@@ -201,3 +201,89 @@ class TestIVFPQResidual:
             )
             got = spark.read.parquet(f"{path}/_meta").collect()[0].by_residual
             assert got is flag
+
+
+class TestIVFPQIncremental:
+    """Frozen-artifact append: batch append-then-search must be IDENTICAL
+    to a full rebuild whose training sample lies inside the base corpus."""
+
+    def _split(self, spark):
+        emb = load_table(spark, "embeddings", SF_DIR)
+        base = emb.filter((F.col("vec_id") < 32) | (F.col("vec_id") % 5 != 0))
+        batch = emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") % 5 == 0))
+        return emb, base, batch
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.pq import (
+            ivfpq_append_index,
+            ivfpq_query_index,
+            ivfpq_write_index,
+        )
+
+        emb, base, batch = self._split(spark)
+        kw = dict(n_lists=8, m=8, k_codes=16, sample_size=32)
+        inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+        ivfpq_write_index(base, inc, **kw)
+        ivfpq_append_index(batch, inc)
+        ivfpq_write_index(emb, full, **kw)
+        q = emb.filter(F.col("vec_id") < 5)
+        got = ivfpq_query_index(spark, inc, q, k=5, n_probe=4).collect()
+        want = ivfpq_query_index(spark, full, q, k=5, n_probe=4).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert len(got) > 0
+
+    def test_append_equals_rebuild_residual(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.pq import (
+            ivfpq_append_index,
+            ivfpq_query_index,
+            ivfpq_write_index,
+        )
+
+        emb, base, batch = self._split(spark)
+        kw = dict(n_lists=8, m=8, k_codes=16, sample_size=32, by_residual=True)
+        inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+        ivfpq_write_index(base, inc, **kw)
+        ivfpq_append_index(batch, inc)  # must pick residual mode from _meta
+        ivfpq_write_index(emb, full, **kw)
+        q = emb.filter(F.col("vec_id") < 5)
+        got = ivfpq_query_index(spark, inc, q, k=5, n_probe=4).collect()
+        want = ivfpq_query_index(spark, full, q, k=5, n_probe=4).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_partition_pruning_survives_append(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.pq import (
+            ivfpq_append_index,
+            ivfpq_query_index,
+            ivfpq_write_index,
+        )
+
+        emb, base, batch = self._split(spark)
+        path = str(tmp_path / "inc")
+        ivfpq_write_index(base, path, n_lists=8, m=8, k_codes=16, sample_size=32)
+        ivfpq_append_index(batch, path)
+        q = emb.filter(F.col("vec_id") < 3)
+        plan = ivfpq_query_index(
+            spark, path, q, k=5, n_probe=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [list_id" in plan.replace(
+            "PartitionFilters: [isnotnull(list_id", "PartitionFilters: [list_id"
+        ) or "list_id IN" in plan
+        for node in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
+            assert node not in plan, f"unexpected Python stage {node}"
+
+    def test_index_stats_cover_appended_rows(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.pq import (
+            ivfpq_append_index,
+            ivfpq_index_stats,
+            ivfpq_write_index,
+        )
+
+        emb, base, batch = self._split(spark)
+        path = str(tmp_path / "inc")
+        ivfpq_write_index(base, path, n_lists=8, m=8, k_codes=16, sample_size=32)
+        before = ivfpq_index_stats(spark, path).collect()
+        ivfpq_append_index(batch, path)
+        after = ivfpq_index_stats(spark, path).collect()
+        assert sum(r.n_vectors for r in before) == base.count()
+        assert sum(r.n_vectors for r in after) == emb.count()
+        assert all(-1.0 <= r.mean_centroid_cos <= 1.0 for r in after)
