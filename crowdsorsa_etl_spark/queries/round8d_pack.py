@@ -371,19 +371,27 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probability; avoids cross-libm exp() in the parity contract).
 # ===========================================================================
 
-#: (feature, weight) — the single source of truth for BOTH engines
+#: (feature, weight) — the single source of truth for BOTH engines.
+#: LEARNED by the distributed logistic-regression trainer
+#: (operators/logreg.py via tools/fit_quality_weights.py at sf0.01:
+#: 30 GD iterations, step 1.0, L2 1e-3, distilling the n_chars >= 300
+#: length heuristic — rerun the tool to reproduce these literals exactly).
+#: digit/punct/upper ratios are constant 0 in the fixture, so their
+#: gradients — and learned weights — are exactly 0.
 _QC_WEIGHTS: list[tuple[str, float]] = [
-    ("intercept", -2.0),
-    ("alpha_ratio", 3.0),
-    ("digit_ratio", -4.0),
-    ("punct_ratio", 1.5),
-    ("upper_ratio", -2.0),
-    ("log_tokens", 0.35),
-    ("mean_token_len", 0.08),
+    ("intercept", -0.8096872153191228),
+    ("alpha_ratio", -0.6834024561898675),
+    ("digit_ratio", 0.0),
+    ("punct_ratio", 0.0),
+    ("upper_ratio", 0.0),
+    ("log_tokens", 3.2631655069143095),
+    ("mean_token_len", -3.6036188126232087),
 ]
 
 
-def _qc_oracle() -> str:
+def _qc_feat_sql() -> dict[str, str]:
+    """DuckDB expressions for the shared quality-feature pack, keyed like
+    ``_QC_WEIGHTS`` — single SQL source for classifier AND trainer oracles."""
     nn = "CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END"
     ntok = (
         "CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 "
@@ -391,7 +399,7 @@ def _qc_oracle() -> str:
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
     )
     alpha = "len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))"
-    feat_sql = {
+    return {
         "intercept": "1.0",
         "alpha_ratio": f"{alpha} / {nn}",
         "digit_ratio": f"len(regexp_replace(text, '[^0-9]', '', 'g')) / {nn}",
@@ -403,6 +411,28 @@ def _qc_oracle() -> str:
             f"ELSE {alpha} * 1.0 / ({ntok}) END"
         ),
     }
+
+
+def _qc_feature_exprs() -> dict[str, "F.Column"]:
+    """Spark expressions for the shared quality-feature pack, keyed like
+    ``_QC_WEIGHTS`` — single Spark source for classifier AND trainer."""
+    from crowdsorsa_etl_spark.functions.text import quality_features
+
+    f = quality_features(F.col("text"))
+    ntok = f["n_tokens"].cast("double")
+    return {
+        "intercept": F.lit(1.0),
+        "alpha_ratio": f["alpha_ratio"],
+        "digit_ratio": f["digit_ratio"],
+        "punct_ratio": f["punct_ratio"],
+        "upper_ratio": f["upper_ratio"],
+        "log_tokens": F.log(ntok + 1.0),
+        "mean_token_len": F.coalesce(f["mean_token_len"], F.lit(0.0)),
+    }
+
+
+def _qc_oracle() -> str:
+    feat_sql = _qc_feat_sql()
     # left-to-right sum in _QC_WEIGHTS order — same association both engines
     acc = " + ".join(f"({w}) * ({feat_sql[f]})" for f, w in _QC_WEIGHTS)
     return f"""
@@ -416,20 +446,8 @@ def _qc_oracle() -> str:
 def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality classifier over the shared feature pack: logit +
     keep verdict per document, zero joins, zero Python."""
-    from crowdsorsa_etl_spark.functions.text import quality_features
-
     docs = _t(spark, sf_dir, "documents")
-    f = quality_features(F.col("text"))
-    ntok = f["n_tokens"].cast("double")
-    feats = {
-        "intercept": F.lit(1.0),
-        "alpha_ratio": f["alpha_ratio"],
-        "digit_ratio": f["digit_ratio"],
-        "punct_ratio": f["punct_ratio"],
-        "upper_ratio": f["upper_ratio"],
-        "log_tokens": F.log(ntok + 1.0),
-        "mean_token_len": F.coalesce(f["mean_token_len"], F.lit(0.0)),
-    }
+    feats = _qc_feature_exprs()
     acc = None
     for name, w in _QC_WEIGHTS:
         term = F.lit(w) * feats[name]

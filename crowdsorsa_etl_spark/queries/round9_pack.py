@@ -130,3 +130,49 @@ def llm_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ===========================================================================
+# llm_logreg_step — the distributed-gradient machinery of the quality-
+# classifier TRAINER, hash-gated: the first GD step from w = 0, where
+# sigmoid(0) = 1/2 exactly, so the gradient is pure rational arithmetic
+# (no libm exp) and DuckDB replays it bit-for-bit. The full 30-iteration
+# fit involves exp() whose last ulp is libm-specific — it is gated by the
+# numpy parity test (tests/test_logreg.py) and produced the LITERAL
+# weights llm_quality_classifier now ships (tools/fit_quality_weights.py).
+# ===========================================================================
+
+from crowdsorsa_etl_spark.queries.round8d_pack import (
+    _QC_WEIGHTS as _QCW,
+    _qc_feat_sql as _qcsql,
+    _qc_feature_exprs as _qcexprs,
+)
+
+#: the reproducible supervision rule the trainer distills (see
+#: tools/fit_quality_weights.py): reference-vs-raw by document length
+_QC_LABEL_SQL = "CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END"
+
+
+def _logreg_step_oracle() -> str:
+    feat_sql = _qcsql()
+    names = [n for n, _ in _QCW]
+    sels = [
+        f"SELECT CAST({i} AS INT) AS feature_idx, "
+        f"round(-avg((0.5 - ({_QC_LABEL_SQL})) * ({feat_sql[n]})), 6) AS weight "
+        "FROM documents"
+        for i, n in enumerate(names)
+    ]
+    return "\nUNION ALL\n".join(sels)
+
+
+@register("llm_logreg_step", _logreg_step_oracle())
+def llm_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First GD step of the quality-classifier fit — one corpus pass,
+    Catalyst partial aggregation as the map-side gradient combine."""
+    from crowdsorsa_etl_spark.operators.logreg import logreg_first_step
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = _qcexprs()
+    names = [n for n, _ in _QCW if n != "intercept"]
+    label = F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0)
+    return logreg_first_step(docs, [feats[n] for n in names], label, step=1.0)
