@@ -32,11 +32,13 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' / 'bmp' / None by magic bytes."""
+    """'png' / 'bmp' / 'jpeg' / None by magic bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -237,6 +239,10 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return "png", decode_png(payload)
     if fmt == "bmp":
         return "bmp", decode_bmp(payload)
+    if fmt == "jpeg":
+        from crowdsorsa_etl_spark.functions.jpegcodec import decode_jpeg
+
+        return "jpeg", decode_jpeg(payload)
     raise ValueError("unsupported image format")
 
 

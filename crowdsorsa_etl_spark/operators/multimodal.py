@@ -11,10 +11,12 @@ Decode/feature-extract/resize/frame-sample run as Arrow-batched
 ``mapInPandas`` stages: bytes in → feature columns out, one batch at a time,
 so peak executor memory is one Arrow batch of payloads, not a partition.
 
-PNG and BMP are decoded FOR REAL with the stdlib-only codecs in
-``functions/imagecodec.py`` (zlib + struct + numpy) — no PIL/ffmpeg needed.
-Payloads in any other format fall back to a deterministic header-sniffing
-fake decoder when ``allow_fake=True`` (exercises the full Spark plumbing:
+PNG, BMP, and baseline JPEG are decoded FOR REAL with the stdlib-only
+codecs in ``functions/imagecodec.py`` / ``functions/jpegcodec.py`` (zlib +
+struct + numpy Huffman/DCT) — no PIL/ffmpeg needed, and JPEG covers the
+bulk of any web-scraped corpus. Payloads in any other format (WebP, GIF,
+progressive JPEG, ...) fall back to a deterministic header-sniffing fake
+decoder when ``allow_fake=True`` (exercises the full Spark plumbing:
 schema, batching, null handling), or are marked ``format='unsupported'``
 with null fields otherwise — a 100 TB corpus always contains garbage rows,
 and one bad payload must never fail the job.
@@ -87,10 +89,40 @@ def attach_png_payload(
     return df.mapInPandas(batches, "doc_id long, payload binary")
 
 
+def attach_jpeg_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: int = 100,
+) -> DataFrame:
+    """Fixture adapter for the REAL JPEG path: render each document's bytes
+    into a genuine baseline JPEG (one gray pixel per text byte, row-major
+    8×N, same layout as ``attach_png_payload``) so ``decode_images``
+    exercises the stdlib Huffman/DCT decoder end-to-end."""
+    import numpy as np
+
+    from crowdsorsa_etl_spark.functions.jpegcodec import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                body = (text or "").encode("utf-8")[:256] or b"\x00"
+                w = 8
+                h = (len(body) + w - 1) // w
+                arr = np.zeros((h, w), dtype=np.uint8)
+                arr.flat[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+                payloads.append(encode_jpeg(arr, quality=quality))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id long, payload binary")
+
+
 def _fake_decode(payload: bytes | None) -> tuple | None:
-    """Deterministic stand-in decoder for formats the stdlib codec can't
-    handle (JPEG/WebP/...): sniff the header, derive width/height/luma from
-    the byte content. Same output contract as the real decoder."""
+    """Deterministic stand-in decoder for formats the stdlib codecs can't
+    handle (WebP/GIF/progressive JPEG/...): sniff the header, derive
+    width/height/luma from the byte content. Same output contract as the
+    real decoder."""
     if payload is None:
         return None
     fmt = "fake-img" if payload[:4] == b"\x89IMG" else "unknown"
@@ -130,9 +162,10 @@ def decode_images(
 ) -> DataFrame:
     """bytes → typed image metadata via mapInPandas (Arrow batches).
 
-    PNG/BMP payloads are decoded for real (``functions/imagecodec.py``);
-    other formats use the deterministic fake decoder when
-    ``allow_fake=True`` or come back ``format='unsupported'`` otherwise.
+    PNG/BMP/baseline-JPEG payloads are decoded for real
+    (``functions/imagecodec.py`` + ``functions/jpegcodec.py``); other
+    formats use the deterministic fake decoder when ``allow_fake=True`` or
+    come back ``format='unsupported'`` otherwise.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

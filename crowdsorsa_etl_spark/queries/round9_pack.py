@@ -176,3 +176,38 @@ def llm_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = [n for n, _ in _QCW if n != "intercept"]
     label = F.when(F.col("n_chars") >= 300, 1.0).otherwise(0.0)
     return logreg_first_step(docs, [feats[n] for n in names], label, step=1.0)
+
+
+# ===========================================================================
+# llm_image_decode_jpeg — the REAL baseline-JPEG decode path end to end:
+# each doc renders into a genuine JPEG (stdlib Huffman+DCT encoder,
+# functions/jpegcodec.py), and decode_images runs the real decoder — no
+# fake fallback anywhere. JPEG is lossy, so the hash oracle gates what is
+# exactly derivable cross-engine (format sniff, container parse, MCU
+# geometry → width/height); pixel fidelity is gated by the codec unit
+# tests (roundtrip PSNR + fixed-byte fixture, tests/test_jpegcodec.py).
+# ===========================================================================
+
+
+@register(
+    "llm_image_decode_jpeg",
+    """
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(8 AS INT) AS width,
+           CAST(ceil(greatest(least(octet_length(encode(coalesce(text, ''))),
+                                    256), 1) / 8.0) AS INT) AS height
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode genuine baseline JPEGs through the stdlib codec; emit the
+    exactly-replayable metadata columns."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpg = attach_jpeg_payload(docs)
+    return decode_images(jpg).select("doc_id", "format", "width", "height")

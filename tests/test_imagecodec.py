@@ -34,7 +34,8 @@ class TestPngRoundtrip:
     def test_sniff(self):
         assert ic.sniff_format(ic.encode_png(_rng_img(2, 2, 3))) == "png"
         assert ic.sniff_format(ic.encode_bmp(_rng_img(2, 2, 3))) == "bmp"
-        assert ic.sniff_format(b"\xff\xd8\xffJPEG-ish") is None
+        assert ic.sniff_format(b"\xff\xd8\xffJPEG-ish") == "jpeg"
+        assert ic.sniff_format(b"RIFFxxxxWEBP") is None
 
     def test_bad_signature_raises(self):
         with pytest.raises(ValueError):
