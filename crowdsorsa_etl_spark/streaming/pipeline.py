@@ -911,3 +911,90 @@ def start_shard_stream(
         .outputMode("append")
         .start()
     )
+
+
+def compact_shard_epochs(
+    spark,
+    out_dir: str,
+    state_dir: str | None = None,
+    *,
+    keep_epochs: int = 2,
+) -> int:
+    """Fold old shard-export epochs into the ``epoch=-1`` base partition.
+
+    ``start_shard_stream`` writes one ``epoch=<e>`` dir (plus one
+    single-row state file) per micro-batch forever; this folds every epoch
+    older than the newest ``keep_epochs`` into a single base — the
+    ``sinks/ledger.compact_ledger`` posture — so the directory count stays
+    flat in stream age while plain ``spark.read.parquet(out_dir)`` keeps
+    seeing every row (the base is just another epoch partition value, and
+    rows keep their shard_id partitioning inside it).
+
+    The newest ``keep_epochs`` epochs stay live as replay headroom: a
+    crashed-and-replayed epoch overwrites its own ``epoch=<e>`` dir, which
+    folding must not have consumed. Shard ids are already materialized per
+    row, so compaction never recomputes or shifts them — gated by tests
+    that replay an epoch across a compaction.
+
+    Crash window: base swap is rename-aside (``writers._swap_dirs``); a
+    crash between the swap and the epoch-dir deletes leaves rows present
+    in both the base and an old epoch dir. That window is harmless AND
+    self-healing: rows are bit-identical (replay determinism), the merge
+    drops exact duplicates, and rerunning the compaction converges.
+
+    Old state files beyond the newest ``keep_epochs`` are deleted too
+    (only the newest state below the running epoch is ever read).
+
+    Returns the number of epoch dirs folded. One shuffle-free read+write
+    over (base ∪ folded epochs) per compaction — amortize by calling every
+    N epochs, never on the per-batch path.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.sinks.ledger import _hadoop_fs
+    from crowdsorsa_etl_spark.sinks.writers import _swap_dirs
+
+    if keep_epochs < 1:
+        raise ValueError(f"keep_epochs must be >= 1; got {keep_epochs}")
+    if not os.path.isdir(out_dir):
+        return 0
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) >= 0
+    )
+    fold = epochs[:-keep_epochs] if keep_epochs else epochs
+    if not fold:
+        return 0
+
+    base = os.path.join(out_dir, "epoch=-1")
+    frames = [
+        spark.read.parquet(os.path.join(out_dir, f"epoch={e}")) for e in fold
+    ]
+    _, fs = _hadoop_fs(spark, out_dir)
+    jvm_base, _ = _hadoop_fs(spark, base)
+    if fs.exists(jvm_base):
+        frames.append(spark.read.parquet(base))
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    # exact-duplicate drop makes the crash window and reruns idempotent
+    merged = merged.dropDuplicates()
+
+    tmp = out_dir.rstrip("/") + "__compact_tmp"
+    merged.write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+    _swap_dirs(spark._jvm, fs, base, tmp)
+    for e in fold:
+        jvm_e, _ = _hadoop_fs(spark, os.path.join(out_dir, f"epoch={e}"))
+        fs.delete(jvm_e, True)
+
+    if state_dir and os.path.isdir(state_dir):
+        states = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=")
+        )
+        for e in states[:-keep_epochs]:
+            jvm_s, _ = _hadoop_fs(spark, os.path.join(state_dir, f"epoch={e}"))
+            fs.delete(jvm_s, True)
+    return len(fold)

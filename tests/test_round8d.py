@@ -323,6 +323,111 @@ class TestStreamingShards:
         got = spark.read.parquet(out).collect()
         assert len(got) == 1 and got[0].cum_tokens == 3
 
+    def _epoch_dirs(self, out):
+        import os
+
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("epoch=")
+        )
+
+    def test_compaction_folds_old_epochs_preserving_shards(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            compact_shard_epochs,
+        )
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        for b in range(4):  # 4 single-file micro-batches = 4 epochs
+            self._stage(
+                spark, tmp_path, src, schema, f"b{b}.parquet",
+                [(10 * b + i, "w x y z") for i in range(3)],
+            )
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        self._run(spark, src, schema, out, state, str(tmp_path / "ckpt"))
+
+        before = {
+            r.doc_id: (r.n_tokens, r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert self._epoch_dirs(out) == [0, 1, 2, 3]
+
+        folded = compact_shard_epochs(spark, out, state, keep_epochs=2)
+        assert folded == 2
+        assert self._epoch_dirs(out) == [-1, 2, 3]
+        after = {
+            r.doc_id: (r.n_tokens, r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert after == before  # every row, every shard id preserved
+        # state pruned to the newest two epochs
+        assert self._epoch_dirs(state) == [2, 3]
+        # second call: nothing older than the keep window — a no-op
+        assert compact_shard_epochs(spark, out, state, keep_epochs=2) == 0
+
+    def test_replay_after_compaction_keeps_shard_ids(self, spark, tmp_path):
+        """The keep-window exists for exactly this: an epoch that replays
+        AFTER a compaction must overwrite its own still-live dir and land
+        on the same carried total, leaving the full table unchanged."""
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            compact_shard_epochs,
+        )
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        for b in range(3):
+            self._stage(
+                spark, tmp_path, src, schema, f"b{b}.parquet",
+                [(10 * b + i, "w x y z") for i in range(3)],
+            )
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._run(spark, src, schema, out, state, ckpt)
+        before = {
+            r.doc_id: (r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        }
+
+        assert compact_shard_epochs(spark, out, state, keep_epochs=2) == 1
+        # crash-before-commit of the LAST epoch, then replay it
+        os.remove(os.path.join(ckpt, "commits", "2"))
+        crc = os.path.join(ckpt, "commits", ".2.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        self._run(spark, src, schema, out, state, ckpt)
+
+        after = {
+            r.doc_id: (r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert after == before
+        # live epochs are now [1, 2] — nothing older than the keep window,
+        # so a further compaction is a no-op and the table is unchanged
+        assert compact_shard_epochs(spark, out, state, keep_epochs=2) == 0
+        assert {
+            r.doc_id: (r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        } == before
+
+    def test_compaction_rejects_bad_keep(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            compact_shard_epochs,
+        )
+
+        with _pytest.raises(ValueError):
+            compact_shard_epochs(spark, str(tmp_path), keep_epochs=0)
+
 
 class TestPca:
     DIM, K = 16, 4
