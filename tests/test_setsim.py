@@ -176,3 +176,96 @@ class TestEditDistJoin:
             for a, b, d in con.sql(editdist_join_sql(6)).fetchall()
         }
         assert got == want
+
+
+class TestSetsimSkewStress:
+    """Adversarial hot-shingle vocabulary (round-8 verdict item): one
+    boilerplate shingle shared by EVERY document — the shape that turns a
+    naive shingle equi-join into ~n²/2 candidate pairs. The rarest-first
+    canonical order must keep that shingle OUT of the prefixes, bounding
+    fan-out, while recall stays exact."""
+
+    HOT = "boiler plate words"
+
+    def _corpus(self, spark, n=400):
+        rows = []
+        for i in range(n):
+            rows.append(
+                (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e {self.HOT}")
+            )
+        # planted exact dup: the one pair the join must return
+        rows.append((9000, rows[5][1]))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_exact_recall_under_hot_shingle(self, spark):
+        from crowdsorsa_etl_spark.operators.setsim import setsim_prefix_join
+
+        docs = self._corpus(spark)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in setsim_prefix_join(
+                docs, threshold=0.5, shingle_k=3
+            ).collect()
+        }
+        # only the planted duplicate qualifies: every other pair shares at
+        # most the 1 boilerplate shingle out of a ~11-shingle union
+        assert got == {(5, 9000, 1.0)}
+
+    def test_hot_shingle_never_enters_a_prefix(self, spark):
+        """Replicate the operator's prefix rule over its own shingle table:
+        at threshold 0.5 the prefix keeps the RAREST ceil(n/2)+1 shingles
+        of each doc, and the 1000x-hot boilerplate shingle ranks LAST in
+        every doc — so the hot key contributes ZERO equi-join pairs, which
+        is the entire scale argument for rarest-first ordering."""
+        from pyspark.sql import Window
+
+        from crowdsorsa_etl_spark.operators.setsim import (
+            shingle_sets,
+            threshold_fraction,
+        )
+
+        docs = self._corpus(spark)
+        p, q = threshold_fraction(0.5)
+        sh = shingle_sets(docs, shingle_k=3)
+        ranked = (
+            sh.withColumn(
+                "gfreq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("gfreq", "shingle")
+                ),
+            )
+            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        )
+        prefix = ranked.filter(
+            F.col("sz") * p <= (F.col("sz") - F.col("pos") + 1) * q
+        )
+        hot_in_prefix = prefix.filter(F.col("shingle") == self.HOT).count()
+        assert hot_in_prefix == 0
+        # fan-out bound: total candidate pairs from the prefix equi-join
+        # stay linear-ish (the planted dup pair only), not ~n²/2 = 80k
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).count()
+        assert cand <= 20
+
+    def test_naive_join_would_blow_up(self, spark):
+        """Sanity check that the fixture really is adversarial: WITHOUT the
+        prefix filter, the raw shingle equi-join on this corpus is ~n²/2
+        pairs — the blowup the canonical order prevents."""
+        from crowdsorsa_etl_spark.operators.setsim import shingle_sets
+
+        docs = self._corpus(spark)
+        sh = shingle_sets(docs, shingle_k=3)
+        a, b = sh.alias("a"), sh.alias("b")
+        naive = a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).count()
+        assert naive > 50_000  # 401 docs sharing one shingle → ~80k pairs
