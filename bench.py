@@ -120,6 +120,15 @@ HEADLINE = [
     "q109_cumulative_distinct",
     "q110_interval_merge",
     "llm_image_phash_dups",
+    # round 9: exact substring dedup (shingle-run islands + removal),
+    # IVF-PQ incremental append+search, driver-loop BPE at 256 merges,
+    # distributed-logreg gradient step, real baseline-JPEG decode
+    "llm_substring_dedup",
+    "llm_substring_dedup_clean",
+    "llm_ivfpq_incremental",
+    "llm_bpe_merges_256",
+    "llm_logreg_step",
+    "llm_image_decode_jpeg",
 ]
 
 

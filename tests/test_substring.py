@@ -122,3 +122,21 @@ class TestRemoveDuplicatedSubstrings:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = duplicated_substring_spans(docs, min_run=8)._jdf.queryExecution().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestSubstringPlans:
+    def test_spans_two_exchanges_no_python(self, spark):
+        """The operator's scale contract: ONE data-sized shuffle on the
+        shingle key + one per-doc shuffle for the island windows; the
+        final span aggregation reuses the doc_id partitioning (no third
+        exchange); scan pruned to (doc_id, text); zero Python stages."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            duplicated_substring_spans(docs, min_run=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

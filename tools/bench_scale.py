@@ -97,6 +97,26 @@ HEADLINE = [
     "q108_shard_assignment",
     "llm_dedup_index",
     "q103_heavy_hitters",
+    # round-8d tier (verdict r8 #7): one-pass covariance PCA, LSH→CC→window
+    # canonical selection, per-user interval islands, literal-weight linear
+    # scorer. llm_image_phash_dups / llm_image_decode* keep their doc_id<200
+    # predicate at every scale — included to show the scan PRUNES (ratio ~1
+    # is the point: pushdown makes the bounded query flat in corpus size).
+    "llm_embedding_covariance",
+    "llm_dedup_canonical",
+    "q110_interval_merge",
+    "llm_quality_classifier",
+    "llm_image_phash_dups",
+    # round 9: substring dedup (shingle-run islands; at 100x the replicated
+    # fixture makes EVERY doc fully duplicated — worst-case flag volume),
+    # frozen-artifact IVF-PQ append+search, driver-loop BPE at 256 merges,
+    # one-pass logreg gradient step, real JPEG decode (bounded predicate)
+    "llm_substring_dedup",
+    "llm_substring_dedup_clean",
+    "llm_ivfpq_incremental",
+    "llm_bpe_merges_256",
+    "llm_logreg_step",
+    "llm_image_decode_jpeg",
 ]
 
 
