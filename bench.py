@@ -129,6 +129,7 @@ HEADLINE = [
     "llm_bpe_merges_256",
     "llm_logreg_step",
     "llm_image_decode_jpeg",
+    "llm_substring_decontamination",
 ]
 
 

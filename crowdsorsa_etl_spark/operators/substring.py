@@ -47,9 +47,11 @@ from crowdsorsa_etl_spark.functions.text import normalize_text as _norm
 
 __all__ = [
     "duplicated_substring_spans",
+    "substring_decontamination_spans",
     "remove_duplicated_substrings",
     "substring_spans_sql",
     "substring_clean_sql",
+    "substring_decontamination_sql",
 ]
 
 
@@ -106,6 +108,52 @@ def duplicated_substring_spans(
 
     # gaps-and-islands per doc: start positions <= k apart cover
     # overlapping-or-touching k-token windows (unique order key: pos)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = flagged.withColumn(
+        "_ni",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= k, 0).otherwise(1),
+    )
+    islands = marked.withColumn("_isl", F.sum("_ni").over(w_run))
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("int").alias("n_tokens"),
+    ).drop("_isl")
+
+
+def substring_decontamination_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    min_run: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level train/eval decontamination (the Llama/PaLM n-gram
+    overlap rule): maximal spans of >= ``min_run`` tokens in CORPUS
+    documents whose every ``min_run``-token window also occurs somewhere
+    in the EVAL set — the text a training pipeline must drop so benchmark
+    answers don't leak into the model verbatim.
+
+    Same machinery as :func:`duplicated_substring_spans` with the flagging
+    side swapped: corpus windows LEFT-SEMI join the eval set's distinct
+    window hashes (an eval set is benchmark-sized — Catalyst broadcasts it
+    from observed size, so the corpus scan stays shuffle-free in the
+    common case), then per-doc gaps-and-islands coalescing. Output:
+    (id_col, span_start int, span_end int, n_tokens int).
+    """
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    k = min_run
+    sh = _shingle_positions(corpus, id_col, text_col, k)
+    ev = (
+        _shingle_positions(eval_df, id_col, text_col, k)
+        .select("sh")
+        .distinct()
+    )
+    flagged = sh.join(ev, "sh", "left_semi").select(id_col, "pos")
+
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = flagged.withColumn(
@@ -206,6 +254,56 @@ def _shingle_cte(k: int) -> str:
 def substring_spans_sql(k: int = 8) -> str:
     return f"""
     WITH {_shingle_cte(k)},
+    mk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= {k} THEN 0 ELSE 1 END AS ni
+      FROM fl
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isld
+      FROM mk
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {k} - 1 AS INT) AS span_end,
+           CAST(max(pos) - min(pos) + {k} AS INT) AS n_tokens
+    FROM isl GROUP BY doc_id, isld
+    """
+
+
+def substring_decontamination_sql(
+    k: int = 8,
+    *,
+    corpus_pred: str = "doc_id % 10 != 0",
+    eval_pred: str = "doc_id % 10 = 0",
+) -> str:
+    """Oracle for the train/eval overlap spans: corpus windows flagged via
+    a plain IN-subquery against the eval set's window hashes, then the
+    identical island rule."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS arr FROM documents
+      WHERE {corpus_pred}
+    ),
+    etoks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS arr FROM documents
+      WHERE {eval_pred}
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(array_to_string(arr[CAST(i AS INT):CAST(i + {k} - 1 AS INT)], ' ')) AS s
+      FROM toks, UNNEST(range(1, len(arr) - {k} + 2)) AS t(i)
+    ),
+    esh AS (
+      SELECT DISTINCT
+             md5(array_to_string(arr[CAST(i AS INT):CAST(i + {k} - 1 AS INT)], ' ')) AS s
+      FROM etoks, UNNEST(range(1, len(arr) - {k} + 2)) AS t(i)
+    ),
+    fl AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM esh)),
     mk AS (
       SELECT doc_id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)

@@ -211,3 +211,30 @@ def llm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     jpg = attach_jpeg_payload(docs)
     return decode_images(jpg).select("doc_id", "format", "width", "height")
+
+
+# ===========================================================================
+# llm_substring_decontamination — train/eval overlap at the SUBSTRING level
+# (the Llama/PaLM n-gram decontamination rule): spans in training docs
+# whose every 8-token window also occurs in the eval split. Complements
+# llm_contamination (document-level) and llm_substring_dedup (within-
+# corpus): this is the "benchmark answers must not leak verbatim" gate.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.substring import (
+    substring_decontamination_sql as _sub_decon_sql,
+)
+
+
+@register("llm_substring_decontamination", _sub_decon_sql(k=8))
+def llm_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus spans (>= 8 tokens) overlapping the eval split
+    (doc_id % 10 == 0 plays the benchmark set)."""
+    from crowdsorsa_etl_spark.operators.substring import (
+        substring_decontamination_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return substring_decontamination_spans(corpus, eval_df, min_run=8)

@@ -140,3 +140,44 @@ class TestSubstringPlans:
         assert plan.count("Exchange hashpartitioning") == 2
         assert "EvalPython" not in plan and "MapInPandas" not in plan
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+class TestSubstringDecontamination:
+    def test_planted_eval_overlap_flagged(self, spark):
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_decontamination_spans,
+        )
+
+        leak = "q1 q2 q3 q4 q5 q6 q7 q8 q9"  # 9-token benchmark answer
+        corpus = _docs(
+            spark,
+            [
+                _uniq(0, 4) + " " + leak + " " + _uniq(50, 3),  # leaks at 4..12
+                _uniq(100, 15),  # clean
+            ],
+        )
+        eval_df = spark.createDataFrame(
+            [(900, _uniq(200, 2) + " " + leak)], ["doc_id", "text"]
+        )
+        got = sorted(
+            tuple(r)
+            for r in substring_decontamination_spans(
+                corpus, eval_df, min_run=8
+            ).collect()
+        )
+        assert got == [(0, 4, 12, 9)]
+
+    def test_within_corpus_dup_not_flagged(self, spark):
+        """Corpus-internal duplication is llm_substring_dedup's job — the
+        decontamination operator flags ONLY eval overlap."""
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_decontamination_spans,
+        )
+
+        dup = " ".join(f"c{i}" for i in range(10))
+        corpus = _docs(spark, [dup + " " + _uniq(0, 3), dup + " " + _uniq(50, 3)])
+        eval_df = spark.createDataFrame([(900, _uniq(500, 12))], ["doc_id", "text"])
+        assert (
+            substring_decontamination_spans(corpus, eval_df, min_run=8).count()
+            == 0
+        )
