@@ -229,6 +229,107 @@ def remove_duplicated_substrings(
 
 
 # --------------------------------------------------------------------------
+# Shingle index at rest — the decontamination list persisted once and
+# probed per ingest batch (the lsh_*_index / bm25_*_index maintenance
+# story applied to substring overlap): an eval/benchmark set's window
+# hashes are written partitioned by a 2-hex-char prefix of the hash; each
+# training batch reads ONLY its own prefixes (bounded driver list →
+# partition-pruned scan) and broadcasts itself. Per-batch cost is
+# batch-sized and flat in index age; eval-set growth is a pure file append.
+# --------------------------------------------------------------------------
+
+_PFX_LEN = 2
+
+
+def substring_write_index(
+    eval_df: DataFrame,
+    path: str,
+    *,
+    min_run: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the eval set's distinct ``min_run``-token window hashes,
+    partitioned by the first ``_PFX_LEN`` hex chars (256 partitions —
+    uniform by md5 construction)."""
+    sh = (
+        _shingle_positions(eval_df, id_col, text_col, min_run)
+        .select("sh")
+        .distinct()
+        .withColumn("pfx", F.substring("sh", 1, _PFX_LEN))
+    )
+    sh.write.mode("overwrite").partitionBy("pfx").parquet(path)
+
+
+def substring_append_index(
+    eval_df: DataFrame,
+    path: str,
+    *,
+    min_run: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a new eval shard's window hashes — pure file append into the
+    prefix partitions; existing rows untouched. Duplicate hashes across
+    appends are harmless (the probe is a left-semi join)."""
+    sh = (
+        _shingle_positions(eval_df, id_col, text_col, min_run)
+        .select("sh")
+        .distinct()
+        .withColumn("pfx", F.substring("sh", 1, _PFX_LEN))
+    )
+    sh.write.mode("append").partitionBy("pfx").parquet(path)
+
+
+def substring_match_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    min_run: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlap spans of a training BATCH against the persisted eval index.
+
+    The batch's distinct prefixes are collected (bounded: ≤ 256 values) and
+    pushed as a partition filter, so only the touched index directories are
+    scanned; the batch side broadcasts. Output matches
+    :func:`substring_decontamination_spans`.
+    """
+    k = min_run
+    sh = _shingle_positions(batch, id_col, text_col, k).withColumn(
+        "pfx", F.substring("sh", 1, _PFX_LEN)
+    )
+    pfxs = sorted(
+        r["pfx"] for r in sh.select("pfx").distinct().collect()
+    )
+    if not pfxs:
+        return spark.createDataFrame(
+            [], f"{id_col} long, span_start int, span_end int, n_tokens int"
+        )
+    # the pruned slice (an eval index is benchmark-sized; the slice is the
+    # touched prefixes only) broadcasts as the semi-join build side — a
+    # left-semi BHJ builds on the right, so the FILTER side is what ships
+    index = spark.read.parquet(path).filter(F.col("pfx").isin(pfxs))
+    flagged = sh.join(
+        F.broadcast(index), ["pfx", "sh"], "left_semi"
+    ).select(id_col, "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = flagged.withColumn(
+        "_ni",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= k, 0).otherwise(1),
+    )
+    islands = marked.withColumn("_isl", F.sum("_ni").over(w_run))
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("int").alias("n_tokens"),
+    ).drop("_isl")
+
+
+# --------------------------------------------------------------------------
 # DuckDB oracles — the identical definition replayed in SQL (same
 # normalization, same md5 shingle key, same island rule), brute-force where
 # the Spark side is engineered (plain IN-subquery instead of the count

@@ -238,3 +238,56 @@ def llm_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
     return substring_decontamination_spans(corpus, eval_df, min_run=8)
+
+
+# ===========================================================================
+# llm_substring_index — the decontamination list AT REST: the eval set's
+# window hashes persist partitioned by hash prefix (half written, half
+# appended — the registered result gates the incremental path too); each
+# training batch reads only its own prefixes and broadcasts the pruned
+# slice. The oracle recomputes the overlap from scratch — index ≡
+# from-scratch, proven cross-engine (the llm_dedup_index posture).
+# ===========================================================================
+
+
+@register(
+    "llm_substring_index",
+    _sub_decon_sql(
+        k=8,
+        corpus_pred="doc_id % 10 != 0 AND doc_id < 250",
+        eval_pred="doc_id % 10 = 0",
+    ),
+)
+def llm_substring_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch decontamination through the persisted eval-shingle index
+    (doc_id < 250 non-eval docs play the ingest batch)."""
+    import os
+    import shutil
+
+    from crowdsorsa_etl_spark.operators.substring import (
+        substring_append_index,
+        substring_match_index,
+        substring_write_index,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") < 250))
+
+    path = _sf_cache_dir(sf_dir, "subidx_v1_k8", "documents")
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        # process-unique staging + atomic rename (concurrent-builder safe,
+        # same posture as llm_dedup_index)
+        stage = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        substring_write_index(eval_df.filter(F.col("doc_id") % 20 == 0), stage)
+        substring_append_index(eval_df.filter(F.col("doc_id") % 20 != 0), stage)
+        open(os.path.join(stage, "_built"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    return substring_match_index(spark, path, batch, min_run=8)

@@ -181,3 +181,80 @@ class TestSubstringDecontamination:
             substring_decontamination_spans(corpus, eval_df, min_run=8).count()
             == 0
         )
+
+
+class TestSubstringIndexAtRest:
+    LEAK = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+
+    def _sets(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                _uniq(0, 3) + " " + self.LEAK,        # overlaps eval
+                _uniq(100, 14),                        # clean
+            ],
+        )
+        ev1 = spark.createDataFrame(
+            [(900, self.LEAK + " " + _uniq(300, 2))], ["doc_id", "text"]
+        )
+        ev2 = spark.createDataFrame(
+            [(901, _uniq(400, 12))], ["doc_id", "text"]
+        )
+        return corpus, ev1, ev2
+
+    def test_index_matches_direct_computation(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_append_index,
+            substring_decontamination_spans,
+            substring_match_index,
+            substring_write_index,
+        )
+
+        corpus, ev1, ev2 = self._sets(spark)
+        path = str(tmp_path / "subidx")
+        substring_write_index(ev1, path)
+        substring_append_index(ev2, path)  # incremental path included
+        got = sorted(
+            tuple(r)
+            for r in substring_match_index(spark, path, corpus).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in substring_decontamination_spans(
+                corpus, ev1.unionByName(ev2), min_run=8
+            ).collect()
+        )
+        assert got == want
+        assert got == [(0, 3, 12, 10)]
+
+    def test_match_scan_is_partition_pruned_and_broadcast(
+        self, spark, tmp_path
+    ):
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_match_index,
+            substring_write_index,
+        )
+
+        corpus, ev1, ev2 = self._sets(spark)
+        path = str(tmp_path / "subidx")
+        substring_write_index(ev1.unionByName(ev2), path)
+        plan = (
+            substring_match_index(spark, path, corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [pfx" in plan or "pfx IN" in plan, plan
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_empty_batch_returns_empty(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_match_index,
+            substring_write_index,
+        )
+
+        corpus, ev1, _ = self._sets(spark)
+        path = str(tmp_path / "subidx")
+        substring_write_index(ev1, path)
+        empty = corpus.filter(F.col("doc_id") < 0)
+        assert substring_match_index(spark, path, empty).count() == 0

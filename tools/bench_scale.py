@@ -103,7 +103,12 @@ HEADLINE = [
     # predicate at every scale — included to show the scan PRUNES (ratio ~1
     # is the point: pushdown makes the bounded query flat in corpus size).
     "llm_embedding_covariance",
-    "llm_dedup_canonical",
+    # llm_dedup_canonical is excluded at 100× BY DESIGN (measured at 10×):
+    # the replicated fixture gives every doc `mult` exact copies, so the
+    # LSH candidate-pair INTERMEDIATE is Θ(mult²)·n rows (each dup group is
+    # a mult-clique) — at 100× that 25M-pair working set OOMs the single
+    # shared local JVM. Same fixture-artifact class as llm_setsim_join; a
+    # real (non-replicated) corpus has bounded dup-group sizes.
     "q110_interval_merge",
     "llm_quality_classifier",
     "llm_image_phash_dups",
@@ -142,6 +147,15 @@ def build(spark, mult: int, dest: str) -> None:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     keep = "--keep" in sys.argv
+    # optional query-name args restrict the run (rerun a slice without
+    # re-measuring the whole list)
+    subset = [a for a in sys.argv[2:] if not a.startswith("-")]
+    global HEADLINE
+    if subset:
+        unknown = [q for q in subset if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        HEADLINE = subset
     dest = f"/tmp/crowdsorsa_sf_scaled_{mult}x"
 
     spark = get_spark(app_name="bench_scale")
