@@ -221,8 +221,17 @@ class _BitReader:
         self.pos += 2
 
 
-class _RestartMarker(Exception):
+class _RestartMarker(ValueError):
+    """RST marker hit mid-entropy-data where none was expected.
+
+    Well-formed streams consume RSTn via ``align_restart``; an uncaught
+    ``_RestartMarker`` therefore only occurs on corrupt payloads, so it
+    subclasses ``ValueError`` to stay inside the callers' decode-error
+    contract (one bad payload degrades to a NULL row, never a task failure).
+    """
+
     def __init__(self, n: int):
+        super().__init__(f"unexpected RST{n} inside entropy data")
         self.n = n
 
 
@@ -307,13 +316,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+                ci = next((j for j, c in enumerate(comps) if c[0] == cs), -1)
+                if ci < 0:
+                    raise ValueError(f"SOS references unknown component id {cs}")
                 scan.append((ci, tabs >> 4, tabs & 15))
             data_start = pos + seglen
             break
         pos += seglen
     if data_start < 0 or not comps:
         raise ValueError("JPEG missing SOS/SOF")
+    for ci, dc_id, ac_id in scan:
+        tq = comps[ci][3]
+        if tq not in qtables:
+            raise ValueError(f"scan references undeclared quant table {tq}")
+        if dc_id not in dc_tabs or ac_id not in ac_tabs:
+            raise ValueError(
+                f"scan references undeclared Huffman table dc={dc_id} ac={ac_id}"
+            )
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

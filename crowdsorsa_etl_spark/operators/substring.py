@@ -90,8 +90,12 @@ def duplicated_substring_spans(
 
     Output: (id_col, span_start int, span_end int, n_tokens int) — 0-based
     inclusive token positions; ``n_tokens = span_end - span_start + 1``.
-    A span means: every ``min_run``-token window inside it occurs at least
-    twice somewhere in the corpus (including elsewhere in the same doc).
+    A span is the union of duplicated windows: every token in it is covered
+    by some ``min_run``-token window that occurs at least twice somewhere
+    in the corpus (including elsewhere in the same doc). Interior windows
+    of a span merged from touching-but-not-overlapping duplicated windows
+    need not themselves repeat — the span is exactly what removal wants
+    (all duplicated material), not a per-window guarantee.
     """
     if min_run < 2:
         raise ValueError(f"min_run must be >= 2, got {min_run}")
@@ -132,9 +136,11 @@ def substring_decontamination_spans(
 ) -> DataFrame:
     """Substring-level train/eval decontamination (the Llama/PaLM n-gram
     overlap rule): maximal spans of >= ``min_run`` tokens in CORPUS
-    documents whose every ``min_run``-token window also occurs somewhere
-    in the EVAL set — the text a training pipeline must drop so benchmark
-    answers don't leak into the model verbatim.
+    documents that are the union of ``min_run``-token windows also found
+    in the EVAL set (every token in a span is covered by some eval-matching
+    window; interior windows of a merged span need not match individually)
+    — the text a training pipeline must drop so benchmark answers don't
+    leak into the model verbatim.
 
     Same machinery as :func:`duplicated_substring_spans` with the flagging
     side swapped: corpus windows LEFT-SEMI join the eval set's distinct
@@ -305,8 +311,18 @@ def substring_match_index(
         r["pfx"] for r in sh.select("pfx").distinct().collect()
     )
     if not pfxs:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        id_type = batch.schema[id_col].dataType
         return spark.createDataFrame(
-            [], f"{id_col} long, span_start int, span_end int, n_tokens int"
+            [],
+            StructType(
+                [StructField(id_col, id_type)]
+                + [
+                    StructField(c, IntegerType())
+                    for c in ("span_start", "span_end", "n_tokens")
+                ]
+            ),
         )
     # the pruned slice (an eval index is benchmark-sized; the slice is the
     # touched prefixes only) broadcasts as the semi-join build side — a

@@ -919,6 +919,7 @@ def compact_shard_epochs(
     state_dir: str | None = None,
     *,
     keep_epochs: int = 2,
+    id_col: str = "doc_id",
 ) -> int:
     """Fold old shard-export epochs into the ``epoch=-1`` base partition.
 
@@ -940,7 +941,17 @@ def compact_shard_epochs(
     crash between the swap and the epoch-dir deletes leaves rows present
     in both the base and an old epoch dir. That window is harmless AND
     self-healing: rows are bit-identical (replay determinism), the merge
-    drops exact duplicates, and rerunning the compaction converges.
+    drops exact duplicates, and rerunning the compaction converges. A
+    crash between the swap's two renames leaves ``epoch=-1__old``; the
+    next run repairs it here (promote if the base is missing, else drop
+    the stale copy) before listing epochs, and the epoch listing itself
+    only accepts names matching ``epoch=<int>`` so the leftover can never
+    poison ``int()`` parsing or partition-value inference downstream.
+
+    Duplicate-drop is keyed: after the full-row ``dropDuplicates()`` the
+    merge asserts ``id_col`` is unique — two *different* rows sharing an
+    id (a schema change breaking the bit-identical-replay assumption)
+    fail loudly instead of silently losing data.
 
     Old state files beyond the newest ``keep_epochs`` are deleted too
     (only the newest state below the running epoch is ever read).
@@ -954,20 +965,32 @@ def compact_shard_epochs(
     from crowdsorsa_etl_spark.sinks.ledger import _hadoop_fs
     from crowdsorsa_etl_spark.sinks.writers import _swap_dirs
 
+    import re
+
     if keep_epochs < 1:
         raise ValueError(f"keep_epochs must be >= 1; got {keep_epochs}")
     if not os.path.isdir(out_dir):
         return 0
+
+    base = os.path.join(out_dir, "epoch=-1")
+    # repair a crash between _swap_dirs' two renames: epoch=-1__old left behind
+    stale = base + "__old"
+    if os.path.isdir(stale):
+        if not os.path.isdir(base):
+            os.rename(stale, base)  # promote: the aside copy IS the base
+        else:
+            jvm_stale, fs0 = _hadoop_fs(spark, stale)
+            fs0.delete(jvm_stale, True)
+
+    _epoch_re = re.compile(r"^epoch=(-?\d+)$")
     epochs = sorted(
-        int(d.split("=", 1)[1])
+        int(m.group(1))
         for d in os.listdir(out_dir)
-        if d.startswith("epoch=") and int(d.split("=", 1)[1]) >= 0
+        if (m := _epoch_re.match(d)) and int(m.group(1)) >= 0
     )
     fold = epochs[:-keep_epochs] if keep_epochs else epochs
     if not fold:
         return 0
-
-    base = os.path.join(out_dir, "epoch=-1")
     frames = [
         spark.read.parquet(os.path.join(out_dir, f"epoch={e}")) for e in fold
     ]
@@ -978,8 +1001,19 @@ def compact_shard_epochs(
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f)
-    # exact-duplicate drop makes the crash window and reruns idempotent
+    # exact-duplicate drop makes the crash window and reruns idempotent;
+    # the keyed assert below makes a broken uniqueness assumption loud
     merged = merged.dropDuplicates()
+    if id_col in merged.columns:
+        dup = (
+            merged.groupBy(id_col).count().filter("count > 1").limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"compact_shard_epochs: distinct rows share {id_col!r} after "
+                "exact-duplicate drop — replay is no longer bit-deterministic "
+                "for this schema; refusing to compact (would risk data loss)"
+            )
 
     tmp = out_dir.rstrip("/") + "__compact_tmp"
     merged.write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
@@ -990,9 +1024,9 @@ def compact_shard_epochs(
 
     if state_dir and os.path.isdir(state_dir):
         states = sorted(
-            int(d.split("=", 1)[1])
+            int(m.group(1))
             for d in os.listdir(state_dir)
-            if d.startswith("epoch=")
+            if (m := _epoch_re.match(d))
         )
         for e in states[:-keep_epochs]:
             jvm_s, _ = _hadoop_fs(spark, os.path.join(state_dir, f"epoch={e}"))

@@ -325,11 +325,12 @@ class TestStreamingShards:
 
     def _epoch_dirs(self, out):
         import os
+        import re
 
         return sorted(
-            int(d.split("=", 1)[1])
+            int(m.group(1))
             for d in os.listdir(out)
-            if d.startswith("epoch=")
+            if (m := re.match(r"^epoch=(-?\d+)$", d))
         )
 
     def test_compaction_folds_old_epochs_preserving_shards(
@@ -417,6 +418,85 @@ class TestStreamingShards:
             r.doc_id: (r.cum_tokens, r.shard_id)
             for r in spark.read.parquet(out).collect()
         } == before
+
+    def test_compaction_repairs_crashed_swap(self, spark, tmp_path):
+        """Crash between _swap_dirs' two renames leaves epoch=-1__old; the
+        next compaction run must repair it (promote or drop) rather than
+        die parsing the dir name, and the table must stay intact."""
+        import os
+        import shutil
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            compact_shard_epochs,
+        )
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        for b in range(4):
+            self._stage(
+                spark, tmp_path, src, schema, f"b{b}.parquet",
+                [(10 * b + i, "w x y z") for i in range(3)],
+            )
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        self._run(spark, src, schema, out, state, str(tmp_path / "ckpt"))
+        before = {
+            r.doc_id: (r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert compact_shard_epochs(spark, out, state, keep_epochs=2) == 2
+
+        base = os.path.join(out, "epoch=-1")
+        stale = base + "__old"
+
+        # case 1: crash after rename-aside, before promote → base missing
+        os.rename(base, stale)
+        assert compact_shard_epochs(spark, out, state, keep_epochs=2) == 0
+        assert os.path.isdir(base) and not os.path.isdir(stale)
+        assert {
+            r.doc_id: (r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        } == before
+
+        # case 2: crash after promote, before old-copy delete → both exist
+        shutil.copytree(base, stale)
+        assert compact_shard_epochs(spark, out, state, keep_epochs=2) == 0
+        assert os.path.isdir(base) and not os.path.isdir(stale)
+        assert {
+            r.doc_id: (r.cum_tokens, r.shard_id)
+            for r in spark.read.parquet(out).collect()
+        } == before
+
+    def test_compaction_refuses_on_duplicate_ids(self, spark, tmp_path):
+        """Distinct rows sharing a doc_id after the exact-duplicate drop
+        mean replay is no longer bit-deterministic — compaction must fail
+        loudly instead of silently folding (and possibly losing) data."""
+        import os
+
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            compact_shard_epochs,
+        )
+
+        out = str(tmp_path / "out")
+        schema = "doc_id long, n_tokens long, cum_tokens long, shard_id long"
+        spark.createDataFrame([(1, 4, 4, 0)], schema).write.partitionBy(
+            "shard_id"
+        ).parquet(os.path.join(out, "epoch=0"))
+        # same doc_id, different cum_tokens → not an exact duplicate
+        spark.createDataFrame([(1, 4, 8, 0)], schema).write.partitionBy(
+            "shard_id"
+        ).parquet(os.path.join(out, "epoch=1"))
+        spark.createDataFrame([(2, 4, 12, 1)], schema).write.partitionBy(
+            "shard_id"
+        ).parquet(os.path.join(out, "epoch=2"))
+        spark.createDataFrame([(3, 4, 16, 1)], schema).write.partitionBy(
+            "shard_id"
+        ).parquet(os.path.join(out, "epoch=3"))
+
+        with _pytest.raises(ValueError, match="doc_id"):
+            compact_shard_epochs(spark, out, keep_epochs=2)
 
     def test_compaction_rejects_bad_keep(self, spark, tmp_path):
         import pytest as _pytest

@@ -258,3 +258,25 @@ class TestSubstringIndexAtRest:
         substring_write_index(ev1, path)
         empty = corpus.filter(F.col("doc_id") < 0)
         assert substring_match_index(spark, path, empty).count() == 0
+
+    def test_empty_batch_schema_follows_id_type(self, spark, tmp_path):
+        """String doc ids: the empty-batch early return must carry the
+        SAME id type as the non-empty path, not a hardcoded long."""
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_match_index,
+            substring_write_index,
+        )
+
+        corpus, ev1, _ = self._sets(spark)
+        str_corpus = corpus.withColumn(
+            "doc_id", F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+        )
+        path = str(tmp_path / "subidx")
+        substring_write_index(ev1, path)
+        nonempty = substring_match_index(spark, path, str_corpus)
+        empty = substring_match_index(
+            spark, path, str_corpus.filter(F.col("doc_id") == "never")
+        )
+        assert empty.schema == nonempty.schema
+        assert empty.schema["doc_id"].dataType.typeName() == "string"
+        assert empty.count() == 0
