@@ -85,7 +85,11 @@ def llm_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # symbolically (training sample = first 256 ids, which the base contains
 # by construction), so the hash match proves append-then-search ≡ full
 # rebuild cross-engine — the same merged≡rebuilt gate as
-# llm_bm25_incremental and llm_dedup_index.
+# llm_bm25_incremental and llm_dedup_index. The base-then-append index is
+# built ONCE per fixture into the shared cache (the llm_substring_index /
+# llm_dedup_index posture: process-unique staging + atomic rename); every
+# invocation still gates the full append≡rebuild equivalence because the
+# search reads the appended rows through the frozen artifacts.
 # ===========================================================================
 
 from crowdsorsa_etl_spark import lsh_oracles as _lo
@@ -103,33 +107,45 @@ def llm_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search through an index built base-then-append: the batch's
     codes are assigned/encoded with the stored artifacts and appended into
     the existing ``list_id=`` partitions."""
+    import os
     import shutil
-    import tempfile
 
     from crowdsorsa_etl_spark.operators.pq import (
         ivfpq_append_index,
         ivfpq_query_index,
         ivfpq_write_index,
     )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
 
     emb = _t(spark, sf_dir, "embeddings")
-    # base keeps every id < 256 — the deterministic training sample — so
-    # frozen-artifact append is provably identical to the full rebuild
-    base = emb.filter((F.col("vec_id") < 256) | (F.col("vec_id") % 10 != 0))
-    batch = emb.filter((F.col("vec_id") >= 256) & (F.col("vec_id") % 10 == 0))
-    path = tempfile.mkdtemp(prefix="ivfpqidx_")
-    try:
+    path = _sf_cache_dir(sf_dir, "ivfpqinc_v1", "embeddings")
+    marker = os.path.join(path, "_built")
+    if not os.path.exists(marker):
+        # base keeps every id < 256 — the deterministic training sample — so
+        # frozen-artifact append is provably identical to the full rebuild
+        base = emb.filter(
+            (F.col("vec_id") < 256) | (F.col("vec_id") % 10 != 0)
+        )
+        batch = emb.filter(
+            (F.col("vec_id") >= 256) & (F.col("vec_id") % 10 == 0)
+        )
+        stage = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         ivfpq_write_index(
-            base, path,
+            base, stage,
             n_lists=16, m=8, k_codes=64, sample_size=256, pq_iterations=4,
         )
-        ivfpq_append_index(batch, path)
-        return ivfpq_query_index(
-            spark, path, emb.filter(F.col("vec_id") < 10),
-            k=5, n_probe=8, candidate_margin=32,
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+        ivfpq_append_index(batch, stage)
+        open(os.path.join(stage, "_built"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    return ivfpq_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 10),
+        k=5, n_probe=8, candidate_margin=32,
+    )
 
 
 # ===========================================================================
