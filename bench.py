@@ -130,6 +130,11 @@ HEADLINE = [
     "llm_logreg_step",
     "llm_image_decode_jpeg",
     "llm_substring_decontamination",
+    # round 10: production-vocab batch BPE encode (256 merges through the
+    # mapInPandas merge loop), token-id encoding, token-id shard export
+    "llm_bpe_encode_256",
+    "llm_bpe_token_ids",
+    "llm_token_id_shards",
 ]
 
 

@@ -43,7 +43,16 @@ __all__ = [
     "bpe_merges_sql",
     "bpe_encode",
     "bpe_encode_sql",
+    "bpe_vocab",
+    "bpe_encode_ids",
+    "bpe_token_ids_sql",
 ]
+
+#: merge counts at or below this use the literal-expression encode chain
+#: (fully narrow, whole-stage codegen); above it, the chain would blow
+#: codegen/analysis budgets, so ``strategy="auto"`` switches to the
+#: Arrow-batched mapInPandas merge loop (the production 32k-vocab shape).
+_EXPR_MERGE_LIMIT = 64
 
 
 def _merge_pat_rep(i: int) -> tuple[str, str]:
@@ -306,33 +315,13 @@ def _balanced_union(selects: list[str]) -> str:
     return selects[0]
 
 
-def bpe_encode(
-    df: DataFrame,
-    merges: list[tuple[str, str]],
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Tokenize documents with a learned merge table (the APPLY side of BPE).
+def _expr_token_stream(df: DataFrame, merges, *, text_col: str, id_col: str):
+    """(id_col, _toks) via the literal-expression encode chain: each doc's
+    words are char-spaced and every merge is applied in rank order with the
+    same space-doubling single-replace pass the trainer uses, inside nested
+    ``transform`` lambdas — fully narrow, zero Exchange, whole-stage
+    codegen end to end. Exact up to ~``_EXPR_MERGE_LIMIT`` merges."""
 
-    ``merges`` is the ordered artifact ``bpe_learn_merges`` produces — the
-    vocabulary-sized table every tokenizer ships; passing it as literals is
-    the distributed-inference shape (broadcast-by-constant-folding, zero
-    joins). Each document's words are char-spaced and every merge is applied
-    in rank order via the same space-doubling single-replace pass the
-    trainer uses, inside nested ``transform`` lambdas — fully narrow, zero
-    Exchange, whole-stage codegen end to end.
-
-    At real vocabulary sizes (32k merges) a 32k-deep expression chain would
-    blow codegen; the production variant loops the same merge table inside
-    one ``mapInPandas`` batch function. The expression form is exact for the
-    demo-scale tables this repo trains and keeps the hot path JVM-side.
-
-    Output: (id_col, n_tokens bigint, tokens_md5) — md5 of the final
-    space-joined symbol stream, so any drift in merge application (order,
-    greediness, a missed adjacent occurrence) breaks the oracle hash.
-    Documents with no tokens after normalization are dropped (both engines).
-    """
     # pyspark derives the lambda arity from the python signature, so the
     # merge symbols are bound via a closure factory (default-arg binding
     # would read as a 3-arg lambda and fail analysis)
@@ -346,25 +335,306 @@ def bpe_encode(
     for sym_a, sym_b in merges:
         reps = F.transform(reps, _merge_fn(sym_a, sym_b))
     full = F.concat_ws(" ", reps)
-    return (
-        df.select(F.col(id_col), full.alias("_toks"))
-        .filter(F.length("_toks") > 0)
-        .select(
-            id_col,
-            F.size(F.split(F.col("_toks"), " ")).cast("bigint").alias("n_tokens"),
-            F.md5(F.col("_toks")).alias("tokens_md5"),
-        )
+    return df.select(F.col(id_col), full.alias("_toks")).filter(
+        F.length("_toks") > 0
     )
 
 
-def bpe_encode_sql(n_merges: int = 8) -> str:
-    """DuckDB oracle for learn-then-encode: re-learns the merge table with
-    the ``bpe_merges_sql`` CTE chain (all ``n_merges`` rewrites this time),
-    then applies every merge to each document's char-spaced words with the
-    identical space-doubling replace, and folds the per-word symbol streams
-    back in word order. Independent of the Spark path end to end — the
-    merge list is NOT passed in; a wrong learned merge breaks this hash
-    just as a wrong application would."""
+def _encode_word_seq(word: str, rank_of: dict, pair_at: list) -> list[str]:
+    """Sequential-once BPE application of a merge table to ONE word: each
+    merge rank is visited at most once, in rank order, and applied greedy
+    left-to-right over the whole symbol sequence — exactly the trainer's
+    rewrite semantics (and the expression path's). A lazy heap keeps the
+    cost at O(L log L + merges actually applied) per word instead of
+    O(n_merges × L): only ranks whose pair is PRESENT ever enter the heap,
+    and a pair recreated by a later merge than its own rank stays unmerged
+    (its stage already passed), matching sequential-once exactly."""
+    import heapq
+
+    syms = list(word)
+    heap = sorted({rank_of[p] for p in zip(syms, syms[1:]) if p in rank_of})
+    last = -1
+    while heap:
+        r = heapq.heappop(heap)
+        if r <= last:  # duplicate entry, or its stage already passed
+            continue
+        last = r
+        a, b = pair_at[r]
+        out: list[str] = []
+        j, n = 0, len(syms)
+        hit = False
+        while j < n:
+            if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+                hit = True
+            else:
+                out.append(syms[j])
+                j += 1
+        if not hit:
+            continue
+        syms = out
+        for p in zip(syms, syms[1:]):
+            rr = rank_of.get(p)
+            if rr is not None and rr > last:
+                heapq.heappush(heap, rr)
+    return syms
+
+
+def _batch_token_stream(
+    df: DataFrame, merges, *, text_col: str, id_col: str
+) -> DataFrame:
+    """(id_col, _toks) via the Arrow-batched merge loop — the production
+    shape for 32k-merge vocabularies, where a literal expression chain
+    would blow codegen. Words are normalized/split Spark-side (the single
+    ``normalize_text`` source of truth); the pandas stage only applies the
+    merge table, memoizing per unique word (Zipf makes the cache hit rate
+    the dominant term). Output is identical to the expression path — a
+    parity test pins them to each other."""
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+    rank_of = {tuple(p): i for i, p in enumerate(merges)}
+    pair_at = list(map(tuple, merges))
+
+    def encode(batches):
+        cache: dict[str, str] = {}
+        for pdf in batches:
+            toks = []
+            for words in pdf["_words"]:
+                parts = []
+                for w in words:
+                    rep = cache.get(w)
+                    if rep is None:
+                        rep = " ".join(_encode_word_seq(w, rank_of, pair_at))
+                        cache[w] = rep
+                    parts.append(rep)
+                toks.append(" ".join(parts))
+            yield pd.DataFrame({id_col: pdf[id_col], "_toks": toks})
+
+    words = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([id_field, StructField("_toks", StringType())])
+    return (
+        df.select(F.col(id_col), words.alias("_words"))
+        .mapInPandas(encode, schema)
+        .filter(F.length("_toks") > 0)
+    )
+
+
+def _token_stream(
+    df: DataFrame, merges, *, text_col: str, id_col: str, strategy: str
+) -> DataFrame:
+    if strategy not in ("auto", "expression", "batch"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy == "auto":
+        strategy = (
+            "expression" if len(merges) <= _EXPR_MERGE_LIMIT else "batch"
+        )
+    fn = (
+        _expr_token_stream if strategy == "expression" else _batch_token_stream
+    )
+    return fn(df, merges, text_col=text_col, id_col=id_col)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table (the APPLY side of BPE).
+
+    ``merges`` is the ordered artifact ``bpe_learn_merges`` produces — the
+    vocabulary-sized table every tokenizer ships; passing it as literals is
+    the distributed-inference shape (broadcast-by-constant-folding or a
+    task-closure dict, zero joins).
+
+    ``strategy`` picks the merge-application path; both are exact and
+    bit-identical (pinned by a parity test):
+
+    - ``"expression"``: nested ``transform`` lambdas, one per merge — fully
+      narrow, zero Exchange, whole-stage codegen. Right at demo merge
+      counts; a 32k-deep chain would blow codegen.
+    - ``"batch"``: one ``mapInPandas`` stage looping the merge table with
+      sequential-once semantics and per-unique-word memoization — the
+      production 32k-vocab shape.
+    - ``"auto"`` (default): expression at <= ``_EXPR_MERGE_LIMIT`` merges,
+      batch above.
+
+    Output: (id_col, n_tokens bigint, tokens_md5) — md5 of the final
+    space-joined symbol stream, so any drift in merge application (order,
+    greediness, a missed adjacent occurrence) breaks the oracle hash.
+    Documents with no tokens after normalization are dropped (both engines).
+    """
+    stream = _token_stream(
+        df, merges, text_col=text_col, id_col=id_col, strategy=strategy
+    )
+    return stream.select(
+        id_col,
+        F.size(F.split(F.col("_toks"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("_toks")).alias("tokens_md5"),
+    )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """The (token, token_id) vocabulary a tokenizer ships: base symbols are
+    the corpus's distinct post-normalization characters, id'd in sorted
+    order from 0; each merge's new symbol follows at
+    ``n_base + merge_rank - 1``. Deterministic and SQL-replayable (the
+    ``bpe_token_ids_sql`` oracle derives the identical table), and bounded:
+    |vocab| = |charset| + |merges|, a driver-safe artifact by construction.
+    """
+    spark = df.sparkSession
+    base = sorted(
+        r["c"]
+        for r in (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(_norm(F.col(text_col)), " "),
+                        lambda w: F.length(w) > 0,
+                    )
+                ).alias("word")
+            )
+            .select(F.explode(F.split(_char_spaced(F.col("word")), " ")).alias("c"))
+            .distinct()
+            .collect()
+        )
+    )
+    rows = [(c, i) for i, c in enumerate(base)] + [
+        (a + b, len(base) + r) for r, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "token string, token_id int")
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+    ids_col: str | None = None,
+) -> DataFrame:
+    """Tokenize to REAL token ids — the last step of a training-data export
+    (shards of id arrays, not text). ``vocab`` is the collected
+    :func:`bpe_vocab` artifact (bounded by construction).
+
+    Output: (id_col, n_tokens bigint, ids_md5 string) — md5 of the
+    comma-joined id stream; with ``ids_col`` set, additionally the raw
+    ``array<int>`` id sequence under that name (the column a shard writer
+    persists). Id mapping happens JVM-side via a literal map expression
+    (constant-folded, no join); a symbol missing from the vocabulary maps
+    to a sentinel that poisons ``ids_md5`` — loud, not silent
+    (``concat_ws`` would otherwise skip a bare NULL).
+    """
+    stream = _token_stream(
+        df, merges, text_col=text_col, id_col=id_col, strategy=strategy
+    )
+    vocab_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in (kv[0], str(kv[1]))]
+    )
+    ids_str = F.transform(
+        F.split(F.col("_toks"), " "),
+        lambda s: F.coalesce(vocab_map[s], F.lit("?oov?")),
+    )
+    out = stream.select(
+        F.col(id_col),
+        F.size(F.split(F.col("_toks"), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(",", ids_str)).alias("ids_md5"),
+        *(
+            [
+                # OOV sentinel → NULL id in the raw array (the md5 is the
+                # loud gate; the array must not throw under ANSI cast)
+                F.transform(
+                    ids_str,
+                    lambda s: F.when(s.rlike("^[0-9]+$"), s).cast("int"),
+                ).alias(ids_col)
+            ]
+            if ids_col
+            else []
+        ),
+    )
+    return out
+
+
+def bpe_token_ids_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for learn → vocab → encode-to-ids: extends
+    ``bpe_encode_sql``'s chain with the vocabulary CTE (sorted distinct
+    base chars from 0, merge symbols at n_base + rank - 1 — skipping
+    exhausted NULL merges) and replays the id stream per document. Fully
+    independent of the Spark path: a wrong learned merge, a wrong vocab
+    id, and a wrong application each break the hash."""
+    ctes, final = _encode_chain_ctes(n_merges)
+    merge_syms = "\nUNION ALL\n".join(
+        f"SELECT replace(pair, ' ', '') AS token, {r} AS rank_off FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    ctes.append(
+        """basechars AS MATERIALIZED (
+      SELECT c AS token,
+             CAST(row_number() OVER (ORDER BY c) - 1 AS INT) AS token_id
+      FROM (
+        SELECT DISTINCT unnest(string_split(
+          trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ')) AS c
+        FROM words
+      )
+    ),
+    nb AS (SELECT CAST(count(*) AS INT) AS n_base FROM basechars)"""
+    )
+    ctes.append(
+        f"""vocab AS MATERIALIZED (
+      SELECT token, token_id FROM basechars
+      UNION ALL
+      SELECT token, CAST(nb.n_base + rank_off - 1 AS INT) AS token_id
+      FROM ({merge_syms}) m CROSS JOIN nb
+      WHERE token IS NOT NULL AND token != ''
+    ),
+    syms AS (
+      SELECT doc_id, ord, i AS pos, arr[i] AS token
+      FROM (
+        SELECT doc_id, ord, string_split(rep, ' ') AS arr
+        FROM docw JOIN {final} USING (word)
+      ), UNNEST(range(1, len(arr) + 1)) AS t(i)
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(v.token_id AS VARCHAR), ','
+                          ORDER BY s.ord, s.pos)) AS ids_md5
+    FROM syms s JOIN vocab v ON s.token = v.token
+    GROUP BY s.doc_id"""
+    )
+
+
+def _encode_chain_ctes(n_merges: int) -> tuple[list[str], str]:
+    """The learn-then-encode CTE chain shared by ``bpe_encode_sql`` and
+    ``bpe_token_ids_sql``: the word DICTIONARY carries its original spelling
+    through every rewrite stage, so documents encode by joining their words
+    to the final dictionary — one rewrite pass per stage over distinct
+    words, never per word instance, and half the CTE count of a per-doc
+    rewrite chain (a 256-stage doc-side chain trips DuckDB's expression-
+    depth guard; the dictionary-join form parses and runs fine).
+
+    Returns (ctes, final_word_cte): ``final_word_cte`` has
+    (word, rep, cnt); ``docw`` in the ctes has (doc_id, ord, word).
+    """
     norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     ctes = [
         f"""words AS MATERIALIZED (
@@ -373,12 +643,11 @@ def bpe_encode_sql(n_merges: int = 8) -> str:
       ) WHERE len(word) > 0 GROUP BY word
     ),
     w0 AS MATERIALIZED (
-      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
       FROM words
     ),
-    dw0 AS MATERIALIZED (
-      SELECT doc_id, i AS ord,
-             trim(regexp_replace(arr[i], '(.)', '\\1 ', 'g')) AS rep
+    docw AS MATERIALIZED (
+      SELECT doc_id, i AS ord, arr[i] AS word
       FROM (SELECT doc_id, string_split({norm}, ' ') AS arr FROM documents),
            UNNEST(range(1, len(arr) + 1)) AS t(i)
       WHERE len(arr[i]) > 0
@@ -403,17 +672,24 @@ def bpe_encode_sql(n_merges: int = 8) -> str:
             f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
             f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"
         )
-        if i < n_merges:
-            ctes.append(
-                f"""w{i} AS MATERIALIZED (
-      SELECT {rewrite} AS rep, cnt FROM w{i - 1}
-    )"""
-            )
         ctes.append(
-            f"""dw{i} AS MATERIALIZED (
-      SELECT doc_id, ord, {rewrite} AS rep FROM dw{i - 1}
+            f"""w{i} AS MATERIALIZED (
+      SELECT word, {rewrite} AS rep, cnt FROM w{i - 1}
     )"""
         )
+    return ctes, f"w{n_merges}"
+
+
+def bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for learn-then-encode: re-learns the merge table with
+    the ``bpe_merges_sql`` CTE chain (all ``n_merges`` rewrites this time),
+    applies every merge to the word DICTIONARY with the identical
+    space-doubling replace, and folds each document's per-word symbol
+    streams back in word order via a dictionary join (a corpus word's
+    encoding IS its dictionary rep). Independent of the Spark path end to
+    end — the merge list is NOT passed in; a wrong learned merge breaks
+    this hash just as a wrong application would."""
+    ctes, final = _encode_chain_ctes(n_merges)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -421,5 +697,5 @@ def bpe_encode_sql(n_merges: int = 8) -> str:
     SELECT doc_id,
            CAST(sum(len(string_split(rep, ' '))) AS BIGINT) AS n_tokens,
            md5(string_agg(rep, ' ' ORDER BY ord)) AS tokens_md5
-    FROM dw{n_merges} GROUP BY doc_id"""
+    FROM docw JOIN {final} USING (word) GROUP BY doc_id"""
     )

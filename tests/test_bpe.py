@@ -170,3 +170,176 @@ class TestDriverStrategyParity:
 def _spark_merges_df(spark, df, n):
     rows = bpe_learn_merges(df, n_merges=n).orderBy("merge_rank").collect()
     return [(r.pair, r.total) for r in rows]
+
+
+class TestEncodeStrategyParity:
+    """The batch (mapInPandas merge-loop) encode must be bit-identical to
+    the expression (nested-transform) encode — the production 32k-vocab
+    path and the codegen demo path are the same operator."""
+
+    _TEXTS = [
+        "lower newest lowest new low",
+        "the newer the lower the wider",
+        "estimate the estimates  Wide   wide",
+        "",
+        "a",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            list(enumerate(self._TEXTS)), ["doc_id", "text"]
+        )
+
+    def _learned(self, spark, n=8):
+        from crowdsorsa_etl_spark.operators.bpe import bpe_learn_merges
+
+        rows = bpe_learn_merges(self._df(spark), n_merges=n).collect()
+        return [tuple(r["pair"].split(" ")) for r in rows]
+
+    def test_expression_vs_batch_bit_identical(self, spark):
+        from crowdsorsa_etl_spark.operators.bpe import bpe_encode
+
+        df, merges = self._df(spark), self._learned(spark)
+        a = bpe_encode(df, merges, strategy="expression").orderBy("doc_id")
+        b = bpe_encode(df, merges, strategy="batch").orderBy("doc_id")
+        assert a.collect() == b.collect()
+
+    def test_auto_switches_to_batch_over_limit(self, spark):
+        from crowdsorsa_etl_spark.operators.bpe import (
+            _EXPR_MERGE_LIMIT,
+            bpe_encode,
+        )
+
+        df = self._df(spark)
+        # synthetic oversized table: only the first merges can ever apply
+        merges = self._learned(spark, 4) + [
+            (f"zz{i}", f"qq{i}") for i in range(_EXPR_MERGE_LIMIT)
+        ]
+        out = bpe_encode(df, merges, strategy="auto")
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "pythonUDF" in plan or "MapInPandas" in plan
+        small = bpe_encode(df, self._learned(spark, 4), strategy="auto")
+        plan_small = small._jdf.queryExecution().analyzed().toString()
+        assert "MapInPandas" not in plan_small
+        # padded no-op merges don't change the encoding
+        assert (
+            out.orderBy("doc_id").collect()
+            == small.orderBy("doc_id").collect()
+        )
+
+    def test_sequential_once_skips_recreated_earlier_rank(self, spark):
+        """A pair whose rank's stage already passed must stay unmerged even
+        if a later merge recreates it — on BOTH paths. merges:
+        rank1 = (xy, z) [symbol 'xy' doesn't exist yet — no-op],
+        rank2 = (x, y)  [creates 'xy', now adjacent to 'z'].
+        Sequential-once leaves 'xy z'; a min-rank re-loop would produce
+        'xyz' and break parity with the trainer/oracle semantics."""
+        from crowdsorsa_etl_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame([(0, "xyz")], ["doc_id", "text"])
+        merges = [("xy", "z"), ("x", "y")]
+        a = bpe_encode(df, merges, strategy="expression").collect()
+        b = bpe_encode(df, merges, strategy="batch").collect()
+        assert a == b
+        assert a[0]["n_tokens"] == 2  # 'xy z', NOT 'xyz'
+
+    def test_batch_word_memoization_consistent(self, spark):
+        """Repeated words across docs hit the per-batch cache — results
+        must equal the uncached expression path exactly."""
+        from crowdsorsa_etl_spark.operators.bpe import bpe_encode
+
+        rows = [(i, "low lower low low newest") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+        a = bpe_encode(df, merges, strategy="expression").orderBy("doc_id")
+        b = bpe_encode(df, merges, strategy="batch").orderBy("doc_id")
+        assert a.collect() == b.collect()
+
+
+class TestTokenIds:
+    def _fixture(self, spark):
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_learn_merges,
+            bpe_vocab,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "low lower lowest"), (1, "new newest newer")],
+            ["doc_id", "text"],
+        )
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(df, n_merges=4).collect()
+        ]
+        vocab_df = bpe_vocab(df, merges)
+        vocab = {r["token"]: r["token_id"] for r in vocab_df.collect()}
+        return df, merges, vocab
+
+    def test_vocab_layout(self, spark):
+        """Base chars id'd in sorted order from 0; merge symbols follow at
+        n_base + rank - 1."""
+        df, merges, vocab = self._fixture(spark)
+        base = sorted(t for t in vocab if len(t) == 1)
+        assert [vocab[c] for c in base] == list(range(len(base)))
+        for r, (a, b) in enumerate(merges):
+            assert vocab[a + b] == len(base) + r
+
+    def test_ids_array_matches_md5_and_count(self, spark):
+        import hashlib
+
+        from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+
+        df, merges, vocab = self._fixture(spark)
+        out = bpe_encode_ids(
+            df, merges, vocab, ids_col="token_ids"
+        ).orderBy("doc_id")
+        for row in out.collect():
+            assert row["n_tokens"] == len(row["token_ids"])
+            assert all(i is not None for i in row["token_ids"])
+            joined = ",".join(str(i) for i in row["token_ids"])
+            assert (
+                hashlib.md5(joined.encode()).hexdigest() == row["ids_md5"]
+            )
+
+    def test_ids_decode_roundtrip(self, spark):
+        """ids → tokens via the inverse vocab must rebuild the exact symbol
+        stream the hash-gated encode produced."""
+        import hashlib
+
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_encode,
+            bpe_encode_ids,
+        )
+
+        df, merges, vocab = self._fixture(spark)
+        inv = {v: k for k, v in vocab.items()}
+        ids = {
+            r["doc_id"]: r["token_ids"]
+            for r in bpe_encode_ids(
+                df, merges, vocab, ids_col="token_ids"
+            ).collect()
+        }
+        for r in bpe_encode(df, merges).collect():
+            stream = " ".join(inv[i] for i in ids[r["doc_id"]])
+            assert (
+                hashlib.md5(stream.encode()).hexdigest() == r["tokens_md5"]
+            )
+
+    def test_oov_is_loud_not_silent(self, spark):
+        """A symbol missing from the vocabulary must poison ids_md5 (and
+        yield NULL in the raw array), never silently drop."""
+        from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+
+        df, merges, vocab = self._fixture(spark)
+        partial = {k: v for k, v in vocab.items() if k != "w"}
+        full = bpe_encode_ids(df, merges, vocab, ids_col="token_ids")
+        broken = bpe_encode_ids(df, merges, partial, ids_col="token_ids")
+        f = {r["doc_id"]: r for r in full.collect()}
+        b = {r["doc_id"]: r for r in broken.collect()}
+        for d in f:
+            assert f[d]["n_tokens"] == b[d]["n_tokens"]  # count keeps shape
+        # every doc here contains 'w' ('low'/'new') → all hashes poisoned
+        assert all(f[d]["ids_md5"] != b[d]["ids_md5"] for d in f)
+        assert any(
+            i is None for r in b.values() for i in r["token_ids"]
+        )
