@@ -350,6 +350,9 @@ def start_curation_stream(
     chunk_stride: int = 48,
     compact_every: int | None = None,
     postings_dir: str | None = None,
+    decontam_index_dir: str | None = None,
+    decontam_spans_dir: str | None = None,
+    decontam_min_run: int = 8,
 ):
     """Streaming LLM-data curation: the batch funnel (quality filter →
     exact dedup → chunking) as an incremental ingest pipeline.
@@ -368,7 +371,17 @@ def start_curation_stream(
        ledger's exactly-once guarantee is precisely the "doc_ids are new"
        contract the append-only postings MV requires, so the streaming
        corpus stays retrievable with zero rebuilds (same replay caveat as
-       the chunk sink below).
+       the chunk sink below);
+    6. with ``decontam_index_dir``: the fresh documents are probed against
+       the persisted eval-shingle index
+       (operators/substring.substring_match_index — partition-pruned scan,
+       broadcast-semi probe, batch-sized cost) and every flagged span
+       lands under ``decontam_spans_dir`` (default
+       ``<out_dir>_decontam_spans``) as ``epoch=<id>`` parquet, mode
+       overwrite — a replayed epoch rewrites its own spans, never
+       duplicates them. Drained-stream spans ≡ the batch
+       ``substring_decontamination_spans`` over the same corpus (gated by
+       tests/test_streaming.py).
 
     A duplicate document arriving in a LATER batch is dropped by the
     ledger anti-join — cross-batch dedup, which a stateless map could not
@@ -419,11 +432,12 @@ def start_curation_stream(
         )
         # within-batch keep-first, then anti-join the cross-batch ledger
         w = Window.partitionBy("_md5").orderBy(F.col(id_col))
-        fresh = (
+        batch_fresh = (
             kept.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        fresh = batch_fresh
         # bounded-cost ledger probe (sinks/ledger.py scale contract):
         # prefix-pruned read → broadcast-semi slice (batch-sized, the only
         # thing materialized) → broadcast anti-join. The full history is
@@ -455,6 +469,31 @@ def start_curation_stream(
 
             bm25_append_index(
                 fresh, postings_dir, text_col=text_col, id_col=id_col
+            )
+        if decontam_index_dir is not None:
+            from crowdsorsa_etl_spark.operators.substring import (
+                substring_match_index,
+            )
+
+            spans_dir = (
+                decontam_spans_dir
+                or out_dir.rstrip("/") + "_decontam_spans"
+            )
+            # probe the PRE-ledger set (batch_fresh): it is a pure function
+            # of the batch's content, so a replayed epoch rewrites the SAME
+            # spans — probing post-anti-join would recompute empty on
+            # replay and erase real spans. A cross-batch duplicate doc may
+            # therefore carry spans here despite never ingesting; join
+            # spans to the chunk corpus for survivor-only views.
+            substring_match_index(
+                spark,
+                decontam_index_dir,
+                batch_fresh,
+                min_run=decontam_min_run,
+                text_col=text_col,
+                id_col=id_col,
+            ).write.mode("overwrite").parquet(
+                f"{spans_dir}/epoch={epoch_id}"
             )
         # commit point: the epoch's FULL ingested key set (replay rewrites
         # the same set — sinks/ledger.epoch_ledger_rows). Remaining
@@ -818,11 +857,22 @@ def start_shard_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_budget: int = 20_000,
+    merges: list[tuple[str, str]] | None = None,
+    vocab: dict[str, int] | None = None,
 ):
     """Continuous training-shard export: every micro-batch's documents get
     GLOBAL shard ids continuing the running token total from all prior
     epochs — the streaming form of q108_shard_assignment, so a training
     corpus can be exported shard-by-shard while ingest is still running.
+
+    With ``merges`` + ``vocab`` (the bounded artifacts ``bpe_learn_merges``
+    / ``bpe_vocab`` produce), each batch is BPE-encoded to REAL token ids:
+    ``n_tokens`` becomes the true token count (what a trainer budgets on,
+    not the whitespace proxy) and the export carries ``ids_md5`` plus the
+    raw ``token_ids array<int>`` column — the shards a training run
+    consumes directly, ending the pipeline in token ids rather than text.
+    Documents that normalize to zero tokens are dropped (the batch
+    ``bpe_encode_ids`` contract).
 
     Per micro-batch (foreachBatch): the distributed global cumsum
     (``global_rank.with_global_cumsum`` — range sort, per-partition sum
@@ -846,6 +896,8 @@ def start_shard_stream(
 
     if shard_budget < 1:
         raise ValueError(f"shard_budget must be >= 1; got {shard_budget}")
+    if (merges is None) != (vocab is None):
+        raise ValueError("merges and vocab must be provided together")
 
     spark_active = docs_stream.sparkSession
 
@@ -870,18 +922,33 @@ def start_shard_stream(
         if batch_df.isEmpty():
             return
         offset = _carried_total(int(epoch_id))
-        d = batch_df.select(
-            F.col(id_col),
-            F.size(F.split(F.lower(F.trim(text_col)), " "))
-            .cast("bigint")
-            .alias("n_tokens"),
-        )
+        if merges is not None:
+            from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+
+            d = bpe_encode_ids(
+                batch_df,
+                merges,
+                vocab,
+                text_col=text_col,
+                id_col=id_col,
+                ids_col="token_ids",
+            )
+            extra = ["ids_md5", "token_ids"]
+        else:
+            d = batch_df.select(
+                F.col(id_col),
+                F.size(F.split(F.lower(F.trim(text_col)), " "))
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
+            extra = []
         out = with_global_cumsum(
             d, [F.col(id_col)], "n_tokens", cum_col="_batch_cum"
         ).withColumn("cum_tokens", F.col("_batch_cum") + F.lit(offset))
         out = out.select(
             id_col,
             "n_tokens",
+            *extra,
             "cum_tokens",
             F.floor(
                 (F.col("cum_tokens") - F.col("n_tokens")) / float(shard_budget)

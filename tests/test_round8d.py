@@ -687,3 +687,95 @@ class TestImagePhash:
         png = self._payloads(spark, ["x"])
         with pytest.raises(ValueError, match="pigeonhole"):
             image_ahash_dups(png, max_hamming=8)
+
+
+class TestShardStreamTokenIds:
+    """start_shard_stream with merges+vocab: the export budgets on REAL
+    BPE token counts and carries ids_md5 + the raw token_ids arrays — the
+    drained stream must match the batch bpe_encode_ids exactly, with the
+    cumulative total continuing across epochs."""
+
+    def test_token_id_shards_match_batch(self, spark, tmp_path):
+        import os
+
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_learn_merges,
+            bpe_vocab,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import start_shard_stream
+
+        schema = "doc_id long, text string"
+        b1 = [(1, "low lower lowest"), (2, "new newest newer")]
+        b2 = [(3, "the widest wide low new"), (4, "")]
+        corpus = spark.createDataFrame(b1 + b2, schema)
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(corpus, n_merges=6).collect()
+        ]
+        vocab = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab(corpus, merges).collect()
+        }
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        TestStreamingShards._stage(
+            self, spark, tmp_path, src, schema, "b1.parquet", b1
+        )
+        TestStreamingShards._stage(
+            self, spark, tmp_path, src, schema, "b2.parquet", b2
+        )
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        q = start_shard_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            state,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            shard_budget=5,
+            merges=merges,
+            vocab=vocab,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        want = {
+            r["doc_id"]: r
+            for r in bpe_encode_ids(
+                corpus, merges, vocab, ids_col="token_ids"
+            ).collect()
+        }
+        # doc 4 is empty → dropped on both sides
+        assert set(got) == set(want) == {1, 2, 3}
+        for d, w in want.items():
+            g = got[d]
+            assert g.n_tokens == w["n_tokens"]
+            assert g.ids_md5 == w["ids_md5"]
+            assert list(g.token_ids) == list(w["token_ids"])
+        # cumulative totals continue across epochs in doc order per epoch
+        cum = {d: got[d].cum_tokens for d in got}
+        assert cum[1] == want[1]["n_tokens"]
+        assert cum[2] == cum[1] + want[2]["n_tokens"]
+        assert cum[3] == cum[2] + want[3]["n_tokens"]
+        for g in got.values():  # q108 shard math over real token counts
+            assert g.shard_id == (g.cum_tokens - g.n_tokens) // 5
+
+    def test_merges_without_vocab_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.streaming.pipeline import start_shard_stream
+
+        schema = "doc_id long, text string"
+        with _pytest.raises(ValueError, match="together"):
+            start_shard_stream(
+                spark.readStream.schema(schema).parquet(str(tmp_path)),
+                str(tmp_path / "o"),
+                str(tmp_path / "s"),
+                checkpoint_dir=str(tmp_path / "c"),
+                merges=[("a", "b")],
+            )

@@ -705,3 +705,137 @@ class TestCurationStream:
         chunks = spark.read.parquet(out)
         assert chunks.count() == n_after_first + chunks.filter("doc_id = 2").count()
         assert chunks.filter("doc_id = 1").count() == n_after_first
+
+
+class TestStreamingDecontamination:
+    """decontam_index_dir wiring: each micro-batch probes the persisted
+    eval-shingle index; the drained stream's flagged spans must equal the
+    batch substring_decontamination_spans over the same corpus."""
+
+    def test_stream_spans_match_batch(self, spark, tmp_path):
+        import os
+
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_decontamination_spans,
+            substring_write_index,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_curation_stream,
+        )
+
+        # eval doc: 20 distinct tokens; corpus docs embed an 11-token run
+        eval_toks = [f"bench{i}" for i in range(20)]
+        leak = " ".join(eval_toks[5:16])
+        filler = lambda tag, n: " ".join(  # noqa: E731
+            f"the {tag}{i} and data value" for i in range(n)
+        )
+        d1 = f"{filler('aa', 10)} {leak} {filler('bb', 10)}"   # leaks
+        d2 = filler("cc", 25)                                   # clean
+        d3 = f"{leak} {filler('dd', 12)}"                       # leaks at 0
+        schema = "doc_id long, text string"
+        corpus = spark.createDataFrame(
+            [(1, d1), (2, d2), (3, d3)], schema
+        )
+        eval_df = spark.createDataFrame(
+            [(100, " ".join(eval_toks))], schema
+        )
+
+        idx = str(tmp_path / "evalidx")
+        substring_write_index(eval_df, idx)
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        TestCurationStream._stage(
+            spark, tmp_path, src, schema, "b1.parquet", [(1, d1), (2, d2)]
+        )
+        TestCurationStream._stage(
+            spark, tmp_path, src, schema, "b2.parquet", [(3, d3)]
+        )
+
+        out = str(tmp_path / "chunks")
+        spans_dir = str(tmp_path / "spans")
+        q = start_curation_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            ledger_dir=str(tmp_path / "ledger"),
+            decontam_index_dir=idx,
+            decontam_spans_dir=spans_dir,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+            for r in spark.read.parquet(spans_dir).collect()
+        }
+        want = {
+            (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+            for r in substring_decontamination_spans(
+                corpus, eval_df, min_run=8
+            ).collect()
+        }
+        assert got == want and got  # non-empty: the leaks were flagged
+
+    def test_default_spans_dir_and_replay_overwrite(self, spark, tmp_path):
+        import os
+
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_write_index,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_curation_stream,
+        )
+
+        eval_toks = " ".join(f"q{i}" for i in range(15))
+        doc = (
+            " ".join(f"the lead{i} and data value" for i in range(10))
+            + " " + eval_toks
+        )
+        schema = "doc_id long, text string"
+        eval_df = spark.createDataFrame([(9, eval_toks)], schema)
+        idx = str(tmp_path / "evalidx")
+        substring_write_index(eval_df, idx)
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        TestCurationStream._stage(
+            spark, tmp_path, src, schema, "b1.parquet", [(1, doc)]
+        )
+        out = str(tmp_path / "chunks")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            q = start_curation_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                out,
+                checkpoint_dir=ckpt,
+                ledger_dir=str(tmp_path / "ledger"),
+                decontam_index_dir=idx,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run()
+        spans_dir = out.rstrip("/") + "_decontam_spans"
+        first = spark.read.parquet(spans_dir).collect()
+        assert len(first) == 1  # the 15-token eval tail
+
+        # crash-replay epoch 0: the probe runs on the PRE-ledger set (a
+        # pure function of batch content), so the replayed epoch rewrites
+        # exactly the same spans — no loss, no duplicates
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        crc = os.path.join(ckpt, "commits", ".0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+        again = spark.read.parquet(spans_dir).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, first))
