@@ -102,13 +102,23 @@ def duplicated_substring_spans(
     k = min_run
     sh = _shingle_positions(df, id_col, text_col, k)
 
-    # one exchange on the 128-bit shingle key; flagged = corpus-wide count>=2
-    w_sh = Window.partitionBy("sh")
-    flagged = (
-        sh.withColumn("_c", F.count(F.lit(1)).over(w_sh))
+    # flagged = corpus-wide shingle count >= 2, as groupBy-count + semi
+    # join rather than a count window over partitionBy(sh): the partial
+    # (map-side) aggregation collapses a hot boilerplate shingle to one
+    # partial per input partition BEFORE the exchange, so the count side
+    # is skew-immune by construction; the probe join broadcasts when the
+    # duplicated-shingle set is small and falls to an AQE-skew-splittable
+    # shuffle join otherwise. A window over sh would funnel every
+    # occurrence of the hot key through one sort partition with no
+    # partial-agg relief — the shape tests/test_substring.py's skew
+    # stress gate rules out.
+    dup_sh = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
-        .select(id_col, "pos")
+        .select("sh")
     )
+    flagged = sh.join(dup_sh, "sh", "left_semi").select(id_col, "pos")
 
     # gaps-and-islands per doc: start positions <= k apart cover
     # overlapping-or-touching k-token windows (unique order key: pos)

@@ -280,3 +280,82 @@ class TestSubstringIndexAtRest:
         assert empty.schema == nonempty.schema
         assert empty.schema["doc_id"].dataType.typeName() == "string"
         assert empty.count() == 0
+
+
+class TestSubstringSkewStress:
+    """Adversarial 1000×-hot boilerplate shingle (round-9 verdict item):
+    every document ends with the same 8-token boilerplate run — the shape
+    that breaks a count-window-over-shingle formulation (all occurrences
+    funnel through one sort partition, no partial-agg relief). The
+    groupBy-count + semi-join form must (a) stay exact, and (b) collapse
+    the hot key map-side: the only data-sized exchange keys on doc_id."""
+
+    HOT = " ".join(f"boiler{j}" for j in range(8))  # exactly one k-window
+
+    def _corpus(self, spark, n=400):
+        rows = [
+            (i, " ".join(f"u{i}w{j}" for j in range(10)) + " " + self.HOT)
+            for i in range(n)
+        ]
+        # planted full-text duplicate: the one extra span pair expected
+        rows.append((9000, rows[5][1]))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_exact_recall_under_hot_shingle(self, spark):
+        from crowdsorsa_etl_spark.operators.substring import (
+            duplicated_substring_spans,
+        )
+
+        n = 400
+        docs = self._corpus(spark, n)
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_substring_spans(docs, min_run=8).collect()
+        }
+        # every doc's boilerplate tail (starts at 10, 8 tokens → 10..17) is
+        # genuinely duplicated corpus-wide; docs 5/9000 duplicate entirely
+        want = {(i, 10, 17) for i in range(n) if i != 5}
+        want |= {(5, 0, 17), (9000, 0, 17)}
+        assert got == want
+
+    def test_hot_key_collapses_before_the_exchange(self, spark):
+        """Plan gate: the count side pre-aggregates map-side
+        (partial_count before its exchange), the duplicated-shingle set
+        broadcasts into the semi join (no probe-side exchange on sh), and
+        no Window is partitioned by the shingle key — the only data-sized
+        hashpartitioning exchange keys on doc_id."""
+        from crowdsorsa_etl_spark.operators.substring import (
+            duplicated_substring_spans,
+        )
+
+        docs = self._corpus(spark)
+        out = duplicated_substring_spans(docs, min_run=8)
+        out.collect()  # AQE decides the join strategy from RUNTIME sizes
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "partial_count" in final
+        # the count-filtered dup set is runtime-small → AQE broadcasts the
+        # semi join; the hot key never keys a window or a sort partition
+        assert "BroadcastHashJoin [sh" in final and "LeftSemi" in final
+        assert "windowspecdefinition(sh" not in final
+        assert "Exchange hashpartitioning(doc_id" in final
+
+    def test_decontamination_exact_under_hot_shingle(self, spark):
+        """Same fixture through the eval-overlap path: eval contains only
+        the boilerplate run, so every corpus doc flags exactly its tail —
+        the eval side broadcasts, no pairwise blowup."""
+        from crowdsorsa_etl_spark.operators.substring import (
+            substring_decontamination_spans,
+        )
+
+        n = 300
+        docs = self._corpus(spark, n)
+        eval_df = spark.createDataFrame([(100000, self.HOT)], ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_decontamination_spans(
+                docs, eval_df, min_run=8
+            ).collect()
+        }
+        want = {(i, 10, 17) for i in range(n)} | {(9000, 10, 17)}
+        assert got == want
