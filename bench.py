@@ -135,6 +135,7 @@ HEADLINE = [
     "llm_bpe_encode_256",
     "llm_bpe_token_ids",
     "llm_token_id_shards",
+    "llm_video_frames",
 ]
 
 

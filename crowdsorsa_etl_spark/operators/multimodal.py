@@ -632,3 +632,128 @@ def image_ahash_dups(
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def attach_avi_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    fps: int = 10,
+    quality: int = 90,
+) -> DataFrame:
+    """Fixture adapter for the REAL video decode path: render each
+    document's bytes into a genuine MJPEG-in-AVI container
+    (``functions/videocodec.py``) — ``(octet_length % 3) + 1`` frames of
+    8×8 gray pixels, frame ``i`` drawn from the byte slice starting at
+    ``64·i`` — so downstream ops exercise RIFF walk + per-frame Huffman
+    decode end-to-end. The frame count and geometry are closed-form in
+    the text length, which is what makes the container-geometry oracle
+    exactly replayable in SQL."""
+    import numpy as np
+
+    from crowdsorsa_etl_spark.functions.videocodec import encode_avi_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                n_frames = (len(raw) % 3) + 1
+                body = raw[: 64 * n_frames] or b"\x00"
+                frames = []
+                for i in range(n_frames):
+                    chunk = body[64 * i : 64 * (i + 1)]
+                    arr = np.zeros(64, dtype=np.uint8)
+                    arr[: len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+                    frames.append(arr.reshape(8, 8))
+                payloads.append(
+                    encode_avi_mjpeg(frames, fps=fps, quality=quality)
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id long, payload binary")
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    every_n: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container (RIFF walk),
+    take every ``every_n``-th frame up to ``max_frames``, and decode each
+    sampled frame's JPEG payload through the stdlib Huffman/DCT decoder —
+    1 input row → ≤ max_frames frame rows, each with container metadata
+    and the decoded frame's mean luma.
+
+    Cost model matches the rest of the module: CPU-on-local-bytes inside
+    one Arrow-batched ``mapInPandas`` stage, no new data movement; the
+    sampling happens BEFORE any frame decodes, so the per-row cost is
+    proportional to frames kept, not frames stored. A malformed payload
+    (bad RIFF, non-MJPG codec, corrupt frame JPEG) degrades to one
+    ``format='unsupported'`` row with null fields — never a task failure.
+    """
+    import numpy as np
+
+    from crowdsorsa_etl_spark.functions.jpegcodec import decode_jpeg
+    from crowdsorsa_etl_spark.functions.videocodec import decode_avi
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1; got {every_n}")
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1; got {max_frames}")
+
+    def decode_one(doc_id, payload):
+        bad = (doc_id, "unsupported", None, None, None, None, None, None)
+        if payload is None:
+            return [bad]
+        try:
+            jpegs, fps, w, h = decode_avi(bytes(payload))
+            rows = []
+            for idx in list(range(0, len(jpegs), every_n))[:max_frames]:
+                img = decode_jpeg(jpegs[idx])
+                rows.append(
+                    (
+                        doc_id,
+                        "avi/mjpeg",
+                        idx,
+                        len(jpegs),
+                        fps,
+                        int(w),
+                        int(h),
+                        float(np.mean(img)),
+                    )
+                )
+            return rows
+        except _DECODE_ERRORS:
+            return [bad]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out.extend(decode_one(doc_id, payload))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
+    )

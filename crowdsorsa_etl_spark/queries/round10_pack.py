@@ -136,3 +136,49 @@ def llm_token_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard_id"),
     )
+
+
+# ===========================================================================
+# llm_video_frames — the REAL video modality end to end: each doc renders
+# into a genuine MJPEG-in-AVI container (functions/videocodec.py), and
+# decode_video_frames walks the RIFF tree, samples every 2nd frame, and
+# Huffman-decodes each sampled frame through the stdlib JPEG decoder — no
+# fake fallback anywhere. JPEG is lossy, so the hash oracle gates what is
+# exactly derivable cross-engine (container geometry: frame count from the
+# closed-form text-length rule, sampled frame indices, fps, dimensions);
+# pixel fidelity is gated by the codec unit tests (the
+# llm_image_decode_jpeg posture).
+# ===========================================================================
+
+
+@register(
+    "llm_video_frames",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (octet_length(encode(coalesce(text, ''))) % 3) + 1 AS nf
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           'avi/mjpeg' AS format,
+           CAST((i - 1) * 2 AS INT) AS frame_idx,
+           CAST(nf AS INT) AS n_frames,
+           CAST(10 AS INT) AS fps,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height
+    FROM d, UNNEST(range(1, ((nf + 1) // 2) + 1)) AS t(i)
+    """,
+)
+def llm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-and-decode real MJPEG/AVI frames; emit the exactly-replayable
+    container-geometry columns."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_avi_payload,
+        decode_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    avi = attach_avi_payload(docs)
+    return decode_video_frames(avi, every_n=2).select(
+        "doc_id", "format", "frame_idx", "n_frames", "fps", "width", "height"
+    )
