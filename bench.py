@@ -136,6 +136,7 @@ HEADLINE = [
     "llm_bpe_token_ids",
     "llm_token_id_shards",
     "llm_video_frames",
+    "llm_video_dups",
 ]
 
 

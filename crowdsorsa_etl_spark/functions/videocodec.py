@@ -7,7 +7,16 @@ frame decode reuses ``functions/jpegcodec.decode_jpeg`` verbatim — a
 genuine container parse + genuine entropy decode, no ffmpeg and no
 fakes, which covers the classic web-corpus MJPEG/AVI profile.
 
-Scope: single video stream ('vids'/'MJPG'), uncompressed index optional
+Two genuine frame profiles:
+
+- ``MJPG`` (:func:`encode_avi_mjpeg`): one complete baseline JPEG per
+  ``00dc`` chunk — the lossy web-corpus profile.
+- ``DIB`` (:func:`encode_avi_raw`): uncompressed 24-bit bottom-up BGR
+  DIB frames in ``00db`` chunks (``biCompression = 0``, rows padded to
+  4-byte stride) — the lossless archival profile, and the one that
+  makes per-frame perceptual hashes exactly replayable cross-engine.
+
+Scope: single video stream ('vids'), uncompressed index optional
 (ignored — frames are read by walking ``movi``). Encode produces a
 spec-shaped file (avih + strh/strf headers, movi LIST, idx1 index) that
 the decoder and common tools can read back. All errors raise
@@ -39,6 +48,17 @@ AVI_MAGIC = b"RIFF"
 _AVIF_HASINDEX = 0x10
 
 
+def _check_frames(frames: list[np.ndarray], fps: int) -> tuple[int, int]:
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share one geometry")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1; got {fps}")
+    return h, w
+
+
 def encode_avi_mjpeg(
     frames: list[np.ndarray],
     *,
@@ -48,16 +68,49 @@ def encode_avi_mjpeg(
     """Grayscale or RGB frames (equal shapes) → a genuine AVI/MJPG file."""
     from crowdsorsa_etl_spark.functions.jpegcodec import encode_jpeg
 
-    if not frames:
-        raise ValueError("need at least one frame")
-    h, w = frames[0].shape[:2]
-    if any(f.shape[:2] != (h, w) for f in frames):
-        raise ValueError("all frames must share one geometry")
-    if fps < 1:
-        raise ValueError(f"fps must be >= 1; got {fps}")
-
+    h, w = _check_frames(frames, fps)
     jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    return _build_avi(jpegs, b"MJPG", b"00dc", fps=fps, w=w, h=h)
 
+
+def encode_avi_raw(
+    frames: list[np.ndarray],
+    *,
+    fps: int = 10,
+) -> bytes:
+    """Grayscale or RGB frames → an uncompressed AVI (24-bit DIB frames:
+    bottom-up row order, BGR byte order, 4-byte row stride — the genuine
+    ``biCompression = 0`` layout). Lossless: ``decode_dib_frame`` returns
+    the input pixels exactly, which is what lets per-frame perceptual
+    hashes be replayed cross-engine from the source bytes."""
+    h, w = _check_frames(frames, fps)
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for f in frames:
+        rgb = (
+            np.dstack([f, f, f]) if f.ndim == 2 else f[:, :, :3]
+        ).astype(np.uint8)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # BGR
+        dibs.append(rows[::-1].tobytes())  # bottom-up
+    return _build_avi(dibs, b"DIB ", b"00db", fps=fps, w=w, h=h)
+
+
+def decode_dib_frame(data: bytes, w: int, h: int) -> np.ndarray:
+    """One 24-bit DIB frame body → (h, w, 3) RGB array (exact)."""
+    stride = (w * 3 + 3) & ~3
+    if len(data) != stride * h:
+        raise ValueError(
+            f"DIB frame is {len(data)} bytes; {w}x{h}x24 needs {stride * h}"
+        )
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[::-1, : w * 3].reshape(h, w, 3)
+    return bgr[:, :, ::-1].copy()
+
+
+def _build_avi(
+    bodies: list[bytes], handler: bytes, frame_cc: bytes, *, fps, w, h
+) -> bytes:
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
         return fourcc + struct.pack("<I", len(body)) + body + pad
@@ -71,7 +124,7 @@ def encode_avi_mjpeg(
         0,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         _AVIF_HASINDEX,  # dwFlags
-        len(frames),  # dwTotalFrames
+        len(bodies),  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams
         0,  # dwSuggestedBufferSize
@@ -81,7 +134,7 @@ def encode_avi_mjpeg(
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + handler
         + struct.pack(
             "<10I",
             0,  # dwFlags
@@ -90,7 +143,7 @@ def encode_avi_mjpeg(
             1,  # dwScale
             fps,  # dwRate
             0,  # dwStart
-            len(frames),  # dwLength
+            len(bodies),  # dwLength
             0,  # dwSuggestedBufferSize
             0,  # dwQuality
             0,  # dwSampleSize
@@ -104,7 +157,7 @@ def encode_avi_mjpeg(
         h,
         1,  # biPlanes
         24,  # biBitCount
-        struct.unpack("<I", b"MJPG")[0],  # biCompression
+        0 if handler == b"DIB " else struct.unpack("<I", handler)[0],
         0, 0, 0, 0, 0,
     )
     hdrl = lst(
@@ -115,14 +168,14 @@ def encode_avi_mjpeg(
 
     movi_body = b"movi"
     offsets = []
-    for j in jpegs:
-        offsets.append(len(movi_body))  # offset of the 00dc fourcc - 4
-        movi_body += chunk(b"00dc", j)
+    for b_ in bodies:
+        offsets.append(len(movi_body))  # offset of the frame fourcc - 4
+        movi_body += chunk(frame_cc, b_)
     movi = chunk(b"LIST", movi_body)
 
     idx = b"".join(
-        b"00dc" + struct.pack("<3I", 0x10, off, ln)
-        for off, ln in zip(offsets, map(len, jpegs))
+        frame_cc + struct.pack("<3I", 0x10, off, ln)
+        for off, ln in zip(offsets, map(len, bodies))
     )
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return AVI_MAGIC + struct.pack("<I", len(body)) + body
@@ -130,13 +183,15 @@ def encode_avi_mjpeg(
 
 def decode_avi(
     payload: bytes,
-) -> tuple[list[bytes], int, int, int]:
-    """AVI bytes → (per-frame JPEG payloads, fps, width, height).
+) -> tuple[list[bytes], str, int, int, int]:
+    """AVI bytes → (per-frame payloads, codec, fps, width, height) with
+    ``codec`` one of ``'MJPG'`` (JPEG frame bodies) or ``'DIB'`` (raw
+    24-bit bottom-up frame bodies, see :func:`decode_dib_frame`).
 
     Walks the RIFF tree: ``avih`` supplies geometry + frame timing,
     ``movi`` supplies the ``00dc``/``00db`` frame chunks (nested ``rec ``
     LISTs are descended). Raises ``ValueError`` on anything malformed —
-    wrong magic, truncated chunks, a non-MJPG video stream, or a frame
+    wrong magic, truncated chunks, an unsupported video codec, or a frame
     count that disagrees with the header.
     """
     if len(payload) < 12 or payload[:4] != AVI_MAGIC:
@@ -180,7 +235,11 @@ def decode_avi(
         raise ValueError("AVI missing avih header")
     if compression is None:
         raise ValueError("AVI has no video stream")
-    if compression not in (b"MJPG", b"mjpg"):
+    if compression in (b"MJPG", b"mjpg"):
+        codec = "MJPG"
+    elif compression in (b"DIB ", b"RGB ", b"\x00\x00\x00\x00"):
+        codec = "DIB"
+    else:
         raise ValueError(f"unsupported video codec {compression!r}")
     usec, _, _, _, total, _, _, _, w, h = avih
     if total != len(frames):
@@ -190,4 +249,4 @@ def decode_avi(
     if not frames:
         raise ValueError("AVI carries no frames")
     fps = round(1_000_000 / usec) if usec else 0
-    return frames, int(fps), int(w), int(h)
+    return frames, codec, int(fps), int(w), int(h)

@@ -641,18 +641,27 @@ def attach_avi_payload(
     *,
     fps: int = 10,
     quality: int = 90,
+    codec: str = "mjpeg",
 ) -> DataFrame:
     """Fixture adapter for the REAL video decode path: render each
-    document's bytes into a genuine MJPEG-in-AVI container
+    document's bytes into a genuine AVI container
     (``functions/videocodec.py``) — ``(octet_length % 3) + 1`` frames of
     8×8 gray pixels, frame ``i`` drawn from the byte slice starting at
-    ``64·i`` — so downstream ops exercise RIFF walk + per-frame Huffman
-    decode end-to-end. The frame count and geometry are closed-form in
-    the text length, which is what makes the container-geometry oracle
-    exactly replayable in SQL."""
+    ``64·i`` — so downstream ops exercise RIFF walk + per-frame decode
+    end-to-end. ``codec='mjpeg'`` writes Motion-JPEG (lossy web profile,
+    Huffman decode per frame); ``codec='raw'`` writes uncompressed DIB
+    frames (lossless archival profile — the one whose per-frame hashes
+    are exactly replayable in SQL). The frame count and geometry are
+    closed-form in the text length either way."""
     import numpy as np
 
-    from crowdsorsa_etl_spark.functions.videocodec import encode_avi_mjpeg
+    from crowdsorsa_etl_spark.functions.videocodec import (
+        encode_avi_mjpeg,
+        encode_avi_raw,
+    )
+
+    if codec not in ("mjpeg", "raw"):
+        raise ValueError(f"codec must be 'mjpeg' or 'raw'; got {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -669,6 +678,8 @@ def attach_avi_payload(
                     frames.append(arr.reshape(8, 8))
                 payloads.append(
                     encode_avi_mjpeg(frames, fps=fps, quality=quality)
+                    if codec == "mjpeg"
+                    else encode_avi_raw(frames, fps=fps)
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
 
@@ -713,7 +724,10 @@ def decode_video_frames(
     import numpy as np
 
     from crowdsorsa_etl_spark.functions.jpegcodec import decode_jpeg
-    from crowdsorsa_etl_spark.functions.videocodec import decode_avi
+    from crowdsorsa_etl_spark.functions.videocodec import (
+        decode_avi,
+        decode_dib_frame,
+    )
 
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1; got {every_n}")
@@ -725,16 +739,21 @@ def decode_video_frames(
         if payload is None:
             return [bad]
         try:
-            jpegs, fps, w, h = decode_avi(bytes(payload))
+            bodies, codec, fps, w, h = decode_avi(bytes(payload))
+            fmt = "avi/mjpeg" if codec == "MJPG" else "avi/raw"
             rows = []
-            for idx in list(range(0, len(jpegs), every_n))[:max_frames]:
-                img = decode_jpeg(jpegs[idx])
+            for idx in list(range(0, len(bodies), every_n))[:max_frames]:
+                img = (
+                    decode_jpeg(bodies[idx])
+                    if codec == "MJPG"
+                    else decode_dib_frame(bodies[idx], w, h)
+                )
                 rows.append(
                     (
                         doc_id,
-                        "avi/mjpeg",
+                        fmt,
                         idx,
-                        len(jpegs),
+                        len(bodies),
                         fps,
                         int(w),
                         int(h),
@@ -756,4 +775,157 @@ def decode_video_frames(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+def _ahash_bands_from_flat(flat) -> list[int]:
+    """The shared integer aHash packing: 64 samples → threshold against
+    the 64-sample mean with integer math (``v*64 >= sum``) → 8 big-endian
+    8-bit band values. One definition for images AND video frames, and
+    the exact rule every oracle replays."""
+    import numpy as np
+
+    flat = np.asarray(flat, dtype=np.int64).reshape(-1)[:_AHASH_PIXELS]
+    if flat.shape[0] < _AHASH_PIXELS:
+        flat = np.pad(flat, (0, _AHASH_PIXELS - flat.shape[0]))
+    s = int(flat.sum())
+    bits = (flat * _AHASH_PIXELS >= s).astype(np.int64)
+    width = _AHASH_PIXELS // _AHASH_BANDS
+    return [
+        int(
+            sum(
+                int(bits[b * width + j]) << (width - 1 - j)
+                for j in range(width)
+            )
+        )
+        for b in range(_AHASH_BANDS)
+    ]
+
+
+VIDEO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def video_frame_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-frame perceptual signatures through the REAL video decode
+    path: parse the AVI container, decode EVERY frame (DIB exact or MJPG
+    Huffman), and aHash each frame's first channel — 1 video row →
+    n_frames signature rows ``(doc_id, frame_idx, bands array<long>)``.
+    A malformed payload contributes no rows (the near-dup contract: a
+    corrupt video can't match anything, and must not fail the task)."""
+
+    from crowdsorsa_etl_spark.functions.jpegcodec import decode_jpeg
+    from crowdsorsa_etl_spark.functions.videocodec import (
+        decode_avi,
+        decode_dib_frame,
+    )
+
+    def sig_rows(doc_id, payload):
+        if payload is None:
+            return []
+        try:
+            bodies, codec, _, w, h = decode_avi(bytes(payload))
+            rows = []
+            for idx, body in enumerate(bodies):
+                img = (
+                    decode_jpeg(body)
+                    if codec == "MJPG"
+                    else decode_dib_frame(body, w, h)
+                )
+                plane = img.reshape(img.shape[0], img.shape[1], -1)[:, :, 0]
+                rows.append(
+                    (doc_id, idx, _ahash_bands_from_flat(plane.reshape(-1)))
+                )
+            return rows
+        except _DECODE_ERRORS:
+            return []
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out.extend(sig_rows(doc_id, payload))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_SIG_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, VIDEO_SIG_SCHEMA
+    )
+
+
+def video_ahash_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Near-duplicate VIDEOS by shared perceptual frame content — the
+    shot-level fingerprint join of video copy detection: two videos are
+    candidate duplicates when they share at least ``min_shared`` distinct
+    frame aHashes.
+
+    Distributed shape (the 100 TB story): per-frame signatures are one
+    Arrow decode stage; matching is an equi-join KEYED ON THE FRAME HASH
+    (videos sharing content co-locate in a bucket) — never an all-pairs
+    video comparison — followed by a pair-keyed count. Both shuffles are
+    key-partitioned; a boilerplate frame (intros, black frames) is a hot
+    bucket handled by AQE skew splitting, and real deployments drop
+    ultra-frequent hashes the way setsim drops hot prefixes.
+
+    Output: ``(id_a, id_b, matched_frames, n_sigs_a, n_sigs_b)`` with
+    ``id_a < id_b``; ``n_sigs_*`` is the video's DISTINCT-hash count, so
+    Jaccard over frame sets is derivable downstream.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1; got {min_shared}")
+    sig = (
+        video_frame_signatures(df, payload_col=payload_col, id_col=id_col)
+        .select("doc_id", "bands")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_sigs = sig.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("matched_frames"))
+        .filter(F.col("matched_frames") >= min_shared)
+    )
+    return (
+        pairs.join(
+            n_sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("n").alias("n_sigs_a")
+            ),
+            "id_a",
+        )
+        .join(
+            n_sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("n").alias("n_sigs_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "matched_frames", "n_sigs_a", "n_sigs_b"
+        )
     )

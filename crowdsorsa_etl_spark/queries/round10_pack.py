@@ -182,3 +182,96 @@ def llm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(avi, every_n=2).select(
         "doc_id", "format", "frame_idx", "n_frames", "fps", "width", "height"
     )
+
+
+# ===========================================================================
+# llm_video_dups — near-duplicate VIDEO detection through the real codec:
+# docs render into genuine UNCOMPRESSED AVIs (24-bit DIB frames — the
+# lossless profile, so decoded pixels ARE the derived bytes), every frame
+# decodes and aHashes through the shared integer packing, and videos pair
+# up by shared distinct frame hashes (the shot-level fingerprint join of
+# video copy detection — keyed on the hash, never all-pairs). The DuckDB
+# oracle never touches an AVI: it re-derives each frame's 64 sample bytes
+# from hex(encode(text)), replays the threshold/packing per frame, and
+# brute-forces ALL video pairs — so a container-parse bug, a DIB
+# row-order/stride bug, a hash drift, or a dropped qualifying pair each
+# break the hash.
+# ===========================================================================
+
+
+def _video_dups_oracle() -> str:
+    ham = " + ".join(
+        f"bit_count(xor(a.bands[{i}], b.bands[{i}]))" for i in range(1, 9)
+    )
+    del ham  # exact-equality join; kept pattern note for readers
+    return """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+             (octet_length(encode(coalesce(text, ''))) % 3) + 1 AS nf
+      FROM documents WHERE doc_id < 200
+    ),
+    fr AS (
+      SELECT doc_id, h, CAST(f AS INT) AS f
+      FROM hx, UNNEST(range(0, nf)) AS t(f)
+    ),
+    bytes AS (
+      -- sample j (1..64) of frame f = byte 64*f + j of the text, absent -> 0
+      SELECT doc_id, f, j,
+             CASE WHEN length(h) >= 2 * (64 * f + j) THEN
+               (strpos('0123456789ABCDEF',
+                       substr(h, CAST(2 * (64 * f + j) - 1 AS INT), 1)) - 1)
+               * 16
+               + strpos('0123456789ABCDEF',
+                        substr(h, CAST(2 * (64 * f + j) AS INT), 1)) - 1
+             ELSE 0 END AS v
+      FROM fr, UNNEST(range(1, 65)) AS t(j)
+    ),
+    tot AS (
+      SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS s
+      FROM bytes GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT b.doc_id, b.f, b.j,
+             CASE WHEN b.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+      FROM bytes b JOIN tot t ON b.doc_id = t.doc_id AND b.f = t.f
+    ),
+    bands AS (
+      SELECT doc_id, f, CAST((j - 1) // 8 AS INT) AS band,
+             CAST(sum(bit * (1 << (7 - CAST((j - 1) % 8 AS INT)))) AS BIGINT)
+               AS v
+      FROM bits GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT doc_id, f, list(v ORDER BY band) AS bands
+      FROM bands GROUP BY 1, 2
+    ),
+    dsig AS (SELECT DISTINCT doc_id, bands FROM sig),
+    nd AS (SELECT doc_id, count(*) AS n FROM dsig GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS INT) AS matched_frames
+      FROM dsig a JOIN dsig b
+        ON a.doc_id < b.doc_id AND a.bands = b.bands
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.matched_frames,
+           CAST(na.n AS INT) AS n_sigs_a, CAST(nb.n AS INT) AS n_sigs_b
+    FROM pairs p
+    JOIN nd na ON p.id_a = na.doc_id
+    JOIN nd nb ON p.id_b = nb.doc_id
+    WHERE p.matched_frames >= 1
+    """
+
+
+@register("llm_video_dups", _video_dups_oracle())
+def llm_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate videos by shared distinct perceptual frame hashes,
+    through the real lossless AVI/DIB decode path."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_avi_payload,
+        video_ahash_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    avi = attach_avi_payload(docs, codec="raw")
+    return video_ahash_dups(avi, min_shared=1)

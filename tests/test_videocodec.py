@@ -27,8 +27,8 @@ def _frames(n=3, h=16, w=8, seed=0):
 class TestAviRoundtrip:
     def test_container_geometry(self):
         avi = encode_avi_mjpeg(_frames(3), fps=5)
-        jpegs, fps, w, h = decode_avi(avi)
-        assert (len(jpegs), fps, w, h) == (3, 5, 8, 16)
+        jpegs, codec, fps, w, h = decode_avi(avi)
+        assert (len(jpegs), codec, fps, w, h) == (3, 'MJPG', 5, 8, 16)
 
     def test_frame_pixels_survive(self):
         frames = _frames(4)
@@ -41,7 +41,7 @@ class TestAviRoundtrip:
     def test_single_frame_and_odd_sizes(self):
         for h, w in ((8, 8), (24, 16), (9, 7)):
             f = [np.arange(h * w, dtype=np.uint8).reshape(h, w) % 255]
-            jpegs, fps, gw, gh = decode_avi(encode_avi_mjpeg(f, fps=30))
+            jpegs, _, fps, gw, gh = decode_avi(encode_avi_mjpeg(f, fps=30))
             assert (len(jpegs), gw, gh) == (1, w, h)
             img = decode_jpeg(jpegs[0])
             assert img.shape[:2] == (h, w)
@@ -50,7 +50,7 @@ class TestAviRoundtrip:
         rgb = [
             np.dstack([f, f, f[::-1]]).astype(np.uint8) for f in _frames(2)
         ]
-        jpegs, _, w, h = decode_avi(encode_avi_mjpeg(rgb))
+        jpegs, _, _, w, h = decode_avi(encode_avi_mjpeg(rgb))
         assert (w, h) == (8, 16)
         assert decode_jpeg(jpegs[0]).shape == (16, 8, 3)
 
@@ -146,3 +146,152 @@ class TestDecodeVideoFrames:
             decode_video_frames(df, every_n=0)
         with pytest.raises(ValueError, match="max_frames"):
             decode_video_frames(df, max_frames=0)
+
+
+class TestAviRaw:
+    def test_raw_roundtrip_is_exact(self):
+        from crowdsorsa_etl_spark.functions.videocodec import (
+            decode_dib_frame,
+            encode_avi_raw,
+        )
+
+        frames = _frames(3)
+        bodies, codec, fps, w, h = decode_avi(encode_avi_raw(frames, fps=7))
+        assert (codec, fps, w, h, len(bodies)) == ("DIB", 7, 8, 16, 3)
+        for src, body in zip(frames, bodies):
+            got = decode_dib_frame(body, w, h)
+            assert got.shape == (16, 8, 3)
+            # lossless: every channel equals the source gray plane exactly
+            assert (got[:, :, 0] == src).all() and (got[:, :, 2] == src).all()
+
+    def test_raw_stride_padding(self):
+        from crowdsorsa_etl_spark.functions.videocodec import (
+            decode_dib_frame,
+            encode_avi_raw,
+        )
+
+        # w=7 -> 21-byte rows pad to 24-byte stride; pixels must survive
+        f = [(np.arange(63, dtype=np.uint8) * 4 % 251).reshape(9, 7)]
+        bodies, codec, _, w, h = decode_avi(encode_avi_raw(f))
+        assert (codec, w, h) == ("DIB", 7, 9)
+        assert (decode_dib_frame(bodies[0], w, h)[:, :, 0] == f[0]).all()
+
+    def test_raw_rgb_frames(self):
+        from crowdsorsa_etl_spark.functions.videocodec import (
+            decode_dib_frame,
+            encode_avi_raw,
+        )
+
+        rgb = np.dstack(
+            [np.full((4, 4), 10, np.uint8),
+             np.full((4, 4), 20, np.uint8),
+             np.full((4, 4), 30, np.uint8)]
+        )
+        bodies, _, _, w, h = decode_avi(encode_avi_raw([rgb]))
+        assert (decode_dib_frame(bodies[0], w, h) == rgb).all()
+
+    def test_dib_length_guard(self):
+        from crowdsorsa_etl_spark.functions.videocodec import decode_dib_frame
+
+        with pytest.raises(ValueError, match="DIB frame"):
+            decode_dib_frame(b"\x00" * 10, 8, 8)
+
+
+class TestVideoAhashDups:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+
+    def test_signatures_match_python_reference(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            _ahash_bands_from_flat,
+            attach_avi_payload,
+            video_frame_signatures,
+        )
+
+        texts = ["hello world " * 10, "abc"]
+        avi = attach_avi_payload(self._docs(spark, texts), codec="raw")
+        got = {
+            (r.doc_id, r.frame_idx): list(r.bands)
+            for r in video_frame_signatures(avi).collect()
+        }
+        for doc_id, text in enumerate(texts):
+            raw = text.encode()
+            nf = (len(raw) % 3) + 1
+            body = raw[: 64 * nf]
+            for i in range(nf):
+                chunk = body[64 * i : 64 * (i + 1)]
+                flat = list(chunk) + [0] * (64 - len(chunk))
+                assert got[(doc_id, i)] == _ahash_bands_from_flat(flat)
+
+    def test_duplicate_videos_match_on_all_frames(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_avi_payload,
+            video_ahash_dups,
+        )
+
+        t = "shared content " * 9  # 135 bytes -> nf = 1
+        avi = attach_avi_payload(
+            self._docs(spark, [t, t, "completely different " * 8])
+        , codec="raw")
+        rows = video_ahash_dups(avi).collect()
+        assert [(r.id_a, r.id_b, r.matched_frames) for r in rows] == [
+            (0, 1, 1)
+        ]
+        assert rows[0].n_sigs_a == rows[0].n_sigs_b == 1
+
+    def test_min_shared_threshold(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_avi_payload,
+            video_ahash_dups,
+        )
+
+        base = bytes(range(64)).decode("latin-1") * 2  # 128 bytes -> nf = 3
+        other = base[:64] + ("Z" * 64)  # shares exactly frame 0 of 3
+        docs = spark.createDataFrame(
+            [(0, base), (1, base), (2, other)], ["doc_id", "text"]
+        )
+        avi = attach_avi_payload(docs, codec="raw")
+        got1 = {
+            (r.id_a, r.id_b): r.matched_frames
+            for r in video_ahash_dups(avi, min_shared=1).collect()
+        }
+        assert got1[(0, 1)] >= 2  # full dup shares every distinct frame
+        got2 = set(
+            (r.id_a, r.id_b)
+            for r in video_ahash_dups(avi, min_shared=2).collect()
+        )
+        assert (0, 1) in got2
+        with pytest.raises(ValueError, match="min_shared"):
+            video_ahash_dups(avi, min_shared=0)
+
+    def test_malformed_payload_contributes_nothing(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            video_frame_signatures,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"not an avi")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        assert video_frame_signatures(bad).count() == 0
+
+    def test_pair_join_is_hash_keyed_on_bands(self, spark):
+        """The near-dup pair join must be an equi-join KEYED ON the frame
+        hash (bucketed at scale), never a cartesian/nested-loop pass."""
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_avi_payload,
+            video_ahash_dups,
+        )
+
+        avi = attach_avi_payload(self._docs(spark, ["a" * 70, "b" * 70]),
+                                 codec="raw")
+        plan = video_ahash_dups(avi)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        import re
+
+        # the pair join is keyed on the frame hash itself
+        assert re.search(r"Join \[bands#\d+\], \[bands#\d+\]", plan)

@@ -122,6 +122,18 @@ HEADLINE = [
     "llm_bpe_merges_256",
     "llm_logreg_step",
     "llm_image_decode_jpeg",
+    "llm_substring_decontamination",
+    # round 10: batch merge-loop encode at 256 merges (per-unique-word
+    # memoized mapInPandas), token-id chain (vocab map + id-stream hash),
+    # token-budget shard assignment over real token counts (range exchange
+    # + bounded offsets). llm_video_frames keeps its doc_id<200 predicate
+    # at every scale — included to show the scan prunes (flat ratio is the
+    # point, as with llm_image_decode_jpeg).
+    "llm_bpe_encode_256",
+    "llm_bpe_token_ids",
+    "llm_token_id_shards",
+    "llm_video_frames",
+    "llm_video_dups",
 ]
 
 
