@@ -137,6 +137,8 @@ HEADLINE = [
     "llm_token_id_shards",
     "llm_video_frames",
     "llm_video_dups",
+    "llm_pack_sequences",
+    "llm_audio_dups",
 ]
 
 

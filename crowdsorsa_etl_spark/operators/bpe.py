@@ -577,6 +577,63 @@ def bpe_token_ids_sql(n_merges: int = 8) -> str:
     exhausted NULL merges) and replays the id stream per document. Fully
     independent of the Spark path: a wrong learned merge, a wrong vocab
     id, and a wrong application each break the hash."""
+    ctes = _ids_chain_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(v.token_id AS VARCHAR), ','
+                          ORDER BY s.ord, s.pos)) AS ids_md5
+    FROM syms s JOIN vocab v ON s.token = v.token
+    GROUP BY s.doc_id"""
+    )
+
+
+def bpe_pack_sequences_sql(n_merges: int = 8, *, max_len: int = 512) -> str:
+    """DuckDB oracle for the FIXED-length sequence packing a dataloader
+    consumes: the full learn → vocab → encode-to-ids chain, an EOS id
+    (= |vocab|, the first unused id) appended after every document, a
+    global stream position over (doc_id, ord, pos), and a cut every
+    ``max_len`` tokens — md5 of each sequence's comma-joined ids is the
+    gate. A wrong merge, a wrong vocab id, a wrong EOS placement, or a
+    single token on the wrong side of a cut each break the hash."""
+    ctes = _ids_chain_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    ids AS (
+      SELECT s.doc_id, s.ord, s.pos, v.token_id
+      FROM syms s JOIN vocab v ON s.token = v.token
+    ),
+    stream AS (
+      SELECT doc_id, ord, pos, token_id FROM ids
+      UNION ALL
+      SELECT DISTINCT doc_id, 9223372036854775807 AS ord, 0 AS pos,
+             (SELECT CAST(count(*) AS INT) FROM vocab) AS token_id
+      FROM ids
+    ),
+    g AS (
+      SELECT token_id,
+             row_number() OVER (ORDER BY doc_id, ord, pos) - 1 AS gpos
+      FROM stream
+    )
+    SELECT CAST(gpos // {max_len} AS BIGINT) AS seq_id,
+           CAST(count(*) AS INT) AS seq_len,
+           md5(string_agg(CAST(token_id AS VARCHAR), ','
+                          ORDER BY gpos)) AS ids_md5
+    FROM g GROUP BY 1"""
+    )
+
+
+def _ids_chain_ctes(n_merges: int) -> list[str]:
+    """``_encode_chain_ctes`` extended with the vocabulary and per-symbol
+    CTEs (``vocab``: sorted base chars from 0 + merge symbols at
+    n_base + rank - 1, exhausted NULL merges skipped; ``syms``: one row
+    per document symbol with (ord, pos) stream order) — shared by
+    ``bpe_token_ids_sql`` and ``bpe_pack_sequences_sql``."""
     ctes, final = _encode_chain_ctes(n_merges)
     merge_syms = "\nUNION ALL\n".join(
         f"SELECT replace(pair, ' ', '') AS token, {r} AS rank_off FROM b{r}"
@@ -610,17 +667,7 @@ def bpe_token_ids_sql(n_merges: int = 8) -> str:
       ), UNNEST(range(1, len(arr) + 1)) AS t(i)
     )"""
     )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + """
-    SELECT s.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           md5(string_agg(CAST(v.token_id AS VARCHAR), ','
-                          ORDER BY s.ord, s.pos)) AS ids_md5
-    FROM syms s JOIN vocab v ON s.token = v.token
-    GROUP BY s.doc_id"""
-    )
+    return ctes
 
 
 def _encode_chain_ctes(n_merges: int) -> tuple[list[str], str]:

@@ -238,3 +238,66 @@ def token_budget_sample(
     return df.withColumn("cum_tokens", cum).withColumn(
         "kept", (F.col("cum_tokens") - F.col(token_col)) < budget
     )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    ids_col: str,
+    order_cols: list[Column],
+    *,
+    max_len: int,
+    eos_id: int | None = None,
+    seq_ids_col: str = "ids",
+) -> DataFrame:
+    """Pack token-id documents into FIXED-length training sequences — the
+    step a dataloader actually consumes: concatenate every document's id
+    stream (plus an optional ``eos_id`` separator after each doc) in
+    ``order_cols`` order, then cut the global stream every ``max_len``
+    tokens. GPT-style packing: sequences cross document boundaries, only
+    the final sequence may be short.
+
+    Output: ``(seq_id bigint, seq_len int, <seq_ids_col> array<int>)`` —
+    ``seq_id`` is the 0-based global sequence index, ids are in stream
+    order.
+
+    Distributed shape: the document offset comes from
+    ``with_global_cumsum`` (range exchange + bounded per-partition offset
+    fold — no single-partition window), token positions are
+    ``offset + posexplode index`` (pure codegen), and the regroup by
+    ``seq_id`` is one key-partitioned exchange whose groups are bounded at
+    ``max_len`` rows. No stage sees more than a partition of the stream;
+    at 100 TB this is exactly two key-partitioned shuffles over the token
+    stream.
+    """
+    from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
+
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1; got {max_len}")
+    stream = df.withColumn(
+        "_ids",
+        F.concat(F.col(ids_col), F.array(F.lit(int(eos_id))))
+        if eos_id is not None
+        else F.col(ids_col),
+    ).withColumn("_n", F.size("_ids").cast("bigint"))
+    cum = with_global_cumsum(stream, order_cols, "_n", cum_col="_cum")
+    tok = cum.select(
+        (F.col("_cum") - F.col("_n")).alias("_off"),
+        F.posexplode("_ids").alias("_pos", "_id"),
+    ).select(
+        (F.col("_off") + F.col("_pos")).alias("_gpos"), F.col("_id")
+    )
+    return (
+        tok.groupBy(
+            F.floor(F.col("_gpos") / max_len).cast("bigint").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("seq_len"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_gpos", "_id"))
+                ),
+                lambda s: s["_id"],
+            ).alias(seq_ids_col),
+        )
+        .select("seq_id", "seq_len", seq_ids_col)
+    )

@@ -889,12 +889,25 @@ def video_ahash_dups(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1; got {min_shared}")
-    sig = (
-        video_frame_signatures(df, payload_col=payload_col, id_col=id_col)
-        .select("doc_id", "bands")
-        .distinct()
-        .localCheckpoint()
-    )
+    sig = video_frame_signatures(df, payload_col=payload_col, id_col=id_col)
+    return band_signature_dups(sig, min_shared=min_shared)
+
+
+def band_signature_dups(
+    sig: DataFrame,
+    *,
+    min_shared: int = 1,
+) -> DataFrame:
+    """The fingerprint pair join shared by every per-frame modality tier
+    (video frames, audio frames): ``sig`` is (doc_id, ..., bands) — one
+    row per frame signature — and two documents are candidate duplicates
+    when they share at least ``min_shared`` DISTINCT signatures. The join
+    is keyed on the signature itself (documents sharing content co-locate
+    in a hash bucket, never all-pairs); the pair count and the per-doc
+    distinct-signature counts are both key-partitioned aggregations."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1; got {min_shared}")
+    sig = sig.select("doc_id", "bands").distinct().localCheckpoint()
     n_sigs = sig.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n")
     )
@@ -929,3 +942,80 @@ def video_ahash_dups(
             "id_a", "id_b", "matched_frames", "n_sigs_a", "n_sigs_b"
         )
     )
+
+
+def audio_frame_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    frame: int = 64,
+) -> DataFrame:
+    """Per-frame acoustic fingerprints through the REAL audio decode path:
+    parse the WAV container, split the PCM16 signal into non-overlapping
+    ``frame``-sample windows (the tail window is zero-padded by the shared
+    packing), and fingerprint each window with the SAME integer
+    threshold-against-the-mean band packing images and video frames use —
+    one definition, one oracle rule, across every modality. 1 audio row →
+    ceil(n_samples / frame) signature rows ``(doc_id, frame_idx, bands)``.
+    A malformed payload contributes no rows (a corrupt clip cannot match
+    anything, and must not fail the task)."""
+    import numpy as np
+
+    from crowdsorsa_etl_spark.functions import audiocodec
+
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1; got {frame}")
+
+    def sig_rows(doc_id, payload):
+        if payload is None:
+            return []
+        try:
+            samples, _rate, _ch = audiocodec.decode_wav(bytes(payload))
+            sig = np.asarray(samples, dtype=np.int64)
+            rows = []
+            for f in range(max(1, -(-sig.shape[0] // frame))):
+                rows.append(
+                    (
+                        doc_id,
+                        f,
+                        _ahash_bands_from_flat(
+                            sig[f * frame : (f + 1) * frame]
+                        ),
+                    )
+                )
+            return rows
+        except _DECODE_ERRORS:
+            return []
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out.extend(sig_rows(doc_id, payload))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_SIG_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, VIDEO_SIG_SCHEMA
+    )
+
+
+def audio_fingerprint_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    frame: int = 64,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Near-duplicate AUDIO by shared acoustic frame fingerprints — the
+    audio mirror of :func:`video_ahash_dups` (audio copy detection joins
+    clips on matching window fingerprints, Shazam-style, never all-pairs).
+    Same distributed shape and output columns; see
+    :func:`band_signature_dups`."""
+    sig = audio_frame_signatures(
+        df, payload_col=payload_col, id_col=id_col, frame=frame
+    )
+    return band_signature_dups(sig, min_shared=min_shared)

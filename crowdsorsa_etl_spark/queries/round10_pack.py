@@ -275,3 +275,163 @@ def llm_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     avi = attach_avi_payload(docs, codec="raw")
     return video_ahash_dups(avi, min_shared=1)
+
+
+# ===========================================================================
+# llm_pack_sequences — the step a dataloader actually consumes: every
+# document's REAL BPE token-id stream (plus an EOS separator = |vocab|,
+# the first unused id) concatenates in doc order and cuts into FIXED
+# max_len-token training sequences (GPT-style packing: sequences cross doc
+# boundaries; only the tail may be short). Spark: document offsets from
+# the distributed global cumsum (range exchange + bounded offset fold),
+# token positions as offset + posexplode index, one key-partitioned
+# regroup by seq_id — no single-partition window anywhere. Oracle: the
+# full learn → vocab → ids chain with the EOS union and a textbook
+# row_number cut; md5 of each sequence's comma-joined ids is the gate.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.bpe import (
+    bpe_pack_sequences_sql as _pack_sql,
+)
+
+_PACK_MAX_LEN = 512
+
+
+@register(
+    "llm_pack_sequences",
+    _pack_sql(n_merges=_IDS_MERGES, max_len=_PACK_MAX_LEN),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack BPE token-id documents into fixed 512-token training
+    sequences with EOS separators; emit each sequence's id-stream hash."""
+    from crowdsorsa_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_learn_merges,
+        bpe_vocab,
+    )
+    from crowdsorsa_etl_spark.operators.curation import pack_token_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merge_rows = bpe_learn_merges(docs, n_merges=_IDS_MERGES).collect()
+    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
+    vocab_rows = bpe_vocab(docs, merges).collect()
+    vocab = {r["token"]: r["token_id"] for r in vocab_rows}
+    ids = bpe_encode_ids(docs, merges, vocab, ids_col="token_ids")
+    seqs = pack_token_sequences(
+        ids,
+        "token_ids",
+        [F.col("doc_id")],
+        max_len=_PACK_MAX_LEN,
+        eos_id=len(vocab_rows),
+    )
+    return seqs.select(
+        "seq_id",
+        "seq_len",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.coalesce(x.cast("string"), F.lit("?oov?")),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+
+
+# ===========================================================================
+# llm_audio_dups — near-duplicate AUDIO by shared acoustic frame
+# fingerprints, the audio mirror of llm_video_dups: clips decode through
+# the REAL WAV/PCM16 codec, the signal splits into non-overlapping
+# 64-sample windows, each window fingerprints through the SAME shared
+# integer band packing images and video use, and clips pair up by an
+# equi-join keyed on the fingerprint — bucketed, never all-pairs. The
+# oracle never touches a WAV: it re-derives every sample from
+# hex(encode(text)) with the fixture's (byte - 128) * 256 synthesis rule,
+# replays the per-window threshold/packing, and brute-forces all pairs.
+# ===========================================================================
+
+
+def _audio_dups_oracle() -> str:
+    return """
+    WITH hx AS (
+      SELECT doc_id, substr(hex(encode(coalesce(text, ''))), 1, 512) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    b AS (
+      SELECT doc_id, CASE WHEN length(h) = 0 THEN '00' ELSE h END AS h
+      FROM hx
+    ),
+    sized AS (
+      -- n must be BIGINT before the // so the division floors (double //
+      -- in DuckDB does NOT floor, and the BIGINT cast would then round)
+      SELECT doc_id, h, n, (n + 63) // 64 AS nf
+      FROM (SELECT doc_id, h, CAST(length(h) / 2 AS BIGINT) AS n FROM b)
+    ),
+    fr AS (
+      SELECT doc_id, h, n, CAST(f AS INT) AS f
+      FROM sized, UNNEST(range(0, nf)) AS t(f)
+    ),
+    smp AS (
+      -- window sample j (1..64) of frame f = signal sample 64*f + j,
+      -- absent -> 0; sample i = (byte_i - 128) * 256
+      SELECT doc_id, f, j,
+             CASE WHEN n >= 64 * f + j THEN
+               ((strpos('0123456789ABCDEF',
+                        substr(h, CAST(2 * (64 * f + j) - 1 AS INT), 1)) - 1)
+                * 16
+                + strpos('0123456789ABCDEF',
+                         substr(h, CAST(2 * (64 * f + j) AS INT), 1)) - 1
+                - 128) * 256
+             ELSE 0 END AS v
+      FROM fr, UNNEST(range(1, 65)) AS t(j)
+    ),
+    tot AS (
+      SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS s
+      FROM smp GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT m.doc_id, m.f, m.j,
+             CASE WHEN m.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+      FROM smp m JOIN tot t ON m.doc_id = t.doc_id AND m.f = t.f
+    ),
+    bands AS (
+      SELECT doc_id, f, CAST((j - 1) // 8 AS INT) AS band,
+             CAST(sum(bit * (1 << (7 - CAST((j - 1) % 8 AS INT)))) AS BIGINT)
+               AS v
+      FROM bits GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT doc_id, f, list(v ORDER BY band) AS bands
+      FROM bands GROUP BY 1, 2
+    ),
+    dsig AS (SELECT DISTINCT doc_id, bands FROM sig),
+    nd AS (SELECT doc_id, count(*) AS n FROM dsig GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(count(*) AS INT) AS matched_frames
+      FROM dsig a JOIN dsig b2
+        ON a.doc_id < b2.doc_id AND a.bands = b2.bands
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.matched_frames,
+           CAST(na.n AS INT) AS n_sigs_a, CAST(nb.n AS INT) AS n_sigs_b
+    FROM pairs p
+    JOIN nd na ON p.id_a = na.doc_id
+    JOIN nd nb ON p.id_b = nb.doc_id
+    WHERE p.matched_frames >= 1
+    """
+
+
+@register("llm_audio_dups", _audio_dups_oracle())
+def llm_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio clips by shared acoustic window fingerprints,
+    through the real WAV/PCM16 decode path."""
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_fingerprint_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wav = attach_wav_payload(docs)
+    return audio_fingerprint_dups(wav, min_shared=1)

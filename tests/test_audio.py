@@ -86,3 +86,90 @@ class TestFrameFeatures:
         )
         with pytest.raises(ValueError, match="frame"):
             audio_frame_features(df, frame=0)
+
+
+class TestAudioFingerprintDups:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+
+    def test_signatures_match_python_reference(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            _ahash_bands_from_flat,
+            audio_frame_signatures,
+        )
+
+        texts = ["hello world " * 12, "ab"]
+        wav = attach_wav_payload(self._docs(spark, texts))
+        got = {
+            (r.doc_id, r.frame_idx): list(r.bands)
+            for r in audio_frame_signatures(wav).collect()
+        }
+        for doc_id, text in enumerate(texts):
+            body = text.encode()[:256] or b"\x00"
+            samples = [(b - 128) * 256 for b in body]
+            nf = max(1, -(-len(samples) // 64))
+            for f in range(nf):
+                win = samples[f * 64 : (f + 1) * 64]
+                assert got[(doc_id, f)] == _ahash_bands_from_flat(win)
+        assert len(got) == sum(
+            max(1, -(-len((t.encode()[:256] or b"\x00")) // 64))
+            for t in texts
+        )
+
+    def test_duplicate_clips_match(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            audio_fingerprint_dups,
+        )
+
+        t = "same audio content " * 6  # 114 bytes -> 2 windows
+        wav = attach_wav_payload(
+            self._docs(spark, [t, t, "completely different signal " * 5])
+        )
+        rows = audio_fingerprint_dups(wav).collect()
+        assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+        assert rows[0].matched_frames == rows[0].n_sigs_a == rows[0].n_sigs_b
+
+    def test_min_shared_and_guards(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            audio_fingerprint_dups,
+        )
+
+        base = bytes(range(64, 192)).decode("latin-1")  # 2 windows
+        other = base[:64] + ("z" * 64)  # shares exactly window 0
+        wav = attach_wav_payload(self._docs(spark, [base, base, other]))
+        got2 = {
+            (r.id_a, r.id_b)
+            for r in audio_fingerprint_dups(wav, min_shared=2).collect()
+        }
+        assert (0, 1) in got2 and (0, 2) not in got2
+        with pytest.raises(ValueError, match="min_shared"):
+            audio_fingerprint_dups(wav, min_shared=0)
+        with pytest.raises(ValueError, match="frame"):
+            audio_fingerprint_dups(wav, frame=0)
+
+    def test_malformed_payload_contributes_nothing(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            audio_frame_signatures,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"not a wav")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        assert audio_frame_signatures(bad).count() == 0
+
+    def test_pair_join_is_hash_keyed_on_bands(self, spark):
+        import re
+
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            audio_fingerprint_dups,
+        )
+
+        wav = attach_wav_payload(self._docs(spark, ["a" * 70, "b" * 70]))
+        plan = audio_fingerprint_dups(wav)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert re.search(r"Join \[bands#\d+\], \[bands#\d+\]", plan)

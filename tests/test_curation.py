@@ -119,3 +119,69 @@ class TestSequencePacking:
         # each shard restarts at bin 0
         assert got[("a", 0)] == 0 and got[("b", 2)] == 0
         assert got[("a", 1)] == 0 and got[("b", 3)] == 0
+
+
+class TestPackTokenSequences:
+    def _pack(self, spark, docs, max_len, eos_id=None):
+        from crowdsorsa_etl_spark.operators.curation import (
+            pack_token_sequences,
+        )
+
+        df = spark.createDataFrame(
+            docs, "doc_id long, token_ids array<int>"
+        )
+        return {
+            r.seq_id: (r.seq_len, list(r.ids))
+            for r in pack_token_sequences(
+                df, "token_ids", [F.col("doc_id")],
+                max_len=max_len, eos_id=eos_id,
+            ).collect()
+        }
+
+    def test_packing_matches_flat_stream(self, spark):
+        docs = [(0, [1, 2, 3]), (1, [4]), (2, [5, 6, 7, 8, 9])]
+        got = self._pack(spark, docs, max_len=4)
+        flat = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+        want = {
+            i: (len(flat[i * 4 : (i + 1) * 4]), flat[i * 4 : (i + 1) * 4])
+            for i in range((len(flat) + 3) // 4)
+        }
+        assert got == want
+
+    def test_eos_separator_after_every_doc(self, spark):
+        docs = [(0, [1, 2]), (1, [3])]
+        got = self._pack(spark, docs, max_len=10, eos_id=99)
+        assert got == {0: (5, [1, 2, 99, 3, 99])}
+
+    def test_sequences_cross_doc_boundaries(self, spark):
+        docs = [(0, [1, 2, 3]), (1, [4, 5, 6])]
+        got = self._pack(spark, docs, max_len=4, eos_id=0)
+        # stream: 1 2 3 0 | 4 5 6 0
+        assert got == {0: (4, [1, 2, 3, 0]), 1: (4, [4, 5, 6, 0])}
+
+    def test_only_tail_may_be_short(self, spark):
+        docs = [(i, list(range(i * 3, i * 3 + 3))) for i in range(7)]
+        got = self._pack(spark, docs, max_len=5)
+        lens = [got[s][0] for s in sorted(got)]
+        assert lens[:-1] == [5] * (len(lens) - 1) and lens[-1] == 21 % 5
+        assert [x for s in sorted(got) for x in got[s][1]] == list(range(21))
+
+    def test_no_single_partition_window(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import (
+            pack_token_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1, 2])], "doc_id long, token_ids array<int>"
+        )
+        out = pack_token_sequences(
+            df, "token_ids", [F.col("doc_id")], max_len=4
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    def test_guard(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="max_len"):
+            self._pack(spark, [(0, [1])], max_len=0)
