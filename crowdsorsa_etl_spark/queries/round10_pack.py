@@ -14,6 +14,44 @@ from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark.queries._shared import _t, register
 
+#: learned-BPE artifact memo, keyed on the fixture's content fingerprint
+#: (via the _sf_cache_dir path) + merge count + strategy. The learn is
+#: deterministic, so every query in the token-id chain (token_ids, shards,
+#: pack_sequences, encode_256) shares one learn per fixture instead of
+#: re-running the two learn/vocab collect chains per invocation — the same
+#: cached-artifact posture llm_ivfpq_incremental adopted for its index.
+#: Values are bounded by construction: a merge list + a vocab dict.
+_BPE_ARTIFACTS: dict = {}
+
+
+def _learned_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int, strategy: str = "auto"
+):
+    """(merges, vocab dict, vocab row count) for the fixture's documents."""
+    from crowdsorsa_etl_spark.operators.bpe import bpe_learn_merges, bpe_vocab
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    key = (
+        _sf_cache_dir(sf_dir, f"bpe{n_merges}_{strategy}", "documents"),
+        n_merges,
+        strategy,
+    )
+    if key not in _BPE_ARTIFACTS:
+        docs = _t(spark, sf_dir, "documents")
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(
+                docs, n_merges=n_merges, strategy=strategy
+            ).collect()
+        ]
+        vocab_rows = bpe_vocab(docs, merges).collect()
+        _BPE_ARTIFACTS[key] = (
+            merges,
+            {r["token"]: r["token_id"] for r in vocab_rows},
+            len(vocab_rows),
+        )
+    return _BPE_ARTIFACTS[key]
+
 
 # ===========================================================================
 # llm_bpe_encode_256 — the APPLY side at a production-ish merge count: the
@@ -34,13 +72,10 @@ from crowdsorsa_etl_spark.operators.bpe import bpe_encode_sql as _enc_sql
 def llm_bpe_encode_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize every document through the batch merge loop with the
     256-merge driver-learned table (llm_bpe_merges_256's artifact)."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode, bpe_learn_merges
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    merge_rows = bpe_learn_merges(
-        docs, n_merges=256, strategy="driver"
-    ).collect()
-    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
+    merges, _, _ = _learned_bpe(spark, sf_dir, 256, strategy="driver")
     return bpe_encode(docs, merges, strategy="batch")
 
 
@@ -64,18 +99,10 @@ _IDS_MERGES = 8
 def llm_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document to BPE token ids (learn merges → derive the
     vocab table → map the symbol stream to ids, JVM-side literal map)."""
-    from crowdsorsa_etl_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_learn_merges,
-        bpe_vocab,
-    )
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
 
     docs = _t(spark, sf_dir, "documents")
-    merge_rows = bpe_learn_merges(docs, n_merges=_IDS_MERGES).collect()
-    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
-    vocab = {
-        r["token"]: r["token_id"] for r in bpe_vocab(docs, merges).collect()
-    }
+    merges, vocab, _ = _learned_bpe(spark, sf_dir, _IDS_MERGES)
     return bpe_encode_ids(docs, merges, vocab)
 
 
@@ -107,20 +134,15 @@ def llm_token_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment over real BPE token counts: global
     cumsum via range sort + per-partition offsets (no single-partition
     window), shard id from the running total, id-stream hash per doc."""
-    from crowdsorsa_etl_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_learn_merges,
-        bpe_vocab,
-    )
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
     from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
 
     docs = _t(spark, sf_dir, "documents")
-    merge_rows = bpe_learn_merges(docs, n_merges=_IDS_MERGES).collect()
-    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
-    vocab = {
-        r["token"]: r["token_id"] for r in bpe_vocab(docs, merges).collect()
-    }
-    ids = bpe_encode_ids(docs, merges, vocab)
+    merges, vocab, _ = _learned_bpe(spark, sf_dir, _IDS_MERGES)
+    # materialize the encode ONCE: the cumsum's range partitioner samples
+    # its input, which would otherwise re-run the whole encode chain per
+    # downstream job (sample + shuffle + offsets)
+    ids = bpe_encode_ids(docs, merges, vocab).localCheckpoint()
     out = with_global_cumsum(
         ids, [F.col("doc_id")], "n_tokens", cum_col="cum_tokens"
     )
@@ -304,25 +326,20 @@ _PACK_MAX_LEN = 512
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack BPE token-id documents into fixed 512-token training
     sequences with EOS separators; emit each sequence's id-stream hash."""
-    from crowdsorsa_etl_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_learn_merges,
-        bpe_vocab,
-    )
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
     from crowdsorsa_etl_spark.operators.curation import pack_token_sequences
 
     docs = _t(spark, sf_dir, "documents")
-    merge_rows = bpe_learn_merges(docs, n_merges=_IDS_MERGES).collect()
-    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
-    vocab_rows = bpe_vocab(docs, merges).collect()
-    vocab = {r["token"]: r["token_id"] for r in vocab_rows}
-    ids = bpe_encode_ids(docs, merges, vocab, ids_col="token_ids")
+    merges, vocab, n_vocab = _learned_bpe(spark, sf_dir, _IDS_MERGES)
+    # materialized once — see llm_token_id_shards on the range sampler
+    ids = bpe_encode_ids(docs, merges, vocab, ids_col="token_ids") \
+        .localCheckpoint()
     seqs = pack_token_sequences(
         ids,
         "token_ids",
         [F.col("doc_id")],
         max_len=_PACK_MAX_LEN,
-        eos_id=len(vocab_rows),
+        eos_id=n_vocab,
     )
     return seqs.select(
         "seq_id",

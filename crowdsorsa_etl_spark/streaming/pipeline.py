@@ -1099,3 +1099,151 @@ def compact_shard_epochs(
             jvm_s, _ = _hadoop_fs(spark, os.path.join(state_dir, f"epoch={e}"))
             fs.delete(jvm_s, True)
     return len(fold)
+
+
+def start_sequence_pack_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    eos_id: int,
+    max_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous FIXED-length training-sequence export — the streaming
+    form of ``curation.pack_token_sequences``: every micro-batch's
+    documents BPE-encode to real token ids (+ EOS after each doc), the
+    global token stream position continues from all prior epochs, and
+    every COMPLETE ``max_len``-token sequence lands under
+    ``out_dir/epoch=<e>``; the incomplete tail (< max_len tokens) is
+    carried as state and completed by later batches — so sequences cross
+    both document AND micro-batch boundaries, exactly like the batch
+    packer's output.
+
+    State per epoch is one row ``(seqs_done, carry array<int>)`` — the
+    number of sequences emitted so far plus the carried tail, bounded at
+    ``max_len`` tokens by construction (a driver-safe artifact). Replay
+    follows the epoch-versioned posture (``start_shard_stream``): epoch e
+    reads the newest state < e and overwrites its own output and state
+    paths, so a crashed-and-replayed epoch emits the identical sequences
+    and never double-advances the counter.
+
+    Per batch the distributed shape is the batch packer's: one range
+    exchange for the in-batch cumsum, codegen positions, one
+    key-partitioned regroup by sequence id (groups bounded at
+    ``max_len``). The carry union is at most ``max_len`` rows.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+    from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
+
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1; got {max_len}")
+
+    spark_active = docs_stream.sparkSession
+
+    def _carried_state(e: int) -> tuple[int, list[int]]:
+        if not os.path.isdir(state_dir):
+            return 0, []
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=")
+            and d.split("=", 1)[1].lstrip("-").isdigit()
+            and int(d.split("=", 1)[1]) < e
+        ]
+        if not prior:
+            return 0, []
+        rows = (
+            spark_active.read.schema("seqs_done long, carry array<int>")
+            .parquet(os.path.join(state_dir, f"epoch={max(prior)}"))
+            .collect()
+        )
+        if not rows:
+            return 0, []
+        return int(rows[0]["seqs_done"]), list(rows[0]["carry"] or [])
+
+    def pack(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seqs_done, carry = _carried_state(int(epoch_id))
+        d = (
+            bpe_encode_ids(
+                batch_df,
+                merges,
+                vocab,
+                text_col=text_col,
+                id_col=id_col,
+                ids_col="token_ids",
+            )
+            .withColumn(
+                "_ids",
+                F.concat(F.col("token_ids"), F.array(F.lit(int(eos_id)))),
+            )
+            .withColumn("_n", F.size("_ids").cast("bigint"))
+        )
+        base = seqs_done * max_len + len(carry)
+        cum = with_global_cumsum(d, [F.col(id_col)], "_n", cum_col="_cum")
+        tok = cum.select(
+            (F.lit(base) + F.col("_cum") - F.col("_n")).alias("_off"),
+            F.posexplode("_ids").alias("_pos", "_id"),
+        ).select((F.col("_off") + F.col("_pos")).alias("_gpos"), F.col("_id"))
+        if carry:
+            tok = tok.unionByName(
+                spark_active.createDataFrame(
+                    [
+                        (seqs_done * max_len + i, int(t))
+                        for i, t in enumerate(carry)
+                    ],
+                    "_gpos long, _id int",
+                )
+            )
+        seqs = (
+            tok.groupBy(
+                F.floor(F.col("_gpos") / max_len)
+                .cast("bigint")
+                .alias("seq_id")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("seq_len"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_gpos", "_id"))),
+                    lambda s: s["_id"],
+                ).alias("ids"),
+            )
+            .localCheckpoint()
+        )
+        (
+            seqs.filter(F.col("seq_len") == max_len)
+            .select("seq_id", "seq_len", "ids")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
+        )
+        # bounded state: the single incomplete tail row (or none), plus
+        # the new absolute sequence counter
+        tail = seqs.filter(F.col("seq_len") < max_len).collect()
+        new_carry = list(tail[0]["ids"]) if tail else []
+        batch_total = (
+            cum.agg(F.sum("_n").cast("bigint")).collect()[0][0] or 0
+        )
+        new_done = (base + int(batch_total)) // max_len
+        (
+            spark_active.createDataFrame(
+                [(new_done, new_carry)], "seqs_done long, carry array<int>"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(pack)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

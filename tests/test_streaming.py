@@ -839,3 +839,160 @@ class TestStreamingDecontamination:
         run()
         again = spark.read.parquet(spans_dir).collect()
         assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+class TestSequencePackStream:
+    """start_sequence_pack_stream: the drained stream's complete sequences
+    plus the carried tail must equal the batch pack_token_sequences output
+    on the same corpus — sequences crossing both document and micro-batch
+    boundaries."""
+
+    def _stage(self, spark, tmp_path, src, schema, name, rows):
+        import os
+
+        staging = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+    def test_stream_matches_batch_packer(self, spark, tmp_path):
+        import os
+
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_learn_merges,
+            bpe_vocab,
+        )
+        from crowdsorsa_etl_spark.operators.curation import (
+            pack_token_sequences,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_sequence_pack_stream,
+        )
+
+        schema = "doc_id long, text string"
+        b1 = [(1, "low lower lowest low low"), (2, "new newest newer")]
+        b2 = [(3, "the widest wide low new"), (4, "wide wide low")]
+        b3 = [(5, "newest newest lowest")]
+        corpus = spark.createDataFrame(b1 + b2 + b3, schema)
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(corpus, n_merges=6).collect()
+        ]
+        vocab_rows = bpe_vocab(corpus, merges).collect()
+        vocab = {r["token"]: r["token_id"] for r in vocab_rows}
+        eos = len(vocab_rows)
+        max_len = 16
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for i, b in enumerate((b1, b2, b3)):
+            self._stage(spark, tmp_path, src, schema, f"b{i}.parquet", b)
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        q = start_sequence_pack_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            state,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            merges=merges,
+            vocab=vocab,
+            eos_id=eos,
+            max_len=max_len,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        ids = bpe_encode_ids(corpus, merges, vocab, ids_col="token_ids")
+        want = {
+            r.seq_id: (r.seq_len, list(r.ids))
+            for r in pack_token_sequences(
+                ids,
+                "token_ids",
+                [F.col("doc_id")],
+                max_len=max_len,
+                eos_id=eos,
+            ).collect()
+        }
+        got = {
+            r.seq_id: (r.seq_len, list(r.ids))
+            for r in spark.read.parquet(out).collect()
+        }
+        want_complete = {
+            s: v for s, v in want.items() if v[0] == max_len
+        }
+        assert got == want_complete
+        # every emitted sequence is exactly max_len; the batch tail (if
+        # short) is exactly the stream's carried state
+        import os as _os
+
+        epochs = sorted(
+            d for d in _os.listdir(state) if d.startswith("epoch=")
+        )
+        final = spark.read.schema(
+            "seqs_done long, carry array<int>"
+        ).parquet(_os.path.join(state, epochs[-1])).collect()[0]
+        tail = [v for s, v in want.items() if v[0] < max_len]
+        assert list(final["carry"]) == (tail[0][1] if tail else [])
+        assert final["seqs_done"] == len(want_complete)
+
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        import os
+
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_learn_merges,
+            bpe_vocab,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_sequence_pack_stream,
+        )
+
+        schema = "doc_id long, text string"
+        rows = [(i, "alpha beta gamma delta") for i in range(6)]
+        corpus = spark.createDataFrame(rows, schema)
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(corpus, n_merges=4).collect()
+        ]
+        vocab_rows = bpe_vocab(corpus, merges).collect()
+        vocab = {r["token"]: r["token_id"] for r in vocab_rows}
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        self._stage(spark, tmp_path, src, schema, "b0.parquet", rows)
+
+        def run(ckpt):
+            q = start_sequence_pack_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                str(tmp_path / "out"),
+                str(tmp_path / "state"),
+                checkpoint_dir=str(tmp_path / ckpt),
+                merges=merges,
+                vocab=vocab,
+                eos_id=len(vocab_rows),
+                max_len=8,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run("ckpt1")
+        first = {
+            r.seq_id: list(r.ids)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        # fresh checkpoint replays epoch 0 from the same carried state
+        run("ckpt2")
+        second = {
+            r.seq_id: list(r.ids)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert first == second and first
