@@ -628,6 +628,41 @@ def bpe_pack_sequences_sql(n_merges: int = 8, *, max_len: int = 512) -> str:
     )
 
 
+def bpe_provenance_sql(n_merges: int = 8, *, max_len: int = 512) -> str:
+    """DuckDB oracle for the packed-sequence PROVENANCE map: per-doc token
+    counts (+1 EOS) from the learn → encode chain, stream offsets via a
+    window cumsum, sequence ids a doc touches via generate_series, and the
+    clipped span bounds — pure interval arithmetic, mirroring the Spark
+    operator's no-token-shuffle design. A wrong count, offset, or clip
+    bound each breaks the hash."""
+    ctes = _ids_chain_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    docn AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) + 1 AS n
+      FROM syms GROUP BY 1
+    ),
+    offs AS (
+      SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+      FROM docn
+    ),
+    spans AS (
+      SELECT doc_id, off, n, CAST(s AS BIGINT) AS seq_id
+      FROM offs,
+           UNNEST(range(off // {max_len}, (off + n - 1) // {max_len} + 1))
+             AS t(s)
+    )
+    SELECT seq_id, doc_id,
+           CAST(greatest(0, off - seq_id * {max_len}) AS INT) AS start_in_seq,
+           CAST(least({max_len}, off + n - seq_id * {max_len}) AS INT)
+             AS end_in_seq
+    FROM spans"""
+    )
+
+
 def _ids_chain_ctes(n_merges: int) -> list[str]:
     """``_encode_chain_ctes`` extended with the vocabulary and per-symbol
     CTEs (``vocab``: sorted base chars from 0 + merge symbols at

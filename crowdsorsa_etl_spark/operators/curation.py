@@ -288,7 +288,8 @@ def pack_token_sequences(
     )
     return (
         tok.groupBy(
-            F.floor(F.col("_gpos") / max_len).cast("bigint").alias("seq_id")
+            # integer DIV, not floor(double /): exact past 2^53 tokens
+            F.expr(f"_gpos DIV {int(max_len)}").cast("bigint").alias("seq_id")
         )
         .agg(
             F.count(F.lit(1)).cast("int").alias("seq_len"),
@@ -300,4 +301,67 @@ def pack_token_sequences(
             ).alias(seq_ids_col),
         )
         .select("seq_id", "seq_len", seq_ids_col)
+    )
+
+
+def sequence_provenance(
+    df: DataFrame,
+    n_col: str,
+    order_cols: list[Column],
+    *,
+    max_len: int,
+    id_col: str = "doc_id",
+    count_eos: bool = True,
+) -> DataFrame:
+    """Which document occupies which token span of each packed training
+    sequence — the attribution map :func:`pack_token_sequences` implies
+    but does not emit. The map is what retroactive removal, licensing
+    audits, and memorization tracing need: given a doc to forget, it
+    names every sequence (and the exact token span inside it) the doc
+    reached.
+
+    Output: ``(seq_id bigint, <id_col>, start_in_seq int, end_in_seq
+    int)`` — 0-based, end-exclusive span inside the sequence; a doc
+    crossing a cut yields one row per touched sequence. ``count_eos``
+    counts the EOS separator as part of its document's span (matching
+    the packer's stream layout).
+
+    Distributed shape — and the point: provenance NEVER touches token
+    ids. It is pure interval arithmetic over per-doc token counts — the
+    global cumsum gives each doc's stream offset, ``F.sequence`` spans
+    the touched sequence ids (a doc touches ceil(n/max_len)+1 of them at
+    most), and the span bounds are codegen min/max — so the map costs
+    one range exchange over DOC-count rows, not a token-level shuffle.
+    """
+    from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
+
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1; got {max_len}")
+    d = df.withColumn(
+        "_n",
+        (F.col(n_col) + F.lit(1 if count_eos else 0)).cast("bigint"),
+    )
+    cum = with_global_cumsum(d, order_cols, "_n", cum_col="_cum")
+    off = cum.withColumn("_off", F.col("_cum") - F.col("_n"))
+    m = int(max_len)
+    spans = off.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"_off DIV {m}"),
+                F.expr(f"(_off + _n - 1) DIV {m}"),
+            )
+        ),
+    )
+    return spans.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col(id_col),
+        F.greatest(F.lit(0), (F.col("_off") - F.col("seq_id") * m))
+        .cast("int")
+        .alias("start_in_seq"),
+        F.least(
+            F.lit(m), (F.col("_off") + F.col("_n") - F.col("seq_id") * m)
+        )
+        .cast("int")
+        .alias("end_in_seq"),
     )

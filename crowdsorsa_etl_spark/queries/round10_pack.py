@@ -452,3 +452,35 @@ def llm_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     wav = attach_wav_payload(docs)
     return audio_fingerprint_dups(wav, min_shared=1)
+
+
+# ===========================================================================
+# llm_seq_provenance — the attribution map packing implies but doesn't
+# emit: which document occupies which token span of each fixed-length
+# training sequence (what retroactive removal / licensing audits / memo-
+# rization tracing consume). The operator never touches token ids — pure
+# interval arithmetic over per-doc counts (one range exchange over DOC
+# rows, no token-level shuffle); the oracle replays the same intervals
+# with a window cumsum + generate_series + clipping in SQL.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.bpe import (
+    bpe_provenance_sql as _prov_sql,
+)
+
+
+@register(
+    "llm_seq_provenance",
+    _prov_sql(n_merges=_IDS_MERGES, max_len=_PACK_MAX_LEN),
+)
+def llm_seq_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence document spans for the 512-token packed corpus."""
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+    from crowdsorsa_etl_spark.operators.curation import sequence_provenance
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab, _ = _learned_bpe(spark, sf_dir, _IDS_MERGES)
+    ids = bpe_encode_ids(docs, merges, vocab).localCheckpoint()
+    return sequence_provenance(
+        ids, "n_tokens", [F.col("doc_id")], max_len=_PACK_MAX_LEN
+    )

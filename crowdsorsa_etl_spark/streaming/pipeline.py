@@ -1205,7 +1205,8 @@ def start_sequence_pack_stream(
             )
         seqs = (
             tok.groupBy(
-                F.floor(F.col("_gpos") / max_len)
+                # integer DIV, not floor(double /): exact past 2^53 tokens
+                F.expr(f"_gpos DIV {int(max_len)}")
                 .cast("bigint")
                 .alias("seq_id")
             )

@@ -185,3 +185,106 @@ class TestPackTokenSequences:
 
         with pytest.raises(ValueError, match="max_len"):
             self._pack(spark, [(0, [1])], max_len=0)
+
+
+class TestSequenceProvenance:
+    def test_spans_reconstruct_packed_sequences(self, spark):
+        """The strongest invariant: stitching each sequence together from
+        its provenance spans and the source docs' token arrays must
+        reproduce pack_token_sequences' output exactly."""
+        from crowdsorsa_etl_spark.operators.curation import (
+            pack_token_sequences,
+            sequence_provenance,
+        )
+
+        docs = [
+            (0, [1, 2, 3]),
+            (1, [4]),
+            (2, [5, 6, 7, 8, 9, 10, 11]),
+            (3, [12, 13]),
+        ]
+        eos = 0
+        max_len = 5
+        df = spark.createDataFrame(
+            docs, "doc_id long, token_ids array<int>"
+        )
+        df = df.withColumn(
+            "n_tokens",
+            __import__("pyspark.sql.functions", fromlist=["F"]).size(
+                "token_ids"
+            ).cast("bigint"),
+        )
+        packed = {
+            r.seq_id: list(r.ids)
+            for r in pack_token_sequences(
+                df, "token_ids", [F.col("doc_id")],
+                max_len=max_len, eos_id=eos,
+            ).collect()
+        }
+        spans = sequence_provenance(
+            df, "n_tokens", [F.col("doc_id")], max_len=max_len
+        ).collect()
+        streams = {d: ids + [eos] for d, ids in docs}
+        # per doc, walk its spans in seq order consuming its stream
+        rebuilt: dict[int, list] = {
+            s: [None] * len(packed[s]) for s in packed
+        }
+        for d in streams:
+            consumed = 0
+            for r in sorted(
+                (r for r in spans if r.doc_id == d),
+                key=lambda r: r.seq_id,
+            ):
+                width = r.end_in_seq - r.start_in_seq
+                chunk = streams[d][consumed : consumed + width]
+                rebuilt[r.seq_id][r.start_in_seq : r.end_in_seq] = chunk
+                consumed += width
+            assert consumed == len(streams[d])
+        assert rebuilt == packed
+        # spans within each sequence tile it exactly, no overlap, no gap
+        by_seq: dict[int, list] = {}
+        for r in spans:
+            by_seq.setdefault(r.seq_id, []).append(
+                (r.start_in_seq, r.end_in_seq)
+            )
+        for s, iv in by_seq.items():
+            iv.sort()
+            assert iv[0][0] == 0
+            for (a0, a1), (b0, b1) in zip(iv, iv[1:]):
+                assert a1 == b0
+            assert iv[-1][1] == len(packed[s])
+
+    def test_no_token_level_shuffle(self, spark):
+        """Provenance is interval math over doc counts — the plan must not
+        contain a generator over token ids (only the bounded seq range)."""
+        from crowdsorsa_etl_spark.operators.curation import (
+            sequence_provenance,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 7)], "doc_id long, n_tokens bigint"
+        )
+        out = sequence_provenance(
+            df, "n_tokens", [F.col("doc_id")], max_len=4
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        rows = out.collect()
+        # 7 + 1 EOS tokens at max_len 4 -> spans (0,[0,4)) and (1,[0,4))
+        got = {(r.seq_id, r.start_in_seq, r.end_in_seq) for r in rows}
+        assert got == {(0, 0, 4), (1, 0, 4)}
+
+    def test_count_eos_false(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import (
+            sequence_provenance,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 4), (1, 4)], "doc_id long, n_tokens bigint"
+        )
+        rows = sequence_provenance(
+            df, "n_tokens", [F.col("doc_id")], max_len=4, count_eos=False
+        ).collect()
+        got = {(r.doc_id, r.seq_id, r.start_in_seq, r.end_in_seq)
+               for r in rows}
+        assert got == {(0, 0, 0, 4), (1, 1, 0, 4)}

@@ -136,6 +136,7 @@ HEADLINE = [
     "llm_video_dups",
     "llm_pack_sequences",
     "llm_audio_dups",
+    "llm_seq_provenance",
 ]
 
 
