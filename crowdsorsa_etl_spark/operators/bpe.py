@@ -628,6 +628,49 @@ def bpe_pack_sequences_sql(n_merges: int = 8, *, max_len: int = 512) -> str:
     )
 
 
+def bpe_mask_forget_sql(
+    n_merges: int = 8,
+    *,
+    max_len: int = 512,
+    forget_predicate: str = "doc_id % 7 = 0",
+    mask_id: int = -1,
+) -> str:
+    """DuckDB oracle for forget-list masking over packed sequences: the
+    pack chain with ``doc_id`` carried per stream token, tokens whose doc
+    satisfies ``forget_predicate`` rewritten to ``mask_id`` before the
+    per-sequence hash. Gates the whole provenance→mask application: a
+    span off by one token on either edge breaks the hash."""
+    ctes = _ids_chain_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    ids AS (
+      SELECT s.doc_id, s.ord, s.pos, v.token_id
+      FROM syms s JOIN vocab v ON s.token = v.token
+    ),
+    stream AS (
+      SELECT doc_id, ord, pos, token_id FROM ids
+      UNION ALL
+      SELECT DISTINCT doc_id, 9223372036854775807 AS ord, 0 AS pos,
+             (SELECT CAST(count(*) AS INT) FROM vocab) AS token_id
+      FROM ids
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN {forget_predicate} THEN {mask_id}
+                  ELSE token_id END AS token_id,
+             row_number() OVER (ORDER BY doc_id, ord, pos) - 1 AS gpos
+      FROM stream
+    )
+    SELECT CAST(gpos // {max_len} AS BIGINT) AS seq_id,
+           CAST(count(*) AS INT) AS seq_len,
+           md5(string_agg(CAST(token_id AS VARCHAR), ','
+                          ORDER BY gpos)) AS ids_md5
+    FROM g GROUP BY 1"""
+    )
+
+
 def bpe_provenance_sql(n_merges: int = 8, *, max_len: int = 512) -> str:
     """DuckDB oracle for the packed-sequence PROVENANCE map: per-doc token
     counts (+1 EOS) from the learn → encode chain, stream offsets via a

@@ -365,3 +365,57 @@ def sequence_provenance(
         .cast("int")
         .alias("end_in_seq"),
     )
+
+
+def mask_doc_spans(
+    seqs: DataFrame,
+    spans: DataFrame,
+    forget: DataFrame,
+    *,
+    mask_id: int,
+    ids_col: str = "ids",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a forget-list to packed training sequences: every token span
+    the provenance map attributes to a forgotten document is overwritten
+    with ``mask_id`` (the loss-masking form of retroactive removal — the
+    sequence geometry is untouched, so shard files, sequence counts, and
+    downstream curriculum state all stay valid).
+
+    ``seqs`` is :func:`pack_token_sequences` output, ``spans`` is
+    :func:`sequence_provenance` output, ``forget`` carries the ``id_col``
+    values to forget.
+
+    Distributed shape: the forget set prunes the span map with a semi
+    join (broadcast in the common small-forget-list case), affected spans
+    group per sequence (key-partitioned, bounded by docs-per-sequence),
+    and the mask itself is one codegen ``transform`` with an interval
+    test — untouched sequences pass through a left join unmodified. No
+    token-level shuffle: the only exchange over sequence rows is the
+    seq_id equi-join.
+    """
+    hit = spans.join(
+        forget.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    per_seq = hit.groupBy("seq_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_in_seq").alias("s"),
+                F.col("end_in_seq").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    out = seqs.join(per_seq, "seq_id", "left")
+    masked = F.when(F.col("_spans").isNull(), F.col(ids_col)).otherwise(
+        F.transform(
+            F.col(ids_col),
+            lambda x, i: F.when(
+                F.exists(
+                    F.col("_spans"),
+                    lambda sp: (i >= sp["s"]) & (i < sp["e"]),
+                ),
+                F.lit(int(mask_id)),
+            ).otherwise(x),
+        )
+    )
+    return out.withColumn(ids_col, masked).drop("_spans")

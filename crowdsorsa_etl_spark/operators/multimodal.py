@@ -869,6 +869,7 @@ def video_ahash_dups(
     id_col: str = "doc_id",
     *,
     min_shared: int = 1,
+    max_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate VIDEOS by shared perceptual frame content — the
     shot-level fingerprint join of video copy detection: two videos are
@@ -890,13 +891,14 @@ def video_ahash_dups(
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1; got {min_shared}")
     sig = video_frame_signatures(df, payload_col=payload_col, id_col=id_col)
-    return band_signature_dups(sig, min_shared=min_shared)
+    return band_signature_dups(sig, min_shared=min_shared, max_freq=max_freq)
 
 
 def band_signature_dups(
     sig: DataFrame,
     *,
     min_shared: int = 1,
+    max_freq: int | None = None,
 ) -> DataFrame:
     """The fingerprint pair join shared by every per-frame modality tier
     (video frames, audio frames): ``sig`` is (doc_id, ..., bands) — one
@@ -904,10 +906,31 @@ def band_signature_dups(
     when they share at least ``min_shared`` DISTINCT signatures. The join
     is keyed on the signature itself (documents sharing content co-locate
     in a hash bucket, never all-pairs); the pair count and the per-doc
-    distinct-signature counts are both key-partitioned aggregations."""
+    distinct-signature counts are both key-partitioned aggregations.
+
+    ``max_freq`` is the corpus-wide stop-fingerprint knob: a signature
+    shared by more than ``max_freq`` documents (silence, black frames,
+    intro cards) is excluded from matching BEFORE the pair join — the
+    frequency count's map-side partial aggregation absorbs the hot key,
+    so the quadratic per-bucket pair blowup never happens (the setsim
+    hot-prefix / substring-dedup posture). ``n_sigs_*`` count only
+    kept signatures, so downstream Jaccard stays internally consistent.
+    Recall trade: a pair matching ONLY on stop-fingerprints is dropped —
+    which is the point."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1; got {min_shared}")
-    sig = sig.select("doc_id", "bands").distinct().localCheckpoint()
+    if max_freq is not None and max_freq < 1:
+        raise ValueError(f"max_freq must be >= 1; got {max_freq}")
+    sig = sig.select("doc_id", "bands").distinct()
+    if max_freq is not None:
+        keep = (
+            sig.groupBy("bands")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_freq)
+            .select("bands")
+        )
+        sig = sig.join(keep, "bands", "left_semi")
+    sig = sig.localCheckpoint()
     n_sigs = sig.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n")
     )
@@ -1009,6 +1032,7 @@ def audio_fingerprint_dups(
     *,
     frame: int = 64,
     min_shared: int = 1,
+    max_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate AUDIO by shared acoustic frame fingerprints — the
     audio mirror of :func:`video_ahash_dups` (audio copy detection joins
@@ -1018,4 +1042,4 @@ def audio_fingerprint_dups(
     sig = audio_frame_signatures(
         df, payload_col=payload_col, id_col=id_col, frame=frame
     )
-    return band_signature_dups(sig, min_shared=min_shared)
+    return band_signature_dups(sig, min_shared=min_shared, max_freq=max_freq)

@@ -484,3 +484,68 @@ def llm_seq_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_provenance(
         ids, "n_tokens", [F.col("doc_id")], max_len=_PACK_MAX_LEN
     )
+
+
+# ===========================================================================
+# llm_mask_forget — the forget-list APPLIED: packed sequences with every
+# token span attributed (by llm_seq_provenance's map) to a forgotten doc
+# (doc_id % 7 = 0 here) overwritten by the mask id — loss-masking
+# retroactive removal that leaves sequence geometry intact. The Spark
+# side composes pack → provenance → mask_doc_spans (semi-join prune,
+# per-sequence span lists, one codegen transform); the oracle replays
+# the whole composition by masking the stream inline before the cut —
+# so a span off by one token on either edge breaks the hash.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.bpe import (
+    bpe_mask_forget_sql as _mask_sql,
+)
+
+_MASK_ID = -1
+
+
+@register(
+    "llm_mask_forget",
+    _mask_sql(
+        n_merges=_IDS_MERGES,
+        max_len=_PACK_MAX_LEN,
+        forget_predicate="doc_id % 7 = 0",
+        mask_id=_MASK_ID,
+    ),
+)
+def llm_mask_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask every span of the packed corpus attributed to forgotten docs
+    (doc_id % 7 = 0); emit per-sequence hashes of the masked streams."""
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+    from crowdsorsa_etl_spark.operators.curation import (
+        mask_doc_spans,
+        pack_token_sequences,
+        sequence_provenance,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab, n_vocab = _learned_bpe(spark, sf_dir, _IDS_MERGES)
+    ids = bpe_encode_ids(docs, merges, vocab, ids_col="token_ids") \
+        .localCheckpoint()
+    seqs = pack_token_sequences(
+        ids, "token_ids", [F.col("doc_id")],
+        max_len=_PACK_MAX_LEN, eos_id=n_vocab,
+    )
+    spans = sequence_provenance(
+        ids, "n_tokens", [F.col("doc_id")], max_len=_PACK_MAX_LEN
+    )
+    forget = ids.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    masked = mask_doc_spans(seqs, spans, forget, mask_id=_MASK_ID)
+    return masked.select(
+        "seq_id",
+        "seq_len",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.coalesce(x.cast("string"), F.lit("?oov?")),
+                ),
+            )
+        ).alias("ids_md5"),
+    )

@@ -173,3 +173,56 @@ class TestAudioFingerprintDups:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert re.search(r"Join \[bands#\d+\], \[bands#\d+\]", plan)
+
+
+class TestStopFingerprintKnob:
+    def test_max_freq_drops_hot_fingerprint(self, spark):
+        """The silence/black-frame case: many clips share one window, two
+        also share a rare window. With max_freq the hot bucket vanishes
+        from matching — pairs exist only via rare shared content, and the
+        n_sigs_* counts reflect kept signatures only."""
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_wav_payload,
+            audio_fingerprint_dups,
+        )
+
+        silence = "\x00" * 64  # identical window for every clip
+        rare = bytes(range(100, 164)).decode("latin-1")
+        texts = [silence + rare, silence + rare] + [
+            silence + bytes(range(i, i + 64)).decode("latin-1")
+            for i in range(3, 23)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        wav = attach_wav_payload(docs)
+        # without the knob: every pair of the 22 clips matches on silence
+        n_all = audio_fingerprint_dups(wav).count()
+        assert n_all == 22 * 21 // 2
+        got = audio_fingerprint_dups(wav, max_freq=5).collect()
+        # docs 0/1 match only via their rare windows (the >=0x80 chars
+        # encode to 2 UTF-8 bytes, so 'rare' spans two windows)
+        assert [(r.id_a, r.id_b, r.matched_frames) for r in got] == [
+            (0, 1, 2)
+        ]
+        # counts exclude the dropped stop-fingerprint
+        assert got[0].n_sigs_a == got[0].n_sigs_b == 2
+        import pytest
+
+        with pytest.raises(ValueError, match="max_freq"):
+            audio_fingerprint_dups(wav, max_freq=0)
+
+    def test_video_knob_threads_through(self, spark):
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_avi_payload,
+            video_ahash_dups,
+        )
+
+        shared = "Z" * 64
+        texts = [shared + "a", shared + "b", shared + "c", shared + "d"]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        avi = attach_avi_payload(docs, codec="raw")
+        assert video_ahash_dups(avi).count() == 6  # all pairs via Z-frame
+        assert video_ahash_dups(avi, max_freq=3).count() == 0

@@ -288,3 +288,63 @@ class TestSequenceProvenance:
         got = {(r.doc_id, r.seq_id, r.start_in_seq, r.end_in_seq)
                for r in rows}
         assert got == {(0, 0, 0, 4), (1, 1, 0, 4)}
+
+
+class TestMaskDocSpans:
+    def _fixture(self, spark, max_len=5, eos=0):
+        from crowdsorsa_etl_spark.operators.curation import (
+            pack_token_sequences,
+            sequence_provenance,
+        )
+
+        docs = [(0, [1, 2, 3]), (1, [4]), (2, [5, 6, 7, 8, 9, 10, 11])]
+        df = spark.createDataFrame(
+            docs, "doc_id long, token_ids array<int>"
+        ).withColumn("n_tokens", F.size("token_ids").cast("bigint"))
+        seqs = pack_token_sequences(
+            df, "token_ids", [F.col("doc_id")], max_len=max_len, eos_id=eos
+        )
+        spans = sequence_provenance(
+            df, "n_tokens", [F.col("doc_id")], max_len=max_len
+        )
+        return df, seqs, spans, docs
+
+    def test_masks_exactly_the_forgotten_spans(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import mask_doc_spans
+
+        df, seqs, spans, docs = self._fixture(spark)
+        forget = spark.createDataFrame([(1,)], "doc_id long")
+        got = {
+            r.seq_id: list(r.ids)
+            for r in mask_doc_spans(
+                seqs, spans, forget, mask_id=-1
+            ).collect()
+        }
+        # stream: 1 2 3 0 | 4 0 | 5 6 7 8 9 10 11 0 → doc1 occupies
+        # gpos 4..5 → seq 0 pos 4 ([4]→-1… wait: seq0 = [1,2,3,0,4]) and
+        # seq 1 pos 0 (the EOS) — mask both, nothing else
+        assert got[0] == [1, 2, 3, 0, -1]
+        assert got[1] == [-1, 5, 6, 7, 8]
+        assert got[2] == [9, 10, 11, 0]
+
+    def test_empty_forget_list_is_identity(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import mask_doc_spans
+
+        df, seqs, spans, docs = self._fixture(spark)
+        forget = spark.createDataFrame([], "doc_id long")
+        want = {r.seq_id: list(r.ids) for r in seqs.collect()}
+        got = {
+            r.seq_id: list(r.ids)
+            for r in mask_doc_spans(
+                seqs, spans, forget, mask_id=-1
+            ).collect()
+        }
+        assert got == want
+
+    def test_forget_all_masks_everything(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import mask_doc_spans
+
+        df, seqs, spans, docs = self._fixture(spark)
+        forget = df.select("doc_id")
+        rows = mask_doc_spans(seqs, spans, forget, mask_id=-1).collect()
+        assert all(set(r.ids) == {-1} for r in rows)

@@ -137,6 +137,7 @@ HEADLINE = [
     "llm_pack_sequences",
     "llm_audio_dups",
     "llm_seq_provenance",
+    "llm_mask_forget",
 ]
 
 
