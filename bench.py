@@ -141,6 +141,7 @@ HEADLINE = [
     "llm_audio_dups",
     "llm_seq_provenance",
     "llm_mask_forget",
+    "llm_bpe_oov",
 ]
 
 

@@ -628,6 +628,148 @@ def bpe_pack_sequences_sql(n_merges: int = 8, *, max_len: int = 512) -> str:
     )
 
 
+def bpe_oov_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Tokenizer COVERAGE on new data: apply a vocabulary learned on one
+    corpus to another and count the symbols that fall outside it — the
+    train/serve drift gate every shipped tokenizer needs (a rising OOV
+    rate means the corpus moved under the vocabulary).
+
+    Output: (id_col, n_tokens bigint, n_oov bigint) per document. Pure
+    codegen: the merge table applies as literals and the vocabulary test
+    is a constant-folded map lookup — no joins, no shuffle beyond the
+    scan."""
+    stream = _token_stream(
+        df, merges, text_col=text_col, id_col=id_col, strategy=strategy
+    )
+    vocab_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in (kv[0], str(kv[1]))]
+    )
+    syms = F.split(F.col("_toks"), " ")
+    return stream.select(
+        F.col(id_col),
+        F.size(syms).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(syms, lambda s: vocab_map[s].isNull()))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+
+
+def bpe_oov_sql(
+    n_merges: int = 8,
+    *,
+    train_predicate: str = "doc_id % 2 = 0",
+    eval_predicate: str = "doc_id % 2 = 1",
+) -> str:
+    """DuckDB oracle for :func:`bpe_oov_stats` with the learn/apply split
+    made explicit: merge statistics and the vocabulary come ONLY from the
+    train slice; the learned stages then rewrite the EVAL slice's word
+    dictionary (an apply-only chain — eval words never influence a merge
+    choice), and eval symbols left-join the train vocabulary to count
+    misses. Both the leakage direction (eval influencing the learn) and
+    a wrong application on unseen words break the hash."""
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    ctes = [
+        f"""words AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+        WHERE {train_predicate}
+      ) WHERE len(word) > 0 GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
+      FROM words
+    ),
+    evalw AS MATERIALIZED (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+        WHERE {eval_predicate}
+      ) WHERE len(word) > 0
+    ),
+    e0 AS MATERIALIZED (
+      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep
+      FROM evalw
+    ),
+    docw AS MATERIALIZED (
+      SELECT doc_id, i AS ord, arr[i] AS word
+      FROM (SELECT doc_id, string_split({norm}, ' ') AS arr FROM documents
+            WHERE {eval_predicate}),
+           UNNEST(range(1, len(arr) + 1)) AS t(i)
+      WHERE len(arr[i]) > 0
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT arr[i] || ' ' || arr[i+1] AS pair,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
+           UNNEST(range(1, len(arr))) AS t(i)
+      GROUP BY 1
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT pair FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
+    )"""
+        )
+        pat, rep = _merge_pat_rep(i)
+        rewrite = (
+            f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
+            f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT word, {rewrite} AS rep, cnt FROM w{i - 1}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT word, {rewrite} AS rep FROM e{i - 1}
+    )"""
+        )
+    merge_syms = "\nUNION ALL\n".join(
+        f"SELECT replace(pair, ' ', '') AS token FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"""basechars AS MATERIALIZED (
+      SELECT c AS token FROM (
+        SELECT DISTINCT unnest(string_split(
+          trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ')) AS c
+        FROM words
+      )
+    ),
+    vocab AS MATERIALIZED (
+      SELECT token FROM basechars
+      UNION ALL
+      SELECT token FROM ({merge_syms})
+      WHERE token IS NOT NULL AND token != ''
+    ),
+    syms AS (
+      SELECT doc_id, arr[i] AS token
+      FROM (
+        SELECT doc_id, string_split(rep, ' ') AS arr
+        FROM docw JOIN e{n_merges} USING (word)
+      ), UNNEST(range(1, len(arr) + 1)) AS t(i)
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov
+    FROM syms s LEFT JOIN vocab v ON s.token = v.token
+    GROUP BY s.doc_id"""
+    )
+
+
 def bpe_mask_forget_sql(
     n_merges: int = 8,
     *,

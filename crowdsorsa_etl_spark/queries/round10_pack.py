@@ -549,3 +549,41 @@ def llm_mask_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_md5"),
     )
+
+
+# ===========================================================================
+# llm_bpe_oov — tokenizer coverage on data the vocabulary never saw: learn
+# merges + vocab on the even-doc_id half of the corpus, apply to the odd
+# half, and count per-doc symbols outside the vocabulary (the train/serve
+# drift gate every shipped tokenizer needs). The oracle makes the
+# learn/apply split explicit — merge statistics come ONLY from the train
+# slice, an apply-only rewrite chain tokenizes the eval slice's words —
+# so leakage in either direction or a wrong application on unseen words
+# breaks the hash.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.operators.bpe import bpe_oov_sql as _oov_sql
+
+
+@register("llm_bpe_oov", _oov_sql(n_merges=_IDS_MERGES))
+def llm_bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV counts for a train-half vocabulary applied to the
+    eval half."""
+    from crowdsorsa_etl_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_oov_stats,
+        bpe_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in bpe_learn_merges(train, n_merges=_IDS_MERGES).collect()
+    ]
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in bpe_vocab(train, merges).collect()
+    }
+    return bpe_oov_stats(ev, merges, vocab)

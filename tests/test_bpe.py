@@ -343,3 +343,58 @@ class TestTokenIds:
         assert any(
             i is None for r in b.values() for i in r["token_ids"]
         )
+
+
+class TestOovStats:
+    def test_unseen_chars_count_as_oov(self, spark):
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_learn_merges,
+            bpe_oov_stats,
+            bpe_vocab,
+        )
+
+        train = spark.createDataFrame(
+            [(0, "aa ab aa ab"), (2, "ba ba aa")], ["doc_id", "text"]
+        )
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(train, n_merges=2).collect()
+        ]
+        vocab = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab(train, merges).collect()
+        }
+        assert set(vocab) >= {"a", "b"}
+        ev = spark.createDataFrame(
+            [(1, "aa zz"), (3, "qq qq")], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_oov)
+            for r in bpe_oov_stats(ev, merges, vocab).collect()
+        }
+        # every symbol of 'zz'/'qq' words is outside the a/b vocabulary;
+        # 'aa' tokenizes into known symbols
+        assert got[1][1] >= 2 and got[1][1] < got[1][0]
+        assert got[3][0] == got[3][1]  # all-unseen doc: every symbol OOV
+
+    def test_in_vocab_corpus_has_zero_oov(self, spark):
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_learn_merges,
+            bpe_oov_stats,
+            bpe_vocab,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "low lower lowest"), (1, "newer newest")],
+            ["doc_id", "text"],
+        )
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(docs, n_merges=4).collect()
+        ]
+        vocab = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab(docs, merges).collect()
+        }
+        rows = bpe_oov_stats(docs, merges, vocab).collect()
+        assert rows and all(r.n_oov == 0 for r in rows)
