@@ -342,7 +342,12 @@ def sequence_provenance(
         (F.col(n_col) + F.lit(1 if count_eos else 0)).cast("bigint"),
     )
     cum = with_global_cumsum(d, order_cols, "_n", cum_col="_cum")
-    off = cum.withColumn("_off", F.col("_cum") - F.col("_n"))
+    # zero-token docs (possible with count_eos=False) occupy no stream
+    # positions: without this guard the sequence bounds invert at exact
+    # max_len multiples and F.sequence DESCENDS, emitting spurious spans
+    off = cum.filter(F.col("_n") >= 1).withColumn(
+        "_off", F.col("_cum") - F.col("_n")
+    )
     m = int(max_len)
     spans = off.withColumn(
         "seq_id",

@@ -541,8 +541,6 @@ def image_ahash(
     safe and feed the hamming pigeonhole join directly: hamming(a, b) ≤ 7
     over 64 bits forces at least one of 8 bands to be IDENTICAL.
     """
-    import numpy as np
-
     def ahash_one(payload):
         if payload is None:
             return None
@@ -551,21 +549,7 @@ def image_ahash(
         except _DECODE_ERRORS:
             return None
         plane = px.reshape(px.shape[0], px.shape[1], -1)[:, :, 0]
-        flat = plane.reshape(-1).astype(np.int64)[:_AHASH_PIXELS]
-        if flat.shape[0] < _AHASH_PIXELS:
-            flat = np.pad(flat, (0, _AHASH_PIXELS - flat.shape[0]))
-        s = int(flat.sum())
-        bits = (flat * _AHASH_PIXELS >= s).astype(np.int64)
-        width = _AHASH_PIXELS // _AHASH_BANDS
-        return [
-            int(
-                sum(
-                    int(bits[b * width + j]) << (width - 1 - j)
-                    for j in range(width)
-                )
-            )
-            for b in range(_AHASH_BANDS)
-        ]
+        return _ahash_bands_from_flat(plane.reshape(-1))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -25,9 +25,18 @@ _BPE_ARTIFACTS: dict = {}
 
 
 def _learned_bpe(
-    spark: SparkSession, sf_dir: str, n_merges: int, strategy: str = "auto"
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    strategy: str = "auto",
+    *,
+    with_vocab: bool = True,
 ):
-    """(merges, vocab dict, vocab row count) for the fixture's documents."""
+    """(merges, vocab dict, vocab row count) for the fixture's documents.
+    The vocab chain (a second full-corpus distinct-character job) is
+    collected lazily — merge-only callers (``with_vocab=False``, e.g. the
+    256-merge encode) never pay for it; the first vocab caller fills it
+    in for everyone."""
     from crowdsorsa_etl_spark.operators.bpe import bpe_learn_merges, bpe_vocab
     from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
 
@@ -44,13 +53,14 @@ def _learned_bpe(
                 docs, n_merges=n_merges, strategy=strategy
             ).collect()
         ]
-        vocab_rows = bpe_vocab(docs, merges).collect()
-        _BPE_ARTIFACTS[key] = (
-            merges,
-            {r["token"]: r["token_id"] for r in vocab_rows},
-            len(vocab_rows),
-        )
-    return _BPE_ARTIFACTS[key]
+        _BPE_ARTIFACTS[key] = [merges, None, 0]
+    entry = _BPE_ARTIFACTS[key]
+    if with_vocab and entry[1] is None:
+        docs = _t(spark, sf_dir, "documents")
+        vocab_rows = bpe_vocab(docs, entry[0]).collect()
+        entry[1] = {r["token"]: r["token_id"] for r in vocab_rows}
+        entry[2] = len(vocab_rows)
+    return tuple(entry)
 
 
 # ===========================================================================
@@ -75,7 +85,9 @@ def llm_bpe_encode_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crowdsorsa_etl_spark.operators.bpe import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
-    merges, _, _ = _learned_bpe(spark, sf_dir, 256, strategy="driver")
+    merges, _, _ = _learned_bpe(
+        spark, sf_dir, 256, strategy="driver", with_vocab=False
+    )
     return bpe_encode(docs, merges, strategy="batch")
 
 
@@ -222,10 +234,8 @@ def llm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _video_dups_oracle() -> str:
-    ham = " + ".join(
-        f"bit_count(xor(a.bands[{i}], b.bands[{i}]))" for i in range(1, 9)
-    )
-    del ham  # exact-equality join; kept pattern note for readers
+    # exact-equality band join; a hamming-radius variant would sum
+    # bit_count(xor(...)) over the 8 bands (the llm_simhash_hamming shape)
     return """
     WITH hx AS (
       SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,

@@ -1186,6 +1186,11 @@ def start_sequence_pack_stream(
                 F.concat(F.col("token_ids"), F.array(F.lit(int(eos_id)))),
             )
             .withColumn("_n", F.size("_ids").cast("bigint"))
+            # materialize the encode ONCE per batch: the cumsum's range
+            # partitioner samples its input, which would otherwise re-run
+            # the whole encode chain per downstream job (the batch-side
+            # llm_token_id_shards fix, applied to every trigger here)
+            .localCheckpoint()
         )
         base = seqs_done * max_len + len(carry)
         cum = with_global_cumsum(d, [F.col(id_col)], "_n", cum_col="_cum")
@@ -1241,6 +1246,22 @@ def start_sequence_pack_stream(
             .write.mode("overwrite")
             .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
         )
+        # keep the state-dir flat in stream age: only the newest state
+        # < e is ever read, so everything older than the newest two
+        # epochs (replay headroom — a replayed epoch e must still find
+        # its e-1 predecessor) is garbage, pruned in-band
+        import shutil
+
+        epochs = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(state_dir)
+            if name.startswith("epoch=")
+            and name.split("=", 1)[1].lstrip("-").isdigit()
+        )
+        for e in epochs[:-2]:
+            shutil.rmtree(
+                os.path.join(state_dir, f"epoch={e}"), ignore_errors=True
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(pack)

@@ -348,3 +348,26 @@ class TestMaskDocSpans:
         forget = df.select("doc_id")
         rows = mask_doc_spans(seqs, spans, forget, mask_id=-1).collect()
         assert all(set(r.ids) == {-1} for r in rows)
+
+
+class TestProvenanceZeroTokenDocs:
+    def test_zero_token_docs_emit_no_spans(self, spark):
+        """A zero-token doc occupies no stream positions; without the _n
+        guard the sequence bounds invert at exact max_len multiples and
+        spurious out-of-domain spans appear."""
+        from crowdsorsa_etl_spark.operators.curation import (
+            sequence_provenance,
+        )
+
+        # doc 1 has 0 tokens and sits exactly at a max_len boundary
+        df = spark.createDataFrame(
+            [(0, 4), (1, 0), (2, 4)], "doc_id long, n_tokens bigint"
+        )
+        rows = sequence_provenance(
+            df, "n_tokens", [F.col("doc_id")], max_len=4, count_eos=False
+        ).collect()
+        got = {(r.doc_id, r.seq_id, r.start_in_seq, r.end_in_seq)
+               for r in rows}
+        assert got == {(0, 0, 0, 4), (2, 1, 0, 4)}
+        for r in rows:
+            assert 0 <= r.start_in_seq < r.end_in_seq <= 4
