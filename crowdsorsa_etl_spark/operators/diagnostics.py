@@ -58,3 +58,56 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top_n)
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """ANALYZE-style per-column statistics — the stats collection every
+    engine runs before cost-based decisions, and the first query a user
+    points at an unfamiliar table: one row per column with row count,
+    null count, distinct count, and lexicographic min/max of the string
+    form.
+
+    Shape: the table UNPIVOTS to (column, value string) rows — ``stack``
+    is a narrow codegen generator, no Python — then ONE key-partitioned
+    aggregation over the column name computes every statistic. One scan,
+    one shuffle, regardless of column count.
+
+    ``exact_distinct=False`` swaps count-distinct for
+    ``approx_count_distinct`` (HLL) — the 100 TB default, where an exact
+    distinct per column is a full shuffle of every value; the exact form
+    is the oracle/differential tier. min/max are over the STRING form
+    (lexicographic) so every type compares identically cross-engine.
+    """
+    cols = df.columns if columns is None else columns
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    stacked = df.select(
+        F.expr(
+            f"stack({len(cols)}, {pairs}) AS (column, value)"
+        )
+    )
+    distinct_agg = (
+        F.count_distinct(F.col("value"))
+        if exact_distinct
+        else F.approx_count_distinct(F.col("value"))
+    )
+    return (
+        stacked.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            distinct_agg.cast("bigint").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

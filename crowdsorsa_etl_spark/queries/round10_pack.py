@@ -597,3 +597,51 @@ def llm_bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_vocab(train, merges).collect()
     }
     return bpe_oov_stats(ev, merges, vocab)
+
+
+# ===========================================================================
+# q111_table_profile — ANALYZE-style per-column statistics over orders
+# (the stats collection a CBO consumes and the first look at any table):
+# the table unpivots through a narrow stack generator to (column, value)
+# rows, then ONE key-partitioned aggregation computes rows / nulls /
+# exact distincts / lexicographic string min-max for every column — one
+# scan + one shuffle regardless of column count. At 100 TB the same
+# operator runs with exact_distinct=False (HLL) — the exact form here is
+# the differential tier. The oracle mirrors it as per-column UNION ALL
+# aggregates over the identical string forms.
+# ===========================================================================
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_value,
+           max(CAST({c} AS VARCHAR)) AS max_value
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q111_table_profile", _profile_sql())
+def q111_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistics of orders: one stack unpivot + one
+    aggregation."""
+    from crowdsorsa_etl_spark.operators.diagnostics import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"), _PROFILE_COLS, exact_distinct=True
+    )

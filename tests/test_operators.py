@@ -957,3 +957,44 @@ class TestSkewReport:
         df = spark.createDataFrame([("a", 1)], "k string, v long")
         # single key owns 100% > 1/32 default → hot
         assert key_skew_report(df, ["k"]).first().hot is True
+
+
+class TestProfileTable:
+    def test_stats_per_column(self, spark):
+        from crowdsorsa_etl_spark.operators.diagnostics import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], "k long, s string"
+        )
+        got = {r.column: r for r in profile_table(df).collect()}
+        assert got["k"].n_rows == 3 and got["k"].n_nulls == 0
+        assert got["k"].n_distinct == 2
+        assert (got["k"].min_value, got["k"].max_value) == ("1", "2")
+        assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+        assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+
+    def test_approx_tier_and_guards(self, spark):
+        import pytest
+
+        from crowdsorsa_etl_spark.operators.diagnostics import profile_table
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+        got = profile_table(df, exact_distinct=False).collect()[0]
+        # HLL at this cardinality is within a few percent
+        assert abs(got.n_distinct - 100) <= 5
+        with pytest.raises(ValueError, match="at least one column"):
+            profile_table(df, [])
+
+    def test_one_shuffle_plan(self, spark):
+        from crowdsorsa_etl_spark.operators.diagnostics import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.0)], "k long, s string, v double"
+        )
+        plan = (
+            profile_table(df, exact_distinct=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 1  # one shuffle, any column count

@@ -139,6 +139,7 @@ HEADLINE = [
     "llm_seq_provenance",
     "llm_mask_forget",
     "llm_bpe_oov",
+    "q111_table_profile",
 ]
 
 
