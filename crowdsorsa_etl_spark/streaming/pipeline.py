@@ -1269,3 +1269,92 @@ def start_sequence_pack_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_drift_stream(
+    docs_stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    bins: int = 10,
+    bin_width: float = 60.0,
+):
+    """Continuous data-drift monitoring on ingest — the streaming form of
+    q106_drift_psi: the REFERENCE distribution (training-time corpus) is
+    binned ONCE into an equal-width histogram (a bounded, driver-held
+    artifact — ``bins`` numbers); every micro-batch then bins itself with
+    the identical rule and lands one PSI report per epoch under
+    ``out_dir/epoch=<e>``: per-bin expected/actual counts, Laplace-
+    smoothed psi terms, and the epoch's psi_total. The retraining monitor
+    reads the epoch series and alerts on psi_total.
+
+    Distributed shape: the per-batch cost is ONE groupBy(bin) aggregation
+    with map-side combine (bin cardinality is a constant); the PSI fold
+    over ≤ ``bins`` rows happens driver-side, exactly like every other
+    bounded-artifact fold in the repo. Replay-safe by construction: the
+    report depends only on the batch content and the frozen reference, so
+    a replayed epoch overwrites an identical report.
+    """
+    import math
+    import os
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2; got {bins}")
+
+    spark_active = docs_stream.sparkSession
+
+    def _bin(col):
+        return F.least(
+            F.floor(F.col(col) / bin_width).cast("int"), F.lit(bins - 1)
+        ).alias("bin")
+
+    ref_rows = (
+        reference.select(_bin(value_col)).groupBy("bin").count().collect()
+    )
+    n_expected = {int(r["bin"]): int(r["count"]) for r in ref_rows}
+    te = sum(n_expected.values())
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        act_rows = (
+            batch_df.select(_bin(value_col)).groupBy("bin").count().collect()
+        )
+        n_actual = {int(r["bin"]): int(r["count"]) for r in act_rows}
+        ta = sum(n_actual.values())
+        terms = {}
+        for b in range(bins):
+            pe = (n_expected.get(b, 0) + 1.0) / (te + bins)
+            pa = (n_actual.get(b, 0) + 1.0) / (ta + bins)
+            terms[b] = (pa - pe) * math.log(pa / pe)
+        psi_total = round(sum(terms.values()), 6)
+        rows = [
+            (
+                int(epoch_id),
+                b,
+                n_expected.get(b, 0),
+                n_actual.get(b, 0),
+                round(terms[b], 6),
+                psi_total,
+            )
+            for b in range(bins)
+        ]
+        (
+            spark_active.createDataFrame(
+                rows,
+                "epoch long, bin int, n_expected long, n_actual long,"
+                " psi_term double, psi_total double",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

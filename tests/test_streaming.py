@@ -996,3 +996,112 @@ class TestSequencePackStream:
             for r in spark.read.parquet(str(tmp_path / "out")).collect()
         }
         assert first == second and first
+
+
+class TestDriftStream:
+    def test_epoch_psi_matches_batch_formula(self, spark, tmp_path):
+        """The drained stream's per-epoch PSI report must equal the
+        q106-style batch computation for the same (reference, slice)
+        pair — independently recomputed here in plain python."""
+        import math
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_drift_stream,
+        )
+
+        schema = "doc_id long, n_chars long"
+        ref_rows = [(i, 50 + (i * 37) % 500) for i in range(0, 200, 2)]
+        b1 = [(i, 50 + (i * 11) % 300) for i in range(1, 100, 2)]
+        b2 = [(i, 400 + (i * 7) % 150) for i in range(101, 200, 2)]
+        reference = spark.createDataFrame(ref_rows, schema)
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+            staging = str(tmp_path / f"_stage_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(
+                os.path.join(staging, part), os.path.join(src, name)
+            )
+
+        out = str(tmp_path / "out")
+        q = start_drift_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            reference,
+            "n_chars",
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            bins=10,
+            bin_width=60.0,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def hist(rows):
+            h = {}
+            for _, v in rows:
+                b = min(int(v // 60), 9)
+                h[b] = h.get(b, 0) + 1
+            return h
+
+        def psi(exp, act):
+            te, ta = sum(exp.values()), sum(act.values())
+            terms = {}
+            for b in range(10):
+                pe = (exp.get(b, 0) + 1.0) / (te + 10)
+                pa = (act.get(b, 0) + 1.0) / (ta + 10)
+                terms[b] = (pa - pe) * math.log(pa / pe)
+            return terms
+
+        exp = hist(ref_rows)
+        got = spark.read.parquet(out).collect()
+        by_epoch = {}
+        for r in got:
+            by_epoch.setdefault(r.epoch, {})[r.bin] = r
+        assert len(by_epoch) == 2
+        for rows_in, epoch_rows in zip((b1, b2), (
+            by_epoch[min(by_epoch)], by_epoch[max(by_epoch)]
+        )):
+            act = hist(rows_in)
+            want_terms = psi(exp, act)
+            want_total = round(sum(want_terms.values()), 6)
+            assert len(epoch_rows) == 10
+            for b, r in epoch_rows.items():
+                assert r.n_expected == exp.get(b, 0)
+                assert r.n_actual == act.get(b, 0)
+                assert abs(r.psi_term - round(want_terms[b], 6)) < 1e-9
+                assert r.psi_total == want_total
+        # the shifted second batch must register materially more drift
+        assert (
+            by_epoch[max(by_epoch)][0].psi_total
+            > by_epoch[min(by_epoch)][0].psi_total
+        )
+
+    def test_guard(self, spark, tmp_path):
+        import pytest
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_drift_stream,
+        )
+
+        ref = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+        with pytest.raises(ValueError, match="bins"):
+            start_drift_stream(
+                spark.readStream.schema("doc_id long, n_chars long")
+                .parquet(str(tmp_path)),
+                ref,
+                "n_chars",
+                str(tmp_path / "out"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                bins=1,
+            )
