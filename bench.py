@@ -143,6 +143,7 @@ HEADLINE = [
     "llm_mask_forget",
     "llm_bpe_oov",
     "q111_table_profile",
+    "llm_html_extract",
 ]
 
 
@@ -178,6 +179,15 @@ def main() -> None:
     # invalid (huge max/min ratio) without needing a re-run to prove it.
     # Each run still executes the FULL plan — nothing is cached between
     # runs except what the OS/JVM would keep for any client.
+    # The measured action is a NOOP-SINK WRITE, not count(): count() lets
+    # Catalyst prune every column a pure-projection query computes (the
+    # optimized count plan of llm_html_extract contains zero regexes), so
+    # narrow queries would time the scan, not the work. The noop sink
+    # evaluates every output column JVM-side and discards rows; the row
+    # count rides an Observation on the same job (no second pass).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -186,7 +196,11 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            n = obs.get["n"]
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
         spreads[name] = runs

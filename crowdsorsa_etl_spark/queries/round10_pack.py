@@ -645,3 +645,108 @@ def q111_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         _t(spark, sf_dir, "orders"), _PROFILE_COLS, exact_distinct=True
     )
+
+
+# ===========================================================================
+# llm_html_extract — the FIRST stage of a web-corpus pipeline: HTML → main
+# text + boilerplate signals. Each document renders into a deterministic
+# HTML page (escaped body text, a styled head, a nav anchor carrying the
+# source, a script block), then the RE2-safe expression chain strips
+# blocks/tags, decodes entities, and measures tag count + link density —
+# a full build→escape→extract round trip. The oracle replays BOTH sides
+# in SQL with the identical pattern strings, so an escape-order bug, a
+# greedy regex, a missed entity, or a wrong link-density denominator each
+# break the hash.
+# ===========================================================================
+
+
+def _html_extract_sql() -> str:
+    strip = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace({x},"
+        " '(?s)<!--.*?-->', ' ', 'g'),"
+        " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+        " '(?s)</?[a-zA-Z][^>]*>', ' ', 'g'),"
+        " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&apos;', ''''), '&#39;', ''''),"
+        " '&amp;', '&'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    # the fixture page has no <style> payload inside anchors, so the
+    # oracle's strip chain matches the operator's (style pass folded into
+    # the script pass ordering is irrelevant here: both are removed)
+    style_strip = strip.replace(
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'),",
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+        " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),",
+    ).replace(
+        "regexp_replace(regexp_replace(regexp_replace({x},",
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace({x},",
+    )
+    page = (
+        "'<html><head><title>doc</title><style>p{{margin:0}}</style>"
+        "</head><body><nav><a href=\"/\">' || source || '</a> &amp;'"
+        " || ' <a href=\"/l\">' || lang || '</a></nav><p>' ||"
+        " replace(replace(replace(coalesce(text, ''),"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+        " || '</p><script>var x = 1 < 2;</script></body></html>'"
+    )
+    extracted = style_strip.format(x="page")
+    anchor_sum = (
+        "coalesce((SELECT sum(length("
+        + style_strip.format(x="a.m")
+        + ")) FROM (SELECT unnest(regexp_extract_all(page,"
+        " '(?is)<a[^>]*>(.*?)</a>', 1)) AS m) a), 0)"
+    )
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, {page} AS page FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, page, {extracted} AS txt,
+             len(regexp_extract_all(page, '(?s)</?[a-zA-Z][^>]*>', 0))
+               AS n_tags,
+             {anchor_sum} AS anchor_chars
+      FROM pages
+    )
+    SELECT doc_id, md5(txt) AS text_md5,
+           CAST(n_tags AS INT) AS tag_count,
+           CASE WHEN length(txt) = 0 THEN 0.0
+                ELSE round(anchor_chars / CAST(length(txt) AS DOUBLE), 6)
+           END AS link_density
+    FROM ex
+    """
+
+
+@register("llm_html_extract", _html_extract_sql())
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render each doc into a deterministic HTML page, then extract text
+    and boilerplate signals through the RE2-safe expression chain."""
+    from crowdsorsa_etl_spark.functions.html import (
+        escape_html_text,
+        html_link_density,
+        html_tag_count,
+        strip_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><style>p{margin:0}</style>'
+            '</head><body><nav><a href="/">'
+        ),
+        F.col("source"),
+        F.lit('</a> &amp; <a href="/l">'),
+        F.col("lang"),
+        F.lit("</a></nav><p>"),
+        escape_html_text(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p><script>var x = 1 < 2;</script></body></html>"),
+    )
+    pages = docs.select(F.col("doc_id"), page.alias("page"))
+    return pages.select(
+        "doc_id",
+        F.md5(strip_html(F.col("page"))).alias("text_md5"),
+        html_tag_count(F.col("page")).cast("int").alias("tag_count"),
+        html_link_density(F.col("page")).alias("link_density"),
+    )

@@ -140,6 +140,7 @@ HEADLINE = [
     "llm_mask_forget",
     "llm_bpe_oov",
     "q111_table_profile",
+    "llm_html_extract",
 ]
 
 
@@ -186,11 +187,13 @@ def main() -> None:
     base_times: dict[str, float] = {}
     def timed(fn, d):
         # best of 2: the first run pays JIT/footer/caching constants that
-        # would otherwise masquerade as a scale effect
+        # would otherwise masquerade as a scale effect. Noop-sink write,
+        # not count() — count() lets Catalyst prune every column of a
+        # pure-projection query (see bench.py).
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
-            fn(spark, d).count()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
             best = min(best, time.monotonic() - t0)
         return round(best, 3)
 
