@@ -4,9 +4,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing is per-query wall clock around a count()/collect-free action
-(``df.write.format("noop")`` equivalent: foreach-noop via count) after a
-warm-up of the session.
+Timing is per-query wall clock around a noop-sink write (every output
+column evaluated JVM-side, rows discarded; the row count rides an
+Observation on the same job) after a warm-up of the session.
 """
 
 from __future__ import annotations
@@ -144,6 +144,7 @@ HEADLINE = [
     "llm_bpe_oov",
     "q111_table_profile",
     "llm_html_extract",
+    "llm_html_links",
 ]
 
 

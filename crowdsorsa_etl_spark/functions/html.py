@@ -86,3 +86,13 @@ def html_link_density(col: Column) -> Column:
     return F.when(total == 0, F.lit(0.0)).otherwise(
         F.round(anchor_chars / total.cast("double"), 6)
     )
+
+
+_HREF_PATTERN = r'(?is)<a[^>]*href\s*=\s*"([^"]*)"[^>]*>'
+
+
+def html_links(col: Column) -> Column:
+    """All ``href`` values of anchor tags, in document order — the crawl
+    frontier's input. Double-quoted hrefs only (the emitted-HTML norm);
+    RE2-safe and replayed verbatim by the oracle."""
+    return F.regexp_extract_all(col, F.lit(_HREF_PATTERN), F.lit(1))

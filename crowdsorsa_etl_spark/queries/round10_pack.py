@@ -750,3 +750,77 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_tag_count(F.col("page")).cast("int").alias("tag_count"),
         html_link_density(F.col("page")).alias("link_density"),
     )
+
+
+# ===========================================================================
+# llm_html_links — the crawl-frontier extraction: pages render with messy
+# anchor URLs (casing, www, default port, tracking params, a relative
+# href), html_links pulls every href, and the existing URL trio
+# (canonicalize / host / registered-domain, functions/url.py) folds them
+# into per-domain frontier counts. One expression chain + one groupBy —
+# and the oracle composes the SAME canonical_url_sql single source of
+# truth over the SAME extraction pattern.
+# ===========================================================================
+
+
+def _html_links_sql() -> str:
+    from crowdsorsa_etl_spark.functions.url import canonical_url_sql
+
+    page = (
+        "'<body><a href=\"HTTPS://WWW.' || source ||"
+        " '.COM:443/a/' || CAST(doc_id AS VARCHAR) ||"
+        " '?utm_source=x&q=1\">one</a><p>t</p>"
+        "<a class=\"n\" href=\"https://' || source ||"
+        " '.Example.CO.UK/b/' || CAST(doc_id % 10 AS VARCHAR) ||"
+        " '/\">two</a><a href=\"/local\">rel</a></body>'"
+    )
+    inner = f"""
+    SELECT doc_id, unnest(regexp_extract_all({page},
+      '(?is)<a[^>]*href\\s*=\\s*"([^"]*)"[^>]*>', 1)) AS raw_url
+    FROM documents
+    """
+    return f"""
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT url_canon) AS BIGINT) AS n_unique_urls
+    FROM ({canonical_url_sql(inner)})
+    GROUP BY domain
+    """
+
+
+@register("llm_html_links", _html_links_sql())
+def llm_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract anchor hrefs from rendered pages, canonicalize, and count
+    the per-domain crawl frontier."""
+    from crowdsorsa_etl_spark.functions.html import html_links
+    from crowdsorsa_etl_spark.functions.url import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<body><a href="HTTPS://WWW.'),
+        F.col("source"),
+        F.lit(".COM:443/a/"),
+        F.col("doc_id").cast("string"),
+        F.lit('?utm_source=x&q=1">one</a><p>t</p><a class="n" href="https://'),
+        F.col("source"),
+        F.lit(".Example.CO.UK/b/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('/">two</a><a href="/local">rel</a></body>'),
+    )
+    links = docs.select(
+        F.explode(html_links(page)).alias("raw_url")
+    )
+    canon = links.select(
+        canonicalize_url(F.col("raw_url")).alias("url_canon"),
+        registered_domain(url_host(F.col("raw_url"))).alias("domain"),
+    )
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.count_distinct(F.col("url_canon"))
+        .cast("bigint")
+        .alias("n_unique_urls"),
+    )

@@ -65,3 +65,20 @@ class TestHtmlSignals:
 
     def test_empty_page_density_is_zero(self, spark):
         assert _one(spark, "<p></p>", html_link_density) == 0.0
+
+
+class TestHtmlLinks:
+    def test_hrefs_in_document_order(self, spark):
+        from crowdsorsa_etl_spark.functions.html import html_links
+
+        h = (
+            '<a href="/a">1</a><a class="x" href = "https://b.com/">2</a>'
+            "<a>no-href</a><A HREF=\"/c\">3</A>"
+        )
+        got = _one(spark, h, html_links)
+        assert list(got) == ["/a", "https://b.com/", "/c"]
+
+    def test_no_links(self, spark):
+        from crowdsorsa_etl_spark.functions.html import html_links
+
+        assert list(_one(spark, "<p>plain</p>", html_links)) == []

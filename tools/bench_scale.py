@@ -141,6 +141,7 @@ HEADLINE = [
     "llm_bpe_oov",
     "q111_table_profile",
     "llm_html_extract",
+    "llm_html_links",
 ]
 
 
