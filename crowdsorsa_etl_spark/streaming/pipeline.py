@@ -1083,7 +1083,13 @@ def compact_shard_epochs(
             )
 
     tmp = out_dir.rstrip("/") + "__compact_tmp"
-    merged.write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+    # preserve the export's inner partitioning when present (shard_id for
+    # the shard export); exports without it — e.g. the sequence-pack
+    # stream's (seq_id, seq_len, ids) — compact into a flat base
+    writer = merged.write.mode("overwrite")
+    if "shard_id" in merged.columns:
+        writer = writer.partitionBy("shard_id")
+    writer.parquet(tmp)
     _swap_dirs(spark._jvm, fs, base, tmp)
     for e in fold:
         jvm_e, _ = _hadoop_fs(spark, os.path.join(out_dir, f"epoch={e}"))

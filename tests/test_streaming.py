@@ -1105,3 +1105,89 @@ class TestDriftStream:
                 checkpoint_dir=str(tmp_path / "ckpt"),
                 bins=1,
             )
+
+
+class TestSequencePackCompaction:
+    def test_pack_output_epochs_fold_into_base(self, spark, tmp_path):
+        """compact_shard_epochs generalizes to the sequence-pack export:
+        old epoch dirs fold into the epoch=-1 base (flat layout — no
+        shard_id column), every sequence survives, and a second run is a
+        no-op."""
+        import os
+
+        from crowdsorsa_etl_spark.operators.bpe import (
+            bpe_learn_merges,
+            bpe_vocab,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            compact_shard_epochs,
+            start_sequence_pack_stream,
+        )
+
+        schema = "doc_id long, text string"
+        batches = [
+            [(10 * b + i, f"w{b} x{i} common tok " * 3) for i in range(3)]
+            for b in range(4)
+        ]
+        corpus = spark.createDataFrame(
+            [r for b in batches for r in b], schema
+        )
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in bpe_learn_merges(corpus, n_merges=4).collect()
+        ]
+        vocab_rows = bpe_vocab(corpus, merges).collect()
+        vocab = {r["token"]: r["token_id"] for r in vocab_rows}
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for b, rows in enumerate(batches):
+            staging = str(tmp_path / f"_stage_{b}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(
+                os.path.join(staging, part),
+                os.path.join(src, f"b{b}.parquet"),
+            )
+        out, state = str(tmp_path / "out"), str(tmp_path / "state")
+        q = start_sequence_pack_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            state,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            merges=merges,
+            vocab=vocab,
+            eos_id=len(vocab_rows),
+            max_len=8,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        before = {
+            r.seq_id: list(r.ids)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert before
+        folded = compact_shard_epochs(
+            spark, out, state, keep_epochs=2, id_col="seq_id"
+        )
+        assert folded >= 1
+        dirs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+        assert "epoch=-1" in dirs and len(dirs) <= 3
+        after = {
+            r.seq_id: list(r.ids)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert after == before
+        # idempotent: nothing left to fold
+        assert compact_shard_epochs(
+            spark, out, state, keep_epochs=2, id_col="seq_id"
+        ) == 0
