@@ -42,7 +42,8 @@ _BLOCK_PATTERNS = [
     r"(?is)<style[^>]*>.*?</style>",
 ]
 _TAG_PATTERN = r"(?s)</?[a-zA-Z][^>]*>"
-_ANCHOR_PATTERN = r"(?is)<a[^>]*>(.*?)</a>"
+# word boundary after "a": <a ...> or <a>, never <article>/<aside>/...
+_ANCHOR_PATTERN = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 
 
 def escape_html_text(col: Column) -> Column:
@@ -88,7 +89,7 @@ def html_link_density(col: Column) -> Column:
     )
 
 
-_HREF_PATTERN = r'(?is)<a[^>]*href\s*=\s*"([^"]*)"[^>]*>'
+_HREF_PATTERN = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>'
 
 
 def html_links(col: Column) -> Column:

@@ -675,7 +675,7 @@ def bpe_oov_sql(
     choice), and eval symbols left-join the train vocabulary to count
     misses. Both the leakage direction (eval influencing the learn) and
     a wrong application on unseen words break the hash."""
-    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    norm = _NORM_SQL
     ctes = [
         f"""words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -684,7 +684,7 @@ def bpe_oov_sql(
       ) WHERE len(word) > 0 GROUP BY word
     ),
     w0 AS MATERIALIZED (
-      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
+      SELECT word, {_CHAR_SPACED_SQL} AS rep, cnt
       FROM words
     ),
     evalw AS MATERIALIZED (
@@ -694,7 +694,7 @@ def bpe_oov_sql(
       ) WHERE len(word) > 0
     ),
     e0 AS MATERIALIZED (
-      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep
+      SELECT word, {_CHAR_SPACED_SQL} AS rep
       FROM evalw
     ),
     docw AS MATERIALIZED (
@@ -706,24 +706,8 @@ def bpe_oov_sql(
     )"""
     ]
     for i in range(1, n_merges + 1):
-        prev = f"w{i - 1}"
-        ctes.append(
-            f"""p{i} AS MATERIALIZED (
-      SELECT arr[i] || ' ' || arr[i+1] AS pair,
-             CAST(sum(cnt) AS BIGINT) AS total
-      FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
-           UNNEST(range(1, len(arr))) AS t(i)
-      GROUP BY 1
-    ),
-    b{i} AS MATERIALIZED (
-      SELECT pair FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
-    )"""
-        )
-        pat, rep = _merge_pat_rep(i)
-        rewrite = (
-            f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
-            f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"
-        )
+        ctes.append(_learn_stage_sql(i, f"w{i - 1}"))
+        rewrite = _stage_rewrite_sql(i)
         ctes.append(
             f"""w{i} AS MATERIALIZED (
       SELECT word, {rewrite} AS rep, cnt FROM w{i - 1}
@@ -739,16 +723,19 @@ def bpe_oov_sql(
     ctes.append(
         f"""basechars AS MATERIALIZED (
       SELECT c AS token FROM (
-        SELECT DISTINCT unnest(string_split(
-          trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ')) AS c
+        SELECT DISTINCT unnest(string_split({_CHAR_SPACED_SQL}, ' ')) AS c
         FROM words
       )
     ),
     vocab AS MATERIALIZED (
-      SELECT token FROM basechars
-      UNION ALL
-      SELECT token FROM ({merge_syms})
-      WHERE token IS NOT NULL AND token != ''
+      -- DISTINCT: duplicate merge symbols must not fan out the
+      -- membership left-join (Spark's dict membership is set-like)
+      SELECT DISTINCT token FROM (
+        SELECT token FROM basechars
+        UNION ALL
+        SELECT token FROM ({merge_syms})
+        WHERE token IS NOT NULL AND token != ''
+      )
     ),
     syms AS (
       SELECT doc_id, arr[i] AS token
@@ -873,11 +860,17 @@ def _ids_chain_ctes(n_merges: int) -> list[str]:
     )
     ctes.append(
         f"""vocab AS MATERIALIZED (
-      SELECT token, token_id FROM basechars
-      UNION ALL
-      SELECT token, CAST(nb.n_base + rank_off - 1 AS INT) AS token_id
-      FROM ({merge_syms}) m CROSS JOIN nb
-      WHERE token IS NOT NULL AND token != ''
+      -- two merges can concatenate to the SAME symbol; the Spark side's
+      -- dict keeps the LAST assignment (highest rank -> highest id), so
+      -- dedup with max(token_id) — a duplicate row would also fan out
+      -- every syms join
+      SELECT token, CAST(max(token_id) AS INT) AS token_id FROM (
+        SELECT token, token_id FROM basechars
+        UNION ALL
+        SELECT token, CAST(nb.n_base + rank_off - 1 AS INT) AS token_id
+        FROM ({merge_syms}) m CROSS JOIN nb
+        WHERE token IS NOT NULL AND token != ''
+      ) GROUP BY token
     ),
     syms AS (
       SELECT doc_id, ord, i AS pos, arr[i] AS token
@@ -888,6 +881,36 @@ def _ids_chain_ctes(n_merges: int) -> list[str]:
     )"""
     )
     return ctes
+
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_CHAR_SPACED_SQL = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+
+
+def _learn_stage_sql(i: int, prev: str) -> str:
+    """The ``p{i}``/``b{i}`` learn-stage CTEs: adjacent-pair counts over
+    the ``prev`` dictionary and the (total DESC, pair ASC) argmax — ONE
+    definition for every oracle that re-learns merges."""
+    return f"""p{i} AS MATERIALIZED (
+      SELECT arr[i] || ' ' || arr[i+1] AS pair,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
+           UNNEST(range(1, len(arr))) AS t(i)
+      GROUP BY 1
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT pair FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
+    )"""
+
+
+def _stage_rewrite_sql(i: int) -> str:
+    """The stage-``i`` greedy merge application (space-doubling replace),
+    shared by every dictionary-rewrite chain."""
+    pat, rep = _merge_pat_rep(i)
+    return (
+        f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
+        f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"
+    )
 
 
 def _encode_chain_ctes(n_merges: int) -> tuple[list[str], str]:
@@ -902,7 +925,7 @@ def _encode_chain_ctes(n_merges: int) -> tuple[list[str], str]:
     Returns (ctes, final_word_cte): ``final_word_cte`` has
     (word, rep, cnt); ``docw`` in the ctes has (doc_id, ord, word).
     """
-    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    norm = _NORM_SQL
     ctes = [
         f"""words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -910,7 +933,7 @@ def _encode_chain_ctes(n_merges: int) -> tuple[list[str], str]:
       ) WHERE len(word) > 0 GROUP BY word
     ),
     w0 AS MATERIALIZED (
-      SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
+      SELECT word, {_CHAR_SPACED_SQL} AS rep, cnt
       FROM words
     ),
     docw AS MATERIALIZED (
@@ -921,27 +944,10 @@ def _encode_chain_ctes(n_merges: int) -> tuple[list[str], str]:
     )"""
     ]
     for i in range(1, n_merges + 1):
-        prev = f"w{i - 1}"
-        ctes.append(
-            f"""p{i} AS MATERIALIZED (
-      SELECT arr[i] || ' ' || arr[i+1] AS pair,
-             CAST(sum(cnt) AS BIGINT) AS total
-      FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
-           UNNEST(range(1, len(arr))) AS t(i)
-      GROUP BY 1
-    ),
-    b{i} AS MATERIALIZED (
-      SELECT pair FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
-    )"""
-        )
-        pat, rep = _merge_pat_rep(i)
-        rewrite = (
-            f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
-            f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"
-        )
+        ctes.append(_learn_stage_sql(i, f"w{i - 1}"))
         ctes.append(
             f"""w{i} AS MATERIALIZED (
-      SELECT word, {rewrite} AS rep, cnt FROM w{i - 1}
+      SELECT word, {_stage_rewrite_sql(i)} AS rep, cnt FROM w{i - 1}
     )"""
         )
     return ctes, f"w{n_merges}"

@@ -86,8 +86,15 @@ def profile_table(
     cols = df.columns if columns is None else columns
     if not cols:
         raise ValueError("profile_table needs at least one column")
+    # escape the interpolated identifiers/literals: a column named with a
+    # quote or backtick must profile cleanly, not break (or inject into)
+    # the stack expression
     pairs = ", ".join(
-        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+        "'{lit}', CAST(`{ident}` AS STRING)".format(
+            lit=c.replace("\\", "\\\\").replace("'", "\\'"),
+            ident=c.replace("`", "``"),
+        )
+        for c in cols
     )
     stacked = df.select(
         F.expr(

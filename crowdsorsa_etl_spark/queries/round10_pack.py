@@ -685,7 +685,7 @@ def _html_extract_sql() -> str:
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace({x},",
     )
     page = (
-        "'<html><head><title>doc</title><style>p{{margin:0}}</style>"
+        "'<html><head><title>doc</title><style>p{margin:0}</style>"
         "</head><body><nav><a href=\"/\">' || source || '</a> &amp;'"
         " || ' <a href=\"/l\">' || lang || '</a></nav><p>' ||"
         " replace(replace(replace(coalesce(text, ''),"
@@ -697,7 +697,7 @@ def _html_extract_sql() -> str:
         "coalesce((SELECT sum(length("
         + style_strip.format(x="a.m")
         + ")) FROM (SELECT unnest(regexp_extract_all(page,"
-        " '(?is)<a[^>]*>(.*?)</a>', 1)) AS m) a), 0)"
+        " '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1)) AS m) a), 0)"
     )
     return f"""
     WITH pages AS (
@@ -776,7 +776,7 @@ def _html_links_sql() -> str:
     )
     inner = f"""
     SELECT doc_id, unnest(regexp_extract_all({page},
-      '(?is)<a[^>]*href\\s*=\\s*"([^"]*)"[^>]*>', 1)) AS raw_url
+      '(?is)<a\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>', 1)) AS raw_url
     FROM documents
     """
     return f"""

@@ -1312,8 +1312,15 @@ def start_drift_stream(
     spark_active = docs_stream.sparkSession
 
     def _bin(col):
-        return F.least(
-            F.floor(F.col(col) / bin_width).cast("int"), F.lit(bins - 1)
+        # clamp BOTH ends: an out-of-range-low value must land in bin 0,
+        # not a phantom negative bin that would inflate the totals while
+        # never appearing in the report
+        return F.greatest(
+            F.least(
+                F.floor(F.col(col) / bin_width).cast("int"),
+                F.lit(bins - 1),
+            ),
+            F.lit(0),
         ).alias("bin")
 
     ref_rows = (
@@ -1330,8 +1337,14 @@ def start_drift_stream(
         )
         n_actual = {int(r["bin"]): int(r["count"]) for r in act_rows}
         ta = sum(n_actual.values())
+        # q106 parity: terms exist only for OCCUPIED bins (a bin empty in
+        # both distributions contributes nothing — emitting its Laplace
+        # term would add spurious drift to psi_total on undrifted data),
+        # while the smoothing denominator stays the FULL bin count,
+        # exactly as the batch query computes it
+        occupied = sorted(set(n_expected) | set(n_actual))
         terms = {}
-        for b in range(bins):
+        for b in occupied:
             pe = (n_expected.get(b, 0) + 1.0) / (te + bins)
             pa = (n_actual.get(b, 0) + 1.0) / (ta + bins)
             terms[b] = (pa - pe) * math.log(pa / pe)
@@ -1345,7 +1358,7 @@ def start_drift_stream(
                 round(terms[b], 6),
                 psi_total,
             )
-            for b in range(bins)
+            for b in occupied
         ]
         (
             spark_active.createDataFrame(

@@ -998,3 +998,15 @@ class TestProfileTable:
             .toString()
         )
         assert plan.count("Exchange") <= 1  # one shuffle, any column count
+
+
+class TestProfileTableEscaping:
+    def test_quoted_and_backticked_names(self, spark):
+        from crowdsorsa_etl_spark.operators.diagnostics import profile_table
+
+        df = spark.range(3).selectExpr(
+            "id AS `it's`", "CAST(id AS STRING) AS `tick``ed`"
+        )
+        got = {r.column: r for r in profile_table(df).collect()}
+        assert set(got) == {"it's", "tick`ed"}
+        assert got["it's"].n_distinct == 3

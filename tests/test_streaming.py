@@ -1057,7 +1057,7 @@ class TestDriftStream:
         def psi(exp, act):
             te, ta = sum(exp.values()), sum(act.values())
             terms = {}
-            for b in range(10):
+            for b in sorted(set(exp) | set(act)):  # occupied bins only
                 pe = (exp.get(b, 0) + 1.0) / (te + 10)
                 pa = (act.get(b, 0) + 1.0) / (ta + 10)
                 terms[b] = (pa - pe) * math.log(pa / pe)
@@ -1075,7 +1075,7 @@ class TestDriftStream:
             act = hist(rows_in)
             want_terms = psi(exp, act)
             want_total = round(sum(want_terms.values()), 6)
-            assert len(epoch_rows) == 10
+            assert set(epoch_rows) == set(want_terms)
             for b, r in epoch_rows.items():
                 assert r.n_expected == exp.get(b, 0)
                 assert r.n_actual == act.get(b, 0)
@@ -1191,3 +1191,58 @@ class TestSequencePackCompaction:
         assert compact_shard_epochs(
             spark, out, state, keep_epochs=2, id_col="seq_id"
         ) == 0
+
+
+class TestDriftStreamEdges:
+    def test_unoccupied_bins_emit_no_terms_and_negatives_clamp(
+        self, spark, tmp_path
+    ):
+        """A bin empty in both distributions must not appear (its Laplace
+        term would fake drift on undrifted data); out-of-range-low values
+        clamp into bin 0 and stay visible in the totals."""
+        import os
+
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_drift_stream,
+        )
+
+        schema = "doc_id long, v long"
+        # both sides occupy ONLY bins 0 and 1 of 10; batch has a negative
+        ref = spark.createDataFrame(
+            [(i, 10 + 50 * (i % 2)) for i in range(40)], schema
+        )
+        batch = [(100 + i, -5 if i == 0 else 10 + 50 * (i % 2))
+                 for i in range(20)]
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        staging = str(tmp_path / "_stage")
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(staging, part), os.path.join(src, "b.parquet"))
+
+        out = str(tmp_path / "out")
+        q = start_drift_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            ref,
+            "v",
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            bins=10,
+            bin_width=60.0,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = spark.read.parquet(out).collect()
+        assert {r.bin for r in rows} == {0, 1}  # occupied only, no 2..9
+        # the negative value landed in bin 0 and is counted
+        assert sum(r.n_actual for r in rows) == 20
+        # an identical distribution stays far below the 0.1 alert line
+        # (the small residual is Laplace smoothing at unequal totals)
+        assert abs(rows[0].psi_total) < 0.05
