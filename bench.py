@@ -145,6 +145,7 @@ HEADLINE = [
     "q111_table_profile",
     "llm_html_extract",
     "llm_html_links",
+    "llm_split_leakage",
 ]
 
 

@@ -824,3 +824,58 @@ def llm_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unique_urls"),
     )
+
+
+# ===========================================================================
+# llm_split_leakage — the split-contamination audit: near-duplicate pairs
+# (banded MinHash-LSH, the llm_minhash_lsh machinery) whose two documents
+# landed in DIFFERENT train/val/test splits — exactly the leakage a
+# random-by-key split cannot prevent when near-dups exist, and the reason
+# real pipelines dedup BEFORE splitting. Splits compute INLINE from each
+# pair side's id (the md5 bucket rule is a pure function — zero joins
+# added on top of the LSH pair join). The oracle wraps the SAME
+# minhash_lsh_sql generator and replays the SAME split rule on both ids.
+# ===========================================================================
+
+
+def _split_case_sql(id_expr: str) -> str:
+    b = (
+        f"(instr('0123456789abcdef', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substr(md5(CAST({id_expr} AS VARCHAR)), 2, 1)) - 1"
+    )
+    return (
+        f"CASE WHEN {b} < 230 THEN 'train'"
+        f" WHEN {b} < 243 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_leakage_sql() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    return f"""
+    WITH pairs AS ({lsh_oracles.minhash_lsh_sql()})
+    SELECT id_a, id_b, n_bands_matched,
+           {_split_case_sql("id_a")} AS split_a,
+           {_split_case_sql("id_b")} AS split_b
+    FROM pairs
+    WHERE {_split_case_sql("id_a")} != {_split_case_sql("id_b")}
+    """
+
+
+@register("llm_split_leakage", _split_leakage_sql())
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs crossing the train/val/test boundary — the audit
+    run before shipping a split."""
+    from crowdsorsa_etl_spark.operators.curation import assign_split
+    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, portable=True)
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        "n_bands_matched",
+        assign_split(F.col("id_a")).alias("split_a"),
+        assign_split(F.col("id_b")).alias("split_b"),
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))

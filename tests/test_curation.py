@@ -371,3 +371,53 @@ class TestProvenanceZeroTokenDocs:
         assert got == {(0, 0, 0, 4), (2, 1, 0, 4)}
         for r in rows:
             assert 0 <= r.start_in_seq < r.end_in_seq <= 4
+
+
+class TestSplitLeakage:
+    def test_planted_cross_split_neardup_is_flagged(self, spark):
+        """Two near-identical docs whose ids hash into different splits
+        must surface as a leaked pair; same-split near-dups must not."""
+        from crowdsorsa_etl_spark.operators.curation import assign_split
+        from crowdsorsa_etl_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        # find two ids in different splits and two in the same split
+        ids = list(range(200))
+        df = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        ).select("doc_id", assign_split(F.col("doc_id")).alias("s"))
+        splits = {r.doc_id: r.s for r in df.collect()}
+        cross = next(
+            (a, b) for a in ids for b in ids
+            if a < b and splits[a] != splits[b]
+        )
+        same = next(
+            (a, b) for a in ids for b in ids
+            if a < b and splits[a] == splits[b]
+            and {a, b}.isdisjoint(cross)
+        )
+        docs = spark.createDataFrame(
+            [
+                (cross[0], base),
+                (cross[1], base + "tail"),
+                (same[0], "совершенно other content here now " * 6),
+                (same[1], "совершенно other content here now * 6 almost"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = minhash_lsh_candidates(docs, portable=True).select(
+            "id_a",
+            "id_b",
+            assign_split(F.col("id_a")).alias("split_a"),
+            assign_split(F.col("id_b")).alias("split_b"),
+        )
+        leaked = {
+            (r.id_a, r.id_b)
+            for r in pairs.filter(
+                F.col("split_a") != F.col("split_b")
+            ).collect()
+        }
+        assert cross in leaked
+        assert same not in leaked

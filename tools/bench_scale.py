@@ -142,6 +142,9 @@ HEADLINE = [
     "q111_table_profile",
     "llm_html_extract",
     "llm_html_links",
+    # llm_split_leakage joins the 10x sweep only: at 100x the replicated
+    # fixture's mult-clique dup groups make its LSH pair intermediate
+    # quadratic by construction (the llm_setsim_join fixture artifact)
 ]
 
 
