@@ -424,3 +424,56 @@ def mask_doc_spans(
         )
     )
     return out.withColumn(ids_col, masked).drop("_spans")
+
+
+def compression_signals(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(doc_id, raw_bytes, zlib_bytes, compression_ratio): the DEFLATE
+    compressibility quality signal — highly repetitive boilerplate
+    compresses far below natural language, keyboard-mash far above; web
+    curation cuts on both tails (the signal behind char_entropy's exact
+    cousin, but sensitive to LONG-RANGE repetition a character histogram
+    cannot see).
+
+    Embarrassingly parallel mapInPandas (stdlib zlib per Arrow batch, no
+    shuffle, no driver traffic). No SQL engine exposes DEFLATE, so this is
+    a pytest-gated tier (`tests/test_curation.py`): verified against
+    direct zlib calls, with the fixed ``level`` pinning determinism —
+    zlib output is fully deterministic for a given (input, level,
+    library version), and one cluster ships one zlib.
+    """
+    import pandas as pd
+
+    id_field = docs.schema[id_col]
+    schema = (
+        f"doc_id {id_field.dataType.simpleString()}, raw_bytes long, "
+        "zlib_bytes long, compression_ratio double"
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw, comp_len, ratio = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                z = len(zlib.compress(b, level))
+                raw.append(len(b))
+                comp_len.append(z)
+                ratio.append(round(z / len(b), 6) if b else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "zlib_bytes": comp_len,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return src.mapInPandas(comp, schema)
