@@ -377,3 +377,83 @@ def unigram_em_sql(*, norm_sql: str, table: str = "documents") -> str:
     JOIN wcnt ON bp.w = wcnt.w AND len(wcnt.w) <= {ENUM_MAX_LEN}
     GROUP BY bp.piece
     """
+
+
+def unigram_token_ids(
+    docs: DataFrame,
+    costs: dict[str, int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = MAX_PIECE_LEN,
+    enum_max_len: int | None = ENUM_MAX_LEN,
+) -> DataFrame:
+    """(doc_id, n_tokens, ids_md5): REAL token ids for the unigram
+    tokenizer — piece ids are ranks in piece-sorted vocab order (the
+    deterministic id assignment a shipped tokenizer.json would pin), the
+    id stream is comma-joined in word order and fingerprinted exactly
+    like ``bpe_encode_ids``. The piece→id map is a vocab-sized literal
+    expression — JVM-side, no second Python stage."""
+    ids = {p: i for i, p in enumerate(sorted(costs))}
+    wtoks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.length("w") > 0)
+    if enum_max_len is not None:
+        wtoks = wtoks.filter(F.length("w") <= enum_max_len)
+    segs = segment_words(
+        wtoks.select("w").distinct(), costs, max_piece_len=max_piece_len
+    )
+    id_map = F.create_map(
+        *[F.lit(x) for p, i in sorted(ids.items()) for x in (p, i)]
+    )
+    idcsv = F.array_join(
+        F.transform(
+            F.split("seg", " "), lambda p: F.element_at(id_map, p)
+        ),
+        ",",
+    )
+    joined = wtoks.join(segs.withColumn("idcsv", idcsv), "w")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("idcsv")))),
+        lambda x: x["idcsv"],
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(ordered, ",")).alias("ids_md5"),
+    )
+
+
+def unigram_token_ids_sql(*, norm_sql: str, table: str = "documents") -> str:
+    return f"""
+    WITH {_vocab_ctes(norm_sql=norm_sql, table=table)},
+    {_best_seg_ctes()},
+    vids AS (
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS tid
+      FROM vocab
+    ),
+    word_ids AS (
+      SELECT bp.w,
+             string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY bp.s)
+               AS idcsv,
+             CAST(count(*) AS BIGINT) AS np
+      FROM best_pieces bp JOIN vids v USING (piece)
+      GROUP BY bp.w
+    ),
+    dwords AS (
+      SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+      FROM (SELECT doc_id, string_split({norm_sql}, ' ') AS arr
+            FROM {table})
+    ),
+    dvalid AS (
+      SELECT doc_id, pos, w FROM dwords
+      WHERE len(w) > 0 AND len(w) <= {ENUM_MAX_LEN}
+    )
+    SELECT d.doc_id, CAST(sum(wi.np) AS BIGINT) AS n_tokens,
+           md5(string_agg(wi.idcsv, ',' ORDER BY d.pos)) AS ids_md5
+    FROM dvalid d JOIN word_ids wi USING (w)
+    GROUP BY d.doc_id
+    """

@@ -215,3 +215,19 @@ def llm_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_em_counts(docs, _unigram_costs(spark, sf_dir))
+
+
+def _uti_sql() -> str:
+    from crowdsorsa_etl_spark.operators.unigram import unigram_token_ids_sql
+
+    return unigram_token_ids_sql(norm_sql=_unigram_norm_sql())
+
+
+@register("llm_unigram_token_ids", _uti_sql())
+def llm_unigram_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer token ids: Viterbi pieces mapped through the
+    piece-sorted vocab id table, id stream fingerprinted per doc."""
+    from crowdsorsa_etl_spark.operators.unigram import unigram_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_token_ids(docs, _unigram_costs(spark, sf_dir))

@@ -1377,3 +1377,101 @@ def start_drift_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_lm_score_stream(
+    docs_stream: DataFrame,
+    reference: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+):
+    """Perplexity filtering AT INGEST — the streaming form of
+    llm_kneser_ney_logprob: an interpolated-KN bigram model is trained
+    ONCE on the frozen ``reference`` corpus (the CCNet posture: score web
+    ingest against a trusted-domain LM), and every micro-batch of
+    documents is scored against it, landing (doc_id, n_bigrams,
+    n_oov_bigrams, avg_logprob) per epoch under ``out_dir/epoch=<e>``.
+
+    Unlike the drift monitor's bounded histogram, the model here is
+    CLUSTER-SIDED state: four DataFrames (bigram counts, left-context
+    stats, continuation counts, type count) that stay distributed and
+    join each micro-batch — nothing model-sized ever visits the driver.
+    They are computed lazily once and reused across epochs (Spark caches
+    the exchanges; at real scale you would persist them explicitly).
+
+    OOV contract: a batch bigram absent from the reference still gets the
+    interpolation mass D·N1+(w1·)/c(w1·)·Pcont(w2) when its CONTEXT is
+    known; bigrams whose context word (or whose continuation word) never
+    occurred in the reference have zero model mass and are COUNTED, not
+    scored — ``n_oov_bigrams`` is the filter signal for
+    out-of-distribution text, ``avg_logprob`` averages the scorable rest
+    (NULL when nothing is scorable). On a batch drawn from the reference
+    itself the output is bit-identical to the batch query (parity-gated
+    in tests/test_streaming.py).
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.ngramlm import _bigrams
+
+    big_ref = _bigrams(reference, text_col=text_col, id_col=id_col)
+    bc = big_ref.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bc")
+    )
+    left = bc.groupBy("w1").agg(
+        F.sum("bc").cast("bigint").alias("ctx"),
+        F.count(F.lit(1)).cast("bigint").alias("nleft"),
+    )
+    right = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nright")
+    )
+    types = bc.agg(F.count(F.lit(1)).cast("bigint").alias("ttypes"))
+
+    d = F.lit(float(discount))
+
+    def score(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        big = _bigrams(batch_df, text_col=text_col, id_col=id_col)
+        joined = (
+            big.join(bc, ["w1", "w2"], "left")
+            .join(left, "w1", "left")
+            .join(right, "w2", "left")
+            .crossJoin(F.broadcast(types))
+        )
+        p = (
+            F.greatest(F.coalesce(F.col("bc"), F.lit(0)) - d, F.lit(0.0))
+            / F.col("ctx")
+            + d
+            * F.col("nleft")
+            / F.col("ctx")
+            * (F.col("nright") / F.col("ttypes"))
+        )
+        scorable = F.col("ctx").isNotNull() & F.col("nright").isNotNull()
+        lp = F.when(scorable, F.round(F.log(p), 6))
+        out = (
+            joined.select("doc_id", lp.alias("lp"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                (F.count(F.lit(1)) - F.count("lp"))
+                .cast("bigint")
+                .alias("n_oov_bigrams"),
+                F.round(
+                    F.round(F.sum("lp"), 6) / F.count("lp"), 6
+                ).alias("avg_logprob"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1246,3 +1246,77 @@ class TestDriftStreamEdges:
         # an identical distribution stays far below the 0.1 alert line
         # (the small residual is Laplace smoothing at unequal totals)
         assert abs(rows[0].psi_total) < 0.05
+
+
+class TestLmScoreStream:
+    def test_parity_with_batch_and_oov_accounting(self, spark, tmp_path):
+        """Epoch 1 streams docs drawn FROM the reference corpus: its
+        scores must be bit-identical to the batch KN query. Epoch 2
+        streams out-of-distribution text: unscorable bigrams are counted,
+        the scorable remainder still averages."""
+        import os
+
+        from crowdsorsa_etl_spark.operators.ngramlm import (
+            kneser_ney_bigram_scores,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_lm_score_stream,
+        )
+
+        schema = "doc_id long, text string"
+        ref_rows = [
+            (1, "a b a c a b"),
+            (2, "b c a a b"),
+            (3, "c a b c"),
+        ]
+        reference = spark.createDataFrame(ref_rows, schema)
+        b1 = ref_rows[:2]  # in-distribution slice
+        b2 = [(10, "a b zz a"), (11, "qq ww")]  # zz/qq/ww unseen
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+            staging = str(tmp_path / f"_stage_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        out = str(tmp_path / "out")
+        q = start_lm_score_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            reference,
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert set(got) == {1, 2, 10, 11}
+
+        batch = {
+            r.doc_id: r
+            for r in kneser_ney_bigram_scores(reference).collect()
+        }
+        for doc_id in (1, 2):
+            assert got[doc_id].n_bigrams == batch[doc_id].n_bigrams
+            assert got[doc_id].n_oov_bigrams == 0
+            assert got[doc_id].avg_logprob == batch[doc_id].avg_logprob
+
+        # "a b zz a": bigrams (a,b) scorable; (b,zz) dead continuation;
+        # (zz,a) dead context — 2 OOV, 1 scored
+        assert got[10].n_bigrams == 3
+        assert got[10].n_oov_bigrams == 2
+        assert got[10].avg_logprob is not None
+        # "qq ww": nothing scorable
+        assert got[11].n_bigrams == 1
+        assert got[11].n_oov_bigrams == 1
+        assert got[11].avg_logprob is None
