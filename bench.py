@@ -146,6 +146,16 @@ HEADLINE = [
     "llm_html_extract",
     "llm_html_links",
     "llm_split_leakage",
+    # round 11: Kneser-Ney LM + CCNet buckets, Aho-Corasick dictionary
+    # tagging, char-entropy signal, unigram-LM tokenizer (Viterbi +
+    # hard-EM + token ids)
+    "llm_kneser_ney_logprob",
+    "llm_perplexity_buckets",
+    "llm_dictionary_tag",
+    "llm_char_entropy",
+    "llm_unigram_tokenize",
+    "llm_unigram_em_step",
+    "llm_unigram_token_ids",
 ]
 
 

@@ -127,13 +127,13 @@ def _char_entropy_sql() -> str:
 
 @register("llm_char_entropy", _char_entropy_sql())
 def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, entropy): per-doc character entropy in nats, 6 dp."""
-    from crowdsorsa_etl_spark.functions.text import char_entropy, normalize_text
+    """(doc_id, entropy): per-doc character entropy in nats, 6 dp —
+    the Arrow-batched form (the pure-HOF `functions/text.char_entropy`
+    is semantically identical but runs interpreted, ~20× slower; a
+    parity test pins the two to each other)."""
+    from crowdsorsa_etl_spark.operators.curation import entropy_signals
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.filter(
-        F.length(normalize_text(F.col("text"))) > 0
-    ).select("doc_id", char_entropy(F.col("text")).alias("entropy"))
+    return entropy_signals(_t(spark, sf_dir, "documents"))
 
 
 # ===========================================================================
@@ -231,3 +231,245 @@ def llm_unigram_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_token_ids(docs, _unigram_costs(spark, sf_dir))
+
+
+# ===========================================================================
+# Eval-metrics tier (operators/evalmetrics.py): BLEU-2 and ROUGE-2 over
+# (candidate, reference) pairs — even docs play candidates, odd docs
+# references, paired by doc_id // 2 (deterministic, SQL-replayable).
+# Two count-table shuffles + one keyed join per order; all counts exact
+# BIGINTs, metrics closed-form doubles rounded once.
+# ===========================================================================
+
+
+def _eval_pair_ctes() -> str:
+    from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+
+    return f"""
+    cand AS (
+      SELECT doc_id // 2 AS pair_id, {_NORM_SQL} AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ref AS (
+      SELECT doc_id // 2 AS pair_id, {_NORM_SQL} AS text
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    """
+
+
+def _eval_pair_frames(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents")
+    pair = F.floor(F.col("doc_id") / 2).cast("bigint").alias("pair_id")
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(pair, "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 1).select(pair, "text")
+    return cand, ref
+
+
+def _bleu_sql() -> str:
+    from crowdsorsa_etl_spark.operators.evalmetrics import clipped_sql
+
+    return f"""
+    WITH {_eval_pair_ctes()},
+    u AS ({clipped_sql(1)}),
+    b AS ({clipped_sql(2)})
+    SELECT u.pair_id,
+           u.cand_ngrams AS c_len, u.ref_ngrams AS r_len,
+           round(CASE WHEN u.cand_ngrams > 0
+                      THEN u.matched * 1.0 / u.cand_ngrams ELSE 0 END, 6)
+             AS p1,
+           round(CASE WHEN b.cand_ngrams > 0
+                      THEN b.matched * 1.0 / b.cand_ngrams ELSE 0 END, 6)
+             AS p2,
+           round(CASE WHEN u.cand_ngrams > 0
+                      THEN exp(least(0.0,
+                                     1.0 - u.ref_ngrams * 1.0
+                                           / u.cand_ngrams))
+                      ELSE 0 END, 6) AS bp,
+           round(CASE WHEN u.matched > 0 AND b.matched > 0
+                       AND b.cand_ngrams > 0
+                      THEN exp(least(0.0, 1.0 - u.ref_ngrams * 1.0
+                                              / u.cand_ngrams))
+                           * exp(0.5 * ln(u.matched * 1.0 / u.cand_ngrams)
+                                 + 0.5 * ln(b.matched * 1.0
+                                            / b.cand_ngrams))
+                      ELSE 0 END, 6) AS bleu2
+    FROM u JOIN b USING (pair_id)
+    """
+
+
+@register("llm_bleu_pairs", _bleu_sql())
+def llm_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence BLEU-2 with brevity penalty per (even, odd) doc pair."""
+    from crowdsorsa_etl_spark.operators.evalmetrics import bleu2_pairs
+
+    cand, ref = _eval_pair_frames(spark, sf_dir)
+    return bleu2_pairs(cand, ref)
+
+
+def _rouge_sql() -> str:
+    from crowdsorsa_etl_spark.operators.evalmetrics import clipped_sql
+
+    return f"""
+    WITH {_eval_pair_ctes()},
+    c AS ({clipped_sql(2)})
+    SELECT pair_id, matched, cand_ngrams, ref_ngrams,
+           round(CASE WHEN ref_ngrams > 0
+                      THEN matched * 1.0 / ref_ngrams ELSE 0 END, 6)
+             AS recall,
+           round(CASE WHEN cand_ngrams > 0
+                      THEN matched * 1.0 / cand_ngrams ELSE 0 END, 6)
+             AS precision,
+           round(CASE WHEN matched > 0
+                      THEN 2.0 * (matched * 1.0 / ref_ngrams)
+                           * (matched * 1.0 / cand_ngrams)
+                           / ((matched * 1.0 / ref_ngrams)
+                              + (matched * 1.0 / cand_ngrams))
+                      ELSE 0 END, 6) AS f1
+    FROM c
+    """
+
+
+@register("llm_rouge_pairs", _rouge_sql())
+def llm_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall/precision/F1 per (even, odd) doc pair."""
+    from crowdsorsa_etl_spark.operators.evalmetrics import rouge_pairs
+
+    cand, ref = _eval_pair_frames(spark, sf_dir)
+    return rouge_pairs(cand, ref, 2)
+
+
+# ===========================================================================
+# llm_record_linkage — probabilistic entity resolution (Fellegi–Sunter):
+# a deterministic "dirty copy" of customer is derived in-query (char
+# dropped from name at custkey%3, synthesized phone digit mangled at %4, segment
+# blanked at %5), then linked back against the clean table via blocking
+# (nationkey + last-2-digits-of-name — the one equi-join) and literal m/u
+# agreement weights. Ground truth is known (same custkey), so the test
+# suite can assert recall; the oracle replays blocking, perturbation, and
+# the identical python-computed weight literals.
+# ===========================================================================
+
+_FS_WEIGHTS = {
+    "name": (0.9, 0.001),
+    "phone": (0.95, 0.01),
+    "acct": (0.99, 0.0005),
+    "mkt": (0.95, 0.2),
+}
+_FS_UPPER, _FS_LOWER = 15.0, 0.0
+
+
+def _linkage_sql() -> str:
+    from crowdsorsa_etl_spark.operators.linkage import fs_weights_sql
+
+    feats = {
+        "name": "d.d_name = c.c_name",
+        "phone": "d.d_phone = c.c_phone",
+        "acct": "d.d_acctbal = c.c_acctbal",
+        "mkt": "d.d_mkt = c.c_mktsegment",
+    }
+    score = fs_weights_sql(feats, _FS_WEIGHTS)
+    return f"""
+    WITH dirty AS (
+      SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substr(c_name, 1, 2) || substr(c_name, 4)
+                  ELSE c_name END AS d_name,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN substr(printf('%02d-%07d', c_nationkey, c_custkey),
+                              1, 9) || '9'
+                  ELSE printf('%02d-%07d', c_nationkey, c_custkey)
+                  END AS d_phone,
+             c_acctbal AS d_acctbal,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN 'UNKNOWN' ELSE c_mktsegment END AS d_mkt,
+             substr(c_name, len(c_name) - 1, 2) AS d_blk
+      FROM customer
+    ),
+    clean AS (
+      SELECT c_custkey, c_nationkey, c_name,
+             printf('%02d-%07d', c_nationkey, c_custkey) AS c_phone,
+             c_acctbal, c_mktsegment,
+             substr(c_name, len(c_name) - 1, 2) AS c_blk
+      FROM customer
+    ),
+    scored AS (
+      SELECT c.c_custkey, d.d_custkey, round({score}, 6) AS fs_score
+      FROM clean c JOIN dirty d
+        ON c.c_nationkey = d.d_nationkey AND c.c_blk = d.d_blk
+    )
+    SELECT c_custkey, d_custkey, fs_score,
+           CASE WHEN fs_score >= {_FS_UPPER} THEN 'match'
+                WHEN fs_score >= {_FS_LOWER} THEN 'possible'
+                ELSE 'nonmatch' END AS fs_class
+    FROM scored
+    """
+
+
+@register("llm_record_linkage", _linkage_sql())
+def llm_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Fellegi–Sunter linkage of a derived dirty customer copy
+    back to the clean table."""
+    from crowdsorsa_etl_spark.operators.linkage import fs_link
+
+    cust = _t(spark, sf_dir, "customer")
+    blk = F.expr("substr(c_name, length(c_name) - 1, 2)")
+    clean = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk_nation"),
+        "c_name",
+        F.format_string("%02d-%07d", "c_nationkey", "c_custkey").alias(
+            "c_phone"
+        ),
+        "c_acctbal",
+        "c_mktsegment",
+        blk.alias("blk_tail"),
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.col("c_nationkey").alias("blk_nation"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, 2)"), F.expr("substr(c_name, 4)")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(
+                F.substring(
+                    F.format_string(
+                        "%02d-%07d", "c_nationkey", "c_custkey"
+                    ),
+                    1,
+                    9,
+                ),
+                F.lit("9"),
+            ),
+        )
+        .otherwise(
+            F.format_string("%02d-%07d", "c_nationkey", "c_custkey")
+        )
+        .alias("d_phone"),
+        F.col("c_acctbal").alias("d_acctbal"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mkt"),
+        blk.alias("blk_tail"),
+    )
+    out = fs_link(
+        clean,
+        dirty,
+        block_on=["blk_nation", "blk_tail"],
+        features={
+            "name": F.col("d_name") == F.col("c_name"),
+            "phone": F.col("d_phone") == F.col("c_phone"),
+            "acct": F.col("d_acctbal") == F.col("c_acctbal"),
+            "mkt": F.col("d_mkt") == F.col("c_mktsegment"),
+        },
+        weights=_FS_WEIGHTS,
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
+    return out.select("c_custkey", "d_custkey", "fs_score", "fs_class")

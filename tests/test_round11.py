@@ -320,3 +320,170 @@ class TestUnigramTokenizer:
         assert set(got) == {1, 2}
         # "ab" segments as one piece (highest-probability single piece)
         assert got[2]["n_pieces"] == 1
+
+
+class TestEvalMetrics:
+    def test_bleu2_hand_computed(self, spark):
+        from crowdsorsa_etl_spark.operators.evalmetrics import bleu2_pairs
+
+        cand = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "a b c")],
+            "pair_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(1, "the cat is on the mat"), (2, "x y z")],
+            "pair_id long, text string",
+        )
+        got = {r["pair_id"]: r for r in bleu2_pairs(cand, ref).collect()}
+        # pair 1: unigrams cand {the:2,cat,sat,on,mat}, ref {the:2,cat,
+        # is,on,mat} -> matched = 2+1+0+1+1 = 5 of 6; bigrams cand
+        # {the cat, cat sat, sat on, on the, the mat} ref {the cat,
+        # cat is, is on, on the, the mat} -> matched 3 of 5
+        import math
+
+        r1 = got[1]
+        assert r1["c_len"] == 6 and r1["r_len"] == 6
+        assert r1["p1"] == pytest.approx(round(5 / 6, 6))
+        assert r1["p2"] == pytest.approx(0.6)
+        assert r1["bp"] == 1.0
+        assert r1["bleu2"] == pytest.approx(
+            round(math.exp(0.5 * math.log(5 / 6) + 0.5 * math.log(0.6)), 6)
+        )
+        # pair 2: nothing matches -> bleu 0
+        assert got[2]["bleu2"] == 0.0 and got[2]["p1"] == 0.0
+
+    def test_brevity_penalty_applies_to_short_candidates(self, spark):
+        from crowdsorsa_etl_spark.operators.evalmetrics import bleu2_pairs
+
+        cand = spark.createDataFrame(
+            [(1, "the cat")], "pair_id long, text string"
+        )
+        ref = spark.createDataFrame(
+            [(1, "the cat sat on the mat")], "pair_id long, text string"
+        )
+        import math
+
+        r = bleu2_pairs(cand, ref).collect()[0]
+        assert r["bp"] == pytest.approx(round(math.exp(1 - 6 / 2), 6))
+        assert r["p1"] == 1.0 and r["p2"] == 1.0
+        assert r["bleu2"] == pytest.approx(round(math.exp(1 - 3.0), 6))
+
+    def test_rouge2_recall_precision_f1(self, spark):
+        from crowdsorsa_etl_spark.operators.evalmetrics import rouge_pairs
+
+        cand = spark.createDataFrame(
+            [(1, "a b c d")], "pair_id long, text string"
+        )
+        ref = spark.createDataFrame(
+            [(1, "a b x c d")], "pair_id long, text string"
+        )
+        r = rouge_pairs(cand, ref, 2).collect()[0]
+        # cand bigrams {ab,bc,cd}; ref {ab,bx,xc,cd} -> matched {ab,cd}=2
+        assert r["matched"] == 2
+        assert r["recall"] == pytest.approx(0.5)
+        assert r["precision"] == pytest.approx(round(2 / 3, 6))
+        f = 2 * 0.5 * (2 / 3) / (0.5 + 2 / 3)
+        assert r["f1"] == pytest.approx(round(f, 6))
+
+
+class TestRecordLinkage:
+    def test_fs_score_weights_and_classes(self, spark):
+        from crowdsorsa_etl_spark.operators.linkage import fs_link
+
+        left = spark.createDataFrame(
+            [(1, "b1", "alice", "123"), (2, "b1", "bob", "456")],
+            "lid long, blk string, name string, phone string",
+        )
+        right = spark.createDataFrame(
+            [(10, "b1", "alice", "123"), (11, "b1", "carol", "999")],
+            "rid long, blk string, r_name string, r_phone string",
+        )
+        w = {"name": (0.9, 0.001), "phone": (0.95, 0.01)}
+        got = fs_link(
+            left,
+            right,
+            block_on=["blk"],
+            features={
+                "name": F.col("name") == F.col("r_name"),
+                "phone": F.col("phone") == F.col("r_phone"),
+            },
+            weights=w,
+            upper=10.0,
+            lower=0.0,
+        ).collect()
+        assert len(got) == 4  # 2x2 inside the one block
+        by = {(r["lid"], r["rid"]): r for r in got}
+        both = round(
+            math.log2(0.9 / 0.001) + math.log2(0.95 / 0.01), 6
+        )
+        neither = round(
+            math.log2(0.1 / 0.999) + math.log2(0.05 / 0.99), 6
+        )
+        assert by[(1, 10)]["fs_score"] == pytest.approx(both)
+        assert by[(1, 10)]["fs_class"] == "match"
+        assert by[(2, 11)]["fs_score"] == pytest.approx(neither)
+        assert by[(2, 11)]["fs_class"] == "nonmatch"
+
+    def test_rejects_degenerate_weights(self, spark):
+        from crowdsorsa_etl_spark.operators.linkage import fs_score
+
+        with pytest.raises(ValueError):
+            fs_score({"a": F.lit(True)}, {"a": (0.5, 0.5)})
+        with pytest.raises(ValueError):
+            fs_score({"a": F.lit(True)}, {"b": (0.9, 0.1)})
+
+    def test_registered_query_recall(self, spark):
+        """Every true pair (same custkey) must classify match or possible;
+        heavy multi-perturbation rows land in 'possible', cross pairs in
+        'nonmatch'."""
+        from crowdsorsa_etl_spark.queries.round11_pack import (
+            llm_record_linkage,
+        )
+
+        got = llm_record_linkage(spark, "/root/testdata/sf0.001").collect()
+        true_pairs = [r for r in got if r["c_custkey"] == r["d_custkey"]]
+        cross = [r for r in got if r["c_custkey"] != r["d_custkey"]]
+        assert true_pairs
+        for r in true_pairs:
+            k = r["c_custkey"]
+            n_perturbed = (k % 3 == 0) + (k % 4 == 0) + (k % 5 == 0)
+            if n_perturbed < 3:
+                assert r["fs_class"] in ("match", "possible"), r
+            else:
+                # 3 of 4 fields mangled: an honest F-S false negative —
+                # only the acctbal agreement survives, and one field
+                # cannot outvote three (that is the model working, not
+                # a bug; a clerical-review pipeline would widen the
+                # 'possible' band instead of inflating m/u)
+                assert r["fs_class"] == "nonmatch", r
+        if cross:
+            assert all(r["fs_class"] == "nonmatch" for r in cross)
+
+
+class TestEntropyParity:
+    def test_hof_and_arrow_paths_agree(self, spark):
+        """functions/text.char_entropy (pure-HOF, interpreted) and
+        operators/curation.entropy_signals (Arrow) are the same
+        function; pin them to each other on fixture data."""
+        from crowdsorsa_etl_spark.functions.text import (
+            char_entropy,
+            normalize_text,
+        )
+        from crowdsorsa_etl_spark.operators.curation import entropy_signals
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        hof = {
+            r["doc_id"]: r["e"]
+            for r in docs.filter(
+                F.length(normalize_text(F.col("text"))) > 0
+            )
+            .select("doc_id", char_entropy(F.col("text")).alias("e"))
+            .collect()
+        }
+        arrow = {
+            r["doc_id"]: r["entropy"]
+            for r in entropy_signals(docs).collect()
+        }
+        assert hof == arrow

@@ -145,6 +145,20 @@ HEADLINE = [
     # llm_split_leakage joins the 10x sweep only: at 100x the replicated
     # fixture's mult-clique dup groups make its LSH pair intermediate
     # quadratic by construction (the llm_setsim_join fixture artifact)
+    # round 11: KN bigram LM (count-table statistics + scoring joins),
+    # CCNet histogram-threshold buckets, Aho-Corasick dictionary tagging
+    # (narrow Arrow pass), HOF char entropy, unigram-LM tokenizer chain
+    # (distinct-word Viterbi + vocab-artifact collect). The replicated
+    # fixture multiplies word OCCURRENCES but not the distinct vocabulary,
+    # so the tokenizer tiers should scale with the bigram/word-count
+    # shuffles, not the DP.
+    "llm_kneser_ney_logprob",
+    "llm_perplexity_buckets",
+    "llm_dictionary_tag",
+    "llm_char_entropy",
+    "llm_unigram_tokenize",
+    "llm_unigram_em_step",
+    "llm_unigram_token_ids",
 ]
 
 
