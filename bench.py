@@ -156,6 +156,14 @@ HEADLINE = [
     "llm_unigram_tokenize",
     "llm_unigram_em_step",
     "llm_unigram_token_ids",
+    # round 11 late: n-gram eval metrics (count-table joins per pair),
+    # blocked Fellegi-Sunter record linkage (one equi-join + literal fold)
+    "llm_bleu_pairs",
+    "llm_rouge_pairs",
+    "llm_record_linkage",
+    # round 11 late: DSIR importance weights (bounded bucket artifact,
+    # broadcast-join scoring, exact fixed-point sums)
+    "llm_dsir_weights",
 ]
 
 

@@ -473,3 +473,53 @@ def llm_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower=_FS_LOWER,
     )
     return out.select("c_custkey", "d_custkey", "fs_score", "fs_class")
+
+
+# ===========================================================================
+# llm_dsir_weights — DSIR importance weights (Xie et al. 2023) over hashed
+# unigram+bigram features: target = English docs, raw pool = the rest.
+# Model = one bounded ≤4096-row bucket artifact (ONE bucket-keyed shuffle);
+# scoring = broadcast join + ONE doc-keyed exact-integer sum. Fixed-point
+# BIGINT log-ratios make per-doc sums order-independent on both engines.
+# ===========================================================================
+
+_DSIR_BUCKETS = 4096
+
+
+def _dsir_sql() -> str:
+    from crowdsorsa_etl_spark.operators.dsir import (
+        features_sql,
+        scores_sql,
+        stats_sql,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+
+    src = (
+        "(SELECT doc_id, text, coalesce(lang = 'en', FALSE) AS is_t "
+        "FROM documents)"
+    )
+    return f"""
+    WITH feats_all AS (
+      {features_sql(src, _NORM_SQL, _DSIR_BUCKETS, select_extra=", is_t")}
+    ),
+    stats AS ({stats_sql("feats_all", _DSIR_BUCKETS)}),
+    feats AS (SELECT doc_id, bucket FROM feats_all WHERE NOT is_t)
+    {scores_sql("feats", "stats")}
+    """
+
+
+@register("llm_dsir_weights", _dsir_sql())
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log-likelihood-ratio importance weights of the
+    non-English pool against an English target model."""
+    from crowdsorsa_etl_spark.operators.dsir import (
+        dsir_bucket_stats,
+        dsir_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_t = F.coalesce(F.col("lang") == "en", F.lit(False))
+    stats = dsir_bucket_stats(docs, is_t, buckets=_DSIR_BUCKETS)
+    return dsir_scores(
+        docs.filter(~is_t), stats, buckets=_DSIR_BUCKETS
+    )

@@ -1475,3 +1475,64 @@ def start_lm_score_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_dsir_stream(
+    docs_stream: DataFrame,
+    reference: DataFrame,
+    target_pred,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DSIR importance scoring AT INGEST — the streaming form of
+    llm_dsir_weights: the bounded bucket artifact (≤ ``buckets`` rows) is
+    built ONCE from the frozen ``reference`` corpus (``target_pred``
+    splits it into target/raw slices), and every micro-batch of documents
+    is scored against it, landing (doc_id, n_grams, logratio,
+    avg_logratio, selected) per epoch under ``out_dir/epoch=<e>``.
+
+    Unlike the KN stream's cluster-sided model, the DSIR artifact is
+    small enough to BROADCAST — each epoch's plan is a broadcast join +
+    one doc-keyed integer aggregation; features whose bucket never
+    occurred in the reference contribute 0 (counted in ``n_grams``), so
+    out-of-distribution ingest degrades scores instead of erroring. On a
+    batch drawn from the reference's raw slice the output is bit-identical
+    to the batch query (parity-gated in tests/test_streaming.py).
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.dsir import (
+        dsir_bucket_stats,
+        dsir_scores,
+    )
+
+    stats = dsir_bucket_stats(
+        reference,
+        target_pred,
+        buckets=buckets,
+        smoothing=smoothing,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+    def score(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = dsir_scores(
+            batch_df, stats, buckets=buckets, text_col=text_col, id_col=id_col
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -487,3 +487,118 @@ class TestEntropyParity:
             for r in entropy_signals(docs).collect()
         }
         assert hof == arrow
+
+
+class TestDSIR:
+    B = 64
+
+    @staticmethod
+    def _bucket(g: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % TestDSIR.B
+
+    def test_scores_match_pure_python(self, spark):
+        """Full pipeline recomputed independently in Python (hashlib md5,
+        math.log, exact int fixed-point) — not via either engine."""
+        import math
+        from collections import Counter
+
+        from crowdsorsa_etl_spark.operators.dsir import (
+            FX,
+            dsir_bucket_stats,
+            dsir_scores,
+        )
+
+        rows = [
+            (1, "the cat sat", True),
+            (2, "the dog sat down", True),
+            (3, "le chat marche", False),
+            (4, "the cat sat", False),  # identical to a target doc
+            (5, "der hund", False),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, is_t boolean"
+        )
+        stats = dsir_bucket_stats(
+            docs, F.col("is_t"), buckets=self.B
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dsir_scores(
+                docs.filter(~F.col("is_t")), stats, buckets=self.B
+            ).collect()
+        }
+
+        def grams(text):
+            w = text.split(" ")
+            return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+        t_ctr, r_ctr = Counter(), Counter()
+        for _, text, is_t in rows:
+            (t_ctr if is_t else r_ctr).update(
+                self._bucket(g) for g in grams(text)
+            )
+        t_tot, r_tot = sum(t_ctr.values()), sum(r_ctr.values())
+        lr_fx = {}
+        for b in set(t_ctr) | set(r_ctr):
+            lr = math.log((t_ctr[b] + 1.0) / (t_tot + self.B)) - math.log(
+                (r_ctr[b] + 1.0) / (r_tot + self.B)
+            )
+            lr_fx[b] = round(lr * FX)
+        for doc_id, text, is_t in rows:
+            if is_t:
+                assert doc_id not in got
+                continue
+            gs = grams(text)
+            fx = sum(lr_fx[self._bucket(g)] for g in gs)
+            r = got[doc_id]
+            assert r["n_grams"] == len(gs)
+            assert r["logratio"] == pytest.approx(round(fx / FX, 6))
+            assert r["avg_logratio"] == pytest.approx(
+                round(fx / FX / len(gs), 6)
+            )
+            assert r["selected"] == (fx > 0)
+        # the doc that copies a target doc must outscore the others
+        assert got[4]["avg_logratio"] > got[3]["avg_logratio"]
+        assert got[4]["avg_logratio"] > got[5]["avg_logratio"]
+
+    def test_empty_and_null_text_drop_out(self, spark):
+        from crowdsorsa_etl_spark.operators.dsir import (
+            dsir_bucket_stats,
+            dsir_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "real text", True), (2, "", False), (3, None, False),
+             (4, "   ", False), (5, "ok", False)],
+            "doc_id long, text string, is_t boolean",
+        )
+        stats = dsir_bucket_stats(docs, F.col("is_t"), buckets=self.B)
+        out = dsir_scores(
+            docs.filter(~F.col("is_t")), stats, buckets=self.B
+        ).collect()
+        assert [r["doc_id"] for r in out] == [5]
+
+    def test_unseen_bucket_scores_zero_contribution(self, spark):
+        """Scoring docs whose grams never entered the stats artifact:
+        left join misses contribute 0, n_grams still counts them."""
+        from crowdsorsa_etl_spark.operators.dsir import (
+            dsir_bucket_stats,
+            dsir_scores,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "aa bb", True), (2, "cc dd", False)],
+            "doc_id long, text string, is_t boolean",
+        )
+        stats = dsir_bucket_stats(train, F.col("is_t"), buckets=self.B)
+        fresh = spark.createDataFrame(
+            [(9, "zz qq")], "doc_id long, text string"
+        )
+        r = dsir_scores(fresh, stats, buckets=self.B).collect()[0]
+        assert r["n_grams"] == 3  # zz, qq, "zz qq"
+        # buckets of zz/qq/zz qq are (almost surely) absent from the tiny
+        # train set; if a collision lands one on a seen bucket the score
+        # just reflects it — assert only the row exists with full count
+        assert r["doc_id"] == 9

@@ -1320,3 +1320,77 @@ class TestLmScoreStream:
         assert got[11].n_bigrams == 1
         assert got[11].n_oov_bigrams == 1
         assert got[11].avg_logprob is None
+
+
+class TestDsirStream:
+    def test_parity_with_batch_and_oov_ingest(self, spark, tmp_path):
+        """Micro-batches drawn from the reference's raw slice score
+        bit-identically to the batch operator; out-of-distribution text
+        still lands (unseen buckets contribute 0, n_grams counts them)."""
+        import os
+
+        from crowdsorsa_etl_spark.operators.dsir import (
+            dsir_bucket_stats,
+            dsir_scores,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import start_dsir_stream
+
+        schema = "doc_id long, text string, is_t boolean"
+        ref_rows = [
+            (1, "the cat sat on the mat", True),
+            (2, "the dog sat", True),
+            (3, "le chat noir", False),
+            (4, "the cat sat quietly", False),
+        ]
+        reference = spark.createDataFrame(ref_rows, schema)
+
+        doc_schema = "doc_id long, text string"
+        b1 = [(3, "le chat noir"), (4, "the cat sat quietly")]
+        b2 = [(10, "zz qq unseen tokens")]
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+            staging = str(tmp_path / f"_stage_{name}")
+            spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        out = str(tmp_path / "out")
+        q = start_dsir_stream(
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            reference,
+            F.col("is_t"),
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            buckets=64,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert set(got) == {3, 4, 10}
+
+        stats = dsir_bucket_stats(reference, F.col("is_t"), buckets=64)
+        batch = {
+            r.doc_id: r
+            for r in dsir_scores(
+                reference.filter(~F.col("is_t")).select("doc_id", "text"),
+                stats,
+                buckets=64,
+            ).collect()
+        }
+        for doc_id in (3, 4):
+            assert got[doc_id].n_grams == batch[doc_id].n_grams
+            assert got[doc_id].logratio == batch[doc_id].logratio
+            assert got[doc_id].selected == batch[doc_id].selected
+        # OOV batch: 4 unigrams + 3 bigrams, all (almost surely) unseen
+        assert got[10].n_grams == 7

@@ -159,6 +159,17 @@ HEADLINE = [
     "llm_unigram_tokenize",
     "llm_unigram_em_step",
     "llm_unigram_token_ids",
+    # round 11 late: BLEU/ROUGE pair metrics scale with documents (pair
+    # count tables + keyed joins). llm_record_linkage is EXCLUDED by
+    # design: its input is `customer`, a DIM the scale fixture does not
+    # replicate, so every multiplier measures the same rows (flat by
+    # construction, not evidence).
+    "llm_bleu_pairs",
+    "llm_rouge_pairs",
+    # DSIR: feature explode + bucket-keyed count shuffle (≤4096-row
+    # artifact) + broadcast-join scoring — both corpus-sized exchanges
+    # carry map-side partials
+    "llm_dsir_weights",
 ]
 
 
