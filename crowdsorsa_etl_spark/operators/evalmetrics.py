@@ -202,3 +202,202 @@ def clipped_sql(n: int) -> str:
       FULL OUTER JOIN ({_counts_sql("ref", n)}) r USING (pair_id, ng)
       GROUP BY pair_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level BLEU — clipped counts fold over ALL pairs before the metric
+# (Papineni's corpus statistic; NOT the mean of sentence BLEUs).
+# ---------------------------------------------------------------------------
+
+
+def corpus_bleu2(
+    cands: DataFrame,
+    refs: DataFrame,
+    *,
+    pair_col: str = "pair_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (n_pairs, c_len, r_len, p1, p2, bp, bleu2) with clipped
+    matches summed across pairs (clipping stays per-pair — the standard
+    corpus statistic). The fold is a single-row aggregation over the
+    per-pair count table, so the plan is the sentence pipeline plus one
+    bounded agg."""
+    u = _clipped(cands, refs, 1, pair_col=pair_col, text_col=text_col)
+    b = _clipped(cands, refs, 2, pair_col=pair_col, text_col=text_col)
+    ug = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("cand_ngrams").cast("bigint").alias("c_len"),
+        F.sum("ref_ngrams").cast("bigint").alias("r_len"),
+        F.sum("matched").cast("bigint").alias("m1"),
+    )
+    bg = b.agg(
+        F.sum("cand_ngrams").cast("bigint").alias("c2"),
+        F.sum("matched").cast("bigint").alias("m2"),
+    )
+    j = ug.crossJoin(bg)
+    p1 = F.when(F.col("c_len") > 0, F.col("m1") / F.col("c_len")).otherwise(
+        F.lit(0.0)
+    )
+    p2 = F.when(F.col("c2") > 0, F.col("m2") / F.col("c2")).otherwise(
+        F.lit(0.0)
+    )
+    bp = F.when(
+        F.col("c_len") > 0,
+        F.exp(
+            F.least(F.lit(0.0), F.lit(1.0) - F.col("r_len") / F.col("c_len"))
+        ),
+    ).otherwise(F.lit(0.0))
+    bleu = F.when(
+        (F.col("m1") > 0) & (F.col("m2") > 0) & (F.col("c2") > 0),
+        bp * F.exp(0.5 * F.log(p1) + 0.5 * F.log(p2)),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n_pairs",
+        "c_len",
+        "r_len",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(bp, 6).alias("bp"),
+        F.round(bleu, 6).alias("bleu2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chrF (Popović 2015) — character n-gram F-β, whitespace removed. The
+# published metric averages orders 1..6; ``max_order`` bounds it (the
+# fixture queries register order 3 — the knob, not the shape, changes).
+# ---------------------------------------------------------------------------
+
+
+def _char_ngram_counts(
+    df: DataFrame, n: int, *, pair_col: str, text_col: str, side: str
+) -> DataFrame:
+    """(pair_id, ng, {side}_cnt) char n-gram counts of the normalized,
+    space-stripped text."""
+    s = F.replace(normalize_text(F.col(text_col)), F.lit(" "), F.lit(""))
+    grams = F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: F.substring(s, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(pair_col).alias("pair_id"), F.explode(grams).alias("ng"))
+        .groupBy("pair_id", "ng")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(f"{side}_cnt"))
+    )
+
+
+def chrf_pairs(
+    cands: DataFrame,
+    refs: DataFrame,
+    *,
+    max_order: int = 3,
+    beta: float = 2.0,
+    pair_col: str = "pair_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(pair_id, f1..f{max_order}, chrf): per-order F-β over clipped char
+    n-gram matches, chrF their arithmetic mean. Every per-order F rounds
+    to 6 dp BEFORE the fixed-arity mean, so both engines average identical
+    doubles in the same written order. F is 0 where precision+recall is 0
+    (pairs whose candidate produced no n-grams of that order score 0 for
+    it — the convention a SQL oracle can replay exactly)."""
+    b2 = float(beta) * float(beta)
+    out = None
+    for n in range(1, max_order + 1):
+        c = _char_ngram_counts(
+            cands, n, pair_col=pair_col, text_col=text_col, side="c"
+        )
+        r = _char_ngram_counts(
+            refs, n, pair_col=pair_col, text_col=text_col, side="r"
+        )
+        cl = (
+            c.join(r, ["pair_id", "ng"], "full_outer")
+            .groupBy("pair_id")
+            .agg(
+                F.sum(F.coalesce("c_cnt", F.lit(0)))
+                .cast("bigint")
+                .alias("cn"),
+                F.sum(F.coalesce("r_cnt", F.lit(0)))
+                .cast("bigint")
+                .alias("rn"),
+                F.sum(
+                    F.least(
+                        F.coalesce("c_cnt", F.lit(0)),
+                        F.coalesce("r_cnt", F.lit(0)),
+                    )
+                )
+                .cast("bigint")
+                .alias("m"),
+            )
+        )
+        p = F.when(F.col("cn") > 0, F.col("m") / F.col("cn")).otherwise(
+            F.lit(0.0)
+        )
+        rec = F.when(F.col("rn") > 0, F.col("m") / F.col("rn")).otherwise(
+            F.lit(0.0)
+        )
+        f = F.when(
+            F.col("m") > 0,
+            (1.0 + b2) * p * rec / (b2 * p + rec),
+        ).otherwise(F.lit(0.0))
+        fn = cl.select("pair_id", F.round(f, 6).alias(f"f{n}"))
+        out = fn if out is None else out.join(fn, "pair_id", "full_outer")
+    fcols = [F.coalesce(f"f{n}", F.lit(0.0)) for n in range(1, max_order + 1)]
+    mean = fcols[0]
+    for fc in fcols[1:]:
+        mean = mean + fc
+    return out.select(
+        "pair_id",
+        *[
+            F.coalesce(f"f{n}", F.lit(0.0)).alias(f"f{n}")
+            for n in range(1, max_order + 1)
+        ],
+        F.round(mean / F.lit(float(max_order)), 6).alias("chrf"),
+    )
+
+
+def char_counts_sql(src_cte: str, n: int, norm_col: str = "text") -> str:
+    """(pair_id, ng, cnt) char n-gram counts — DuckDB mirror of
+    :func:`_char_ngram_counts` over a CTE with (pair_id, text) where text
+    is already normalized (the space strip happens here)."""
+    return f"""
+      SELECT pair_id, ng, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT pair_id, substr(s, i, {n}) AS ng
+        FROM (SELECT pair_id, replace({norm_col}, ' ', '') AS s
+              FROM {src_cte}),
+             UNNEST(range(1, len(s) - {n} + 2)) AS t(i)
+      )
+      GROUP BY pair_id, ng
+    """
+
+
+def chrf_order_sql(n: int, beta: float = 2.0) -> str:
+    """CTE body producing (pair_id, f{n}) for char order ``n`` from CTEs
+    ``cand``/``ref`` with (pair_id, text)."""
+    b2 = float(beta) * float(beta)
+    return f"""
+      SELECT pair_id,
+             round(CASE WHEN m > 0
+                        THEN (1.0 + {b2})
+                             * (CASE WHEN cn > 0 THEN m * 1.0 / cn ELSE 0 END)
+                             * (CASE WHEN rn > 0 THEN m * 1.0 / rn ELSE 0 END)
+                             / ({b2} * (CASE WHEN cn > 0 THEN m * 1.0 / cn
+                                             ELSE 0 END)
+                                + (CASE WHEN rn > 0 THEN m * 1.0 / rn
+                                        ELSE 0 END))
+                        ELSE 0 END, 6) AS f{n}
+      FROM (
+        SELECT pair_id,
+               CAST(sum(coalesce(c.cnt, 0)) AS BIGINT) AS cn,
+               CAST(sum(coalesce(r.cnt, 0)) AS BIGINT) AS rn,
+               CAST(sum(least(coalesce(c.cnt, 0), coalesce(r.cnt, 0)))
+                 AS BIGINT) AS m
+        FROM ({char_counts_sql("cand", n)}) c
+        FULL OUTER JOIN ({char_counts_sql("ref", n)}) r USING (pair_id, ng)
+        GROUP BY pair_id
+      )
+    """

@@ -523,3 +523,157 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(
         docs.filter(~is_t), stats, buckets=_DSIR_BUCKETS
     )
+
+
+def _corpus_bleu_sql() -> str:
+    from crowdsorsa_etl_spark.operators.evalmetrics import clipped_sql
+
+    return f"""
+    WITH {_eval_pair_ctes()},
+    u AS ({clipped_sql(1)}),
+    b AS ({clipped_sql(2)}),
+    ug AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(cand_ngrams) AS BIGINT) AS c_len,
+             CAST(sum(ref_ngrams) AS BIGINT) AS r_len,
+             CAST(sum(matched) AS BIGINT) AS m1
+      FROM u
+    ),
+    bg AS (
+      SELECT CAST(sum(cand_ngrams) AS BIGINT) AS c2,
+             CAST(sum(matched) AS BIGINT) AS m2
+      FROM b
+    )
+    SELECT n_pairs, c_len, r_len,
+           round(CASE WHEN c_len > 0 THEN m1 * 1.0 / c_len ELSE 0 END, 6)
+             AS p1,
+           round(CASE WHEN c2 > 0 THEN m2 * 1.0 / c2 ELSE 0 END, 6) AS p2,
+           round(CASE WHEN c_len > 0
+                      THEN exp(least(0.0, 1.0 - r_len * 1.0 / c_len))
+                      ELSE 0 END, 6) AS bp,
+           round(CASE WHEN m1 > 0 AND m2 > 0 AND c2 > 0
+                      THEN exp(least(0.0, 1.0 - r_len * 1.0 / c_len))
+                           * exp(0.5 * ln(m1 * 1.0 / c_len)
+                                 + 0.5 * ln(m2 * 1.0 / c2))
+                      ELSE 0 END, 6) AS bleu2
+    FROM ug, bg
+    """
+
+
+@register("llm_corpus_bleu", _corpus_bleu_sql())
+def llm_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 (clipped counts folded across ALL pairs before
+    the metric — Papineni's corpus statistic, not a mean of sentence
+    scores)."""
+    from crowdsorsa_etl_spark.operators.evalmetrics import corpus_bleu2
+
+    cand, ref = _eval_pair_frames(spark, sf_dir)
+    return corpus_bleu2(cand, ref)
+
+
+_CHRF_ORDERS = 3
+
+
+def _chrf_sql() -> str:
+    from crowdsorsa_etl_spark.operators.evalmetrics import chrf_order_sql
+
+    orders = range(1, _CHRF_ORDERS + 1)
+    ctes = ",\n".join(f"o{n} AS ({chrf_order_sql(n)})" for n in orders)
+    joins = " ".join(f"FULL OUTER JOIN o{n} USING (pair_id)" for n in list(orders)[1:])
+    fs = ", ".join(f"coalesce(f{n}, 0.0) AS f{n}" for n in orders)
+    mean = " + ".join(f"coalesce(f{n}, 0.0)" for n in orders)
+    return f"""
+    WITH {_eval_pair_ctes()},
+    {ctes}
+    SELECT pair_id, {fs},
+           round(({mean}) / {float(_CHRF_ORDERS)}, 6) AS chrf
+    FROM o1 {joins}
+    """
+
+
+@register("llm_chrf_pairs", _chrf_sql())
+def llm_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (char n-gram F-2, orders 1..3, whitespace stripped) per
+    (even, odd) doc pair."""
+    from crowdsorsa_etl_spark.operators.evalmetrics import chrf_pairs
+
+    cand, ref = _eval_pair_frames(spark, sf_dir)
+    return chrf_pairs(cand, ref, max_order=_CHRF_ORDERS)
+
+
+# ===========================================================================
+# llm_temperature_mix — UNIMAX/mT5-style temperature-scaled sampling
+# weights per language: w_d ∝ n_tokens_d^alpha. COMPUTES the mixing
+# recipe (complement of llm_domain_mix, which APPLIES given rates).
+# Per-language pow() terms become fixed-point BIGINTs before the
+# normalizing sum, so the ≤|langs|-row fold is exact on both engines.
+# ===========================================================================
+
+_MIX_ALPHA = 0.3
+
+
+def _temperature_mix_sql() -> str:
+    from crowdsorsa_etl_spark.operators.dsir import FX
+    from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+
+    return f"""
+    WITH counts AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents
+      GROUP BY lang
+    ),
+    fx AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(round(pow(n_tokens, {_MIX_ALPHA}) * {FX}, 0) AS BIGINT)
+               AS term_fx
+      FROM counts
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(term_fx AS DOUBLE)
+                 / (SELECT sum(term_fx) FROM fx), 6) AS weight,
+           round(CAST(term_fx AS DOUBLE)
+                 / (SELECT sum(term_fx) FROM fx)
+                 * (SELECT sum(n_tokens) FROM fx) / n_tokens, 6)
+             AS oversample
+    FROM fx
+    """
+
+
+@register("llm_temperature_mix", _temperature_mix_sql())
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) language sampling weights from
+    observed token counts; ``oversample`` is the effective repeat factor
+    vs natural sampling."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.dsir import FX
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(normalize_text(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    fx = counts.select(
+        "*",
+        F.round(F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA)) * F.lit(FX), 0)
+        .cast("bigint")
+        .alias("term_fx"),
+    )
+    totals = fx.agg(
+        F.sum("term_fx").cast("bigint").alias("tot_fx"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    )
+    w = F.col("term_fx").cast("double") / F.col("tot_fx")
+    return fx.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("tot_tokens") / F.col("n_tokens"), 6).alias(
+            "oversample"
+        ),
+    )
