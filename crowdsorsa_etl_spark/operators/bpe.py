@@ -118,11 +118,26 @@ def bpe_learn_merges(
     n_merges: int = 8,
     strategy: str = "auto",
     max_driver_words: int = 2_000_000,
+    max_vocab_words: int | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus.
 
     Output: (merge_rank int, pair string, total bigint) — one row per
     merge, in learned order. ``pair`` is the two symbols space-joined.
+
+    ``max_vocab_words`` is the production-trainer discipline (SentencePiece
+    ``--input_sentence_size``-style capping, HF tokenizers' frequency
+    pruning): keep only the top-N words by count before the merge loop.
+    The cap is a distributed top-N — ``TakeOrderedAndProject`` on
+    (cnt DESC, rep ASC), a deterministic total order because ``rep`` is
+    unique — so the dictionary entering the loop is BOUNDED at any corpus
+    size: a 100 TB web corpus with 10^9 distinct words collapses to N rows
+    and the driver merge loop is always viable at the 32k-merge design
+    point. Zipf makes the truncation loss negligible: the dropped tail is
+    hapax-legomena mass that cannot win a frequency argmax. With the cap
+    set, ``strategy="auto"`` resolves to the driver loop by construction
+    (the capped dictionary never exceeds ``max_driver_words`` unless the
+    caller asks for a larger cap explicitly).
 
     ``strategy`` picks where the merge LOOP runs; the corpus aggregation is
     always distributed:
@@ -149,6 +164,10 @@ def bpe_learn_merges(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown strategy: {strategy!r}")
+    if max_vocab_words is not None and max_vocab_words < 1:
+        raise ValueError(
+            f"max_vocab_words must be >= 1, got {max_vocab_words}"
+        )
 
     words = (
         df.select(
@@ -158,15 +177,32 @@ def bpe_learn_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .select(_char_spaced(F.col("word")).alias("rep"), "cnt")
-        # each iteration's argmax job and each output branch rescan this —
-        # pin the aggregated dictionary instead of re-reading the corpus
-        .localCheckpoint()
     )
+    if max_vocab_words is not None:
+        # frequency cap: distributed top-N (TakeOrderedAndProject — each
+        # partition keeps N rows, the driver merges N-sized heaps; no full
+        # sort, no full shuffle). (cnt DESC, rep ASC) is a total order.
+        words = words.orderBy(
+            F.desc("cnt"), F.asc("rep")
+        ).limit(max_vocab_words)
+    # each iteration's argmax job and each output branch rescan this —
+    # pin the aggregated dictionary instead of re-reading the corpus
+    words = words.localCheckpoint()
 
     if strategy == "auto":
-        strategy = (
-            "driver" if words.count() <= max_driver_words else "distributed"
-        )
+        if max_vocab_words is not None:
+            # capped dictionary is bounded by construction — no probe job
+            strategy = (
+                "driver"
+                if max_vocab_words <= max_driver_words
+                else "distributed"
+            )
+        else:
+            strategy = (
+                "driver"
+                if words.count() <= max_driver_words
+                else "distributed"
+            )
     if strategy == "driver":
         return _learn_merges_driver(words, n_merges)
 
@@ -253,12 +289,22 @@ def _learn_merges_driver(words: DataFrame, n_merges: int) -> DataFrame:
     return spark.createDataFrame(out, "merge_rank int, pair string, total bigint")
 
 
-def bpe_merges_sql(n_merges: int = 8) -> str:
+def bpe_merges_sql(
+    n_merges: int = 8, *, max_vocab_words: int | None = None
+) -> str:
     """DuckDB oracle: the identical computation as unrolled CTEs — same
     normalization, same char spacing, same space-doubling replace, same
     (total DESC, pair ASC) argmax. A drift anywhere in the merge loop
-    (missed occurrence, tie-break, weighting) breaks the hash."""
+    (missed occurrence, tie-break, weighting) breaks the hash.
+    ``max_vocab_words`` replays the frequency cap: the w0 dictionary is
+    truncated with the identical (cnt DESC, rep ASC) total order before
+    any merge statistics are computed."""
     norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    cap = (
+        f" ORDER BY cnt DESC, rep ASC LIMIT {int(max_vocab_words)}"
+        if max_vocab_words is not None
+        else ""
+    )
     ctes = [
         f"""words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -267,7 +313,7 @@ def bpe_merges_sql(n_merges: int = 8) -> str:
     ),
     w0 AS MATERIALIZED (
       SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS rep, cnt
-      FROM words
+      FROM words{cap}
     )"""
     ]
     selects = []

@@ -697,7 +697,7 @@ def _html_extract_sql() -> str:
         "coalesce((SELECT sum(length("
         + style_strip.format(x="a.m")
         + ")) FROM (SELECT unnest(regexp_extract_all(page,"
-        " '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1)) AS m) a), 0)"
+        r" '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1)) AS m) a), 0)"
     )
     return f"""
     WITH pages AS (
@@ -774,9 +774,9 @@ def _html_links_sql() -> str:
         " '.Example.CO.UK/b/' || CAST(doc_id % 10 AS VARCHAR) ||"
         " '/\">two</a><a href=\"/local\">rel</a></body>'"
     )
-    inner = f"""
+    inner = rf"""
     SELECT doc_id, unnest(regexp_extract_all({page},
-      '(?is)<a\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>', 1)) AS raw_url
+      '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>', 1)) AS raw_url
     FROM documents
     """
     return f"""

@@ -398,3 +398,70 @@ class TestOovStats:
         }
         rows = bpe_oov_stats(docs, merges, vocab).collect()
         assert rows and all(r.n_oov == 0 for r in rows)
+
+
+class TestVocabCap:
+    """Frequency-capped learn (``max_vocab_words``): the production-trainer
+    dictionary discipline that keeps the driver merge loop bounded at any
+    corpus size."""
+
+    def test_cap_at_or_above_dict_size_is_identity(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        uncapped = bpe_learn_merges(docs, n_merges=6)
+        capped = bpe_learn_merges(
+            docs, n_merges=6, max_vocab_words=10_000_000
+        )
+        assert (
+            [tuple(r) for r in capped.orderBy("merge_rank").collect()]
+            == [tuple(r) for r in uncapped.orderBy("merge_rank").collect()]
+        )
+
+    def test_cap_keeps_top_words_by_count(self, spark):
+        # 'zq' appears 5x, 'ab' 3x, 'cd' once; cap=2 drops 'cd', so the
+        # (c,d) pair can never be learned while (z,q) and (a,b) are
+        texts = ["zq zq zq zq zq ab ab ab cd"]
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        rows = (
+            bpe_learn_merges(df, n_merges=8, max_vocab_words=2)
+            .orderBy("merge_rank")
+            .collect()
+        )
+        pairs = [r.pair for r in rows]
+        assert "z q" in pairs and "a b" in pairs and "c d" not in pairs
+        # weighted totals reflect only surviving words
+        assert rows[0].pair == "z q" and rows[0].total == 5
+
+    def test_cap_tie_break_is_rep_ascending(self, spark):
+        # 'bb' and 'aa' both appear twice; cap=1 must keep 'aa'
+        # ((cnt DESC, rep ASC) total order), so only (a,a) is learnable
+        df = spark.createDataFrame(
+            [(0, "bb aa bb aa")], ["doc_id", "text"]
+        )
+        rows = bpe_learn_merges(df, n_merges=4, max_vocab_words=1).collect()
+        assert [(r.pair, r.total) for r in rows] == [("a a", 2)]
+
+    def test_cap_makes_auto_driver_without_probe(self, spark):
+        # auto + cap must match driver even when max_driver_words would
+        # otherwise force the distributed loop via the count() probe
+        df = spark.createDataFrame(
+            [(0, "low lower low"), (1, "new newer new")], ["doc_id", "text"]
+        )
+        got = bpe_learn_merges(
+            df,
+            n_merges=3,
+            strategy="auto",
+            max_driver_words=3,
+            max_vocab_words=3,
+        )
+        drv = bpe_learn_merges(
+            df, n_merges=3, strategy="driver", max_vocab_words=3
+        )
+        assert (
+            [tuple(r) for r in got.orderBy("merge_rank").collect()]
+            == [tuple(r) for r in drv.orderBy("merge_rank").collect()]
+        )
+
+    def test_cap_rejects_bad_value(self, spark):
+        df = spark.createDataFrame([(0, "aa")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="max_vocab_words"):
+            bpe_learn_merges(df, n_merges=1, max_vocab_words=0)
