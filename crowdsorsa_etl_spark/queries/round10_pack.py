@@ -107,15 +107,40 @@ from crowdsorsa_etl_spark.operators.bpe import (
 _IDS_MERGES = 8
 
 
+def _encoded_ids(spark: SparkSession, sf_dir: str):
+    """(ids DataFrame, n_vocab): the ENCODE output shared by the whole
+    token chain (token_ids, shards, pack, provenance, mask_forget) —
+    (doc_id, n_tokens, ids_md5, token_ids array<int>), materialized ONCE
+    per fixture as parquet under the content-fingerprinted cache dir (the
+    posture llm_ivfpq_incremental uses for its index). Five chain queries
+    previously re-ran learn → encode each; now the first caller pays it and
+    the rest scan parquet. Deterministic end to end, so the cache cannot
+    drift from a recompute; a regenerated fixture changes the fingerprint
+    and misses the cache."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    merges, vocab, n_vocab = _learned_bpe(spark, sf_dir, _IDS_MERGES)
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, f"bpeids{_IDS_MERGES}", "documents"),
+        "ids.parquet",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents")
+        bpe_encode_ids(
+            docs, merges, vocab, ids_col="token_ids"
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), n_vocab
+
+
 @register("llm_bpe_token_ids", _ids_sql(n_merges=_IDS_MERGES))
 def llm_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document to BPE token ids (learn merges → derive the
     vocab table → map the symbol stream to ids, JVM-side literal map)."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
-
-    docs = _t(spark, sf_dir, "documents")
-    merges, vocab, _ = _learned_bpe(spark, sf_dir, _IDS_MERGES)
-    return bpe_encode_ids(docs, merges, vocab)
+    ids, _ = _encoded_ids(spark, sf_dir)
+    return ids.select("doc_id", "n_tokens", "ids_md5")
 
 
 # ===========================================================================
@@ -146,15 +171,12 @@ def llm_token_id_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment over real BPE token counts: global
     cumsum via range sort + per-partition offsets (no single-partition
     window), shard id from the running total, id-stream hash per doc."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
     from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
 
-    docs = _t(spark, sf_dir, "documents")
-    merges, vocab, _ = _learned_bpe(spark, sf_dir, _IDS_MERGES)
-    # materialize the encode ONCE: the cumsum's range partitioner samples
-    # its input, which would otherwise re-run the whole encode chain per
-    # downstream job (sample + shuffle + offsets)
-    ids = bpe_encode_ids(docs, merges, vocab).localCheckpoint()
+    # the shared parquet-cached encode also serves as the materialization
+    # the cumsum's range partitioner needs (it samples its input)
+    ids, _ = _encoded_ids(spark, sf_dir)
+    ids = ids.select("doc_id", "n_tokens", "ids_md5")
     out = with_global_cumsum(
         ids, [F.col("doc_id")], "n_tokens", cum_col="cum_tokens"
     )
@@ -336,14 +358,9 @@ _PACK_MAX_LEN = 512
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack BPE token-id documents into fixed 512-token training
     sequences with EOS separators; emit each sequence's id-stream hash."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
     from crowdsorsa_etl_spark.operators.curation import pack_token_sequences
 
-    docs = _t(spark, sf_dir, "documents")
-    merges, vocab, n_vocab = _learned_bpe(spark, sf_dir, _IDS_MERGES)
-    # materialized once — see llm_token_id_shards on the range sampler
-    ids = bpe_encode_ids(docs, merges, vocab, ids_col="token_ids") \
-        .localCheckpoint()
+    ids, n_vocab = _encoded_ids(spark, sf_dir)
     seqs = pack_token_sequences(
         ids,
         "token_ids",
@@ -485,12 +502,9 @@ from crowdsorsa_etl_spark.operators.bpe import (
 )
 def llm_seq_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence document spans for the 512-token packed corpus."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
     from crowdsorsa_etl_spark.operators.curation import sequence_provenance
 
-    docs = _t(spark, sf_dir, "documents")
-    merges, vocab, _ = _learned_bpe(spark, sf_dir, _IDS_MERGES)
-    ids = bpe_encode_ids(docs, merges, vocab).localCheckpoint()
+    ids, _ = _encoded_ids(spark, sf_dir)
     return sequence_provenance(
         ids, "n_tokens", [F.col("doc_id")], max_len=_PACK_MAX_LEN
     )
@@ -526,17 +540,13 @@ _MASK_ID = -1
 def llm_mask_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mask every span of the packed corpus attributed to forgotten docs
     (doc_id % 7 = 0); emit per-sequence hashes of the masked streams."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode_ids
     from crowdsorsa_etl_spark.operators.curation import (
         mask_doc_spans,
         pack_token_sequences,
         sequence_provenance,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    merges, vocab, n_vocab = _learned_bpe(spark, sf_dir, _IDS_MERGES)
-    ids = bpe_encode_ids(docs, merges, vocab, ids_col="token_ids") \
-        .localCheckpoint()
+    ids, n_vocab = _encoded_ids(spark, sf_dir)
     seqs = pack_token_sequences(
         ids, "token_ids", [F.col("doc_id")],
         max_len=_PACK_MAX_LEN, eos_id=n_vocab,

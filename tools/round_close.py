@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Mechanized round close — run as the LAST step of every round, then commit.
+
+Rounds 9 and 10 both shipped with the committed correctness sweep lagging the
+registry (178/186, then 200/215): new queries were registered after the last
+full sweep ran, so the committed CORRECTNESS_SELF.json no longer covered the
+registry and the README's query count went stale. This script makes the close
+mechanical instead of a habit:
+
+1. full oracle sweep  -> CORRECTNESS_SELF.json  (tools/check_oracle.py)
+2. bench              -> BENCH_SELF.json        (bench.py, honest noop-sink)
+3. invariants         -> CORRECTNESS_SELF.n_queries == len(QUERIES)
+                         and zero failures / zero missing entries
+4. README             -> rewrite the "N named queries, ALL N paired" line
+                         from the live registry count
+
+Exit 0 only when every gate holds. Usage:
+
+    python tools/round_close.py [--skip-bench] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_sweep(sf_dir: str) -> None:
+    print(f"== round_close: full oracle sweep at {sf_dir} ==", flush=True)
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), sf_dir],
+        cwd=REPO,
+    )
+    if rc != 0:
+        sys.exit(f"round_close: oracle sweep FAILED (exit {rc})")
+
+
+def run_bench() -> None:
+    print("== round_close: bench (writes BENCH_SELF.json) ==", flush=True)
+    rc = subprocess.call([sys.executable, os.path.join(REPO, "bench.py")], cwd=REPO)
+    if rc != 0:
+        sys.exit(f"round_close: bench FAILED (exit {rc})")
+
+
+def check_invariants() -> int:
+    from crowdsorsa_etl_spark.queries import ORACLES, QUERIES
+
+    with open(os.path.join(REPO, "CORRECTNESS_SELF.json")) as fh:
+        self_rec = json.load(fh)
+    n_reg = len(QUERIES)
+    problems: list[str] = []
+    if self_rec["n_queries"] != n_reg:
+        problems.append(
+            f"CORRECTNESS_SELF covers {self_rec['n_queries']} queries, "
+            f"registry has {n_reg} — rerun the sweep after the last "
+            "registration"
+        )
+    missing = sorted(set(QUERIES) - set(self_rec.get("queries", {})))
+    if missing:
+        problems.append(f"missing from committed sweep: {missing[:10]}")
+    if self_rec.get("n_fail", 1) != 0:
+        problems.append(f"sweep has {self_rec['n_fail']} failures")
+    no_oracle = sorted(set(QUERIES) - set(ORACLES))
+    if no_oracle:
+        # informational: rows-only entries are allowed by the driver
+        # contract, but this repo keeps every entry oracle-paired
+        problems.append(f"registered without oracle: {no_oracle}")
+    if problems:
+        for p in problems:
+            print(f"ROUND_CLOSE FAIL: {p}")
+        sys.exit(1)
+    print(
+        f"round_close: invariants OK — {n_reg} registered == "
+        f"{self_rec['n_queries']} swept, {self_rec['n_hash_match']} "
+        f"hash-match, 0 fail"
+    )
+    return n_reg
+
+
+def rewrite_readme(n_reg: int) -> None:
+    path = os.path.join(REPO, "README.md")
+    with open(path) as fh:
+        text = fh.read()
+    new, n_subs = re.subn(
+        r"\d+ named queries, ALL \d+ paired",
+        f"{n_reg} named queries, ALL {n_reg} paired",
+        text,
+    )
+    if n_subs == 0:
+        sys.exit(
+            "ROUND_CLOSE FAIL: README query-count sentinel "
+            "('N named queries, ALL N paired') not found"
+        )
+    if new != text:
+        with open(path, "w") as fh:
+            fh.write(new)
+        print(f"round_close: README query count rewritten to {n_reg}")
+    else:
+        print(f"round_close: README query count already {n_reg}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--skip-bench",
+        action="store_true",
+        help="skip the bench step (sweep + invariants + README only)",
+    )
+    ap.add_argument(
+        "--skip-sweep",
+        action="store_true",
+        help="trust an already-fresh CORRECTNESS_SELF.json (invariants "
+        "still verify it covers the live registry)",
+    )
+    args = ap.parse_args()
+    if not args.skip_sweep:
+        run_sweep(args.sf_dir)
+    if not args.skip_bench:
+        run_bench()
+    n_reg = check_invariants()
+    rewrite_readme(n_reg)
+    print("round_close: ALL GATES GREEN — commit now")
+
+
+if __name__ == "__main__":
+    main()
