@@ -55,3 +55,171 @@ def llm_bpe_merges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_vocab_words=_CAP_WORDS,
         strategy="auto",  # resolves to driver WITHOUT a probe job: capped
     )
+
+
+# ===========================================================================
+# llm_caption_image_dups — the PAIRED-modality curation signal a web
+# multimodal corpus needs: (image, caption) pairs where one half is
+# duplicated and the other is not. Dedup that looks at each modality alone
+# keeps mismatched duplicates (the same stock photo under 40 different
+# captions, or near-identical captions pointing at different images); this
+# tier joins the image near-dup pairs (REAL PNG encode → stdlib decode →
+# integer aHash → 8-band pigeonhole, the llm_image_phash_dups machinery)
+# with the caption near-dup pairs (portable-hash banded MinHash-LSH, the
+# llm_minhash_lsh machinery) by pair key — a FULL OUTER join of two
+# bucketed pair sets, never all-pairs — and classifies each pair as
+# both / image_only / caption_only. The fixture models the web shape:
+# each doc's caption is its text, its image renders from a repeating key
+# ('img-' || doc_id % 37 — the same logo on many pages), so image
+# duplication is independent of caption similarity by construction.
+# The DuckDB oracle never touches a PNG and never sees Spark's hashes:
+# it re-derives the aHash bands from hex(encode(key)) byte-for-byte and
+# re-derives the full MinHash band signatures from the md5 portable-hash
+# fragments — a decode bug, a hash drift, a dropped pair, or a wrong
+# outer-join class each break the hash.
+# ===========================================================================
+
+from crowdsorsa_etl_spark import lsh_oracles as _lsh
+
+_CI_GROUPS = 31  # image-key modulus: the same "logo" on ~6 of 200 pages
+# (31 chosen so the sf0.01 fixture exercises ALL THREE dup classes: one
+# caption near-dup pair lands in a shared image group -> 'both')
+_CI_MAXDOC = 200  # image tier budget (decode cost), same as the image packs
+_CI_HAMMING = 7  # pigeonhole-sound for 8 bands
+
+
+def _ci_img_key_sql(col: str = "doc_id") -> str:
+    # 64 bytes (two md5s), digits -> spaces: the rendered "image" fills all
+    # 64 aHash samples with group-dependent letter/space structure, so the
+    # mean-thresholded bits genuinely differ across groups (measured 18-46
+    # bit hamming between groups) while same-group images are byte-
+    # identical (hamming 0). Shorter keys are degenerate — zero padding
+    # drags the 64-sample mean below every real byte, every hash becomes
+    # the same ones-then-zeros pattern, and ALL C(200,2) pairs "match"
+    # (measured, rejected twice: bare 'img-N' and single-md5 keys).
+    grp = f"'img-' || CAST({col} % {_CI_GROUPS} AS VARCHAR)"
+    return (
+        f"regexp_replace(md5({grp}) || md5({grp} || 'x'), "
+        "'[0-9]', ' ', 'g')"
+    )
+
+
+def _caption_image_sql() -> str:
+    # image half: _phash_oracle's byte->threshold->band replay, but over
+    # the derived image KEY (the rendered payload), not the caption text
+    key = _ci_img_key_sql()
+    img_half = f"""
+    hx AS (
+      SELECT doc_id, substr(hex(encode({key})), 1, 128) AS h
+      FROM documents WHERE doc_id < {_CI_MAXDOC}
+    ),
+    bytes AS (
+      SELECT doc_id, i,
+             CASE WHEN length(h) >= 2*i THEN
+               (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1))
+                - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+               - 1
+             ELSE 0 END AS v
+      FROM hx, UNNEST(range(1, 65)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM bytes GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.i,
+             CASE WHEN b.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+      FROM bytes b JOIN tot t ON b.doc_id = t.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS INT) AS band,
+             CAST(sum(bit * (1 << (7 - CAST((i - 1) % 8 AS INT)))) AS BIGINT)
+               AS v
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id, list(v ORDER BY band) AS bands FROM bands GROUP BY 1
+    ),
+    ham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.bands[1], b.bands[1]))
+                + bit_count(xor(a.bands[2], b.bands[2]))
+                + bit_count(xor(a.bands[3], b.bands[3]))
+                + bit_count(xor(a.bands[4], b.bands[4]))
+                + bit_count(xor(a.bands[5], b.bands[5]))
+                + bit_count(xor(a.bands[6], b.bands[6]))
+                + bit_count(xor(a.bands[7], b.bands[7]))
+                + bit_count(xor(a.bands[8], b.bands[8])) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ),
+    img_pairs AS (SELECT * FROM ham WHERE hamming <= {_CI_HAMMING})
+    """
+    return f"""
+    WITH {img_half},
+    cap_all AS ({_lsh.minhash_lsh_sql()}),
+    cap_pairs AS (
+      SELECT id_a, id_b, n_bands_matched FROM cap_all
+      WHERE id_a < {_CI_MAXDOC} AND id_b < {_CI_MAXDOC}
+    )
+    SELECT coalesce(i.id_a, c.id_a) AS id_a,
+           coalesce(i.id_b, c.id_b) AS id_b,
+           i.hamming,
+           c.n_bands_matched,
+           CASE WHEN i.hamming IS NOT NULL AND c.n_bands_matched IS NOT NULL
+                  THEN 'both'
+                WHEN i.hamming IS NOT NULL THEN 'image_only'
+                ELSE 'caption_only' END AS dup_class
+    FROM img_pairs i FULL OUTER JOIN cap_pairs c
+      ON i.id_a = c.id_a AND i.id_b = c.id_b
+    """
+
+
+@register("llm_caption_image_dups", _caption_image_sql())
+def llm_caption_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mismatched-duplicate detection over (image, caption) pairs: image
+    near-dup pairs (real PNG decode → aHash pigeonhole) FULL OUTER joined
+    with caption near-dup pairs (MinHash-LSH) and classified
+    both / image_only / caption_only."""
+    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_png_payload,
+        image_ahash_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _CI_MAXDOC)
+    # the web shape: the same image (key) appears on many pages whose
+    # captions differ — image duplication independent of caption similarity
+    grp = F.concat(
+        F.lit("img-"), (F.col("doc_id") % _CI_GROUPS).cast("string")
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.md5(grp), F.md5(F.concat(grp, F.lit("x")))),
+            "[0-9]",
+            " ",
+        ).alias("img_key"),
+    )
+    img_pairs = image_ahash_dups(
+        attach_png_payload(keyed, text_col="img_key"),
+        max_hamming=_CI_HAMMING,
+    )
+    cap_pairs = minhash_lsh_candidates(docs, portable=True)
+    joined = img_pairs.alias("i").join(
+        cap_pairs.alias("c"),
+        (F.col("i.id_a") == F.col("c.id_a"))
+        & (F.col("i.id_b") == F.col("c.id_b")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("i.id_a"), F.col("c.id_a")).alias("id_a"),
+        F.coalesce(F.col("i.id_b"), F.col("c.id_b")).alias("id_b"),
+        F.col("i.hamming").alias("hamming"),
+        F.col("c.n_bands_matched").alias("n_bands_matched"),
+        F.when(
+            F.col("i.hamming").isNotNull()
+            & F.col("c.n_bands_matched").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("i.hamming").isNotNull(), F.lit("image_only"))
+        .otherwise(F.lit("caption_only"))
+        .alias("dup_class"),
+    )
