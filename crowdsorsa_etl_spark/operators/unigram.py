@@ -457,3 +457,186 @@ def unigram_token_ids_sql(*, norm_sql: str, table: str = "documents") -> str:
     FROM dvalid d JOIN word_ids wi USING (w)
     GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Iterated EM trainer with vocabulary pruning (SentencePiece's actual loop)
+# ---------------------------------------------------------------------------
+
+
+def unigram_train(
+    docs: DataFrame,
+    *,
+    n_rounds: int = 3,
+    prune_alpha: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = MAX_PIECE_LEN,
+    min_count: int = MIN_COUNT,
+    enum_max_len: int | None = ENUM_MAX_LEN,
+) -> DataFrame:
+    """SentencePiece's training loop (Kudo 2018 §3.2), not just one step:
+    seed vocabulary → repeat ``n_rounds`` times [E-step: Viterbi-segment
+    the corpus under current piece costs; M-step: re-estimate counts from
+    the chosen pieces; PRUNE: drop the bottom ``prune_alpha`` fraction of
+    multi-char pieces by (new_cnt ASC, piece ASC)].
+
+    Feasibility invariant: single-character pieces always survive with
+    ``cnt = max(new_cnt, 1)`` — every corpus word stays segmentable in
+    every round, so pruning can never silently drop words from the
+    E-step (the failure mode of naive count-pruning).
+
+    ``prune_alpha`` must be a dyadic rational (0.25, 0.5, 0.125, ...) so
+    ``floor(n · α)`` is exact in both engines' doubles — the SQL oracle
+    replays the prune with the identical floor.
+
+    Scale shape: each round is ONE distributed E-step (the memoized
+    per-distinct-word Viterbi mapInPandas + a piece-count groupBy) plus a
+    vocabulary-sized collect — the BPE-driver-loop contract. n_rounds is
+    a small constant (SentencePiece defaults to shrinking to target size
+    in ~O(log) rounds); nothing corpus-sized ever reaches the driver.
+
+    Output: (piece string, cnt bigint) — the final vocabulary artifact.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if not (0.0 <= prune_alpha < 1.0):
+        raise ValueError(f"prune_alpha must be in [0, 1), got {prune_alpha}")
+    spark = docs.sparkSession
+    vocab = {
+        r["piece"]: r["cnt"]
+        for r in unigram_seed_vocab(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            max_piece_len=max_piece_len,
+            min_count=min_count,
+        ).collect()
+    }
+    chars = {p for p in vocab if len(p) == 1}
+    for _ in range(n_rounds):
+        costs = piece_costs(
+            [{"piece": p, "cnt": c} for p, c in vocab.items()]
+        )
+        new = {
+            r["piece"]: r["new_cnt"]
+            for r in unigram_em_counts(
+                docs,
+                costs,
+                text_col=text_col,
+                id_col=id_col,
+                max_piece_len=max_piece_len,
+                enum_max_len=enum_max_len,
+            ).collect()
+        }
+        multi = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda pc: (pc[1], pc[0]),
+        )
+        n_drop = int(len(multi) * prune_alpha)
+        vocab = dict(multi[n_drop:])
+        for ch in chars:
+            vocab[ch] = max(new.get(ch, 0), 1)
+    return spark.createDataFrame(
+        sorted(vocab.items()), "piece string, cnt bigint"
+    )
+
+
+def _train_round_ctes(r: int, *, prune_alpha: float) -> str:
+    """Round-``r`` CTEs (1-indexed) for the train oracle: costs from
+    vocab{r-1}, tuple-min best segmentation over the SHARED enumeration
+    (seg_pieces is cost-independent and built once), hard-EM counts,
+    bottom-α prune of multi-char pieces, chars kept with max(cnt, 1)."""
+    return f"""
+    tot{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab{r - 1}),
+    costs{r} AS (
+      SELECT piece,
+             CAST(floor(-ln(cnt * 1.0 / total) * {_UNAT} + 0.5) AS BIGINT)
+               AS c
+      FROM vocab{r - 1}, tot{r}
+    ),
+    cand{r} AS (
+      SELECT sp.w, sp.m,
+             CAST(sum(co.c) AS BIGINT) AS cost,
+             CAST(count(*) AS BIGINT) AS n_pieces
+      FROM seg_pieces sp JOIN costs{r} co ON co.piece = sp.piece
+      GROUP BY sp.w, sp.m
+      HAVING count(*) = bit_count(sp.m) + 1
+    ),
+    best{r} AS (
+      SELECT w, m FROM (
+        SELECT w, m,
+               row_number() OVER (
+                 PARTITION BY w ORDER BY cost, n_pieces, m
+               ) AS rn
+        FROM cand{r}
+      ) WHERE rn = 1
+    ),
+    counts{r} AS (
+      SELECT sp.piece, CAST(sum(wcnt.cnt) AS BIGINT) AS new_cnt
+      FROM seg_pieces sp
+      JOIN best{r} b ON sp.w = b.w AND sp.m = b.m
+      JOIN wcnt ON sp.w = wcnt.w
+      GROUP BY sp.piece
+    ),
+    multi{r} AS (
+      SELECT piece, new_cnt,
+             row_number() OVER (ORDER BY new_cnt, piece) AS rn,
+             count(*) OVER () AS n
+      FROM counts{r} WHERE len(piece) > 1
+    ),
+    vocab{r} AS (
+      SELECT piece, new_cnt AS cnt FROM multi{r}
+      WHERE rn > CAST(floor(n * {prune_alpha}) AS BIGINT)
+      UNION ALL
+      SELECT ch.piece,
+             greatest(coalesce(k.new_cnt, 0), 1) AS cnt
+      FROM chars ch LEFT JOIN counts{r} k
+        ON ch.piece = k.piece
+    )"""
+
+
+def unigram_train_sql(
+    *,
+    norm_sql: str,
+    table: str = "documents",
+    n_rounds: int = 3,
+    prune_alpha: float = 0.25,
+) -> str:
+    """DuckDB oracle for :func:`unigram_train`: the seed-vocab chain, ONE
+    shared boundary-mask enumeration (cost-independent), then ``n_rounds``
+    unrolled EM+prune rounds — a wrong cost, a wrong tuple-min, a wrong
+    count, a prune off by one rank, or a dropped char each break the
+    hash."""
+    enum = f"""
+    dw AS (SELECT DISTINCT w FROM wcnt WHERE len(w) <= {ENUM_MAX_LEN}),
+    masks AS (
+      SELECT w, m
+      FROM dw,
+           UNNEST(range(0, CAST(1 AS BIGINT) << (len(w) - 1))) AS t(m)
+    ),
+    starts AS (
+      SELECT w, m, j
+      FROM masks, UNNEST(range(1, len(w) + 1)) AS p(j)
+      WHERE j = 1 OR ((m >> (j - 2)) & 1) = 1
+    ),
+    seg_pieces AS (
+      SELECT w, m, j AS s,
+             substr(w, j,
+                    coalesce(lead(j) OVER (PARTITION BY w, m ORDER BY j),
+                             len(w) + 1) - j) AS piece
+      FROM starts
+    ),
+    vocab0 AS (SELECT piece, cnt FROM vocab),
+    chars AS (SELECT piece FROM vocab0 WHERE len(piece) = 1)
+    """
+    rounds = "".join(
+        "," + _train_round_ctes(r, prune_alpha=prune_alpha)
+        for r in range(1, n_rounds + 1)
+    )
+    return f"""
+    WITH {_vocab_ctes(norm_sql=norm_sql, table=table)},
+    {enum}
+    {rounds}
+    SELECT piece, cnt FROM vocab{n_rounds}
+    """

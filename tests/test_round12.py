@@ -1,0 +1,116 @@
+"""Round-12 gates: iterated unigram-LM training (EM + prune convergence,
+feasibility invariant), and the caption↔image paired-dedup class logic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.operators.unigram import (
+    piece_costs,
+    unigram_em_counts,
+    unigram_seed_vocab,
+    unigram_train,
+)
+
+
+def _vocab_dict(df):
+    return {r["piece"]: r["cnt"] for r in df.collect()}
+
+
+class TestUnigramTrain:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "banana bandana banana"),
+                (1, "bandana ban banana"),
+                (2, "ana ban band banana"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_one_round_no_prune_equals_em_step(self, spark):
+        # alpha=0: train(1 round) == seed costs -> em counts, chars floored
+        docs = self._docs(spark)
+        got = _vocab_dict(unigram_train(docs, n_rounds=1, prune_alpha=0.0))
+        seed = unigram_seed_vocab(docs).collect()
+        costs = piece_costs(seed)
+        em = {
+            r["piece"]: r["new_cnt"]
+            for r in unigram_em_counts(docs, costs).collect()
+        }
+        chars = {r["piece"] for r in seed if len(r["piece"]) == 1}
+        want = {p: c for p, c in em.items() if len(p) > 1}
+        for ch in chars:
+            want[ch] = max(em.get(ch, 0), 1)
+        assert got == want
+
+    def test_prune_drops_bottom_quarter_multichar_only(self, spark):
+        docs = self._docs(spark)
+        unpruned = _vocab_dict(unigram_train(docs, n_rounds=1, prune_alpha=0.0))
+        pruned = _vocab_dict(unigram_train(docs, n_rounds=1, prune_alpha=0.25))
+        multi = sorted(
+            ((p, c) for p, c in unpruned.items() if len(p) > 1),
+            key=lambda pc: (pc[1], pc[0]),
+        )
+        n_drop = len(multi) // 4
+        dropped = {p for p, _ in multi[:n_drop]}
+        assert set(unpruned) - set(pruned) == dropped
+        # every single char survives pruning
+        chars = {p for p in unpruned if len(p) == 1}
+        assert chars <= set(pruned)
+
+    def test_chars_always_feasible_at_extreme_prune(self, spark):
+        # alpha near 1 prunes almost every multi-char piece; every corpus
+        # word must still be segmentable (single chars floored at cnt 1)
+        docs = self._docs(spark)
+        vocab = _vocab_dict(unigram_train(docs, n_rounds=3, prune_alpha=0.875))
+        chars = {p for p in vocab if len(p) == 1}
+        corpus_chars = set("".join(r["text"] for r in docs.collect())) - {" "}
+        assert corpus_chars <= chars
+        assert all(c >= 1 for c in vocab.values())
+
+    def test_convergence_vocab_stabilizes(self, spark):
+        # once pruning stops removing pieces, further EM rounds are a
+        # fixed point: train(k) == train(k+1) for some small k
+        docs = self._docs(spark)
+        prev = None
+        for k in range(1, 7):
+            cur = _vocab_dict(
+                unigram_train(docs, n_rounds=k, prune_alpha=0.25)
+            )
+            if prev is not None and cur == prev:
+                break
+            prev = cur
+        else:
+            pytest.fail("vocabulary did not converge within 6 EM rounds")
+
+    def test_rejects_bad_params(self, spark):
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="n_rounds"):
+            unigram_train(docs, n_rounds=0)
+        with pytest.raises(ValueError, match="prune_alpha"):
+            unigram_train(docs, prune_alpha=1.0)
+
+
+class TestCaptionImageDups:
+    def test_classes_partition_the_pair_set(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        out = QUERIES["llm_caption_image_dups"](
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = out.collect()
+        assert rows, "paired tier produced no pairs at sf0.001"
+        for r in rows:
+            if r["dup_class"] == "both":
+                assert r["hamming"] is not None and r["n_bands_matched"]
+            elif r["dup_class"] == "image_only":
+                assert r["hamming"] is not None
+                assert r["n_bands_matched"] is None
+            else:
+                assert r["dup_class"] == "caption_only"
+                assert r["hamming"] is None
+        # pair keys are unique across the outer join
+        keys = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(keys) == len(set(keys))
