@@ -108,3 +108,55 @@ def fs_weights_sql(
             f"ELSE {math.log2((1.0 - m) / (1.0 - u))!r} END)"
         )
     return " + ".join(parts)
+
+
+def fs_link_multipass(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    block_passes: list[list[str]],
+    features: dict[str, Column],
+    weights: dict[str, tuple[float, float]],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Union-of-blocking-passes Fellegi–Sunter linkage — the production
+    discipline (Winkler: any single blocking key has a perturbation blind
+    spot; real deployments run several passes and union the candidates).
+
+    Each pass is ONE equi-join on that pass's shared key columns,
+    projected immediately to (left_id, right_id); passes union and dedup
+    on the pair key BEFORE scoring, so a pair surviving several passes
+    scores exactly once. Blocking recall is the union of per-pass recalls:
+    a record whose name field is mangled still blocks via its phone pass
+    and vice versa — only records mangled in EVERY pass key remain
+    honest residual false negatives.
+
+    Scale shape: per pass one key-partitioned equi-join (id-pair
+    projection keeps the union narrow), one distinct on the pair key, two
+    id-keyed rejoins to fetch scoring attributes. Nothing is all-pairs;
+    no pass result is ever collected.
+    """
+    if not block_passes:
+        raise ValueError("need at least one blocking pass")
+    cands = None
+    for keys in block_passes:
+        p = (
+            left.select(left_id, *keys)
+            .join(right.select(right_id, *keys), list(keys))
+            .select(left_id, right_id)
+        )
+        cands = p if cands is None else cands.unionAll(p)
+    cands = cands.distinct()
+    blk_cols = sorted({c for keys in block_passes for c in keys})
+    pairs = cands.join(left.drop(*blk_cols), left_id).join(
+        right.drop(*blk_cols), right_id
+    )
+    score = F.round(fs_score(features, weights), 6)
+    return pairs.select(
+        "*",
+        score.alias("fs_score"),
+        fs_classify(score, upper=upper, lower=lower).alias("fs_class"),
+    )

@@ -262,3 +262,164 @@ def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rounds=_UT_ROUNDS,
         prune_alpha=_UT_ALPHA,
     )
+
+
+# ===========================================================================
+# llm_record_linkage_multipass — F-S linkage with the UNION-of-blocking-
+# passes discipline (Winkler), upgrading llm_record_linkage's single
+# block. Realism upgrade over the r11 entry: the dirty copy's blocking
+# keys derive from its own DIRTY fields (you only ever have the dirty
+# record), and the name perturbation (k%3: drop the LAST char) genuinely
+# breaks the name-tail key — so pass 1 alone misses every %3 record.
+# Pass 2 blocks on the phone suffix (k%4 mangles the last digit to
+# (d+1)%10, guaranteed different), so it alone misses every %4 record.
+# The union's honest residual false negatives are exactly the records
+# mangled in BOTH pass keys (k%12 == 0) — asserted by the recall test.
+# Candidates dedup on the pair key before ONE scoring pass. The oracle
+# replays both passes, the UNION DISTINCT, and the identical weight
+# literals — a dropped pass, a double-scored pair, or a wrong blocking
+# derivation each break the hash.
+# ===========================================================================
+
+
+def _mp_linkage_sql() -> str:
+    from crowdsorsa_etl_spark.operators.linkage import fs_weights_sql
+    from crowdsorsa_etl_spark.queries.round11_pack import (
+        _FS_LOWER,
+        _FS_UPPER,
+        _FS_WEIGHTS,
+    )
+
+    feats = {
+        "name": "d.d_name = c.c_name",
+        "phone": "d.d_phone = c.c_phone",
+        "acct": "d.d_acctbal = c.c_acctbal",
+        "mkt": "d.d_mkt = c.c_mktsegment",
+    }
+    score = fs_weights_sql(feats, _FS_WEIGHTS)
+    return f"""
+    WITH clean AS (
+      SELECT c_custkey, c_nationkey, c_name,
+             printf('%02d-%07d', c_nationkey, c_custkey) AS c_phone,
+             c_acctbal, c_mktsegment,
+             substr(c_name, len(c_name) - 1, 2) AS blk_tail,
+             substr(printf('%02d-%07d', c_nationkey, c_custkey), 8, 3)
+               AS blk_ph
+      FROM customer
+    ),
+    dirty0 AS (
+      SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substr(c_name, 1, len(c_name) - 1)
+                  ELSE c_name END AS d_name,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN substr(printf('%02d-%07d', c_nationkey, c_custkey),
+                              1, 9)
+                       || CAST((c_custkey % 10 + 1) % 10 AS VARCHAR)
+                  ELSE printf('%02d-%07d', c_nationkey, c_custkey)
+                  END AS d_phone,
+             c_acctbal AS d_acctbal,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN 'UNKNOWN' ELSE c_mktsegment END AS d_mkt
+      FROM customer
+    ),
+    dirty AS (
+      SELECT *, substr(d_name, len(d_name) - 1, 2) AS blk_tail,
+             substr(d_phone, 8, 3) AS blk_ph
+      FROM dirty0
+    ),
+    cands AS (
+      SELECT DISTINCT c_custkey, d_custkey FROM (
+        SELECT c.c_custkey, d.d_custkey
+        FROM clean c JOIN dirty d
+          ON c.c_nationkey = d.d_nationkey AND c.blk_tail = d.blk_tail
+        UNION ALL
+        SELECT c.c_custkey, d.d_custkey
+        FROM clean c JOIN dirty d
+          ON c.c_nationkey = d.d_nationkey AND c.blk_ph = d.blk_ph
+      )
+    ),
+    scored AS (
+      SELECT c.c_custkey, d.d_custkey, round({score}, 6) AS fs_score
+      FROM cands
+      JOIN clean c USING (c_custkey)
+      JOIN dirty d USING (d_custkey)
+    )
+    SELECT c_custkey, d_custkey, fs_score,
+           CASE WHEN fs_score >= {_FS_UPPER} THEN 'match'
+                WHEN fs_score >= {_FS_LOWER} THEN 'possible'
+                ELSE 'nonmatch' END AS fs_class
+    FROM scored
+    """
+
+
+@register("llm_record_linkage_multipass", _mp_linkage_sql())
+def llm_record_linkage_multipass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two blocking passes (nation+name-tail, nation+phone-suffix) over
+    dirty-derived keys, unioned + deduped, then one F-S scoring pass."""
+    from crowdsorsa_etl_spark.operators.linkage import fs_link_multipass
+    from crowdsorsa_etl_spark.queries.round11_pack import (
+        _FS_LOWER,
+        _FS_UPPER,
+        _FS_WEIGHTS,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    phone = F.format_string("%02d-%07d", "c_nationkey", "c_custkey")
+    clean = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("blk_nation"),
+        "c_name",
+        phone.alias("c_phone"),
+        "c_acctbal",
+        "c_mktsegment",
+        F.expr("substr(c_name, length(c_name) - 1, 2)").alias("blk_tail"),
+        F.substring(phone, 8, 3).alias("blk_ph"),
+    )
+    d_name = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.expr("substr(c_name, 1, length(c_name) - 1)"),
+    ).otherwise(F.col("c_name"))
+    d_phone = F.when(
+        F.col("c_custkey") % 4 == 0,
+        F.concat(
+            F.substring(phone, 1, 9),
+            ((F.col("c_custkey") % 10 + 1) % 10).cast("string"),
+        ),
+    ).otherwise(phone)
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.col("c_nationkey").alias("blk_nation"),
+        d_name.alias("d_name"),
+        d_phone.alias("d_phone"),
+        F.col("c_acctbal").alias("d_acctbal"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mkt"),
+    ).select(
+        "*",
+        F.expr("substr(d_name, length(d_name) - 1, 2)").alias("blk_tail"),
+        F.substring(F.col("d_phone"), 8, 3).alias("blk_ph"),
+    )
+    out = fs_link_multipass(
+        clean,
+        dirty,
+        left_id="c_custkey",
+        right_id="d_custkey",
+        block_passes=[
+            ["blk_nation", "blk_tail"],
+            ["blk_nation", "blk_ph"],
+        ],
+        features={
+            "name": F.col("d_name") == F.col("c_name"),
+            "phone": F.col("d_phone") == F.col("c_phone"),
+            "acct": F.col("d_acctbal") == F.col("c_acctbal"),
+            "mkt": F.col("d_mkt") == F.col("c_mktsegment"),
+        },
+        weights=_FS_WEIGHTS,
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
+    return out.select("c_custkey", "d_custkey", "fs_score", "fs_class")

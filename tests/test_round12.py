@@ -114,3 +114,66 @@ class TestCaptionImageDups:
         # pair keys are unique across the outer join
         keys = [(r["id_a"], r["id_b"]) for r in rows]
         assert len(keys) == len(set(keys))
+
+
+class TestMultipassLinkage:
+    def test_union_blocking_recall_and_honest_residual(self, spark):
+        """Multi-pass blocking must catch every record at most one of
+        whose pass keys is mangled; the only permitted misses are records
+        mangled in BOTH pass keys (k%12 == 0) — and those misses must
+        actually exist (the residual is honest, not vacuous)."""
+        from crowdsorsa_etl_spark.queries.round12_pack import (
+            llm_record_linkage_multipass,
+        )
+
+        got = llm_record_linkage_multipass(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        true_found = {
+            r["c_custkey"] for r in got if r["c_custkey"] == r["d_custkey"]
+        }
+        all_keys = {
+            r["c_custkey"]
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.001/customer.parquet"
+            ).collect()
+        }
+        # the union of passes: any key NOT mangled in both block fields
+        # must be blocked by at least one pass
+        must_find = {k for k in all_keys if k % 3 != 0 or k % 4 != 0}
+        assert must_find <= true_found
+        missed = all_keys - true_found
+        assert missed, "expected an honest residual (both keys mangled)"
+        assert all(k % 12 == 0 for k in missed)
+        # score level: any found true pair with < 3 perturbed fields
+        # classifies match/possible (the r11 score-FN contract holds)
+        by_key = {
+            r["c_custkey"]: r
+            for r in got
+            if r["c_custkey"] == r["d_custkey"]
+        }
+        for k, r in by_key.items():
+            n_pert = (k % 3 == 0) + (k % 4 == 0) + (k % 5 == 0)
+            if n_pert < 3:
+                assert r["fs_class"] in ("match", "possible"), r
+        # dedup before scoring: each pair appears exactly once even when
+        # both passes produce it
+        pair_keys = [(r["c_custkey"], r["d_custkey"]) for r in got]
+        assert len(pair_keys) == len(set(pair_keys))
+
+    def test_multipass_rejects_empty_passes(self, spark):
+        from crowdsorsa_etl_spark.operators.linkage import fs_link_multipass
+
+        df = spark.createDataFrame([(1, "a")], "id long, blk string")
+        with pytest.raises(ValueError, match="blocking pass"):
+            fs_link_multipass(
+                df,
+                df.withColumnRenamed("id", "rid"),
+                left_id="id",
+                right_id="rid",
+                block_passes=[],
+                features={},
+                weights={},
+                upper=1.0,
+                lower=0.0,
+            )
