@@ -164,6 +164,14 @@ HEADLINE = [
     # round 11 late: DSIR importance weights (bounded bucket artifact,
     # broadcast-join scoring, exact fixed-point sums)
     "llm_dsir_weights",
+    # round 12: frequency-capped BPE learn (top-N dictionary -> driver
+    # loop, no probe job), caption-image paired dedup (two bucketed pair
+    # sets + full outer join), iterated unigram-LM EM+prune trainer,
+    # multi-pass blocked record linkage (union of two equi-join passes)
+    "llm_bpe_merges_capped",
+    "llm_caption_image_dups",
+    "llm_unigram_train",
+    "llm_record_linkage_multipass",
 ]
 
 

@@ -991,3 +991,167 @@ def merge_topk(parts: list[DataFrame], *, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix method that mined billions of parallel sentence pairs):
+    raw cosine over-selects hub vectors, so each candidate pair is scored
+    by its cosine RELATIVE to both endpoints' k-NN neighborhoods,
+
+        margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2),
+
+    and each source keeps its best target by (margin DESC, tgt id ASC).
+
+    Cross-engine float discipline: cosines round to 6 dp (house
+    convention), then move to EXACT BIGINT fixed point (×1e6) — the two
+    neighborhood sums are integer sums (no float summation order), and the
+    margin is ONE correctly-rounded double division of exact integers,
+    identical on both engines.
+
+    This demo tier scores the full src×tgt cross ONCE and derives both
+    neighborhoods from the same matrix (|src|·|tgt| bounded by the
+    caller's pushdown predicate). At corpus scale the cross is replaced by
+    the ANN ladder's candidate pairs (IVF/SRP-LSH — same modules) and the
+    k-NN averages come from the retrieved lists; the margin arithmetic is
+    unchanged.
+
+    Output: (src_id, tgt_id, cosine, margin) — one row per source.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_sv"),
+        l2_norm(F.col(vec_col)).alias("_sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    scored = (
+        s.join(F.broadcast(t))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_sv"), F.col("_tv"))
+                / (F.col("_sn") * F.col("_tn")),
+                6,
+            ),
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            F.round(F.col("cosine") * 1e6, 0).cast("long").alias("c6"),
+        )
+        # both windows and the final argmax rescan the scored cross —
+        # materialize the (bounded) score matrix once
+        .localCheckpoint()
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("c6").desc(), F.col("tgt_id").asc()
+    )
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("c6").alias("fa_sum"))
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("c6").desc(), F.col("src_id").asc()
+    )
+    bwd = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("c6").alias("fb_sum"))
+    )
+    margins = (
+        scored.join(fwd, "src_id")
+        .join(F.broadcast(bwd), "tgt_id")
+        .filter(F.col("fa_sum") + F.col("fb_sum") != 0)
+        .withColumn(
+            "margin",
+            F.round(
+                (F.col("c6") * 2 * k).cast("double")
+                / (F.col("fa_sum") + F.col("fb_sum")),
+                6,
+            ),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        margins.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )
+
+
+def bitext_margin_sql(
+    *,
+    k: int = 4,
+    src_pred: str = "vec_id % 2 = 0",
+    tgt_pred: str = "vec_id % 2 = 1",
+) -> str:
+    """DuckDB oracle for :func:`bitext_margin_pairs`: identical cosine
+    rounding, identical ×1e6 fixed point, identical window top-k sums and
+    the one exact-integer double division."""
+    return f"""
+    WITH s AS (
+      SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE {src_pred}
+    ),
+    t AS (
+      SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+      FROM embeddings WHERE {tgt_pred}
+    ),
+    sc AS (
+      SELECT src_id, tgt_id,
+             round(list_dot_product(sv, tv)
+                   / (sqrt(list_dot_product(sv, sv))
+                      * sqrt(list_dot_product(tv, tv))), 6) AS cosine
+      FROM s CROSS JOIN t
+    ),
+    c6t AS (
+      SELECT *, CAST(round(cosine * 1e6) AS BIGINT) AS c6 FROM sc
+    ),
+    fwd AS (
+      SELECT src_id, CAST(sum(c6) AS BIGINT) AS fa_sum FROM (
+        SELECT src_id, c6, row_number() OVER (
+          PARTITION BY src_id ORDER BY c6 DESC, tgt_id ASC) AS rn
+        FROM c6t
+      ) WHERE rn <= {k} GROUP BY src_id
+    ),
+    bwd AS (
+      SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS fb_sum FROM (
+        SELECT tgt_id, c6, row_number() OVER (
+          PARTITION BY tgt_id ORDER BY c6 DESC, src_id ASC) AS rn
+        FROM c6t
+      ) WHERE rn <= {k} GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT c.src_id, c.tgt_id, c.cosine,
+             round(CAST(c.c6 * 2 * {k} AS DOUBLE)
+                   / (f.fa_sum + b.fb_sum), 6) AS margin
+      FROM c6t c
+      JOIN fwd f USING (src_id)
+      JOIN bwd b USING (tgt_id)
+      WHERE f.fa_sum + b.fb_sum != 0
+    )
+    SELECT src_id, tgt_id, cosine, margin FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rk
+      FROM m
+    ) WHERE rk = 1
+    """

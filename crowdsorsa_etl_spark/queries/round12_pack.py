@@ -423,3 +423,44 @@ def llm_record_linkage_multipass(
         lower=_FS_LOWER,
     )
     return out.select("c_custkey", "d_custkey", "fs_score", "fs_class")
+
+
+# ===========================================================================
+# llm_bitext_margin — margin-based bitext mining (Artetxe & Schwenk 2019),
+# the LASER/CCMatrix method behind the largest public parallel corpora:
+# raw cosine over-selects hub vectors, so candidate pairs score by cosine
+# RELATIVE to both endpoints' k-NN neighborhood averages and each source
+# keeps its best target by margin. Fixture: embeddings split into two
+# "languages" by vec_id parity. Exactness: cosines round to 6 dp then move
+# to BIGINT ×1e6 fixed point — neighborhood sums are integer sums and the
+# margin is one correctly-rounded division of exact integers (no float
+# summation order anywhere). Scale path: the demo's one bounded cross is
+# replaced by the ANN ladder's candidate lists (IVF/SRP-LSH, same
+# modules); the margin arithmetic is unchanged.
+# ===========================================================================
+
+_BM_K = 4
+
+
+def _bitext_sql() -> str:
+    from crowdsorsa_etl_spark.operators.similarity import bitext_margin_sql
+
+    return bitext_margin_sql(
+        k=_BM_K,
+        src_pred="vec_id % 2 = 0 AND vec_id < 500",
+        tgt_pred="vec_id % 2 = 1 AND vec_id < 500",
+    )
+
+
+@register("llm_bitext_margin", _bitext_sql())
+def llm_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best margin-scored target per source over the parity-split
+    embedding fixture (k-NN neighborhood average in exact fixed point)."""
+    from crowdsorsa_etl_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return bitext_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=_BM_K,
+    )

@@ -177,3 +177,87 @@ class TestMultipassLinkage:
                 upper=1.0,
                 lower=0.0,
             )
+
+
+class TestBitextMargin:
+    def test_margin_demotes_popular_target(self, spark):
+        """Artetxe-Schwenk's point: the margin re-ranks away from targets
+        with inflated neighborhoods. In this 2-D fixture, target 3 is the
+        'hub' (highest backward k-NN sum); source 2's best COSINE is 3 but
+        its best MARGIN is 1 — asserted against a pure-python replay."""
+        import math
+
+        from crowdsorsa_etl_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        src_vecs = {0: (1.0, 0.0), 2: (0.95, 0.31), 4: (0.31, 0.95),
+                    6: (0.0, 1.0)}
+        tgt_vecs = {1: (0.85, 0.53), 3: (0.98, 0.2)}
+        k = 2
+        emb = spark.createDataFrame(
+            [(i, list(v)) for i, v in {**src_vecs, **tgt_vecs}.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["src_id"]: (r["tgt_id"], r["margin"])
+            for r in bitext_margin_pairs(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                k=k,
+            ).collect()
+        }
+
+        def _cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(
+                d
+                / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b))
+                ),
+                6,
+            )
+
+        c6 = {
+            (s, t): int(round(_cos(sv, tv) * 1e6))
+            for s, sv in src_vecs.items()
+            for t, tv in tgt_vecs.items()
+        }
+        fa = {
+            s: sum(sorted((c6[(s, t)] for t in tgt_vecs), reverse=True)[:k])
+            for s in src_vecs
+        }
+        fb = {
+            t: sum(sorted((c6[(s, t)] for s in src_vecs), reverse=True)[:k])
+            for t in tgt_vecs
+        }
+        want = {}
+        for s in src_vecs:
+            best = max(
+                tgt_vecs,
+                key=lambda t: (
+                    round((c6[(s, t)] * 2 * k) / (fa[s] + fb[t]), 6),
+                    -t,
+                ),
+            )
+            want[s] = (
+                best,
+                round((c6[(s, best)] * 2 * k) / (fa[s] + fb[best]), 6),
+            )
+        assert got == want
+        # the flip itself: source 2's raw-cosine argmax is the hub (3)...
+        assert c6[(2, 3)] > c6[(2, 1)]
+        # ...but the margin picks 1
+        assert got[2][0] == 1
+
+    def test_rejects_bad_k(self, spark):
+        from crowdsorsa_etl_spark.operators.similarity import (
+            bitext_margin_pairs,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="k must be"):
+            bitext_margin_pairs(emb, emb, k=0)

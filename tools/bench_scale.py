@@ -170,6 +170,16 @@ HEADLINE = [
     # artifact) + broadcast-join scoring — both corpus-sized exchanges
     # carry map-side partials
     "llm_dsir_weights",
+    # round 12: capped BPE learn (word-count agg + distributed top-N; the
+    # driver loop is flat in corpus size BY DESIGN — that is the point of
+    # the cap), iterated unigram EM+prune (distinct-word Viterbi ×3
+    # rounds — vocabulary saturates while tokens grow), caption-image
+    # paired dedup (bounded image side via doc_id<200 pushdown + LSH side
+    # scaling with documents). llm_record_linkage_multipass is EXCLUDED
+    # like llm_record_linkage: its input is the unreplicated customer dim.
+    "llm_bpe_merges_capped",
+    "llm_unigram_train",
+    "llm_caption_image_dups",
 ]
 
 
