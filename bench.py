@@ -172,6 +172,10 @@ HEADLINE = [
     "llm_caption_image_dups",
     "llm_unigram_train",
     "llm_record_linkage_multipass",
+    # round 12 late: margin bitext mining (fixed-point neighborhood sums),
+    # per-language tokenizer fertility (shared encode cache + dim-group agg)
+    "llm_bitext_margin",
+    "llm_tokenizer_fertility",
 ]
 
 

@@ -464,3 +464,88 @@ def llm_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         k=_BM_K,
     )
+
+
+# ===========================================================================
+# llm_tokenizer_fertility — the per-language tokenizer-efficiency report
+# every multilingual training run reads before fixing a vocabulary:
+# chars-per-token (compression) and tokens-per-word (fertility) by
+# language. High fertility on a language means the tokenizer fragments it
+# and the model pays more sequence positions per sentence — the standard
+# argument for vocabulary rebalancing. Rides the SHARED per-fixture encode
+# cache (one scan + one broadcast-sized dim join + one 10-ish-group agg);
+# the oracle re-learns and re-applies the whole 8-merge chain, so the
+# fertility numbers gate the full tokenize pipeline end to end. Exact
+# arithmetic: counts are BIGINT sums; the two ratios are single divisions
+# of exact integers, rounded to 6 dp.
+# ===========================================================================
+
+
+def _fertility_sql() -> str:
+    from crowdsorsa_etl_spark.operators.bpe import _encode_chain_ctes
+
+    ctes, final = _encode_chain_ctes(8)
+    norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    toks AS (
+      SELECT doc_id,
+             CAST(sum(len(string_split(rep, ' '))) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM docw JOIN {final} USING (word) GROUP BY doc_id
+    ),
+    chars AS (
+      SELECT doc_id, lang,
+             CAST(len(replace({norm}, ' ', '')) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT c.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(c.n_chars) AS BIGINT) AS n_chars,
+           round(sum(c.n_chars) * 1.0 / sum(t.n_tokens), 6)
+             AS chars_per_token,
+           round(sum(t.n_tokens) * 1.0 / sum(t.n_words), 6)
+             AS tokens_per_word
+    FROM toks t JOIN chars c USING (doc_id)
+    GROUP BY c.lang"""
+    )
+
+
+@register("llm_tokenizer_fertility", _fertility_sql())
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chars/token and tokens/word for the corpus-learned
+    8-merge BPE tokenizer, over the shared encode cache."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.queries.round10_pack import _encoded_ids
+
+    ids, _ = _encoded_ids(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    words = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.replace(norm, F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_words"),
+    )
+    return (
+        ids.select("doc_id", "n_tokens")
+        .join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum("n_tokens") * F.lit(1.0) / F.sum("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+    )

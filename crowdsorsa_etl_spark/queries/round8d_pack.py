@@ -40,13 +40,16 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literal expressions — the encode stage is fully narrow and stays in
     whole-stage codegen. Output carries the token count and an md5 of the
     full symbol stream per doc."""
-    from crowdsorsa_etl_spark.operators.bpe import bpe_encode, bpe_learn_merges
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode
+    from crowdsorsa_etl_spark.queries.round10_pack import _learned_bpe
 
     docs = _t(spark, sf_dir, "documents")
     # the merge table IS the bounded artifact (n_merges rows, like a shipped
-    # tokenizer.json) — collecting it is the contract, not a scale leak
-    merge_rows = bpe_learn_merges(docs, n_merges=_BPE_MERGES).collect()
-    merges = [tuple(r["pair"].split(" ")) for r in merge_rows]
+    # tokenizer.json) — collecting it is the contract, not a scale leak;
+    # shared per fixture with the whole token chain (_BPE_ARTIFACTS memo)
+    merges, _, _ = _learned_bpe(
+        spark, sf_dir, _BPE_MERGES, with_vocab=False
+    )
     return bpe_encode(docs, merges)
 
 
