@@ -532,3 +532,53 @@ def entropy_signals(
     return src.mapInPandas(
         ent, f"doc_id {id_field.dataType.simpleString()}, entropy double"
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch-aware UPsampling — the >1× side of mixture construction
+    (GPT-3/Dolma-style "repeat the high-quality sources": wiki ×3.5, books
+    ×2, web ×1). ``hash_bucket`` downsampling covers rates < 1;
+    this emits each document floor(w) times plus one extra epoch for a
+    deterministic md5-bucket fraction of documents, so a group's expected
+    token mass scales by exactly w while every emitted copy carries its
+    epoch index (dataloaders shuffle epochs independently; dedup audits
+    need to know which copies are intentional).
+
+    Deterministic and engine-stable like ``llm_domain_mix``: the
+    fractional-epoch admission is ``bucket('epoch:'||key) <
+    (w - floor(w)) * 256`` — rerunning the pipeline (or replaying it in
+    another engine) upsamples the identical documents. Fractional parts
+    must be multiples of 1/256 (quarters, eighths, ...) so the threshold
+    is exact in both engines' doubles.
+
+    Joinless and fused into the scan: a literal CASE for the weight, one
+    md5, one bounded ``sequence`` explode. Output: input columns +
+    n_epochs (int) + epoch (int, 0-based).
+    """
+    w = F.lit(float(default_weight))
+    for g, x in sorted(weights.items()):
+        if x < 0:
+            raise ValueError(f"negative weight for {g!r}: {x}")
+        w = F.when(F.col(group_col) == g, F.lit(float(x))).otherwise(w)
+    full = F.floor(w).cast("int")
+    bucket = hash_bucket(
+        F.concat(F.lit("epoch:"), F.col(key_col).cast("string"))
+    )
+    n_epochs = (
+        full + (bucket < ((w - full) * 256).cast("int")).cast("int")
+    ).alias("n_epochs")
+    out = df.withColumn("n_epochs", n_epochs)
+    # sequence(0, -1) would produce a DESCENDING range in Spark — guard
+    # zero-epoch rows with an empty array instead
+    epochs = F.when(
+        F.col("n_epochs") > 0,
+        F.sequence(F.lit(0), F.col("n_epochs") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return out.withColumn("epoch", F.explode(epochs))

@@ -549,3 +549,55 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+# ===========================================================================
+# llm_epoch_upsample — the >1× half of mixture construction (GPT-3/Dolma
+# "repeat the high-quality sources"): each doc of an upweighted source
+# emits floor(w) full epochs plus one extra for a deterministic md5-bucket
+# fraction, every copy carrying its epoch index. Complements
+# llm_domain_mix (rates < 1) and llm_token_budget (absolute quotas).
+# Fractional weights are multiples of 1/256 so the bucket threshold is
+# exact on both engines; the oracle replays the weight CASE, the bucket
+# derivation, and the range explode.
+# ===========================================================================
+
+_EPOCH_WEIGHTS = {"src0": 3.5, "src1": 2.0, "src2": 1.25, "src3": 0.75}
+
+
+def _epoch_upsample_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in _EPOCH_WEIGHTS.items()
+    )
+    md5 = "md5('epoch:' || CAST(doc_id AS VARCHAR))"
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST((instr('0123456789abcdef', substr({md5}, 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr({md5}, 2, 1)) - 1
+                  AS INT) AS bucket,
+             CASE {cases} ELSE 1.0 END AS w
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source,
+             CAST(floor(w) AS INT)
+             + CASE WHEN bucket < CAST((w - floor(w)) * 256 AS INT)
+                    THEN 1 ELSE 0 END AS n_epochs
+      FROM b
+    )
+    SELECT doc_id, source, n_epochs, CAST(t.e AS INT) AS epoch
+    FROM e, UNNEST(range(0, n_epochs)) AS t(e)
+    """
+
+
+@register("llm_epoch_upsample", _epoch_upsample_sql())
+def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-indexed upsampling: src0 ×3.5, src1 ×2,
+    src2 ×1.25, src3 ×0.75, everything else ×1."""
+    from crowdsorsa_etl_spark.operators.curation import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_upsample(docs, _EPOCH_WEIGHTS).select(
+        "doc_id", "source", "n_epochs", "epoch"
+    )

@@ -261,3 +261,49 @@ class TestBitextMargin:
         )
         with pytest.raises(ValueError, match="k must be"):
             bitext_margin_pairs(emb, emb, k=0)
+
+
+class TestEpochUpsample:
+    def test_epoch_counts_and_weight_semantics(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import (
+            epoch_upsample,
+            hash_bucket,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "wiki" if i % 2 == 0 else "web") for i in range(200)],
+            "doc_id long, source string",
+        )
+        out = epoch_upsample(docs, {"wiki": 2.5, "web": 0.5}).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+        buckets = {
+            r["doc_id"]: r["b"]
+            for r in docs.select(
+                "doc_id",
+                hash_bucket(
+                    F.concat(
+                        F.lit("epoch:"), F.col("doc_id").cast("string")
+                    )
+                ).alias("b"),
+            ).collect()
+        }
+        for i in range(200):
+            w = 2.5 if i % 2 == 0 else 0.5
+            extra = 1 if buckets[i] < int((w - int(w)) * 256) else 0
+            want = int(w) + extra
+            got = sorted(by_doc.get(i, []))
+            assert got == list(range(want)), (i, w, got)
+        # a 0-epoch doc (web, bucket >= 128) must exist and be absent
+        assert any(i not in by_doc for i in range(1, 200, 2))
+        # expected mass ~ w: wiki docs average ~2.5 epochs
+        wiki_epochs = sum(len(v) for i, v in by_doc.items() if i % 2 == 0)
+        assert 2.0 * 100 <= wiki_epochs <= 3.0 * 100
+
+    def test_rejects_negative_weight(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import epoch_upsample
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="negative weight"):
+            epoch_upsample(docs, {"a": -1.0})
