@@ -180,6 +180,13 @@ HEADLINE = [
     "llm_bpe_merges_capped",
     "llm_unigram_train",
     "llm_caption_image_dups",
+    # round 12 late: bitext margin (vec_id<500 pushdown-bounded cross —
+    # flat ratio is the pushdown proof; the corpus-scale path is ANN
+    # candidates), tokenizer fertility (shared encode cache + group agg),
+    # epoch upsampling (narrow literal-CASE explode, scales with docs)
+    "llm_bitext_margin",
+    "llm_tokenizer_fertility",
+    "llm_epoch_upsample",
 ]
 
 
