@@ -582,3 +582,78 @@ def epoch_upsample(
         F.sequence(F.lit(0), F.col("n_epochs") - 1),
     ).otherwise(F.array().cast("array<int>"))
     return out.withColumn("epoch", F.explode(epochs))
+
+
+def type_token_growth(
+    df: DataFrame,
+    *,
+    buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law type-token growth profile: cumulative token count and
+    cumulative vocabulary size at ``buckets`` equal-width corpus prefixes
+    (by ``id_col`` order) — the curve a tokenizer/vocabulary design reads
+    to see whether the corpus's vocabulary is saturating (V ≈ K·Nᵝ,
+    β < 1) or still growing linearly (dirty OCR, id-like junk).
+
+    Distribution shape: ONE word-keyed shuffle attributes each distinct
+    word to its FIRST document (min id — new types are counted where they
+    first appear, so the cumulative sum needs no distinct-per-prefix
+    rescan); per-bucket sums then cumulate over a ``buckets``-row window
+    (bounded state, no corpus-sized window). The id range arrives as a
+    lazy 1-row broadcast, not a driver round-trip.
+
+    Output: (bucket int, cum_tokens bigint, cum_vocab bigint).
+    """
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word"),
+    )
+    bounds = df.agg(
+        F.min(id_col).cast("bigint").alias("_lo"),
+        (F.max(id_col) + 1).cast("bigint").alias("_hi"),
+    )
+    bucket = F.floor(
+        (F.col("_id") - F.col("_lo")) * buckets / (F.col("_hi") - F.col("_lo"))
+    ).cast("int")
+    toks = (
+        words.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    firsts = (
+        words.groupBy("word")
+        .agg(F.min("_id").alias("_id"))
+        .join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the window runs over <= `buckets` rows — SinglePartition over a
+    # bounded aggregate result, not over the corpus
+    return (
+        toks.join(firsts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )

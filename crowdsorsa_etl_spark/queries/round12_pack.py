@@ -601,3 +601,62 @@ def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(docs, _EPOCH_WEIGHTS).select(
         "doc_id", "source", "n_epochs", "epoch"
     )
+
+
+# ===========================================================================
+# llm_heaps_law — type-token growth profile (Heaps' law V ≈ K·N^β): the
+# vocabulary-saturation curve tokenizer and dedup design reads. New types
+# are attributed to their FIRST document (one word-keyed min-id shuffle),
+# so cumulative vocabulary needs no distinct-per-prefix rescans; the
+# cumulative window runs over the 10 bucket rows, never the corpus. The
+# oracle replays first-occurrence attribution, bucket arithmetic (id range
+# via scalar subqueries = the lazy 1-row broadcast), and both cumsums.
+# ===========================================================================
+
+_HL_BUCKETS = 10
+
+
+def _heaps_sql() -> str:
+    from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+
+    b = _HL_BUCKETS
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+             CAST(max(doc_id) + 1 AS BIGINT) AS hi
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id AS id, word FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+      ) WHERE len(word) > 0
+    ),
+    toks AS (
+      SELECT CAST(floor((id - lo) * {b} / (hi - lo)) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM words, bounds GROUP BY 1
+    ),
+    firsts AS (
+      SELECT CAST(floor((fid - lo) * {b} / (hi - lo)) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM (SELECT word, min(id) AS fid FROM words GROUP BY word), bounds
+      GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(sum(coalesce(n_tokens, 0)) OVER (ORDER BY bucket)
+                AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY bucket)
+                AS BIGINT) AS cum_vocab
+    FROM toks FULL OUTER JOIN firsts USING (bucket)
+    """
+
+
+@register("llm_heaps_law", _heaps_sql())
+def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative tokens and vocabulary at 10 corpus prefixes."""
+    from crowdsorsa_etl_spark.operators.curation import type_token_growth
+
+    return type_token_growth(
+        _t(spark, sf_dir, "documents"), buckets=_HL_BUCKETS
+    )

@@ -307,3 +307,41 @@ class TestEpochUpsample:
         docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
         with pytest.raises(ValueError, match="negative weight"):
             epoch_upsample(docs, {"a": -1.0})
+
+
+class TestTypeTokenGrowth:
+    def test_cumulative_counts_match_bruteforce(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import type_token_growth
+
+        rows = [
+            (0, "a b c"),
+            (1, "a b d d"),
+            (2, "e"),
+            (3, "a e f f f"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["bucket"]: (r["cum_tokens"], r["cum_vocab"])
+            for r in type_token_growth(docs, buckets=2).collect()
+        }
+        # bucket 0 = docs 0-1 (floor((id-0)*2/4)): 7 tokens, types a b c d
+        # bucket 1 = docs 2-3: +6 tokens, new types e f
+        assert got == {0: (7, 4), 1: (13, 6)}
+
+    def test_vocab_monotone_and_bounded_by_tokens(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import type_token_growth
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = type_token_growth(docs, buckets=5).orderBy("bucket").collect()
+        assert len(out) == 5
+        for prev, cur in zip(out, out[1:]):
+            assert cur["cum_tokens"] >= prev["cum_tokens"]
+            assert cur["cum_vocab"] >= prev["cum_vocab"]
+        assert all(r["cum_vocab"] <= r["cum_tokens"] for r in out)
+
+    def test_rejects_bad_buckets(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import type_token_growth
+
+        docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="buckets"):
+            type_token_growth(docs, buckets=0)
