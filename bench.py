@@ -176,6 +176,8 @@ HEADLINE = [
     # per-language tokenizer fertility (shared encode cache + dim-group agg)
     "llm_bitext_margin",
     "llm_tokenizer_fertility",
+    "llm_epoch_upsample",
+    "llm_heaps_law",
 ]
 
 

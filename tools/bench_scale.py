@@ -187,6 +187,8 @@ HEADLINE = [
     "llm_bitext_margin",
     "llm_tokenizer_fertility",
     "llm_epoch_upsample",
+    # heaps-law profile: one word-keyed shuffle + bucket-row cumsum
+    "llm_heaps_law",
 ]
 
 
