@@ -1536,3 +1536,121 @@ def start_dsir_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_budget_mix_stream(
+    docs_stream: DataFrame,
+    budgets: dict[str, int],
+    out_dir: str,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+):
+    """Per-source token-budget admission AT INGEST — the streaming form of
+    llm_token_budget / ``curation.token_budget_sample``: a corpus mixer
+    admits documents source-by-source until each source's absolute token
+    budget fills, while the corpus is still arriving. Sources outside
+    ``budgets`` have budget 0 (everything recorded, nothing kept).
+
+    Per micro-batch (foreachBatch): the batch replays the BATCH operator
+    with each source's budget reduced by the carried spend from all prior
+    epochs, so within-batch admission keeps the deterministic
+    (md5, key) order and the budget line falls exactly where a batch run
+    over the concatenated epochs would put it — the parity gate in
+    tests/test_streaming.py asserts that equivalence epoch by epoch.
+    Output lands under ``out_dir/epoch=<e>`` with (id, source, n_tokens,
+    cum_tokens GLOBAL, kept); the carried per-source spend (≤ |sources|
+    rows — bounded by the source vocabulary, not the corpus) is
+    epoch-versioned under ``state_dir/epoch=<e>`` with the
+    start_shard_stream replay contract: epoch e reads the newest state
+    < e, so a crashed-and-replayed epoch recomputes from the SAME carried
+    totals and overwrites the same paths.
+
+    Note the admission-order semantics: a batch run orders the WHOLE
+    corpus by (md5, key); the stream orders by (arrival epoch, md5, key).
+    That is the correct ingest semantics (you cannot admit a document you
+    have not seen), and it is exactly reproducible: replaying the same
+    epochs yields the same admission set.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.curation import token_budget_sample
+
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be >= 0; got {budgets}")
+
+    spark_active = docs_stream.sparkSession
+
+    def _carried(e: int) -> dict[str, int]:
+        if not os.path.isdir(state_dir):
+            return {}
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        if not prior:
+            return {}
+        rows = (
+            spark_active.read.schema("source string, spent long")
+            .parquet(os.path.join(state_dir, f"epoch={max(prior)}"))
+            .collect()
+        )
+        return {r["source"]: int(r["spent"]) for r in rows}
+
+    def admit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        carried = _carried(e)
+        from crowdsorsa_etl_spark.functions.text import token_count
+
+        d = batch_df.select(
+            F.col(id_col),
+            F.col(group_col).alias("source"),
+            token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        remaining = {
+            s: max(b - carried.get(s, 0), 0) for s, b in budgets.items()
+        }
+        out = token_budget_sample(
+            d,
+            remaining,
+            token_col="n_tokens",
+            key_col=id_col,
+            group_col="source",
+            default_budget=0,
+        )
+        # globalize the within-batch cumsum with the carried spend
+        shift = F.lit(0).cast("bigint")
+        for s, c in sorted(carried.items()):
+            shift = F.when(F.col("source") == s, F.lit(c)).otherwise(shift)
+        out = out.withColumn(
+            "cum_tokens", (F.col("cum_tokens") + shift).cast("bigint")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={e}")
+        )
+        spent = (
+            d.groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("spent"))
+            .collect()
+        )
+        merged = dict(carried)
+        for r in spent:
+            merged[r["source"]] = merged.get(r["source"], 0) + int(r["spent"])
+        spark_active.createDataFrame(
+            sorted(merged.items()), "source string, spent long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch={e}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

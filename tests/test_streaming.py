@@ -1394,3 +1394,124 @@ class TestDsirStream:
             assert got[doc_id].selected == batch[doc_id].selected
         # OOV batch: 4 unigrams + 3 bigrams, all (almost surely) unseen
         assert got[10].n_grams == 7
+
+
+class TestBudgetMixStream:
+    def test_admission_matches_epochwise_batch_replay(self, spark, tmp_path):
+        """Per-source budget admission at ingest: each epoch must admit
+        exactly what the batch operator admits on that epoch's slice with
+        budgets reduced by the carried spend, and the carried state must
+        advance by ALL seen tokens (admitted or not)."""
+        import os
+
+        from crowdsorsa_etl_spark.functions.text import token_count
+        from crowdsorsa_etl_spark.operators.curation import (
+            token_budget_sample,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_budget_mix_stream,
+        )
+
+        schema = "doc_id long, source string, text string"
+        # web budget 6 tokens -> fills mid-stream; code budget 100 -> never
+        # fills; 'junk' has no budget -> recorded, never kept
+        b1 = [
+            (0, "web", "a b c"),
+            (1, "web", "d e"),
+            (2, "code", "x y"),
+            (3, "junk", "q"),
+        ]
+        b2 = [
+            (4, "web", "f g"),
+            (5, "web", "h"),
+            (6, "code", "z"),
+        ]
+        budgets = {"web": 6, "code": 100}
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for name, rows in (("b1.parquet", b1), ("b2.parquet", b2)):
+            staging = str(tmp_path / f"_stage_{name}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        out = str(tmp_path / "out")
+        state = str(tmp_path / "state")
+        q = start_budget_mix_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            budgets,
+            out,
+            state,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r.doc_id: r
+            for r in spark.read.parquet(out).collect()
+        }
+        assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+        # junk has budget 0: never kept
+        assert got[3].kept is False
+
+        # epoch-wise batch replay
+        carried: dict[str, int] = {}
+        for rows in (b1, b2):
+            d = spark.createDataFrame(rows, schema).select(
+                "doc_id",
+                "source",
+                token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            )
+            remaining = {
+                s: max(b - carried.get(s, 0), 0) for s, b in budgets.items()
+            }
+            replay = {
+                r.doc_id: r
+                for r in token_budget_sample(
+                    d, remaining, default_budget=0
+                ).collect()
+            }
+            for doc_id, r in replay.items():
+                assert got[doc_id].kept == r.kept, doc_id
+                assert (
+                    got[doc_id].cum_tokens
+                    == r.cum_tokens + carried.get(r.source, 0)
+                ), doc_id
+            for r in d.collect():
+                carried[r.source] = carried.get(r.source, 0) + r.n_tokens
+
+        # state advanced by ALL tokens seen (web 5+3, code 3, junk 1)
+        latest = max(
+            int(x.split("=", 1)[1]) for x in os.listdir(state)
+        )
+        st = {
+            r.source: r.spent
+            for r in spark.read.parquet(
+                os.path.join(state, f"epoch={latest}")
+            ).collect()
+        }
+        assert st == carried
+
+    def test_rejects_negative_budget(self, spark, tmp_path):
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_budget_mix_stream,
+        )
+
+        with pytest.raises(ValueError, match="budgets"):
+            start_budget_mix_stream(
+                spark.readStream.format("rate").load(),
+                {"web": -1},
+                str(tmp_path / "o"),
+                str(tmp_path / "s"),
+                checkpoint_dir=str(tmp_path / "c"),
+            )
