@@ -722,3 +722,89 @@ def lsh_match_index(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_matched"))
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    prime: int = 31,
+    modulus: int = 1 << 20,
+    mask: int = 15,
+    max_bytes: int = 256,
+) -> DataFrame:
+    """Content-defined chunking dedup (LBFS/rsync discipline — the
+    storage-level dedup a blob lake runs): a k-byte polynomial rolling
+    hash cuts each payload at content-determined boundaries
+    (``h % (mask+1) == 0``), so an insertion shifts ONE chunk instead of
+    re-aligning every fixed-size block; identical chunks across documents
+    then collapse in a hash-keyed groupBy. Output: duplicated chunks only
+    — (chunk_md5, chunk_len, n_copies, n_docs).
+
+    Exactness: integer rolling hash (all mod arithmetic in int64),
+    chunk identity = md5 of the chunk's UPPERCASE hex — both replayed
+    verbatim by the SQL oracle from hex(encode(text)).
+
+    Scale shape: boundary detection is LOCAL (one Arrow pass, numpy
+    per-position hash, no shuffle); the only exchange is the chunk-hash
+    groupBy with map-side combine — a data-lake-sized corpus dedups with
+    one shuffle whose keys are content hashes (uniform by construction).
+    ``max_bytes`` bounds the demo tier; production payloads stream whole.
+    """
+    import binascii
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    pows = [pow(prime, j, modulus) for j in range(k)]
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            md5s: list = []
+            lens: list = []
+
+            def emit(did, chunk: bytes) -> None:
+                ids.append(did)
+                md5s.append(
+                    hashlib.md5(binascii.hexlify(chunk).upper()).hexdigest()
+                )
+                lens.append(len(chunk))
+
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                body = (text or "").encode("utf-8")[:max_bytes]
+                n = len(body)
+                if n == 0:
+                    continue
+                b = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+                h = np.zeros(n, dtype=np.int64)
+                for j, pw in enumerate(pows):
+                    h[k - 1 :] += b[k - 1 - j : n - j] * pw
+                bound = np.zeros(n, dtype=bool)
+                bound[k - 1 :] = (h[k - 1 :] % modulus) % (mask + 1) == 0
+                start = 0
+                for i in np.flatnonzero(bound):
+                    emit(did, body[start : i + 1])
+                    start = int(i) + 1
+                if start < n:
+                    emit(did, body[start:n])
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_md5": md5s, "chunk_len": lens}
+            )
+
+    chunks = df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, chunk_md5 string, chunk_len int"
+    )
+    return (
+        chunks.groupBy("chunk_md5", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

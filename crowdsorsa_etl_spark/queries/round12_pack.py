@@ -660,3 +660,77 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_token_growth(
         _t(spark, sf_dir, "documents"), buckets=_HL_BUCKETS
     )
+
+
+# ===========================================================================
+# llm_cdc_chunk_dedup — content-defined chunking dedup (LBFS/rsync): the
+# storage-level dedup a blob lake runs under the document-level tiers. A
+# 4-byte polynomial rolling hash (int64 mod arithmetic) cuts payloads at
+# content-determined boundaries, so an insertion shifts one chunk rather
+# than re-aligning every fixed block; identical chunks collapse in ONE
+# hash-keyed groupBy. The oracle re-derives every byte from
+# hex(encode(text)), replays the rolling hash with lag windows, the
+# boundary rule, the cumulative chunk ids, and md5-of-uppercase-hex chunk
+# identity — a boundary off by one byte anywhere breaks the hash.
+# ===========================================================================
+
+
+def _cdc_sql() -> str:
+    # p^j mod 2^20 literals for k=4, p=31
+    return """
+    WITH hx AS (
+      SELECT doc_id, substr(hex(encode(coalesce(text, ''))), 1, 512) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    bytes AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1))
+              - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+             - 1 AS v,
+             substr(h, CAST(2*i-1 AS INT), 2) AS hp
+      FROM hx, UNNEST(range(1, len(h) // 2 + 1)) AS t(i)
+    ),
+    rolled AS (
+      SELECT doc_id, i, hp,
+             v, lag(v, 1) OVER w AS b1, lag(v, 2) OVER w AS b2,
+             lag(v, 3) OVER w AS b3
+      FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    flags AS (
+      SELECT doc_id, i, hp,
+             CASE WHEN b3 IS NOT NULL
+                   AND ((v + b1 * 31 + b2 * 961 + b3 * 29791) % 1048576)
+                       % 16 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM rolled
+    ),
+    chunked AS (
+      SELECT doc_id, i, hp,
+             CAST(coalesce(sum(bnd) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cid
+      FROM flags
+    ),
+    ch AS (
+      SELECT doc_id, cid,
+             md5(string_agg(hp, '' ORDER BY i)) AS chunk_md5,
+             CAST(count(*) AS INT) AS chunk_len
+      FROM chunked GROUP BY 1, 2
+    )
+    SELECT chunk_md5, chunk_len,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch GROUP BY 1, 2 HAVING count(*) > 1
+    """
+
+
+@register("llm_cdc_chunk_dedup", _cdc_sql())
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated content-defined chunks across the corpus (k=4 rolling
+    hash, avg chunk ~16 bytes at mask 15)."""
+    from crowdsorsa_etl_spark.operators.dedup import cdc_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return cdc_chunk_stats(docs)

@@ -345,3 +345,48 @@ class TestTypeTokenGrowth:
         docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="buckets"):
             type_token_growth(docs, buckets=0)
+
+
+class TestCdcChunkDedup:
+    def test_insertion_shifts_one_chunk(self, spark):
+        """The CDC property fixed-size blocking lacks: inserting one byte
+        near the front changes only the chunk containing the insertion —
+        every later chunk (content-addressed) still dedups."""
+        from crowdsorsa_etl_spark.operators.dedup import cdc_chunk_stats
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        edited = "X" + base  # one-byte insertion at the very front
+        docs = spark.createDataFrame(
+            [(0, base), (1, edited)], ["doc_id", "text"]
+        )
+        dups = cdc_chunk_stats(docs).collect()
+        # shared tail chunks dedup across the pair despite the shift
+        assert any(r["n_docs"] == 2 for r in dups)
+
+    def test_chunks_reassemble_exactly(self, spark):
+        """Boundary bookkeeping: per-doc chunk lengths must sum to the
+        byte length, for unicode and short/empty docs alike."""
+        from crowdsorsa_etl_spark.operators.dedup import cdc_chunk_stats
+
+        texts = ["abc", "", "ä" * 100, "z" * 300, None]
+        # run the public operator on a corpus of two copies so every chunk
+        # is a dup, then total dup bytes must equal twice the (truncated)
+        # byte length of every document — unicode, empty, and None alike
+        dup_docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)]
+            + [(100 + i, t) for i, t in enumerate(texts)],
+            ["doc_id", "text"],
+        )
+        out = cdc_chunk_stats(dup_docs).collect()
+        total_dup_bytes = sum(r["chunk_len"] * r["n_copies"] for r in out)
+        want = 2 * sum(
+            min(len((t or "").encode("utf-8")), 256) for t in texts
+        )
+        assert total_dup_bytes == want
+
+    def test_rejects_bad_k(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import cdc_chunk_stats
+
+        docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="k must be"):
+            cdc_chunk_stats(docs, k=1)
