@@ -178,6 +178,7 @@ HEADLINE = [
     "llm_tokenizer_fertility",
     "llm_epoch_upsample",
     "llm_heaps_law",
+    "llm_cdc_chunk_dedup",
 ]
 
 

@@ -189,6 +189,10 @@ HEADLINE = [
     "llm_epoch_upsample",
     # heaps-law profile: one word-keyed shuffle + bucket-row cumsum
     "llm_heaps_law",
+    # CDC chunk dedup: doc_id<200 pushdown-bounded demo (flat = pushdown
+    # proof); production payloads scale via the local boundary pass + one
+    # chunk-hash groupBy
+    "llm_cdc_chunk_dedup",
 ]
 
 
