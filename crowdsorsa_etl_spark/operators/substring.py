@@ -190,6 +190,7 @@ def remove_duplicated_substrings(
     min_run: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every token covered by a duplicated >= ``min_run``-token run
     (the EXACTSUBSTR removal step) and return per-doc clean stats.
@@ -203,10 +204,15 @@ def remove_duplicated_substrings(
     and the removal itself is column-side: one broadcast-eligible shuffle
     join of docs against their span lists, then a pure ``filter`` lambda
     over the token array — no Python, no second corpus shuffle.
+
+    ``spans`` lets the caller pass a precomputed (or materialized)
+    ``duplicated_substring_spans`` result — the shared-artifact posture
+    the token chain uses; when None, spans are derived here.
     """
-    spans = duplicated_substring_spans(
-        df, min_run=min_run, text_col=text_col, id_col=id_col
-    )
+    if spans is None:
+        spans = duplicated_substring_spans(
+            df, min_run=min_run, text_col=text_col, id_col=id_col
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -54,15 +54,33 @@ from crowdsorsa_etl_spark.operators.substring import (
 )
 
 
-@register("llm_substring_dedup", _sub_spans_sql(k=8))
-def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated substring runs (>= 8 tokens) per document."""
+def _flagged_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture materialized duplicated-span table shared by the flag
+    and removal queries (the _encoded_ids shared-artifact posture): the
+    spans derivation is deterministic, so the first caller pays the
+    shingle pipeline and the removal query scans parquet."""
+    import os
+
     from crowdsorsa_etl_spark.operators.substring import (
         duplicated_substring_spans,
     )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
 
-    docs = _t(spark, sf_dir, "documents")
-    return duplicated_substring_spans(docs, min_run=8)
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "substr_spans8", "documents"), "spans.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents")
+        duplicated_substring_spans(docs, min_run=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("llm_substring_dedup", _sub_spans_sql(k=8))
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substring runs (>= 8 tokens) per document."""
+    return _flagged_spans(spark, sf_dir)
 
 
 @register("llm_substring_dedup_clean", _sub_clean_sql(k=8))
@@ -74,7 +92,9 @@ def llm_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return remove_duplicated_substrings(docs, min_run=8)
+    return remove_duplicated_substrings(
+        docs, min_run=8, spans=_flagged_spans(spark, sf_dir)
+    )
 
 
 # ===========================================================================
