@@ -50,10 +50,17 @@ def run_bench() -> None:
 
 
 def check_invariants() -> int:
+    import bench
+
     from crowdsorsa_etl_spark.queries import ORACLES, QUERIES
 
     with open(os.path.join(REPO, "CORRECTNESS_SELF.json")) as fh:
         self_rec = json.load(fh)
+    try:
+        with open(os.path.join(REPO, "BENCH_SELF.json")) as fh:
+            bench_rec = json.load(fh)
+    except FileNotFoundError:
+        bench_rec = None
     n_reg = len(QUERIES)
     problems: list[str] = []
     if self_rec["n_queries"] != n_reg:
@@ -67,6 +74,20 @@ def check_invariants() -> int:
         problems.append(f"missing from committed sweep: {missing[:10]}")
     if self_rec.get("n_fail", 1) != 0:
         problems.append(f"sweep has {self_rec['n_fail']} failures")
+    # bench coverage: every bench.HEADLINE entry must exist in the
+    # registry AND have a recorded time in the committed BENCH_SELF
+    bad_bench = sorted(set(bench.HEADLINE) - set(QUERIES))
+    if bad_bench:
+        problems.append(f"bench.HEADLINE names unknown queries: {bad_bench}")
+    if bench_rec is not None:
+        missing_bench = sorted(
+            set(bench.HEADLINE) - set(bench_rec.get("queries", {}))
+        )
+        if missing_bench:
+            problems.append(
+                f"BENCH_SELF is stale — headline entries without a "
+                f"recorded time: {missing_bench[:10]}"
+            )
     no_oracle = sorted(set(QUERIES) - set(ORACLES))
     if no_oracle:
         # informational: rows-only entries are allowed by the driver
