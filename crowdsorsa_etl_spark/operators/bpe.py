@@ -48,10 +48,15 @@ __all__ = [
     "bpe_token_ids_sql",
 ]
 
-#: merge counts at or below this use the literal-expression encode chain
-#: (fully narrow, whole-stage codegen); above it, the chain would blow
-#: codegen/analysis budgets, so ``strategy="auto"`` switches to the
-#: Arrow-batched mapInPandas merge loop (the production 32k-vocab shape).
+#: ceiling for the literal-expression encode chain when EXPLICITLY chosen
+#: (``strategy="expression"``); beyond it the nested-transform chain blows
+#: codegen/analysis budgets. ``strategy="auto"`` always picks the Arrow
+#: batch path: Spark evaluates higher-order-function lambdas INTERPRETED
+#: (they are outside whole-stage codegen), so the "narrow expression
+#: chain" is plan-pretty but measured 11× slower than the memoized
+#: mapInPandas loop even at 8 merges (5.7s vs 0.5s, sf0.1 warm). The
+#: expression path stays as the zero-Python reference tier, parity-pinned
+#: to the batch path.
 _EXPR_MERGE_LIMIT = 64
 
 
@@ -477,8 +482,13 @@ def _token_stream(
     if strategy not in ("auto", "expression", "batch"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     if strategy == "auto":
-        strategy = (
-            "expression" if len(merges) <= _EXPR_MERGE_LIMIT else "batch"
+        # measured, not assumed: HOF lambdas are interpreted, so the
+        # batch path wins at EVERY merge count (see _EXPR_MERGE_LIMIT)
+        strategy = "batch"
+    if strategy == "expression" and len(merges) > _EXPR_MERGE_LIMIT:
+        raise ValueError(
+            f"expression strategy supports <= {_EXPR_MERGE_LIMIT} merges "
+            f"(got {len(merges)}); use strategy='batch'"
         )
     fn = (
         _expr_token_stream if strategy == "expression" else _batch_token_stream
@@ -505,13 +515,14 @@ def bpe_encode(
     bit-identical (pinned by a parity test):
 
     - ``"expression"``: nested ``transform`` lambdas, one per merge — fully
-      narrow, zero Exchange, whole-stage codegen. Right at demo merge
-      counts; a 32k-deep chain would blow codegen.
+      narrow, zero Exchange, zero Python. The reference tier: Spark
+      evaluates HOF lambdas interpreted (outside whole-stage codegen), so
+      it is measured ~11× SLOWER than batch even at 8 merges; capped at
+      ``_EXPR_MERGE_LIMIT`` merges (deeper chains blow analysis budgets).
     - ``"batch"``: one ``mapInPandas`` stage looping the merge table with
       sequential-once semantics and per-unique-word memoization — the
-      production 32k-vocab shape.
-    - ``"auto"`` (default): expression at <= ``_EXPR_MERGE_LIMIT`` merges,
-      batch above.
+      production shape at every vocab size.
+    - ``"auto"`` (default): always batch (measured, not assumed).
 
     Output: (id_col, n_tokens bigint, tokens_md5) — md5 of the final
     space-joined symbol stream, so any drift in merge application (order,

@@ -204,14 +204,17 @@ class TestEncodeStrategyParity:
         b = bpe_encode(df, merges, strategy="batch").orderBy("doc_id")
         assert a.collect() == b.collect()
 
-    def test_auto_switches_to_batch_over_limit(self, spark):
+    def test_auto_always_batch_and_expression_capped(self, spark):
+        # auto = batch at EVERY merge count (HOF lambdas are interpreted;
+        # the batch path measured 11x faster even at 8 merges); the
+        # expression path stays available explicitly, capped at the
+        # codegen-safe limit
         from crowdsorsa_etl_spark.operators.bpe import (
             _EXPR_MERGE_LIMIT,
             bpe_encode,
         )
 
         df = self._df(spark)
-        # synthetic oversized table: only the first merges can ever apply
         merges = self._learned(spark, 4) + [
             (f"zz{i}", f"qq{i}") for i in range(_EXPR_MERGE_LIMIT)
         ]
@@ -220,7 +223,9 @@ class TestEncodeStrategyParity:
         assert "pythonUDF" in plan or "MapInPandas" in plan
         small = bpe_encode(df, self._learned(spark, 4), strategy="auto")
         plan_small = small._jdf.queryExecution().analyzed().toString()
-        assert "MapInPandas" not in plan_small
+        assert "MapInPandas" in plan_small
+        with pytest.raises(ValueError, match="expression strategy"):
+            bpe_encode(df, merges, strategy="expression")
         # padded no-op merges don't change the encoding
         assert (
             out.orderBy("doc_id").collect()
