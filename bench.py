@@ -179,6 +179,7 @@ HEADLINE = [
     "llm_epoch_upsample",
     "llm_heaps_law",
     "llm_cdc_chunk_dedup",
+    "llm_cluster_policy",
 ]
 
 

@@ -734,3 +734,50 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return cdc_chunk_stats(docs)
+
+
+# ===========================================================================
+# llm_cluster_policy — policy propagation through near-dup clusters: a
+# duplicate of a restricted document is still restricted, so curation must
+# taint EVERY member of a cluster containing any flagged doc (license
+# contamination, takedown requests, opted-out domains). Composition of
+# existing verified tiers: portable MinHash LSH pairs → connected
+# components → per-cluster ANY-flag window. The fixture flags doc_id % 11
+# as restricted; the oracle replays the full edge → closure → window
+# chain, so a mis-clustered doc or a flag that fails to propagate breaks
+# the hash. Scale: the window partitions by cluster_id (near-dup clusters
+# are bounded by construction); no new shuffle class beyond the clustering
+# itself.
+# ===========================================================================
+
+
+def _cluster_policy_sql() -> str:
+    clusters = _lsh.dedup_clusters_sql()
+    return f"""
+    WITH base AS ({clusters})
+    SELECT b.doc_id, b.cluster_id,
+           (b.doc_id % 11 = 0) AS restricted,
+           max(CASE WHEN b.doc_id % 11 = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY b.cluster_id) = 1 AS cluster_tainted
+    FROM base b
+    """
+
+
+@register("llm_cluster_policy", _cluster_policy_sql())
+def llm_cluster_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taint every member of a near-dup cluster containing a restricted
+    document (doc_id % 11 fixture flag)."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, portable=True)
+    cl = dedup_clusters(docs, pairs).drop("keep")
+    restricted = (F.col("doc_id") % 11 == 0).alias("restricted")
+    w = Window.partitionBy("cluster_id")
+    return cl.select("doc_id", "cluster_id", restricted).withColumn(
+        "cluster_tainted",
+        F.max(F.col("restricted").cast("int")).over(w) == 1,
+    )

@@ -390,3 +390,29 @@ class TestCdcChunkDedup:
         docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="k must be"):
             cdc_chunk_stats(docs, k=1)
+
+
+class TestClusterPolicy:
+    def test_flag_propagates_to_every_member(self, spark):
+        from crowdsorsa_etl_spark.queries.round12_pack import (
+            llm_cluster_policy,
+        )
+
+        rows = llm_cluster_policy(spark, "/root/testdata/sf0.001").collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        assert rows
+        saw_propagation = False
+        for members in by_cluster.values():
+            any_restricted = any(m["restricted"] for m in members)
+            # every member agrees with the cluster verdict
+            assert all(
+                m["cluster_tainted"] == any_restricted for m in members
+            )
+            if any_restricted and any(
+                not m["restricted"] for m in members
+            ):
+                saw_propagation = True  # a clean doc tainted by a dup
+        # the fixture must actually exercise cross-member propagation
+        assert saw_propagation
