@@ -180,6 +180,7 @@ HEADLINE = [
     "llm_heaps_law",
     "llm_cdc_chunk_dedup",
     "llm_cluster_policy",
+    "llm_image_dedup_index",
 ]
 
 

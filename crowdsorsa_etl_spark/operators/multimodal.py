@@ -1027,3 +1027,138 @@ def audio_fingerprint_dups(
         df, payload_col=payload_col, id_col=id_col, frame=frame
     )
     return band_signature_dups(sig, min_shared=min_shared, max_freq=max_freq)
+
+
+def _ahash_banded_rows(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bucket_prefixes: int = 64,
+) -> DataFrame:
+    """(id, band, v, bands, pfx): one row per aHash band per image, the
+    full 8-band signature carried alongside for exact hamming verify, and
+    the partition prefix ``pmod(v, bucket_prefixes)``."""
+    sig = image_ahash(df, payload_col=payload_col, id_col=id_col).filter(
+        F.col("bands").isNotNull()
+    )
+    return sig.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode("bands").alias("band", "v"),
+        F.col("bands"),
+    ).withColumn(
+        "pfx", F.pmod(F.col("v"), F.lit(bucket_prefixes)).cast("int")
+    )
+
+
+def image_index_write(
+    df: DataFrame,
+    path: str,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bucket_prefixes: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's aHash band rows under ``path``/bands,
+    PARTITIONED by a band-value prefix — the IMAGE analogue of
+    ``dedup.lsh_write_index``: an incoming batch reads only the partitions
+    its own band values hash into, so per-batch match cost is batch-sized,
+    not corpus-sized. ``mode="append"`` is the corpus-append path (band
+    rows are distributive over images; existing files never rewritten).
+    Contract: match/append must reuse the same ``bucket_prefixes``."""
+    _ahash_banded_rows(
+        df,
+        payload_col=payload_col,
+        id_col=id_col,
+        bucket_prefixes=bucket_prefixes,
+    ).write.mode(mode).partitionBy("pfx").parquet(path.rstrip("/") + "/bands")
+
+
+def image_index_match(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bucket_prefixes: int = 64,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-duplicate (corpus, batch) image pairs against the index at
+    rest: (id_a = corpus id, id_b = batch id, hamming) with the same
+    band-equality pigeonhole + integer xor/bit_count verify as
+    ``image_ahash_dups`` (sound for max_hamming < 8: fewer than 8
+    differing bits cannot touch all 8 bands). The batch's distinct band
+    prefixes (a bounded ≤ ``bucket_prefixes`` driver list) become a
+    partition filter on the index scan; the batch side broadcasts, so the
+    corpus index is never shuffled."""
+    if not (0 <= max_hamming < _AHASH_BANDS):
+        raise ValueError(
+            f"pigeonhole needs 0 <= max_hamming < {_AHASH_BANDS}"
+        )
+    b = _ahash_banded_rows(
+        batch,
+        payload_col=payload_col,
+        id_col=id_col,
+        bucket_prefixes=bucket_prefixes,
+    ).localCheckpoint()  # prefix collect + join reuse one computation
+    pfxs = sorted(r["pfx"] for r in b.select("pfx").distinct().collect())
+    corpus = spark.read.parquet(path.rstrip("/") + "/bands").filter(
+        F.col("pfx").isin(pfxs)
+    )
+    probe = b.alias("b")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    cand = (
+        corpus.alias("a")
+        .join(
+            probe,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bands").alias("ba"),
+            F.col("b.bands").alias("bb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("ba"),
+            F.col("bb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def image_index_write_epoch(
+    df: DataFrame,
+    path: str,
+    epoch: int,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bucket_prefixes: int = 64,
+) -> None:
+    """Epoch-versioned index write: the batch's band rows land under
+    ``path``/bands/epoch=<epoch>/pfx=* with OVERWRITE of that epoch dir —
+    a replayed epoch rewrites its own rows instead of double-appending
+    (the shard-stream replay contract applied to an index at rest).
+    Seed a pre-existing corpus with ``epoch=-1``."""
+    _ahash_banded_rows(
+        df,
+        payload_col=payload_col,
+        id_col=id_col,
+        bucket_prefixes=bucket_prefixes,
+    ).write.mode("overwrite").partitionBy("pfx").parquet(
+        path.rstrip("/") + f"/bands/epoch={int(epoch)}"
+    )

@@ -781,3 +781,117 @@ def llm_cluster_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_tainted",
         F.max(F.col("restricted").cast("int")).over(w) == 1,
     )
+
+
+# ===========================================================================
+# llm_image_dedup_index — the image-signature index AT REST: the corpus
+# slice's aHash band rows persist partitioned by band-value prefix
+# (multimodal.image_index_write — the IVF/BM25/LSH-index posture for the
+# image modality) and an incoming batch matches against them reading ONLY
+# its own prefixes, batch side broadcast, corpus never reshuffled. The
+# fixture reuses the caption-image 64-byte group keys so batch images
+# genuinely duplicate corpus images; the oracle never sees the index — it
+# re-derives both slices' aHash bands from hex bytes and brute-forces the
+# corpus×batch pairs, so a partition-pruning bug that DROPS a qualifying
+# pair breaks the hash.
+# ===========================================================================
+
+_IDX_SPLIT = 150  # corpus = doc_id < 150, batch = 150..199
+
+
+def _image_index_sql() -> str:
+    key = _ci_img_key_sql()
+    return f"""
+    WITH hx AS (
+      SELECT doc_id, substr(hex(encode({key})), 1, 128) AS h
+      FROM documents WHERE doc_id < {_CI_MAXDOC}
+    ),
+    bytes AS (
+      SELECT doc_id, i,
+             CASE WHEN length(h) >= 2*i THEN
+               (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1))
+                - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+               - 1
+             ELSE 0 END AS v
+      FROM hx, UNNEST(range(1, 65)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM bytes GROUP BY 1),
+    bits AS (
+      SELECT b.doc_id, b.i,
+             CASE WHEN b.v * 64 >= t.s THEN 1 ELSE 0 END AS bit
+      FROM bytes b JOIN tot t ON b.doc_id = t.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS INT) AS band,
+             CAST(sum(bit * (1 << (7 - CAST((i - 1) % 8 AS INT)))) AS BIGINT)
+               AS v
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id, list(v ORDER BY band) AS bands FROM bands GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.bands[1], b.bands[1]))
+              + bit_count(xor(a.bands[2], b.bands[2]))
+              + bit_count(xor(a.bands[3], b.bands[3]))
+              + bit_count(xor(a.bands[4], b.bands[4]))
+              + bit_count(xor(a.bands[5], b.bands[5]))
+              + bit_count(xor(a.bands[6], b.bands[6]))
+              + bit_count(xor(a.bands[7], b.bands[7]))
+              + bit_count(xor(a.bands[8], b.bands[8])) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc_id < {_IDX_SPLIT} AND b.doc_id >= {_IDX_SPLIT}
+    WHERE bit_count(xor(a.bands[1], b.bands[1]))
+        + bit_count(xor(a.bands[2], b.bands[2]))
+        + bit_count(xor(a.bands[3], b.bands[3]))
+        + bit_count(xor(a.bands[4], b.bands[4]))
+        + bit_count(xor(a.bands[5], b.bands[5]))
+        + bit_count(xor(a.bands[6], b.bands[6]))
+        + bit_count(xor(a.bands[7], b.bands[7]))
+        + bit_count(xor(a.bands[8], b.bands[8])) <= {_CI_HAMMING}
+    """
+
+
+def _ci_keyed(docs: DataFrame) -> DataFrame:
+    grp = F.concat(
+        F.lit("img-"), (F.col("doc_id") % _CI_GROUPS).cast("string")
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.md5(grp), F.md5(F.concat(grp, F.lit("x")))),
+            "[0-9]",
+            " ",
+        ).alias("img_key"),
+    )
+
+
+@register("llm_image_dedup_index", _image_index_sql())
+def llm_image_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match a batch of incoming images against the corpus image index at
+    rest (partition-pruned read, broadcast batch)."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        attach_png_payload,
+        image_index_match,
+        image_index_write,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _CI_MAXDOC)
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "imgidx_v1", "documents"), "idx"
+    )
+    if not os.path.isdir(os.path.join(path, "bands")):
+        corpus = attach_png_payload(
+            _ci_keyed(docs.filter(F.col("doc_id") < _IDX_SPLIT)),
+            text_col="img_key",
+        )
+        image_index_write(corpus, path)
+    batch = attach_png_payload(
+        _ci_keyed(docs.filter(F.col("doc_id") >= _IDX_SPLIT)),
+        text_col="img_key",
+    )
+    return image_index_match(spark, path, batch, max_hamming=_CI_HAMMING)

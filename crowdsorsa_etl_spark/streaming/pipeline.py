@@ -1654,3 +1654,114 @@ def start_budget_mix_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_image_dedup_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bucket_prefixes: int = 64,
+):
+    """IMAGE dedup at ingest — the multimodal mirror of the text
+    decontamination/dedup-index streams: every micro-batch of (id,
+    payload) images aHashes, matches against everything indexed BEFORE it
+    (seed corpus at epoch=-1 via ``multimodal.image_index_write_epoch``
+    plus all prior stream epochs), and then indexes itself, so later
+    arrivals dedup against earlier ones.
+
+    Per epoch: the batch's distinct band prefixes prune the index read
+    (epoch < e filter keeps a replayed epoch from matching its own rows),
+    the batch side broadcasts, candidates dedup on the pair key, and the
+    exact hamming verify is integer xor/bit_count. Matches land under
+    ``out_dir/epoch=<e>``; the batch's band rows land under
+    ``index_path/bands/epoch=<e>`` with overwrite-own-epoch replay
+    semantics — a crashed-and-replayed epoch rewrites the same dirs, no
+    double-append, no self-match.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.multimodal import (
+        _AHASH_BANDS,
+        _ahash_banded_rows,
+        image_index_write_epoch,
+    )
+
+    if not (0 <= max_hamming < _AHASH_BANDS):
+        raise ValueError(f"pigeonhole needs 0 <= max_hamming < {_AHASH_BANDS}")
+
+    spark_active = docs_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        b = _ahash_banded_rows(
+            batch_df,
+            payload_col=payload_col,
+            id_col=id_col,
+            bucket_prefixes=bucket_prefixes,
+        ).localCheckpoint()
+        bands_root = index_path.rstrip("/") + "/bands"
+        out_path = os.path.join(out_dir, f"epoch={e}")
+        have_index = os.path.isdir(bands_root) and any(
+            d.startswith("epoch=") for d in os.listdir(bands_root)
+        )
+        if have_index:
+            pfxs = sorted(r["pfx"] for r in b.select("pfx").distinct().collect())
+            corpus = (
+                spark_active.read.parquet(bands_root)
+                .filter(F.col("epoch") < e)
+                .filter(F.col("pfx").isin(pfxs))
+            )
+            cand = (
+                corpus.alias("a")
+                .join(
+                    F.broadcast(b.alias("b")),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.v") == F.col("b.v")),
+                )
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.bands").alias("ba"),
+                    F.col("b.bands").alias("bb"),
+                )
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            hamming = F.aggregate(
+                F.zip_with(
+                    F.col("ba"),
+                    F.col("bb"),
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            )
+            matches = cand.select(
+                "id_a", "id_b", hamming.cast("int").alias("hamming")
+            ).filter(F.col("hamming") <= max_hamming)
+        else:
+            matches = spark_active.createDataFrame(
+                [], "id_a long, id_b long, hamming int"
+            )
+        matches.write.mode("overwrite").parquet(out_path)
+        image_index_write_epoch(
+            batch_df,
+            index_path,
+            e,
+            payload_col=payload_col,
+            id_col=id_col,
+            bucket_prefixes=bucket_prefixes,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

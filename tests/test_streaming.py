@@ -1515,3 +1515,83 @@ class TestBudgetMixStream:
                 str(tmp_path / "s"),
                 checkpoint_dir=str(tmp_path / "c"),
             )
+
+
+class TestImageDedupStream:
+    def test_each_epoch_matches_seed_and_prior_epochs(self, spark, tmp_path):
+        """Ingest image dedup: epoch 1 must match only the seed corpus;
+        epoch 2 must match the seed AND epoch 1 (later arrivals dedup
+        against earlier ones); nothing self-matches."""
+        import os
+
+        from crowdsorsa_etl_spark.operators.multimodal import (
+            attach_png_payload,
+            image_index_write_epoch,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_image_dedup_stream,
+        )
+
+        # 64-byte keys (the caption-image fixture discipline): identical
+        # key -> identical PNG -> hamming 0; distinct keys far apart
+        def keyed(rows):
+            df = spark.createDataFrame(rows, "doc_id long, k string")
+            key = F.regexp_replace(
+                F.concat(F.md5("k"), F.md5(F.concat(F.col("k"), F.lit("x")))),
+                "[0-9]",
+                " ",
+            )
+            return attach_png_payload(
+                df.select("doc_id", key.alias("img_key")), text_col="img_key"
+            )
+
+        idx = str(tmp_path / "imgidx")
+        # seed corpus: images A (id 1) and B (id 2)
+        image_index_write_epoch(keyed([(1, "A"), (2, "B")]), idx, -1)
+
+        # stream epochs: e0 brings a dup of A (id 10) + new C (id 11);
+        # e1 brings a dup of C (id 20, matches epoch 0's 11) + dup of B
+        # (id 21, matches the seed)
+        schema = "doc_id long, payload binary"
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        for name, rows in (
+            ("b1.parquet", [(10, "A"), (11, "C")]),
+            ("b2.parquet", [(20, "C"), (21, "B")]),
+        ):
+            staging = str(tmp_path / f"_stage_{name}")
+            keyed(rows).coalesce(1).write.mode("overwrite").parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        out = str(tmp_path / "out")
+        q = start_image_dedup_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            idx,
+            out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_hamming=0,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(out).collect()
+        }
+        # epoch 0: 10 duplicates seed image A (id 1); 11 (C) is new
+        # epoch 1: 20 duplicates epoch-0's 11 (C); 21 duplicates seed B
+        assert got == {(1, 10), (11, 20), (2, 21)}
+        # the index now holds seed + both epochs
+        epochs = {
+            d
+            for d in os.listdir(os.path.join(idx, "bands"))
+            if d.startswith("epoch=")
+        }
+        assert epochs == {"epoch=-1", "epoch=0", "epoch=1"}

@@ -193,6 +193,9 @@ HEADLINE = [
     # proof); production payloads scale via the local boundary pass + one
     # chunk-hash groupBy
     "llm_cdc_chunk_dedup",
+    # image index at rest: doc_id<200 bounded demo (pushdown-flat); the
+    # scale story is the prefix-partitioned index read itself
+    "llm_image_dedup_index",
 ]
 
 
