@@ -181,6 +181,8 @@ HEADLINE = [
     "llm_cdc_chunk_dedup",
     "llm_cluster_policy",
     "llm_image_dedup_index",
+    "llm_stratified_split",
+    "llm_dataset_card",
 ]
 
 

@@ -657,3 +657,58 @@ def type_token_growth(
             F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
         )
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    *,
+    strata_cols: list[str],
+    key_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """EXACT stratified train/val/test split: within each stratum, docs
+    rank by the deterministic (md5, key) order and the first
+    ``floor(n·train_pct/100)`` go to train, the next
+    ``floor(n·val_pct/100)`` to val, the rest to test — so every stratum
+    (language, source) hits its proportions exactly, where
+    ``assign_split``'s hash buckets only hit them in expectation (a
+    300-doc language can lose its whole val set to hash variance; exact
+    stratification is what a balanced multilingual eval needs).
+
+    All integer arithmetic (counts × pct with `div`), so the cut ranks
+    replay exactly in SQL. Deterministic and engine-stable like the other
+    md5-ordered admissions: rerunning yields the identical split.
+
+    Scale: one window per stratum key (rank + count) — a stratum that
+    dominates the corpus makes that window a single reducer; for such
+    skew use the two-phase per-partition-offsets pattern
+    (operators/global_rank.py), the admission rule unchanged.
+
+    Output: input columns + split ('train' | 'val' | 'test').
+    """
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    if train_pct < 0 or val_pct < 0 or train_pct + val_pct > 100:
+        raise ValueError(
+            f"bad percentages: train={train_pct}, val={val_pct}"
+        )
+    order_key = F.md5(
+        F.concat(F.lit("split:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(order_key, F.col(key_col))
+    ws = Window.partitionBy(*strata_cols)
+    rank = F.row_number().over(w).cast("bigint")
+    total = F.count(F.lit(1)).over(ws).cast("bigint")
+    n_train = (total * train_pct).cast("bigint") - (
+        (total * train_pct) % 100
+    ).cast("bigint")
+    n_train = (n_train / 100).cast("bigint")
+    n_val = ((total * val_pct) - (total * val_pct) % 100) / 100
+    n_val = n_val.cast("bigint")
+    return df.withColumn(
+        "split",
+        F.when(rank <= n_train, F.lit("train"))
+        .when(rank <= n_train + n_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

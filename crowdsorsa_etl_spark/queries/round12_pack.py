@@ -895,3 +895,140 @@ def llm_image_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="img_key",
     )
     return image_index_match(spark, path, batch, max_hamming=_CI_HAMMING)
+
+
+# ===========================================================================
+# llm_stratified_split — EXACT per-stratum train/val/test proportions
+# (hash-bucket splits only hit them in expectation; a small language can
+# lose its whole val set to hash variance). Deterministic (md5, key)
+# ranking within each language, integer cut ranks — the oracle replays
+# rank, counts, and both cuts, so a single doc on the wrong side of a
+# boundary breaks the hash.
+# ===========================================================================
+
+
+@register(
+    "llm_stratified_split",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk <= (n * 90) // 100 THEN 'train'
+                WHEN rk <= (n * 90) // 100 + (n * 5) // 100 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 90/5/5 split stratified by language."""
+    from crowdsorsa_etl_spark.operators.curation import stratified_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_split(
+        docs, strata_cols=["lang"], train_pct=90, val_pct=5
+    )
+
+
+# ===========================================================================
+# llm_dataset_card — the per-source summary a dataset release ships
+# (HF dataset-card / Dolma datasheet numbers): docs, tokens, chars,
+# language spread, exact-duplicate share, and each source's share of the
+# corpus token mass. Two aggregations (md5-keyed dup counts, source
+# rollup) + one corpus-total window over the ≤|sources| result rows. The
+# ratios are single divisions of exact BIGINTs rounded 6 dp.
+# ===========================================================================
+
+
+@register(
+    "llm_dataset_card",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, lang,
+             {{norm}} AS nt
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, lang,
+             CAST(len(nt) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN nt = '' THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens,
+             md5(nt) AS fp
+      FROM norm
+    ),
+    dupfp AS (
+      SELECT fp FROM toks GROUP BY fp HAVING count(*) > 1
+    ),
+    per_source AS (
+      SELECT t.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(t.n_chars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT t.lang) AS BIGINT) AS n_langs,
+             CAST(count(d.fp) AS BIGINT) AS n_exact_dup_docs
+      FROM toks t LEFT JOIN dupfp d ON t.fp = d.fp
+      GROUP BY t.source
+    )
+    SELECT source, n_docs, n_tokens, n_chars, n_langs, n_exact_dup_docs,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6)
+             AS token_share,
+           round(n_exact_dup_docs * 1.0 / n_docs, 6) AS dup_rate
+    FROM per_source
+    """.replace(
+        "{norm}", "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    ),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source release datasheet: docs/tokens/chars/languages,
+    exact-dup share, token share of the corpus."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length(nt).cast("bigint").alias("n_chars"),
+        F.when(nt == "", F.lit(0))
+        .otherwise(F.size(F.split(nt, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(nt).alias("fp"),
+    )
+    dupfp = toks.groupBy("fp").count().filter(F.col("count") > 1).select("fp")
+    per_source = (
+        toks.alias("t")
+        .join(dupfp.alias("d"), "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.count(F.col("d.fp")).cast("bigint").alias("n_exact_dup_docs"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_exact_dup_docs",
+        F.round(
+            F.col("n_tokens") * F.lit(1.0) / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("n_exact_dup_docs") * F.lit(1.0) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

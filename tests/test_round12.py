@@ -416,3 +416,55 @@ class TestClusterPolicy:
                 saw_propagation = True  # a clean doc tainted by a dup
         # the fixture must actually exercise cross-member propagation
         assert saw_propagation
+
+
+class TestStratifiedSplit:
+    def test_exact_counts_per_stratum(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import stratified_split
+
+        rows = [(i, "a" if i < 37 else "b") for i in range(100)]
+        docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out = stratified_split(
+            docs, strata_cols=["lang"], train_pct=90, val_pct=5
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["lang"], []).append(r["split"])
+        # a: 37 docs -> 33 train / 1 val / 3 test; b: 63 -> 56/3/4
+        for lang, n in (("a", 37), ("b", 63)):
+            got = by[lang]
+            assert got.count("train") == n * 90 // 100
+            assert got.count("val") == n * 5 // 100
+            assert got.count("test") == n - n * 90 // 100 - n * 5 // 100
+
+    def test_deterministic_across_runs(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import stratified_split
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "lang")
+        a = stratified_split(docs, strata_cols=["lang"]).collect()
+        b = stratified_split(docs, strata_cols=["lang"]).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_rejects_bad_args(self, spark):
+        from crowdsorsa_etl_spark.operators.curation import stratified_split
+
+        docs = spark.createDataFrame([(1, "a")], ["doc_id", "lang"])
+        with pytest.raises(ValueError, match="strata_cols"):
+            stratified_split(docs, strata_cols=[])
+        with pytest.raises(ValueError, match="percentages"):
+            stratified_split(docs, strata_cols=["lang"], train_pct=99, val_pct=2)
+
+
+class TestDatasetCard:
+    def test_shares_and_dup_rates_consistent(self, spark):
+        from crowdsorsa_etl_spark.queries.round12_pack import llm_dataset_card
+
+        rows = llm_dataset_card(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert 0 <= r["dup_rate"] <= 1
+            assert r["n_exact_dup_docs"] <= r["n_docs"]
+            assert r["n_langs"] >= 1

@@ -196,6 +196,10 @@ HEADLINE = [
     # image index at rest: doc_id<200 bounded demo (pushdown-flat); the
     # scale story is the prefix-partitioned index read itself
     "llm_image_dedup_index",
+    # exact stratified split (per-stratum window) + release datasheet
+    # (two aggs + bounded-rows window)
+    "llm_stratified_split",
+    "llm_dataset_card",
 ]
 
 
