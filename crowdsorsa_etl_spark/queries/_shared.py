@@ -240,3 +240,25 @@ _ORDER_SNAPSHOT = [
     'llm_ivf_topk_scaled',
     'q88_waiting_orders'
 ]
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture materialized portable-MinHash candidate pairs over the
+    FULL documents table (id_a, id_b, n_bands_matched) — shared by
+    llm_minhash_lsh, llm_dedup_clusters, llm_dedup_canonical,
+    llm_split_leakage, and llm_cluster_policy, which previously each
+    re-ran the identical signature pipeline (the _encoded_ids / spans
+    shared-artifact posture). Deterministic, so the cache cannot drift
+    from a recompute; a regenerated fixture misses the cache."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "lshpairs_v1", "documents"), "pairs.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        minhash_lsh_candidates(
+            _t(spark, sf_dir, "documents"), portable=True
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -372,7 +372,9 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the identical signatures and the driver hash-compares
     the pairs — a full end-to-end correctness gate, not rows-only. The
     xxhash64 default stays available for perf-sensitive library use."""
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), portable=True)
+    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
+    return _lsh_pairs(spark, sf_dir)
 
 
 @register("llm_simhash", lsh_oracles.simhash_buckets_sql())

@@ -68,9 +68,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-doubling iteration stays gated by its own convergence tests."""
     from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
 
+    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, portable=True)
-    return dedup_clusters(docs, pairs)
+    return dedup_clusters(docs, _lsh_pairs(spark, sf_dir))
 
 
 @register(

@@ -879,8 +879,9 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crowdsorsa_etl_spark.operators.curation import assign_split
     from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, portable=True)
+    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
+    pairs = _lsh_pairs(spark, sf_dir)
     out = pairs.select(
         "id_a",
         "id_b",

@@ -772,9 +772,10 @@ def llm_cluster_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
     from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
 
+    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, portable=True)
-    cl = dedup_clusters(docs, pairs).drop("keep")
+    cl = dedup_clusters(docs, _lsh_pairs(spark, sf_dir)).drop("keep")
     restricted = (F.col("doc_id") % 11 == 0).alias("restricted")
     w = Window.partitionBy("cluster_id")
     return cl.select("doc_id", "cluster_id", restricted).withColumn(
