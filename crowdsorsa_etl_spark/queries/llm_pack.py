@@ -21,7 +21,6 @@ from crowdsorsa_etl_spark.functions.text import (  # noqa: F401
 )
 from crowdsorsa_etl_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
-    minhash_lsh_candidates,
     simhash_buckets,
     token_jaccard_pairs,
 )

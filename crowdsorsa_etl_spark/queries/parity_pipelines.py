@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark import lsh_oracles  # noqa: F401
-from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
 from crowdsorsa_etl_spark.queries._shared import (
     _t,
     register,

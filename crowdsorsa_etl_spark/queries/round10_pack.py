@@ -877,7 +877,6 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs crossing the train/val/test boundary — the audit
     run before shipping a split."""
     from crowdsorsa_etl_spark.operators.curation import assign_split
-    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
 
     from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
 

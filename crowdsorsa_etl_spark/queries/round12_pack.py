@@ -770,8 +770,6 @@ def llm_cluster_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
-    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
-
     from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
