@@ -940,8 +940,10 @@ def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (HF dataset-card / Dolma datasheet numbers): docs, tokens, chars,
 # language spread, exact-duplicate share, and each source's share of the
 # corpus token mass. Two aggregations (md5-keyed dup counts, source
-# rollup) + one corpus-total window over the ≤|sources| result rows. The
-# ratios are single divisions of exact BIGINTs rounded 6 dp.
+# rollup) + one corpus-total scalar joined back broadcast (NOT an
+# unpartitioned window: even over the bounded ≤|sources| rows that plans
+# a SinglePartition WindowExec, and the house invariant is zero of
+# those). The ratios are single divisions of exact BIGINTs rounded 6 dp.
 # ===========================================================================
 
 
@@ -986,8 +988,6 @@ def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source release datasheet: docs/tokens/chars/languages,
     exact-dup share, token share of the corpus."""
-    from pyspark.sql import Window
-
     from crowdsorsa_etl_spark.functions.text import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -1016,8 +1016,10 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("d.fp")).cast("bigint").alias("n_exact_dup_docs"),
         )
     )
-    w = Window.partitionBy()
-    return per_source.select(
+    total = per_source.agg(
+        F.sum("n_tokens").cast("bigint").alias("_corpus_tokens")
+    )
+    return per_source.join(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -1025,7 +1027,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "n_exact_dup_docs",
         F.round(
-            F.col("n_tokens") * F.lit(1.0) / F.sum("n_tokens").over(w), 6
+            F.col("n_tokens") * F.lit(1.0) / F.col("_corpus_tokens"), 6
         ).alias("token_share"),
         F.round(
             F.col("n_exact_dup_docs") * F.lit(1.0) / F.col("n_docs"), 6
