@@ -183,6 +183,8 @@ HEADLINE = [
     "llm_image_dedup_index",
     "llm_stratified_split",
     "llm_dataset_card",
+    # round 13: LSH precision/recall audit vs exact shingle-Jaccard truth
+    "llm_lsh_audit",
 ]
 
 

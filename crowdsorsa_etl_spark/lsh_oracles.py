@@ -38,15 +38,30 @@ _TOKS = f"""
 """
 
 
+def _shingle_ctes(shingle_k: int) -> str:
+    """CTE text raw→toks→sh0→sh producing (id, h): the portable shingle
+    pipeline shared by the MinHash candidate generator and the exact
+    shingle-Jaccard ground truth (one fragment so the two tiers cannot see
+    different set universes)."""
+    lead_cols = ", ".join(
+        f"lead(th, {j}) OVER w AS t{j}" for j in range(1, shingle_k)
+    )
+    shingle = combine_cw_sql("th", *[f"t{j}" for j in range(1, shingle_k)])
+    return f"""{_TOKS},
+    toks AS (SELECT id, pos, {hex60_sql('t')} AS th FROM raw),
+    sh0 AS (
+      SELECT id, th, {lead_cols}
+      FROM toks
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    sh AS (SELECT id, {shingle} AS h FROM sh0)"""
+
+
 def minhash_lsh_sql(
     num_hashes: int = 16, bands: int = 8, shingle_k: int = 3
 ) -> str:
     """Oracle for minhash_lsh_candidates(..., portable=True)."""
     rows_per_band = num_hashes // bands
-    lead_cols = ", ".join(
-        f"lead(th, {j}) OVER w AS t{j}" for j in range(1, shingle_k)
-    )
-    shingle = combine_cw_sql("th", *[f"t{j}" for j in range(1, shingle_k)])
     mh_aggs = ",\n           ".join(
         f"min({cw_hash_sql('h', i)}) AS mh{i}" for i in range(num_hashes)
     )
@@ -61,14 +76,7 @@ def minhash_lsh_sql(
         for b in range(bands)
     )
     return f"""
-    WITH {_TOKS},
-    toks AS (SELECT id, pos, {hex60_sql('t')} AS th FROM raw),
-    sh0 AS (
-      SELECT id, th, {lead_cols}
-      FROM toks
-      WINDOW w AS (PARTITION BY id ORDER BY pos)
-    ),
-    sh AS (SELECT id, {shingle} AS h FROM sh0),
+    WITH {_shingle_ctes(shingle_k)},
     sig AS (
       SELECT id,
            {mh_aggs}
@@ -1110,4 +1118,103 @@ def editdist_join_sql(max_dist: int = 6) -> str:
     FROM s a JOIN s b
       ON a.id < b.id AND abs(a.l - b.l) <= {max_dist}
     WHERE levenshtein(a.txt, b.txt) <= {max_dist}
+    """
+
+
+def lsh_audit_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.5, 0.7),
+) -> str:
+    """Oracle for the llm_lsh_audit query: precision/recall of the banded
+    MinHash candidate set against exact shingle-set Jaccard ground truth
+    (operators/dedup.shingle_jaccard_pairs with portable=True).
+
+    Both sides are rebuilt here from the SAME shingle CTE fragment the
+    candidate oracle uses (_shingle_ctes), so the audit measures the real
+    quantity MinHash estimates — a drift between the signature universe and
+    the truth universe would silently bias both precision and recall.
+    Truth pairs are every pair sharing >= 1 distinct shingle (pairs sharing
+    none have jaccard 0 < every threshold); candidates missing from truth
+    (possible only via band-bucket hash collision) score jaccard 0.
+    """
+    rows_per_band = num_hashes // bands
+    mh_aggs = ",\n           ".join(
+        f"min({cw_hash_sql('h', i)}) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT id, {b} AS band, {bucket} AS bucket FROM sig".format(
+            b=b,
+            bucket=combine_cw_sql(
+                *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
+                seed=b + 1,
+            ),
+        )
+        for b in range(bands)
+    )
+    nt_cols = ",\n             ".join(
+        f"CAST(coalesce(sum(CASE WHEN jac >= CAST({t} AS DOUBLE) THEN 1 "
+        f"ELSE 0 END), 0) AS BIGINT) AS nt{i}"
+        for i, t in enumerate(thresholds)
+    )
+    nh_cols = ",\n             ".join(
+        f"CAST(coalesce(sum(CASE WHEN jac >= CAST({t} AS DOUBLE) THEN 1 "
+        f"ELSE 0 END), 0) AS BIGINT) AS nh{i}"
+        for i, t in enumerate(thresholds)
+    )
+    rows = [
+        f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+               nt{i} AS n_true, n_cand AS n_candidates, nh{i} AS n_hit,
+               round(nh{i} * 1.0 / nullif(n_cand, 0), 6) AS precision,
+               round(nh{i} * 1.0 / nullif(nt{i}, 0), 6) AS recall
+        FROM tstats, cstats"""
+        for i, t in enumerate(thresholds)
+    ]
+    return f"""
+    WITH {_shingle_ctes(shingle_k)},
+    shd AS MATERIALIZED (SELECT DISTINCT id, h FROM sh),
+    sizes AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM shd GROUP BY id
+    ),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS c
+      FROM shd a JOIN shd b ON a.h = b.h AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT i.id_a, i.id_b,
+             round(i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c), 6) AS jac
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.id
+      JOIN sizes sb ON i.id_b = sb.id
+    ),
+    sig AS (
+      SELECT id,
+           {mh_aggs}
+      FROM sh GROUP BY id
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    candj AS (
+      SELECT coalesce(t.jac, 0.0) AS jac
+      FROM cand c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ),
+    tstats AS (
+      SELECT {nt_cols}
+      FROM truth
+    ),
+    cstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cand,
+             {nh_cols}
+      FROM candj
+    )
+    {" UNION ALL ".join(rows)}
     """

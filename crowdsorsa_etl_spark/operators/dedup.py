@@ -450,6 +450,86 @@ def token_jaccard_pairs(
     )
 
 
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    portable: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct-SHINGLE-hash sets — the ground truth for
+    the banded MinHash tier (MinHash estimates shingle-set resemblance, so
+    auditing its candidates against token-set Jaccard would measure the
+    wrong quantity). Shingle identity is the same Carter-Wegman combine of
+    ``shingle_k`` consecutive token hashes that ``minhash_signatures``
+    min-aggregates, trailing short shingles included, so the two tiers see
+    the identical set universe.
+
+    Pair generation is an inverted-index join on the shingle hash (AllPairs
+    shape): only pairs sharing >= 1 shingle materialize, never |docs|^2.
+    The per-shingle blowup is sum_h C(df_h, 2); ``max_df`` removes shingles
+    hotter than the cap from the set universe entirely — sizes,
+    intersections, and pair generation all see the capped universe (the
+    corpus-wide stop-fingerprint discipline of the multimodal dup tiers,
+    i.e. stopword-removal semantics): boilerplate shingles that appear in
+    thousands of docs carry no resemblance signal but dominate the join
+    cost at corpus scale. None = no cap (exact oracle tier).
+
+    Output: (id_a, id_b, jaccard) for every pair with >= 1 shared
+    (surviving) shingle; jaccard = |A∩B| / |A∪B| over the distinct-shingle
+    sets of the (possibly capped) universe, rounded 6 dp.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "t"),
+    ).select("id", "pos", _tok_hash(F.col("t"), portable).alias("th"))
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = toks.select(
+        "id",
+        _combine_hash(
+            [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, shingle_k)],
+            portable,
+        ).alias("h"),
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    paired = sh
+    a = paired.alias("a")
+    b = paired.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     cand: DataFrame,
     docs: DataFrame,
