@@ -185,6 +185,8 @@ HEADLINE = [
     "llm_dataset_card",
     # round 13: LSH precision/recall audit vs exact shingle-Jaccard truth
     "llm_lsh_audit",
+    "llm_hard_negatives",
+    "llm_length_buckets",
 ]
 
 

@@ -113,6 +113,75 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for each
+    query vector, the top-k most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the highest-scoring wrong answers, which is
+    what a contrastive batch wants next to its positives (random negatives
+    are too easy to carry gradient signal).
+
+    Plan shape is :func:`cosine_topk` with the label-mismatch predicate
+    folded into the broadcast join: the query set (small by definition)
+    broadcasts, the corpus never shuffles, scoring is one narrow codegen
+    stage, and the only wide op is the per-query top-k window — partitioned
+    by query_id, never SinglePartition. At corpus scale, swap the exact
+    scan for the IVF/PQ candidate tiers (ivf_topk / ivfpq_topk) and rescore
+    candidates exactly; the mismatch filter and ranking are unchanged.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rank) with cosine rounded 6 dp and rank 1..k per query.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

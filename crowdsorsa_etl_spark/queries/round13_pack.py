@@ -104,3 +104,150 @@ def llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ===========================================================================
+# llm_hard_negatives — contrastive-training negative mining: per query
+# vector, the top-k most-similar DIFFERENT-label corpus vectors (the
+# highest-scoring wrong answers). The probe set broadcasts; the corpus
+# never shuffles; the label-mismatch predicate rides the broadcast join so
+# no post-filter re-rank is needed. Same float discipline as
+# llm_cosine_topk (sequential double dot, round 6) — bit-identical in
+# DuckDB.
+# ===========================================================================
+
+
+@register(
+    "llm_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 16),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    s AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 round(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          FROM q JOIN c
+            ON neighbor_id != query_id AND neighbor_label != query_label)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest different-label neighbors per probe vector
+    (operators/similarity.hard_negative_topk)."""
+    from crowdsorsa_etl_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 16), k=5)
+
+
+# ===========================================================================
+# llm_length_buckets — inference/training batching report: docs bucketed by
+# next-power-of-2 token length (the standard bucketed-batching discipline),
+# per bucket the batch count at B=32 and the padding waste, plus the waste
+# a naive pad-everything-to-corpus-max batcher would pay (the number that
+# justifies bucketing to begin with). One groupBy on the bucket key + one
+# 3-scalar corpus aggregate broadcast back; all counts exact BIGINTs, the
+# two waste ratios are single divisions rounded 6 dp. log2 is exact at
+# powers of two in both engines, so the ceil(log2(n)) bucket key cannot
+# straddle an engine boundary.
+# ===========================================================================
+
+_BATCH = 32
+
+
+@register(
+    "llm_length_buckets",
+    f"""
+    WITH toks AS (
+      SELECT CAST(CASE WHEN nt = '' THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens
+      FROM (SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents)
+    ),
+    bucketed AS (
+      SELECT n_tokens,
+             CAST(power(2, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT)
+               AS bucket_len
+      FROM toks
+    ),
+    per_bucket AS (
+      SELECT bucket_len,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+      FROM bucketed GROUP BY bucket_len
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS all_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS all_real,
+             CAST(max(n_tokens) AS BIGINT) AS max_len
+      FROM toks
+    )
+    SELECT bucket_len, n_docs,
+           CAST((n_docs + {_BATCH - 1}) // {_BATCH} AS BIGINT) AS n_batches,
+           n_docs * bucket_len AS padded_tokens,
+           real_tokens,
+           round(1.0 - real_tokens * 1.0 / (n_docs * bucket_len), 6)
+             AS waste_frac,
+           round(1.0 - all_real * 1.0 / (all_docs * max_len), 6)
+             AS naive_waste_frac
+    FROM per_bucket, tot
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 length-bucketed batching: per-bucket batch counts and
+    padding waste vs the naive pad-to-corpus-max baseline."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    toks = docs.select(
+        F.when(nt == "", F.lit(0))
+        .otherwise(F.size(F.split(nt, " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    bucketed = toks.select(
+        "n_tokens",
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))))
+        .cast("bigint")
+        .alias("bucket_len"),
+    )
+    per_bucket = bucketed.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("all_docs"),
+        F.sum("n_tokens").cast("bigint").alias("all_real"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+    )
+    return per_bucket.join(F.broadcast(tot)).select(
+        "bucket_len",
+        "n_docs",
+        ((F.col("n_docs") + F.lit(_BATCH - 1)) / F.lit(_BATCH))
+        .cast("bigint")
+        .alias("n_batches"),
+        (F.col("n_docs") * F.col("bucket_len")).alias("padded_tokens"),
+        "real_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("real_tokens")
+            * F.lit(1.0)
+            / (F.col("n_docs") * F.col("bucket_len")),
+            6,
+        ).alias("waste_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.col("all_real") * F.lit(1.0) / (F.col("all_docs") * F.col("max_len")),
+            6,
+        ).alias("naive_waste_frac"),
+    )
