@@ -187,6 +187,10 @@ HEADLINE = [
     "llm_lsh_audit",
     "llm_hard_negatives",
     "llm_length_buckets",
+    # round 13: WordPiece tokenizer (likelihood-scored learn over the capped
+    # dictionary, greedy longest-match encode per unique word)
+    "llm_wordpiece_merges",
+    "llm_wordpiece_encode",
 ]
 
 

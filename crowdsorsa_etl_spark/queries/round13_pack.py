@@ -251,3 +251,65 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("naive_waste_frac"),
     )
+
+
+# ===========================================================================
+# llm_wordpiece_merges / llm_wordpiece_encode — the THIRD tokenizer family
+# (operators/wordpiece.py) next to BPE and the unigram LM: likelihood-
+# ratio-scored learning (count(ab)/(count(a)·count(b)), the BERT trainer)
+# over the frequency-capped word dictionary, and greedy longest-match-
+# first inference against the learned vocabulary (never a merge replay —
+# a genuinely different encode algorithm, with BERT's whole-word [UNK]
+# failure semantics). The cap (24) BITES on this fixture (31 distinct
+# words), so the oracle proves truncated-learn semantics; scores are
+# single IEEE divisions of exact BIGINTs — no rounding, bit-identical in
+# Python, Spark, and DuckDB.
+# ===========================================================================
+
+_WP_MERGES = 40
+# the encode gate uses a 16-merge vocabulary: greedy longest-match is what
+# this query proves (merge-count depth is llm_wordpiece_merges' job), and
+# DuckDB's PLANNING cost for the unrolled learn-inside-encode statement
+# grows superlinearly with merge count (40 merges: ~25 s to bind, 0.36 s
+# to execute)
+_WP_MERGES_ENC = 16
+_WP_CAP = 24
+
+
+def _wp_merges_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_merges_sql
+
+    return wordpiece_merges_sql(_WP_MERGES, max_vocab_words=_WP_CAP)
+
+
+def _wp_encode_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_encode_sql
+
+    return wordpiece_encode_sql(_WP_MERGES_ENC, max_vocab_words=_WP_CAP)
+
+
+@register("llm_wordpiece_merges", _wp_merges_oracle())
+def llm_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece learn at 40 merges over the top-24-words capped
+    dictionary (operators/wordpiece.wordpiece_learn)."""
+    from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_learn(docs, n_merges=_WP_MERGES, max_vocab_words=_WP_CAP)
+
+
+@register("llm_wordpiece_encode", _wp_encode_oracle())
+def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece encoding of every distinct corpus
+    word against the learned vocabulary (alphabet + merged tokens)."""
+    from crowdsorsa_etl_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_learn,
+        wordpiece_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = wordpiece_learn(
+        docs, n_merges=_WP_MERGES_ENC, max_vocab_words=_WP_CAP
+    )
+    return wordpiece_encode_words(docs, wordpiece_vocab(docs, merges))

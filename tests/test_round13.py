@@ -92,3 +92,100 @@ class TestShingleJaccard:
         }
         truth = set(_pairs_dict(shingle_jaccard_pairs(docs)))
         assert cand <= truth
+
+
+class TestWordPiece:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(0, "hug hug hug pug pug hugs")], ["doc_id", "text"]
+        )
+
+    def test_learn_scores_likelihood_ratio(self, spark):
+        from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_learn
+
+        rows = wordpiece_learn(self._docs(spark), n_merges=1).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # symbol counts: h=4, ##u=6, ##g=6, p=2, ##s=1
+        # pair counts: (h,##u)=4, (##u,##g)=6, (p,##u)=2, (##g,##s)=1
+        # scores: 4/24=.1667, 6/36=.1667, 2/12=.1667, 1/6=.1667 — all tie!
+        # tie-break pair ASC: '##g ##s' < '##u ##g' < 'h ##u' < 'p ##u'
+        assert r["pair"] == "##g ##s"
+        assert r["merged"] == "##gs"
+        assert r["total"] == 1
+        assert r["score"] == 1 / 6
+
+    def test_merged_symbol_strips_right_hashes_only(self, spark):
+        from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_learn
+
+        rows = wordpiece_learn(
+            self._docs(spark), n_merges=3
+        ).collect()
+        for r in rows:
+            a, b = r["pair"].split(" ")
+            want = a + (b[2:] if b.startswith("##") else b)
+            assert r["merged"] == want
+
+    def test_encode_greedy_longest_match(self, spark):
+        from crowdsorsa_etl_spark.operators.wordpiece import (
+            wordpiece_encode_words,
+        )
+
+        docs = spark.createDataFrame([(0, "hugs hug ugh")], ["doc_id", "text"])
+        vocab = spark.createDataFrame(
+            [("h",), ("u",), ("g",), ("s",), ("hug",), ("##u",), ("##g",),
+             ("##s",), ("##gs",), ("##ugh",)],
+            ["tok"],
+        )
+        got = {
+            r["word"]: r["wp_tokens"]
+            for r in wordpiece_encode_words(docs, vocab).collect()
+        }
+        # 'hugs': longest initial match 'hug', then '##s' (not '##gs' —
+        # greedy already consumed the g)
+        assert got["hugs"] == "hug ##s"
+        assert got["hug"] == "hug"
+        # 'ugh': 'u' then longest continuation... '##gh' absent -> '##g'
+        # then '##h' absent -> whole word UNK
+        assert got["ugh"] == "[UNK]"
+
+    def test_encode_unk_on_unknown_alphabet(self, spark):
+        from crowdsorsa_etl_spark.operators.wordpiece import (
+            wordpiece_encode_words,
+        )
+
+        docs = spark.createDataFrame([(0, "ab zq")], ["doc_id", "text"])
+        vocab = spark.createDataFrame(
+            [("a",), ("##b",), ("z",)], ["tok"]
+        )
+        got = {
+            r["word"]: (r["n_wp_tokens"], r["wp_tokens"])
+            for r in wordpiece_encode_words(docs, vocab).collect()
+        }
+        assert got["ab"] == (2, "a ##b")
+        assert got["zq"] == (1, "[UNK]")
+
+    def test_uncapped_oversized_dictionary_raises(self, spark):
+        from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_learn
+
+        docs = spark.createDataFrame(
+            [(0, "one two three four five")], ["doc_id", "text"]
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="max_vocab_words"):
+            wordpiece_learn(docs, n_merges=1, max_driver_words=3)
+
+    def test_vocab_contains_alphabet_and_merges(self, spark):
+        from crowdsorsa_etl_spark.operators.wordpiece import (
+            wordpiece_learn,
+            wordpiece_vocab,
+        )
+
+        docs = self._docs(spark)
+        merges = wordpiece_learn(docs, n_merges=2)
+        toks = {r["tok"] for r in wordpiece_vocab(docs, merges).collect()}
+        for ch in "hugps":
+            assert ch in toks and f"##{ch}" in toks
+        for r in merges.collect():
+            assert r["merged"] in toks
