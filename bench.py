@@ -191,6 +191,7 @@ HEADLINE = [
     # dictionary, greedy longest-match encode per unique word)
     "llm_wordpiece_merges",
     "llm_wordpiece_encode",
+    "llm_entity_resolution",
 ]
 
 

@@ -313,3 +313,135 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_merges=_WP_MERGES_ENC, max_vocab_words=_WP_CAP
     )
     return wordpiece_encode_words(docs, wordpiece_vocab(docs, merges))
+
+
+# ===========================================================================
+# llm_entity_resolution — the end-to-end ER pipeline a metadata
+# reconciliation run ships: multipass-blocked Fellegi–Sunter pairs
+# (llm_record_linkage_multipass), 'match'-class edges only, connected
+# components over the bipartite clean/dirty node set (pointer-doubling
+# min-label propagation, O(log diameter) rounds), then ONE aggregation to
+# the golden-record table: members per entity and the canonical clean
+# record (min clean custkey — every component contains a clean node
+# because edges are bipartite). Nodes encode as 2·key (clean) / 2·key+1
+# (dirty); at a key domain near 2^62 switch to a (kind, key) struct —
+# the encoding is a fixture convenience, not a design constraint.
+# The oracle replays the full chain: both blocking passes, the score
+# literals, the match threshold, a recursive transitive closure for the
+# components (entity clusters are small by construction), and the same
+# golden-record aggregation.
+# ===========================================================================
+
+
+def _entity_resolution_sql() -> str:
+    from crowdsorsa_etl_spark.queries.round12_pack import _mp_linkage_sql
+
+    return f"""
+    WITH RECURSIVE
+    scored AS ({_mp_linkage_sql()}),
+    m AS (SELECT c_custkey, d_custkey FROM scored WHERE fs_class = 'match'),
+    edges AS (
+      SELECT 2 * c_custkey AS src, 2 * d_custkey + 1 AS dst FROM m
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.id, s.dst
+      FROM reach JOIN sym s ON reach.r = s.src
+      WHERE s.dst != reach.id
+    ),
+    comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+    nodes AS (
+      SELECT DISTINCT node, ck, is_clean FROM (
+        SELECT 2 * c_custkey AS node, c_custkey AS ck, true AS is_clean
+        FROM m
+        UNION ALL
+        SELECT 2 * d_custkey + 1 AS node, d_custkey AS ck, false AS is_clean
+        FROM m
+      )
+    ),
+    labeled AS (
+      SELECT n.node, n.ck, n.is_clean, c.component
+      FROM nodes n JOIN comp c ON n.node = c.id
+    ),
+    ent AS (
+      SELECT component AS entity_id,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(sum(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+             CAST(sum(CASE WHEN is_clean THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dirty,
+             min(CASE WHEN is_clean THEN ck END) AS canonical_custkey
+      FROM labeled GROUP BY component
+    )
+    SELECT e.entity_id, e.n_records, e.n_clean, e.n_dirty,
+           e.canonical_custkey, c.c_name AS canonical_name
+    FROM ent e JOIN customer c ON e.canonical_custkey = c.c_custkey
+    """
+
+
+@register("llm_entity_resolution", _entity_resolution_sql())
+def llm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record table: match-class F-S pairs -> connected components
+    -> per-entity member counts + canonical clean record."""
+    from crowdsorsa_etl_spark.operators.clusters import connected_components
+    from crowdsorsa_etl_spark.queries.round12_pack import (
+        llm_record_linkage_multipass,
+    )
+
+    pairs = llm_record_linkage_multipass(spark, sf_dir).filter(
+        F.col("fs_class") == "match"
+    )
+    m = pairs.select("c_custkey", "d_custkey").localCheckpoint()
+    edges = m.select(
+        (F.col("c_custkey") * 2).alias("id_a"),
+        (F.col("d_custkey") * 2 + 1).alias("id_b"),
+    )
+    comp = connected_components(edges)
+    nodes = (
+        m.select(
+            (F.col("c_custkey") * 2).alias("node"),
+            F.col("c_custkey").alias("ck"),
+            F.lit(True).alias("is_clean"),
+        )
+        .unionAll(
+            m.select(
+                (F.col("d_custkey") * 2 + 1).alias("node"),
+                F.col("d_custkey").alias("ck"),
+                F.lit(False).alias("is_clean"),
+            )
+        )
+        .distinct()
+    )
+    labeled = nodes.join(comp, nodes.node == comp.id).select(
+        "node", "ck", "is_clean", "component"
+    )
+    ent = labeled.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum(F.when(F.col("is_clean"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("is_clean"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dirty"),
+        F.min(F.when(F.col("is_clean"), F.col("ck"))).alias(
+            "canonical_custkey"
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return ent.join(
+        cust.select("c_custkey", F.col("c_name").alias("canonical_name")),
+        ent.canonical_custkey == F.col("c_custkey"),
+    ).select(
+        "entity_id",
+        "n_records",
+        "n_clean",
+        "n_dirty",
+        "canonical_custkey",
+        "canonical_name",
+    )
