@@ -200,6 +200,22 @@ HEADLINE = [
     # (two aggs + bounded-rows window)
     "llm_stratified_split",
     "llm_dataset_card",
+    # round 13: hard-negative mining (vec_id<16 pushdown-bounded probe
+    # broadcast x corpus scan — scales with the corpus side), length-
+    # bucketed batching (narrow scan + bucket-key agg + 3-scalar total),
+    # WordPiece learn (word-count agg + capped top-N; driver loop flat BY
+    # DESIGN) and encode (distinct-word dictionary saturates; the corpus
+    # agg is the scaling term). llm_lsh_audit joins the 10x sweep only:
+    # its exact shingle-Jaccard truth join is Θ(mult²) on the replicated
+    # fixture's mult-clique dup groups (the llm_setsim_join fixture
+    # artifact; a real corpus has bounded dup-group sizes — and the
+    # operator ships max_df for hot shingles). llm_entity_resolution is
+    # EXCLUDED like llm_record_linkage*: its input is the unreplicated
+    # customer dim (flat by construction, not evidence).
+    "llm_hard_negatives",
+    "llm_length_buckets",
+    "llm_wordpiece_merges",
+    "llm_wordpiece_encode",
 ]
 
 
