@@ -1765,3 +1765,87 @@ def start_image_dedup_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_linkage_stream(
+    dirty_stream: DataFrame,
+    clean_path: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    left_id: str,
+    right_id: str,
+    block_passes: list[list[str]],
+    features_builder,
+    weights: dict[str, tuple[float, float]],
+    upper: float,
+    lower: float,
+):
+    """Record linkage AT INGEST — the streaming half of the entity-
+    resolution tier (llm_entity_resolution): dirty records arrive in
+    micro-batches, each batch multipass-blocks + Fellegi–Sunter-scores
+    against the CLEAN reference at rest, and classified pairs land under
+    ``out_dir/epoch=<e>`` with the overwrite-own-epoch replay contract
+    (a crashed-and-replayed epoch rewrites its own dir — no duplicates).
+
+    Per epoch the clean reference is PRUNED before the passes run: the
+    batch's distinct blocking-key rows (batch-bounded, broadcast)
+    semi-join the reference once per pass and the pruned slices union —
+    the reference is never shuffled and only reference rows that could
+    block against THIS batch are read (the dedup-index/ledger read
+    discipline; with the reference written partitioned by a blocking-key
+    prefix the semi-join becomes partition pruning). Scoring itself is
+    :func:`operators.linkage.fs_link_multipass` verbatim, so stream
+    output == the batch operator over the union of all batches — linkage
+    is per-pair stateless; the cross-record step (connected components →
+    golden records) stays a periodic batch job over the accumulated
+    match epochs by design.
+
+    ``features_builder`` is a zero-arg callable returning the F-S
+    feature-expression dict (Column expressions cannot be built before
+    the joined schema exists on the executor-side plan).
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.linkage import fs_link_multipass
+
+    if not block_passes:
+        raise ValueError("need at least one blocking pass")
+    spark_active = dirty_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        batch = batch_df.localCheckpoint()
+        clean = spark_active.read.parquet(clean_path)
+        pruned = None
+        for keys in block_passes:
+            sl = clean.join(
+                F.broadcast(batch.select(*keys).distinct()),
+                list(keys),
+                "left_semi",
+            )
+            pruned = sl if pruned is None else pruned.unionByName(sl)
+        pruned = pruned.dropDuplicates([left_id])
+        scored = fs_link_multipass(
+            pruned,
+            batch,
+            left_id=left_id,
+            right_id=right_id,
+            block_passes=block_passes,
+            features=features_builder(),
+            weights=weights,
+            upper=upper,
+            lower=lower,
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={e}")
+        )
+
+    return (
+        dirty_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
