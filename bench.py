@@ -192,6 +192,8 @@ HEADLINE = [
     "llm_wordpiece_merges",
     "llm_wordpiece_encode",
     "llm_entity_resolution",
+    "llm_wordpiece_token_ids",
+    "llm_tfidf_topterms",
 ]
 
 

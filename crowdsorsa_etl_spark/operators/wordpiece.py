@@ -46,8 +46,10 @@ __all__ = [
     "wordpiece_learn",
     "wordpiece_vocab",
     "wordpiece_encode_words",
+    "wordpiece_token_ids",
     "wordpiece_merges_sql",
     "wordpiece_encode_sql",
+    "wordpiece_token_ids_sql",
 ]
 
 UNK = "[UNK]"
@@ -273,6 +275,70 @@ def wordpiece_encode_words(
     )
 
 
+def wordpiece_token_ids(
+    df: DataFrame,
+    merges: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document to WordPiece token ids — the training-export
+    column, mirroring ``bpe.bpe_encode_ids``. Vocabulary ids are the
+    sorted-token dense numbering over :func:`wordpiece_vocab` plus
+    '[UNK]' (deterministic, SQL-replayable).
+
+    Plan shape: the distinct-word dictionary encodes once
+    (:func:`wordpiece_encode_words`); the document word stream joins it on
+    the word key (dictionary-sized right side — AQE broadcasts it), piece
+    ids come from a literal map over the bounded vocabulary, and the only
+    doc-sized exchange is the per-doc ordered reassembly. The token
+    stream itself is never exploded piece-by-piece Spark-side: each word
+    carries its comma-joined id string.
+
+    Output: (id_col, n_tokens bigint, ids_md5 string) — md5 of the
+    comma-joined id stream in document order; an out-of-vocabulary piece
+    (impossible when the vocab came from this corpus) poisons the md5
+    loudly via a sentinel, the bpe_encode_ids discipline.
+    """
+    vocab_df = wordpiece_vocab(df, merges, text_col=text_col)
+    enc = wordpiece_encode_words(df, vocab_df, text_col=text_col)
+    toks = sorted(
+        {r["tok"] for r in vocab_df.collect()} | {UNK}
+    )
+    id_map = F.create_map(
+        *[F.lit(x) for i, t in enumerate(toks) for x in (t, str(i))]
+    )
+    enc_ids = enc.select(
+        F.col("word").alias("_w"),
+        F.col("n_wp_tokens").cast("bigint").alias("_n"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.split(F.col("wp_tokens"), " "),
+                lambda s: F.coalesce(id_map[s], F.lit("?oov?")),
+            ),
+        ).alias("_wids"),
+    )
+    docw = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias(
+                "pos", "w"
+            ),
+        )
+        .filter(F.length("w") > 0)
+        .join(enc_ids, F.col("w") == F.col("_w"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("_wids")))),
+        lambda x: x["_wids"],
+    )
+    return docw.groupBy(id_col).agg(
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(",", ordered)).alias("ids_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles — the bpe_merges_sql discipline: the identical computation
 # as unrolled CTEs, parameters shared with the Spark side so the two engines
@@ -396,6 +462,30 @@ def wordpiece_encode_sql(
     length. Ties impossible: equal-length matching pieces of the same form
     are the same token.
     """
+    ctes, final = _encode_ctes(
+        n_merges, max_vocab_words=max_vocab_words, n_steps=n_steps
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT word, cnt,
+           CAST(len(string_split(toks, ' ')) AS INT) AS n_wp_tokens,
+           toks AS wp_tokens
+    FROM {final}
+    """
+    )
+
+
+def _encode_ctes(
+    n_merges: int,
+    *,
+    max_vocab_words: int | None,
+    n_steps: int,
+) -> tuple[list[str], str]:
+    """The greedy-encode CTE chain (learn -> vocab -> dwords -> e0..eN);
+    returns (ctes, name of the final state table). Shared by the encode
+    oracle and the token-ids oracle."""
     merges = wordpiece_merges_sql(n_merges, max_vocab_words=max_vocab_words)
     ctes = [
         f"""m AS MATERIALIZED (
@@ -455,13 +545,58 @@ def wordpiece_encode_sql(
       )
     )"""
         )
+    return ctes, f"e{n_steps}"
+
+
+def wordpiece_token_ids_sql(
+    n_merges: int = 32,
+    *,
+    max_vocab_words: int | None = None,
+    n_steps: int = 12,
+) -> str:
+    """DuckDB oracle for :func:`wordpiece_token_ids`: the full greedy-
+    encode chain per unique word, a (token -> id) table over the sorted
+    vocabulary (plus '[UNK]'), the per-document word stream in position
+    order, and md5 of the comma-joined id stream per document — the same
+    gate shape as the BPE token-id oracle (bpe_token_ids_sql)."""
+    ctes, final = _encode_ctes(
+        n_merges, max_vocab_words=max_vocab_words, n_steps=n_steps
+    )
+    ctes = ctes + [
+        f"""vocabid AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT)
+               AS token_id
+      FROM (SELECT DISTINCT tok FROM vocab UNION SELECT '{UNK}')
+    ),
+    docw AS (
+      SELECT doc_id, w, pos FROM (
+        SELECT doc_id,
+               unnest(string_split({_NORM_SQL}, ' ')) AS w,
+               generate_subscripts(string_split({_NORM_SQL}, ' '), 1) - 1
+                 AS pos
+        FROM documents
+      ) WHERE len(w) > 0
+    ),
+    pieces AS (
+      SELECT d.doc_id, d.pos,
+             generate_subscripts(string_split(e.toks, ' '), 1) AS pidx,
+             unnest(string_split(e.toks, ' ')) AS piece
+      FROM docw d JOIN {final} e ON d.w = e.word
+    ),
+    idstream AS (
+      SELECT p.doc_id, p.pos, p.pidx, v.token_id
+      FROM pieces p JOIN vocabid v ON p.piece = v.tok
+    )"""
+    ]
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + f"""
-    SELECT word, cnt,
-           CAST(len(string_split(toks, ' ')) AS INT) AS n_wp_tokens,
-           toks AS wp_tokens
-    FROM e{n_steps}
+        + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(token_id AS VARCHAR), ','
+                          ORDER BY pos, pidx)) AS ids_md5
+    FROM idstream
+    GROUP BY doc_id
     """
     )

@@ -288,6 +288,14 @@ def _wp_encode_oracle() -> str:
     return wordpiece_encode_sql(_WP_MERGES_ENC, max_vocab_words=_WP_CAP)
 
 
+def _wp_ids_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.wordpiece import (
+        wordpiece_token_ids_sql,
+    )
+
+    return wordpiece_token_ids_sql(_WP_MERGES_ENC, max_vocab_words=_WP_CAP)
+
+
 @register("llm_wordpiece_merges", _wp_merges_oracle())
 def llm_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece learn at 40 merges over the top-24-words capped
@@ -313,6 +321,115 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n_merges=_WP_MERGES_ENC, max_vocab_words=_WP_CAP
     )
     return wordpiece_encode_words(docs, wordpiece_vocab(docs, merges))
+
+
+@register("llm_wordpiece_token_ids", _wp_ids_oracle())
+def llm_wordpiece_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents to WordPiece token-id streams (sorted-vocab ids + [UNK];
+    md5 of the comma-joined stream is the gate) — the family's training-
+    export column, mirroring llm_bpe_token_ids."""
+    from crowdsorsa_etl_spark.operators.wordpiece import (
+        wordpiece_learn,
+        wordpiece_token_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = wordpiece_learn(
+        docs, n_merges=_WP_MERGES_ENC, max_vocab_words=_WP_CAP
+    )
+    return wordpiece_token_ids(docs, merges)
+
+
+# ===========================================================================
+# llm_tfidf_topterms — per-document keyword extraction (the RAG/metadata
+# tagging primitive BM25 doesn't cover: BM25 scores DOCS for a query,
+# this scores TERMS for a doc). idf is the BM25-style RATIO
+# (N - df + 0.5)/(df + 0.5), deliberately log-free: the score is then two
+# exact-int subtractions/additions + one division + one multiply — fully
+# determined IEEE both engines, so the per-doc ranking cannot drift on a
+# libm log's last ulp (log is monotone in the ratio, so top-k is
+# identical). Shuffles: one (doc, term) agg, one vocab-sized df agg
+# (AQE-broadcast back), one per-doc top-k window — never SinglePartition.
+# ===========================================================================
+
+_TFIDF_K = 3
+
+
+@register(
+    "llm_tfidf_topterms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE len(term) > 0 GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS score, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS INT) AS rank
+          FROM scored)
+    WHERE rank <= {_TFIDF_K}
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rational BM25-style idf)."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
 
 
 # ===========================================================================

@@ -216,6 +216,11 @@ HEADLINE = [
     "llm_length_buckets",
     "llm_wordpiece_merges",
     "llm_wordpiece_encode",
+    # token-id export (word-keyed dictionary join + per-doc reassembly) and
+    # per-doc TF-IDF keywords (doc-term agg + vocab-sized df broadcast +
+    # per-doc top-k window)
+    "llm_wordpiece_token_ids",
+    "llm_tfidf_topterms",
 ]
 
 
