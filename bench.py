@@ -194,6 +194,8 @@ HEADLINE = [
     "llm_entity_resolution",
     "llm_wordpiece_token_ids",
     "llm_tfidf_topterms",
+    "llm_pmi_collocations",
+    "llm_hashed_features",
 ]
 
 

@@ -433,6 +433,173 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# llm_pmi_collocations — corpus collocation extraction (the phrase-mining
+# primitive feeding tokenizer seed phrases / stop-phrase lists): top-20
+# adjacent bigrams by PMI with a min-count support filter. The score is
+# exp(PMI) = N·c(ab) / (c(a)·c(b)) — log-free like the TF-IDF idf, so the
+# argsort is exact IEEE on both engines (log is monotone). Counts come
+# from two map-side-combined aggregations; the top-k is a global
+# orderBy+limit (TakeOrderedAndProject — per-partition heaps, no full
+# sort, no SinglePartition window). Products stay far below 2^53 so the
+# double casts are exact.
+# ===========================================================================
+
+_PMI_TOPK = 20
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "llm_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w, pos FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+                 AS w,
+               generate_subscripts(string_split(
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '), 1)
+                 AS pos
+        FROM documents
+      ) WHERE len(w) > 0
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bi)
+    SELECT w1, w2, c_ab,
+           round(CAST(n.n_bi * bi.c_ab AS DOUBLE)
+                 / CAST(ua.c * ub.c AS DOUBLE), 6) AS pmi_ratio
+    FROM bi
+    JOIN uni ua ON bi.w1 = ua.w
+    JOIN uni ub ON bi.w2 = ub.w, n
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY CAST(n.n_bi * bi.c_ab AS DOUBLE)
+               / CAST(ua.c * ub.c AS DOUBLE) DESC,
+             w1 ASC, w2 ASC
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by exp(PMI) with support >= 5."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.length("w") > 0)
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select(
+            F.col("w").alias("w1"), F.lead("w").over(wd).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    n = bi.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
+    score = (F.col("n_bi") * F.col("c_ab")).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .join(F.broadcast(n))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(score, 6).alias("pmi_ratio"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(_PMI_TOPK)
+        .drop("_s")
+    )
+
+
+# ===========================================================================
+# llm_hashed_features — the feature-hashing trick (Weinberger et al.;
+# Vowpal Wabbit): term counts hashed into a fixed 64-bucket space with a
+# hash-derived ±1 sign to de-bias collisions — the bounded-width document
+# featurization a linear quality scorer consumes when the vocabulary is
+# unbounded. Portable md5-derived h64 on both engines; bucket =
+# floor-mod 64, sign = bit 6. ONE (doc, bucket) aggregation; values are
+# exact BIGINTs (signed counts), no floats anywhere.
+# ===========================================================================
+
+_FH_DIM = 64
+
+
+def _fh_oracle() -> str:
+    from crowdsorsa_etl_spark.functions.portable_hash import h64_sql
+
+    h = h64_sql("w")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+                 AS w
+        FROM documents
+      ) WHERE len(w) > 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ((({h}) % {_FH_DIM}) + {_FH_DIM}) % {_FH_DIM} AS bucket,
+             CASE WHEN (({h}) & 64) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING sum(sgn) != 0
+    """
+
+
+@register("llm_hashed_features", _fh_oracle())
+def llm_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed 64-bucket feature-hashed term counts per document (sparse
+    rows; zero-sum buckets dropped on both engines)."""
+    from crowdsorsa_etl_spark.functions.portable_hash import h64_spark
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = h64_spark(F.col("w"))
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(_FH_DIM)).cast("int").alias("bucket"),
+        F.when(h.bitwiseAND(F.lit(64)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+# ===========================================================================
 # llm_entity_resolution — the end-to-end ER pipeline a metadata
 # reconciliation run ships: multipass-blocked Fellegi–Sunter pairs
 # (llm_record_linkage_multipass), 'match'-class edges only, connected

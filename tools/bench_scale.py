@@ -221,6 +221,10 @@ HEADLINE = [
     # per-doc top-k window)
     "llm_wordpiece_token_ids",
     "llm_tfidf_topterms",
+    # PMI collocations (two count aggs + TakeOrdered) and feature hashing
+    # (one (doc,bucket) agg over the token stream, exact signed BIGINTs)
+    "llm_pmi_collocations",
+    "llm_hashed_features",
 ]
 
 
