@@ -196,6 +196,7 @@ HEADLINE = [
     "llm_tfidf_topterms",
     "llm_pmi_collocations",
     "llm_hashed_features",
+    "llm_bucket_pack_assign",
 ]
 
 

@@ -600,6 +600,130 @@ def llm_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# llm_bucket_pack_assign — doc-boundary-preserving batch packing (the SFT
+# dataloader shape, where GPT-style concat-split packing is wrong because
+# examples must not cross sequence boundaries): docs group by their
+# next-power-of-2 length bucket, each bin holds floor(MAX_LEN/bucket_len)
+# docs (>= 1), and bin membership is the deterministic (doc_id) order
+# within the bucket — an EXACT assignment, unlike first-fit-decreasing
+# whose sequential prefix state doesn't distribute. The within-bucket
+# rank deliberately does NOT use Window.partitionBy(bucket_len): only
+# ~log2(max_len) buckets exist, so each would be ONE reducer at corpus
+# scale — instead the global two-phase row number over (bucket, doc_id)
+# (operators/global_rank.py: one range exchange, bounded offsets) minus a
+# broadcast per-bucket start offset gives the identical rank with no hot
+# key anywhere. Per-bin padding waste reports against the
+# MAX_LEN·capacity envelope. Composes with llm_length_buckets: that
+# query justifies bucketing, this one ships the assignment.
+# ===========================================================================
+
+_PACK_MAX_LEN = 512
+
+
+@register(
+    "llm_bucket_pack_assign",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN nt = '' THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents)
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CAST(power(2, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT)
+               AS bucket_len
+      FROM toks
+      WHERE n_tokens <= {_PACK_MAX_LEN}
+    ),
+    assigned AS (
+      SELECT bucket_len, n_tokens,
+             CAST((row_number() OVER (PARTITION BY bucket_len
+                                      ORDER BY doc_id) - 1)
+                  // greatest({_PACK_MAX_LEN} // bucket_len, 1) AS BIGINT)
+               AS bin_id,
+             CAST(greatest({_PACK_MAX_LEN} // bucket_len, 1) AS BIGINT)
+               AS capacity
+      FROM bucketed
+    )
+    SELECT bucket_len, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(capacity) AS capacity,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           min(capacity) * bucket_len AS padded_tokens,
+           round(1.0 - sum(n_tokens) * 1.0 / (min(capacity) * bucket_len), 6)
+             AS waste_frac
+    FROM assigned
+    GROUP BY bucket_len, bin_id
+    """,
+)
+def llm_bucket_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic bin assignment for boundary-preserving packing:
+    per (bucket, bin) membership counts and padding waste at MAX_LEN=512."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.when(nt == "", F.lit(0))
+        .otherwise(F.size(F.split(nt, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    bucketed = toks.filter(F.col("n_tokens") <= _PACK_MAX_LEN).select(
+        "doc_id",
+        "n_tokens",
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))))
+        .cast("bigint")
+        .alias("bucket_len"),
+    )
+    ranked, _total = with_global_row_number(
+        bucketed,
+        [F.col("bucket_len"), F.col("doc_id")],
+        rn_col="_grn",
+    )
+    starts = ranked.groupBy("bucket_len").agg(F.min("_grn").alias("_b0"))
+    cap = F.greatest(
+        (F.lit(_PACK_MAX_LEN) / F.col("bucket_len")).cast("bigint"), F.lit(1)
+    ).cast("bigint")
+    assigned = ranked.join(F.broadcast(starts), "bucket_len").select(
+        "bucket_len",
+        "n_tokens",
+        ((F.col("_grn") - F.col("_b0")) / cap).cast("bigint").alias("bin_id"),
+        cap.alias("capacity"),
+    )
+    return (
+        assigned.groupBy("bucket_len", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("capacity").alias("capacity"),
+            F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "bin_id",
+            "n_docs",
+            "capacity",
+            "real_tokens",
+            (F.col("capacity") * F.col("bucket_len")).alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("real_tokens")
+                * F.lit(1.0)
+                / (F.col("capacity") * F.col("bucket_len")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+# ===========================================================================
 # llm_entity_resolution — the end-to-end ER pipeline a metadata
 # reconciliation run ships: multipass-blocked Fellegi–Sunter pairs
 # (llm_record_linkage_multipass), 'match'-class edges only, connected

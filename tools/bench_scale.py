@@ -225,6 +225,8 @@ HEADLINE = [
     # (one (doc,bucket) agg over the token stream, exact signed BIGINTs)
     "llm_pmi_collocations",
     "llm_hashed_features",
+    # boundary-preserving bucket packing (one window per bucket key)
+    "llm_bucket_pack_assign",
 ]
 
 
