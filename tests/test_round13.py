@@ -326,3 +326,40 @@ class TestLinkageStream:
             d for d in os.listdir(out) if d.startswith("epoch=")
         }
         assert epochs == {"epoch=0", "epoch=1"}
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_self(self, spark):
+        from crowdsorsa_etl_spark.operators.similarity import (
+            hard_negative_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [0.9, 0.1], 0),   # same label as 0 — never a negative
+                (2, [0.8, 0.2], 1),
+                (3, [0.0, 1.0], 1),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        got = hard_negative_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=2
+        ).collect()
+        ids = [r["neighbor_id"] for r in got]
+        assert ids == [2, 3]  # most-similar wrong-label first
+        assert all(r["neighbor_label"] != r["query_label"] for r in got)
+        assert [r["rank"] for r in got] == [1, 2]
+
+    def test_all_same_label_yields_empty(self, spark):
+        from crowdsorsa_etl_spark.operators.similarity import (
+            hard_negative_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 7), (1, [0.0, 1.0], 7)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        assert (
+            hard_negative_topk(emb, emb, k=3).count() == 0
+        )
