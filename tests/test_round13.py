@@ -363,3 +363,82 @@ class TestHardNegatives:
         assert (
             hard_negative_topk(emb, emb, k=3).count() == 0
         )
+
+
+class TestRound13Plans:
+    SF_DIR = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _plan(df):
+        from tests.test_plans import plan_of
+
+        return plan_of(df)
+
+    def test_bucket_pack_no_single_partition_window(self, spark):
+        # the per-bucket rank must be the two-phase global row number —
+        # a Window.partitionBy(bucket_len) over ~4 hot keys would show
+        # an Exchange on the bucket key (one reducer per bucket at scale)
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        plan = self._plan(QUERIES["llm_bucket_pack_assign"](spark, self.SF_DIR))
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
+
+    def test_dataset_card_no_single_partition_window(self, spark):
+        # corpus-total token share comes from a broadcast scalar join,
+        # never an unpartitioned window (round-13 fix). The remaining
+        # SinglePartition exchanges are the bounded 1-row folds of global
+        # scalar aggregates (<= n_partitions rows) — the invariant is no
+        # WindowExec without a partition key, i.e. no Window at all here.
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        plan = self._plan(QUERIES["llm_dataset_card"](spark, self.SF_DIR))
+        assert "Window" not in plan
+
+    @staticmethod
+    def _single_partition_feeds_only_aggregates(plan: str) -> bool:
+        """True iff every SinglePartition exchange's PARENT is an
+        aggregate (the bounded 1-row fold of a global scalar aggregate)
+        — i.e. no unpartitioned Sort/Window rides a SinglePartition
+        exchange anywhere in the plan."""
+        import re
+
+        sp_ids = set()
+        for sec in plan.split("\n\n"):
+            m = re.match(r"\((\d+)\) Exchange", sec)
+            if m and "Arguments: SinglePartition" in sec:
+                sp_ids.add(m.group(1))
+        tree = plan.split("\n\n")[0]
+        lines = tree.split("\n")
+        for i, ln in enumerate(lines):
+            m = re.search(r"Exchange(?:\w*)? \((\d+)\)", ln)
+            if not m or m.group(1) not in sp_ids:
+                continue
+            indent = len(ln) - len(ln.lstrip(" :+-"))
+            parent = None
+            for j in range(i - 1, -1, -1):
+                pj = lines[j]
+                pind = len(pj) - len(pj.lstrip(" :+-"))
+                if pind < indent:
+                    parent = pj
+                    break
+            if parent is None or "Aggregate" not in parent:
+                return False
+        return True
+
+    def test_lsh_audit_reduces_to_broadcast_scalars(self, spark):
+        # truth/candidate tiers are joins + aggregations with per-doc
+        # partitioned shingle windows; the only SinglePartition exchanges
+        # allowed are the bounded 1-row folds of global scalar aggregates
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        plan = self._plan(QUERIES["llm_lsh_audit"](spark, self.SF_DIR))
+        assert self._single_partition_feeds_only_aggregates(plan)
+
+    def test_hard_negatives_broadcasts_probe_side(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        plan = self._plan(QUERIES["llm_hard_negatives"](spark, self.SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        # probe filter reaches the scan
+        assert "PushedFilters" in plan
