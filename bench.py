@@ -197,6 +197,7 @@ HEADLINE = [
     "llm_pmi_collocations",
     "llm_hashed_features",
     "llm_bucket_pack_assign",
+    "llm_min_k_prob",
 ]
 
 

@@ -80,17 +80,17 @@ def _bigrams(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def kneser_ney_bigram_scores(
+def kneser_ney_token_scores(
     docs: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = DISCOUNT,
 ) -> DataFrame:
-    """(doc_id, n_bigrams, avg_logprob): interpolated-KN mean bigram
-    log-probability per document, trained on ``docs`` itself. Docs with
-    fewer than two tokens drop out (no bigram to score) — same contract
-    as ``llm_bigram_logprob``."""
+    """(doc_id, lp): one 6-dp-rounded interpolated-KN log-probability per
+    bigram OCCURRENCE — the per-token stream the document aggregates
+    (mean score, CCNet buckets, min-k% membership inference) all consume.
+    Count tables aggregate over bigram TYPES, not occurrences."""
     big = _bigrams(docs, text_col=text_col, id_col=id_col)
 
     bc = big.groupBy("w1", "w2").agg(
@@ -124,6 +124,24 @@ def kneser_ney_bigram_scores(
         .join(right, "w2")
         .crossJoin(F.broadcast(types))
         .select("doc_id", lp.alias("lp"))
+    )
+
+
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = DISCOUNT,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob): interpolated-KN mean bigram
+    log-probability per document, trained on ``docs`` itself. Docs with
+    fewer than two tokens drop out (no bigram to score) — same contract
+    as ``llm_bigram_logprob``."""
+    return (
+        kneser_ney_token_scores(
+            docs, text_col=text_col, id_col=id_col, discount=discount
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -134,13 +152,73 @@ def kneser_ney_bigram_scores(
     )
 
 
-def kneser_ney_bigram_sql(
-    *, discount: float = DISCOUNT, table: str = "documents"
-) -> str:
-    """DuckDB oracle replaying :func:`kneser_ney_bigram_scores` verbatim
-    (same count tables, same 6-dp pre-sum rounding)."""
-    return f"""
-    WITH toks AS (
+def min_k_prob_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = DISCOUNT,
+    k_denom: int = 5,
+) -> DataFrame:
+    """Min-k%-prob membership inference (Shi et al. 2023, "Detecting
+    Pretraining Data"): per document, the mean log-probability of its
+    bottom 1/``k_denom`` fraction of bigram scores (k=20% at the default).
+    A document the LM has MEMORIZED scores high even on its least-likely
+    tokens, so a HIGH mink_logprob relative to the corpus flags likely
+    training-set membership — the benchmark-contamination probe run
+    against a frozen filter LM.
+
+    The cutoff count is exact integer arithmetic (ceil(n/k_denom) via
+    (n + k_denom - 1) div k_denom — no float k% multiply whose last ulp
+    could move the ceil across engines), and the bottom-m multiset is
+    tie-robust: values at the cutoff boundary are equal, so any
+    tie-resolution yields the same mean. One per-doc window (partitioned,
+    never SinglePartition) over the token-score stream.
+
+    The mean is BIGINT fixed-point (the DSIR discipline): each 6-dp lp
+    converts to exact integer micro-units (round(lp·1e6) — within 1 ulp
+    of the integer, so the nearest-int round is exact on both engines),
+    the sum is exact integer arithmetic, and the output is ONE correctly-
+    rounded double division. The round(sum)/m double form hit a real
+    half-boundary at sf0.01 (S/m = -3.8087875: Spark's BigDecimal HALF_UP
+    on the binary expansion and DuckDB's multiply-then-round disagree at
+    exactly .5e-6) — fixed point removes the boundary instead of hoping.
+
+    Output: (doc_id, n_bigrams, m_bottom, mink_logprob).
+    """
+    if k_denom < 1:
+        raise ValueError(f"k_denom must be >= 1, got {k_denom}")
+    tok = kneser_ney_token_scores(
+        docs, text_col=text_col, id_col=id_col, discount=discount
+    )
+    counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams")
+    )
+    m = (
+        (F.col("n_bigrams") + F.lit(k_denom - 1)) / F.lit(k_denom)
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(F.col("lp").asc())
+    lpu = F.round(F.col("lp") * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        tok.withColumn("_rn", F.row_number().over(w))
+        .join(counts.withColumn("m_bottom", m), "doc_id")
+        .filter(F.col("_rn") <= F.col("m_bottom"))
+        .select("doc_id", "n_bigrams", "m_bottom", lpu.alias("_lpu"))
+        .groupBy("doc_id", "n_bigrams", "m_bottom")
+        .agg(
+            (
+                F.sum("_lpu").cast("double")
+                / (F.col("m_bottom") * F.lit(1_000_000)).cast("double")
+            ).alias("mink_logprob")
+        )
+    )
+
+
+def _kn_scored_ctes(*, discount: float, table: str) -> str:
+    """CTE text toks→big→bc→lft→rgt→ttl→scored producing (doc_id, lp) —
+    the per-occurrence KN score stream shared by the mean-score, bucket,
+    and min-k% oracles (one fragment, one set of conventions)."""
+    return f"""toks AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS arr
       FROM {table}
     ),
@@ -172,10 +250,51 @@ def kneser_ney_bigram_sql(
       JOIN lft ON big.w1 = lft.w1
       JOIN rgt ON big.w2 = rgt.w2
       CROSS JOIN ttl
-    )
+    )"""
+
+
+def kneser_ney_bigram_sql(
+    *, discount: float = DISCOUNT, table: str = "documents"
+) -> str:
+    """DuckDB oracle replaying :func:`kneser_ney_bigram_scores` verbatim
+    (same count tables, same 6-dp pre-sum rounding)."""
+    return f"""
+    WITH {_kn_scored_ctes(discount=discount, table=table)}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(round(sum(lp), 6) / count(*), 6) AS avg_logprob
     FROM scored GROUP BY doc_id
+    """
+
+
+def min_k_prob_sql(
+    *,
+    discount: float = DISCOUNT,
+    table: str = "documents",
+    k_denom: int = 5,
+) -> str:
+    """DuckDB oracle replaying :func:`min_k_prob_scores`: same per-token
+    score stream, the same exact-integer bottom-count
+    ceil(n/k_denom) = (n + k_denom - 1) // k_denom, the same tie-robust
+    bottom-m selection, the same BIGINT fixed-point mean."""
+    return f"""
+    WITH {_kn_scored_ctes(discount=discount, table=table)},
+    ranked AS (
+      SELECT doc_id, CAST(round(lp * 1000000.0) AS BIGINT) AS lpu,
+             row_number() OVER (PARTITION BY doc_id ORDER BY lp ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_bigrams
+      FROM scored
+    )
+    SELECT doc_id, n_bigrams,
+           CAST((n_bigrams + {k_denom - 1}) // {k_denom} AS BIGINT)
+             AS m_bottom,
+           CAST(sum(lpu) AS DOUBLE)
+             / CAST(((n_bigrams + {k_denom - 1}) // {k_denom})
+                    * 1000000 AS DOUBLE)
+             AS mink_logprob
+    FROM ranked
+    WHERE rn <= (n_bigrams + {k_denom - 1}) // {k_denom}
+    GROUP BY doc_id, n_bigrams
     """
 
 

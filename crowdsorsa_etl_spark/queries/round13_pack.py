@@ -853,3 +853,35 @@ def llm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_custkey",
         "canonical_name",
     )
+
+
+# ===========================================================================
+# llm_min_k_prob — min-k%-prob membership inference (Shi et al. 2023,
+# "Detecting Pretraining Data from Large Language Models"): per document,
+# the mean KN log-probability of its bottom-20% bigram scores. Memorized
+# text scores high even on its LEAST-likely tokens, so a high
+# mink_logprob flags probable training-set membership — the benchmark-
+# contamination probe the n-gram-overlap tiers (llm_contamination,
+# llm_substring_decontamination) cannot express (they need the verbatim
+# text; this catches near-verbatim memorization through the LM). Reuses
+# the per-occurrence KN score stream (one shared CTE fragment with
+# llm_kneser_ney_logprob / llm_perplexity_buckets); the bottom-count is
+# exact integer ceil(n/5) — no float k% multiply whose last ulp could
+# move the cutoff across engines — and the bottom-m selection is
+# tie-robust (boundary ties are equal values, same sum either way).
+# ===========================================================================
+
+
+def _min_k_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.ngramlm import min_k_prob_sql
+
+    return min_k_prob_sql()
+
+
+@register("llm_min_k_prob", _min_k_oracle())
+def llm_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-20%-prob membership-inference score per document over the
+    corpus-trained KN bigram LM (operators/ngramlm.min_k_prob_scores)."""
+    from crowdsorsa_etl_spark.operators.ngramlm import min_k_prob_scores
+
+    return min_k_prob_scores(_t(spark, sf_dir, "documents"))

@@ -227,6 +227,8 @@ HEADLINE = [
     "llm_hashed_features",
     # boundary-preserving bucket packing (one window per bucket key)
     "llm_bucket_pack_assign",
+    # min-k% membership inference (shared KN score stream + per-doc window)
+    "llm_min_k_prob",
 ]
 
 
