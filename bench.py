@@ -198,6 +198,7 @@ HEADLINE = [
     "llm_hashed_features",
     "llm_bucket_pack_assign",
     "llm_min_k_prob",
+    "llm_ann_recall_audit",
 ]
 
 

@@ -885,3 +885,60 @@ def llm_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crowdsorsa_etl_spark.operators.ngramlm import min_k_prob_scores
 
     return min_k_prob_scores(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# llm_ann_recall_audit — the ANN mirror of llm_lsh_audit (measure, don't
+# guess): per-query recall@5 of the IVF index against exact brute-force
+# cosine ground truth, at the exact llm_ivf_topk configuration. Both tiers
+# already replay end-to-end in SQL (deterministic sample-trained k-means;
+# sequential-double cosine), so the audit's oracle is a join of the two
+# replays — a recall regression from a probe-selection or re-rank bug
+# breaks the hash, not just a pytest gate.
+# ===========================================================================
+
+
+def _ann_audit_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+    from crowdsorsa_etl_spark.queries.llm_pack import COSINE_TOPK_ORACLE_SQL
+
+    ivf = lsh_oracles.ivf_topk_sql(n_lists=16, n_probe=8)
+    return f"""
+    WITH exact_tk AS ({COSINE_TOPK_ORACLE_SQL}),
+    approx_tk AS ({ivf})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall
+    FROM exact_tk e
+    LEFT JOIN approx_tk a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("llm_ann_recall_audit", _ann_audit_oracle())
+def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of ivf_topk(n_lists=16, n_probe=8) vs exact
+    cosine_topk over the same probe set."""
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        emb, probes, k=5, n_lists=16, n_probe=8
+    ).select("query_id", F.col("neighbor_id").alias("_an"))
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("neighbor_id") == F.col("_an")),
+        "left",
+    ).select(exact.query_id.alias("qid"), "neighbor_id", "_an")
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count(F.col("_an")).cast("bigint").alias("n_hit"),
+        F.round(
+            F.count(F.col("_an")) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )

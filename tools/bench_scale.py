@@ -229,6 +229,8 @@ HEADLINE = [
     "llm_bucket_pack_assign",
     # min-k% membership inference (shared KN score stream + per-doc window)
     "llm_min_k_prob",
+    # ANN recall audit (exact + IVF tiers joined; corpus-side scans scale)
+    "llm_ann_recall_audit",
 ]
 
 
