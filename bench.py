@@ -199,6 +199,7 @@ HEADLINE = [
     "llm_bucket_pack_assign",
     "llm_min_k_prob",
     "llm_ann_recall_audit",
+    "llm_classifier_calibration",
 ]
 
 

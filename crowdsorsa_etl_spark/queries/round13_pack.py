@@ -942,3 +942,80 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("_an")) * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("recall"),
     )
+
+
+# ===========================================================================
+# llm_classifier_calibration — the reliability table a model-based filter
+# ships with (is a logit of +2 actually 88% likely to be a keeper?):
+# documents bin by floor(logit) (clamped to [-5, 4]; binning in LOGIT
+# space keeps the contract free of cross-libm exp()), and each bin
+# reports its document count and the ACTUAL positive rate under the label
+# the classifier was distilled from (n_chars >= 300 — the weak label
+# tools/fit_quality_weights.py trained against). Mean logit per bin is
+# BIGINT fixed point over the 6-dp-rounded logits (the min-k discipline:
+# no double-summation-order drift, no rounding boundary). One narrow
+# scan + one bin-keyed aggregation.
+# ===========================================================================
+
+
+def _calibration_oracle() -> str:
+    from crowdsorsa_etl_spark.queries.round8d_pack import _qc_oracle
+
+    return f"""
+    WITH scored AS ({_qc_oracle()}),
+    labeled AS (
+      SELECT s.doc_id, s.logit, (d.n_chars >= 300) AS is_pos,
+             CAST(least(greatest(floor(s.logit), -5), 4) AS BIGINT) AS bin,
+             CAST(round(s.logit * 1000000.0) AS BIGINT) AS logit_u
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           round(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS pos_rate,
+           CAST(sum(logit_u) AS DOUBLE) / (count(*) * 1000000)
+             AS mean_logit
+    FROM labeled GROUP BY bin
+    """
+
+
+@register("llm_classifier_calibration", _calibration_oracle())
+def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the shipped quality classifier: per logit
+    bin, document count, actual positive rate under the distillation
+    label, and the fixed-point mean logit."""
+    from crowdsorsa_etl_spark.queries.round8d_pack import (
+        llm_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = llm_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("n_chars") >= 300).alias("is_pos")),
+        "doc_id",
+    ).select(
+        F.least(F.greatest(F.floor("logit"), F.lit(-5)), F.lit(4))
+        .cast("bigint")
+        .alias("bin"),
+        "is_pos",
+        F.round(F.col("logit") * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("logit_u"),
+    )
+    return labeled.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.round(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+        (
+            F.sum("logit_u").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000))
+        ).alias("mean_logit"),
+    )

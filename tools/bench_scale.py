@@ -231,6 +231,8 @@ HEADLINE = [
     "llm_min_k_prob",
     # ANN recall audit (exact + IVF tiers joined; corpus-side scans scale)
     "llm_ann_recall_audit",
+    # classifier reliability table (narrow scan + bin-keyed agg)
+    "llm_classifier_calibration",
 ]
 
 
