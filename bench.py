@@ -200,6 +200,8 @@ HEADLINE = [
     "llm_min_k_prob",
     "llm_ann_recall_audit",
     "llm_classifier_calibration",
+    "llm_matryoshka_audit",
+    "llm_k_anonymity",
 ]
 
 

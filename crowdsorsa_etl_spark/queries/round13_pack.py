@@ -1019,3 +1019,178 @@ def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(1_000_000))
         ).alias("mean_logit"),
     )
+
+
+# ===========================================================================
+# llm_matryoshka_audit — embedding-truncation quality audit (Matryoshka
+# representation learning serving question: how much recall do I keep if
+# I store only the first d' dims?): recall@5 of cosine top-k over the
+# FIRST 8 and FIRST 4 dimensions vs the full-width exact ranking, per
+# truncation width. Same measure-don't-guess family as llm_lsh_audit /
+# llm_ann_recall_audit; same sequential-double cosine and rank
+# conventions as llm_cosine_topk, applied to array slices — so the whole
+# audit replays in SQL. Corpus scans scale linearly; the probe set is
+# bounded and broadcast.
+# ===========================================================================
+
+_MRL_WIDTHS = (8, 4)
+
+
+def _mrl_topk_cte(width: int | None, name: str) -> str:
+    vec = "CAST(embedding AS DOUBLE[])" if width is None else (
+        f"CAST(embedding AS DOUBLE[])[1:{width}]"
+    )
+    return f"""{name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+          FROM (SELECT vec_id, {vec} AS v FROM embeddings
+                WHERE vec_id < 10) q
+          JOIN (SELECT vec_id, {vec} AS v FROM embeddings) c
+            ON c.vec_id != q.vec_id
+        )
+      ) WHERE rank <= 5
+    )"""
+
+
+def _mrl_oracle() -> str:
+    ctes = [_mrl_topk_cte(None, "full_tk")] + [
+        _mrl_topk_cte(w, f"tk{w}") for w in _MRL_WIDTHS
+    ]
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({w} AS INT) AS width,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(t.neighbor_id) * 1.0 / count(*), 6) AS recall
+    FROM full_tk f
+    LEFT JOIN tk{w} t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id"""
+        for w in _MRL_WIDTHS
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + rows
+
+
+@register("llm_matryoshka_audit", _mrl_oracle())
+def llm_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of truncated-dimension cosine top-k (first 8 / first 4
+    dims) vs the full-width exact ranking."""
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def tk(width: int | None) -> DataFrame:
+        e = emb
+        if width is not None:
+            e = emb.select(
+                "vec_id", F.slice("embedding", 1, width).alias("embedding")
+            )
+        return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5).select(
+            "query_id", "neighbor_id"
+        )
+
+    full = tk(None)
+    out = None
+    for w in _MRL_WIDTHS:
+        t = tk(w).withColumnRenamed("neighbor_id", "_tn")
+        j = full.alias("f").join(
+            t.alias("t"),
+            (F.col("f.query_id") == F.col("t.query_id"))
+            & (F.col("f.neighbor_id") == F.col("t._tn")),
+            "left",
+        )
+        row = j.agg(
+            F.lit(w).cast("int").alias("width"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count(F.col("t._tn")).cast("bigint").alias("n_hit"),
+            F.round(
+                F.count(F.col("t._tn")) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ===========================================================================
+# llm_k_anonymity — release-governance check: under the quasi-identifier
+# (lang, source, power-of-2 length bucket), which equivalence classes
+# fall below k=5 members (re-identification risk in a published corpus'
+# metadata), plus the share of documents at risk. Two map-side-combined
+# aggregations: one on the quasi-identifier, one 2-scalar summary
+# broadcast back onto the violating rows. Exact BIGINTs; one division.
+# ===========================================================================
+
+_KANON_K = 5
+
+
+@register(
+    "llm_k_anonymity",
+    f"""
+    WITH q AS (
+      SELECT lang, source,
+             CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT)
+               AS len_bucket
+      FROM documents
+    ),
+    classes AS (
+      SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM q GROUP BY lang, source, len_bucket
+    ),
+    summary AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(coalesce(sum(CASE WHEN n_docs < {_KANON_K}
+                                    THEN n_docs ELSE 0 END), 0) AS BIGINT)
+               AS at_risk_docs
+      FROM classes
+    )
+    SELECT c.lang, c.source, c.len_bucket, c.n_docs,
+           round(s.at_risk_docs * 1.0 / s.total_docs, 6) AS at_risk_frac
+    FROM classes c, summary s
+    WHERE c.n_docs < {_KANON_K}
+    """,
+)
+def llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier classes below k=5 + the corpus at-risk share."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "lang",
+        "source",
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))))
+        .cast("bigint")
+        .alias("len_bucket"),
+    )
+    classes = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    summary = classes.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n_docs") < _KANON_K, F.col("n_docs")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("at_risk_docs"),
+    )
+    return (
+        classes.filter(F.col("n_docs") < _KANON_K)
+        .join(F.broadcast(summary))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "n_docs",
+            F.round(
+                F.col("at_risk_docs") * F.lit(1.0) / F.col("total_docs"), 6
+            ).alias("at_risk_frac"),
+        )
+    )

@@ -233,6 +233,10 @@ HEADLINE = [
     "llm_ann_recall_audit",
     # classifier reliability table (narrow scan + bin-keyed agg)
     "llm_classifier_calibration",
+    # Matryoshka truncation audit (corpus-side scans x3 widths under a
+    # bounded probe set) and k-anonymity (two aggs, QI-keyed + 2-scalar)
+    "llm_matryoshka_audit",
+    "llm_k_anonymity",
 ]
 
 
