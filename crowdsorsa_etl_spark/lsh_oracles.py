@@ -1163,11 +1163,22 @@ def lsh_audit_sql(
         f"ELSE 0 END), 0) AS BIGINT) AS nh{i}"
         for i, t in enumerate(thresholds)
     )
+    rows_per_band = num_hashes // bands
+
+    def _scurve(t: float) -> str:
+        # analytic banding S-curve 1 - (1 - t^r)^b via an exact multiply
+        # chain (no libm pow): both engines do the identical IEEE
+        # multiplies, so the column hashes without rounding tricks
+        base = f"(1.0 - {'*'.join([f'CAST({t} AS DOUBLE)'] * rows_per_band)})"
+        prod = "*".join([base] * bands)
+        return f"round(1.0 - {prod}, 6)"
+
     rows = [
         f"""SELECT CAST({t} AS DOUBLE) AS threshold,
                nt{i} AS n_true, n_cand AS n_candidates, nh{i} AS n_hit,
                round(nh{i} * 1.0 / nullif(n_cand, 0), 6) AS precision,
-               round(nh{i} * 1.0 / nullif(nt{i}, 0), 6) AS recall
+               round(nh{i} * 1.0 / nullif(nt{i}, 0), 6) AS recall,
+               {_scurve(t)} AS expected_collision_prob
         FROM tstats, cstats"""
         for i, t in enumerate(thresholds)
     ]

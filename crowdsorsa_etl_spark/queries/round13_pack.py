@@ -76,6 +76,19 @@ def llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cstats = candj.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cand"), *_counts("nh")
     )
+    def _scurve(t: float):
+        # analytic banding S-curve 1 - (1 - t^r)^b (r=2 rows/band, b=8
+        # bands at the default config) as an exact multiply chain — the
+        # THEORETICAL collision probability the measured recall column is
+        # judged against; no libm pow in the parity contract (the oracle
+        # unrolls the identical IEEE multiplies)
+        x = F.lit(float(t)) * F.lit(float(t))
+        miss = F.lit(1.0) - x
+        prod = miss
+        for _ in range(8 - 1):
+            prod = prod * miss
+        return F.round(F.lit(1.0) - prod, 6)
+
     row = tstats.join(F.broadcast(cstats))
     per_t = row.select(
         F.explode(
@@ -86,6 +99,7 @@ def llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col(f"nt{i}").alias("n_true"),
                         F.col("n_cand").alias("n_candidates"),
                         F.col(f"nh{i}").alias("n_hit"),
+                        _scurve(t).alias("expected_collision_prob"),
                     )
                     for i, t in enumerate(_AUDIT_THRESHOLDS)
                 ]
@@ -103,6 +117,7 @@ def llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hit") / F.nullif(F.col("n_true"), F.lit(0)), 6).alias(
             "recall"
         ),
+        "expected_collision_prob",
     )
 
 
