@@ -202,6 +202,7 @@ HEADLINE = [
     "llm_classifier_calibration",
     "llm_matryoshka_audit",
     "llm_k_anonymity",
+    "llm_incremental_components",
 ]
 
 

@@ -141,3 +141,87 @@ def dedup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
     ).withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing (id, component)
+    registry WITHOUT recomputing components over the full edge history —
+    the incremental form of :func:`connected_components` an entity
+    registry / dedup-cluster store needs at ingest (history edges are
+    petabyte-scale; a new batch touches a bounded set of components).
+
+    Algorithm (label condensation):
+
+    1. resolve the batch's endpoints to their CURRENT labels (missing
+       node -> itself) — one registry join keyed on the node id;
+    2. run pointer-doubling CC on the CONDENSED label graph (one vertex
+       per touched label — bounded by the batch, never by the registry);
+    3. the resulting old-label -> new-label mapping relabels the registry
+       with ONE label-keyed join (broadcastable: the mapping is
+       batch-bounded; with the registry written partitioned by a label
+       prefix the relabel is also partition-pruned), and the batch's
+       previously-unseen nodes append with their new labels.
+
+    Component ids stay the canonical min-node-id, so after ANY sequence
+    of batches the registry is bit-identical to a full recompute over
+    the union of all edges — the parity gate llm_incremental_components
+    hashes against the one-shot transitive-closure oracle.
+    """
+    e = new_edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    lab = labels.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    ).localCheckpoint()
+
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    resolved = nodes.join(lab, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("lbl")
+    ).localCheckpoint()
+
+    r1 = resolved.withColumnRenamed("id", "src").withColumnRenamed(
+        "lbl", "la"
+    )
+    r2 = resolved.withColumnRenamed("id", "dst").withColumnRenamed(
+        "lbl", "lb"
+    )
+    condensed = (
+        e.join(r1, "src")
+        .join(r2, "dst")
+        .select(F.col("la").alias("id_a"), F.col("lb").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    merged = connected_components(
+        condensed, max_iterations=max_iterations
+    )  # (id = old label, component = new label) for MERGING labels only
+    mapping = merged.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_old"), F.col("component").alias("_new")
+    )
+
+    relabeled = lab.join(
+        F.broadcast(mapping), lab.component == F.col("_old"), "left"
+    ).select(
+        "id", F.coalesce(F.col("_new"), F.col("component")).alias("component")
+    )
+    fresh = (
+        resolved.join(lab.select("id"), "id", "left_anti")
+        .join(F.broadcast(mapping), resolved.lbl == F.col("_old"), "left")
+        .select(
+            "id", F.coalesce(F.col("_new"), F.col("lbl")).alias("component")
+        )
+    )
+    return relabeled.unionByName(fresh)

@@ -1209,3 +1209,47 @@ def llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("at_risk_frac"),
         )
     )
+
+
+# ===========================================================================
+# llm_incremental_components — the incremental entity/cluster registry:
+# the corpus' LSH candidate edges split into two arrival batches, batch 0
+# builds the registry with the one-shot CC, batch 1 folds in via label
+# condensation (operators/clusters.incremental_components: CC runs only
+# on the CONDENSED touched-label graph, the registry relabels with one
+# broadcast label-keyed join). The oracle is the BATCH pipeline's oracle
+# verbatim (transitive closure over ALL edges) — hash-match proves
+# incremental == full recompute, the invariant an at-ingest entity store
+# lives on. Deterministic split (sum of endpoint ids mod 2), so both
+# engines see the same batches trivially: the oracle never needs them.
+# ===========================================================================
+
+
+def _inc_components_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    return lsh_oracles.dedup_clusters_sql()
+
+
+@register("llm_incremental_components", _inc_components_oracle())
+def llm_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental cluster registry, hashed against the
+    one-shot connected-components oracle."""
+    from crowdsorsa_etl_spark.operators.clusters import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    b0 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    b1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    reg = connected_components(b0)
+    reg = incremental_components(reg, b1)
+    out = docs.select("doc_id").join(
+        reg, docs.doc_id == reg.id, "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))

@@ -442,3 +442,58 @@ class TestRound13Plans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         # probe filter reaches the scan
         assert "PushedFilters" in plan
+
+
+class TestIncrementalComponents:
+    def _cc(self, spark, edges):
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+
+    def test_multi_batch_equals_full_recompute(self, spark):
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+            incremental_components,
+        )
+
+        b0 = [(1, 2), (3, 4), (10, 11)]
+        b1 = [(2, 3), (20, 21)]          # merges {1,2} with {3,4}; new {20,21}
+        b2 = [(0, 21), (11, 12)]         # 0 becomes the min of {20,21}; grow
+        reg = connected_components(
+            spark.createDataFrame(b0, "id_a long, id_b long")
+        )
+        for batch in (b1, b2):
+            reg = incremental_components(
+                reg, spark.createDataFrame(batch, "id_a long, id_b long")
+            )
+        got = {(r["id"], r["component"]) for r in reg.collect()}
+        want = self._cc(spark, b0 + b1 + b2)
+        assert got == want
+        # spot-check the hard cases: cross-registry merge and the
+        # new-node-is-the-new-min relabel
+        as_map = dict(got)
+        assert as_map[4] == 1
+        assert as_map[20] == 0 and as_map[21] == 0
+        assert as_map[12] == 10
+
+    def test_same_component_edge_is_noop(self, spark):
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+            incremental_components,
+        )
+
+        reg0 = connected_components(
+            spark.createDataFrame([(5, 6), (6, 7)], "id_a long, id_b long")
+        )
+        reg1 = incremental_components(
+            reg0, spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+        )
+        assert {(r["id"], r["component"]) for r in reg0.collect()} == {
+            (r["id"], r["component"]) for r in reg1.collect()
+        }
