@@ -1849,3 +1849,68 @@ def start_linkage_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_entity_registry_stream(
+    edges_stream: DataFrame,
+    registry_path: str,
+    *,
+    checkpoint_dir: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+):
+    """Entity/cluster registry maintenance AT INGEST — the streaming form
+    of ``clusters.incremental_components``: each micro-batch of edges
+    folds into the persisted (id, component) registry via label
+    condensation (CC over the batch's touched labels only; the history
+    edge log is never revisited), and the updated registry lands under
+    ``registry_path/epoch=<e>``.
+
+    Replay contract: the CURRENT registry is the highest epoch dir
+    (epoch < e on read, so a crashed-and-replayed epoch re-derives from
+    its true predecessor and overwrites its own output — no
+    double-fold). After any sequence of batches the latest epoch is
+    bit-identical to a full CC recompute over all edges seen (the
+    operator's hashed invariant), which the parity test drives
+    end-to-end. Registry growth is |nodes|, not |edges|; compact old
+    epoch dirs like the ledger when listings grow.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.clusters import (
+        connected_components,
+        incremental_components,
+    )
+
+    spark_active = edges_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(registry_path)
+                if os.path.isdir(registry_path)
+                else []
+            )
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        if prior:
+            labels = spark_active.read.parquet(
+                os.path.join(registry_path, f"epoch={max(prior)}")
+            )
+            reg = incremental_components(labels, batch_df, src=src, dst=dst)
+        else:
+            reg = connected_components(batch_df, src=src, dst=dst)
+        reg.write.mode("overwrite").parquet(
+            os.path.join(registry_path, f"epoch={e}")
+        )
+
+    return (
+        edges_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -497,3 +497,62 @@ class TestIncrementalComponents:
         assert {(r["id"], r["component"]) for r in reg0.collect()} == {
             (r["id"], r["component"]) for r in reg1.collect()
         }
+
+
+class TestEntityRegistryStream:
+    def test_latest_epoch_equals_full_recompute(self, spark, tmp_path):
+        import os
+
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+        )
+        from crowdsorsa_etl_spark.streaming.pipeline import (
+            start_entity_registry_stream,
+        )
+
+        b0 = [(1, 2), (3, 4), (10, 11)]
+        b1 = [(2, 3), (0, 11)]  # merge {1,2}/{3,4}; 0 relabels {10,11}
+        src = str(tmp_path / "edges")
+        os.makedirs(src)
+        for name, rows in (("b0.parquet", b0), ("b1.parquet", b1)):
+            staging = str(tmp_path / f"_stage_{name}")
+            spark.createDataFrame(rows, "id_a long, id_b long").coalesce(
+                1
+            ).write.mode("overwrite").parquet(staging)
+            part = [
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            ][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, name))
+
+        reg_path = str(tmp_path / "registry")
+        q = start_entity_registry_stream(
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            reg_path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(reg_path)
+            if d.startswith("epoch=")
+        )
+        assert epochs == [0, 1]
+        got = {
+            (r["id"], r["component"])
+            for r in spark.read.parquet(
+                os.path.join(reg_path, f"epoch={epochs[-1]}")
+            ).collect()
+        }
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(b0 + b1, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want
