@@ -1,11 +1,25 @@
 """Round 13: diagnostics and training-serving operators a production
-corpus pipeline runs around the core dedup/tokenizer tiers — an LSH
-precision/recall audit against exact shingle-Jaccard ground truth, hard-
-negative mining for retrieval training, length-bucketed inference batching
-with a padding-waste report, a WordPiece tokenizer (the third tokenizer
-family: likelihood-scored learn + greedy longest-match encode), and
-end-to-end entity resolution (blocked linkage pairs -> connected
-components -> golden record).
+corpus pipeline runs around the core dedup/tokenizer tiers.
+
+Audits (measure, don't guess — each hashed by the oracle gate, not just
+pytest): LSH precision/recall vs exact shingle-Jaccard ground truth
+(+ the analytic banding S-curve), ANN recall@k vs exact cosine,
+Matryoshka truncation recall, classifier calibration (reliability table
+in logit space).
+
+Tokenizer family #3 — WordPiece: likelihood-ratio-scored learn over the
+frequency-capped dictionary, greedy longest-match encode (BERT [UNK]
+semantics), token-id export.
+
+Training-serving: hard-negative mining, length-bucketed batching with a
+padding-waste report, boundary-preserving bucket packing (two-phase
+per-bucket rank), TF-IDF keywords, PMI collocations, feature hashing,
+min-k%-prob membership inference (fixed-point mean over the shared KN
+score stream).
+
+Entity resolution: linkage pairs -> connected components -> golden
+records, plus the incremental registry fold (label condensation) hashed
+against the one-shot CC oracle. Governance: k-anonymity release check.
 
 Registration ORDER is load-bearing (the driver's correctness window samples
 the first 50 registrations); this module is imported LAST by
