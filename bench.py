@@ -203,6 +203,8 @@ HEADLINE = [
     "llm_matryoshka_audit",
     "llm_k_anonymity",
     "llm_incremental_components",
+    "llm_wordpiece_oov",
+    "llm_dup_profile",
 ]
 
 

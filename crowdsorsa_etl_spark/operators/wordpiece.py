@@ -50,6 +50,7 @@ __all__ = [
     "wordpiece_merges_sql",
     "wordpiece_encode_sql",
     "wordpiece_token_ids_sql",
+    "wordpiece_oov_sql",
 ]
 
 UNK = "[UNK]"
@@ -482,10 +483,17 @@ def _encode_ctes(
     *,
     max_vocab_words: int | None,
     n_steps: int,
+    probe_table: str = "documents",
+    probe_text: str = "text",
 ) -> tuple[list[str], str]:
     """The greedy-encode CTE chain (learn -> vocab -> dwords -> e0..eN);
-    returns (ctes, name of the final state table). Shared by the encode
-    oracle and the token-ids oracle."""
+    returns (ctes, name of the final state table). Shared by the encode,
+    token-ids, and OOV oracles. The LEARN side (merges + alphabet) always
+    comes from documents; ``probe_table``/``probe_text`` select whose
+    words get encoded (the OOV probe encodes out-of-corpus text)."""
+    _probe_norm = (
+        f"lower(regexp_replace(trim({probe_text}), '\\s+', ' ', 'g'))"
+    )
     merges = wordpiece_merges_sql(n_merges, max_vocab_words=max_vocab_words)
     ctes = [
         f"""m AS MATERIALIZED (
@@ -512,7 +520,8 @@ def _encode_ctes(
     ),
     dwords AS (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+        SELECT unnest(string_split({_probe_norm}, ' ')) AS word
+        FROM {probe_table}
       ) WHERE len(word) > 0 GROUP BY word
     ),
     e0 AS (SELECT word, cnt, '' AS toks, word AS rest FROM dwords)"""
@@ -598,5 +607,43 @@ def wordpiece_token_ids_sql(
                           ORDER BY pos, pidx)) AS ids_md5
     FROM idstream
     GROUP BY doc_id
+    """
+    )
+
+
+def wordpiece_oov_sql(
+    n_merges: int = 32,
+    *,
+    max_vocab_words: int | None = None,
+    n_steps: int = 12,
+    probe_table: str = "part",
+    probe_text: str = "p_name",
+) -> str:
+    """DuckDB oracle for the WordPiece coverage probe: the documents-
+    learned vocabulary encodes the PROBE table's word dictionary, and one
+    aggregate reports dictionary size, whole-word [UNK] count and rate,
+    and the mean piece count over the words that did encode (exact-int
+    ratio, single division)."""
+    ctes, final = _encode_ctes(
+        n_merges,
+        max_vocab_words=max_vocab_words,
+        n_steps=n_steps,
+        probe_table=probe_table,
+        probe_text=probe_text,
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN toks = '{UNK}' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           round(sum(CASE WHEN toks = '{UNK}' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS unk_rate,
+           round(sum(CASE WHEN toks = '{UNK}' THEN 0
+                     ELSE len(string_split(toks, ' ')) END) * 1.0
+                 / nullif(sum(CASE WHEN toks = '{UNK}' THEN 0 ELSE 1 END),
+                          0), 6) AS mean_pieces_known
+    FROM {final}
     """
     )

@@ -1267,3 +1267,117 @@ def llm_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
     ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+# ===========================================================================
+# llm_wordpiece_oov — tokenizer coverage on data the vocabulary never saw
+# (the llm_bpe_oov contract for family #3): the documents-learned
+# WordPiece vocabulary encodes the PART-name word dictionary — 'gizmo'
+# carries a 'z' the documents alphabet lacks, so BERT's whole-word [UNK]
+# path fires for real — and one aggregate reports the UNK rate and the
+# mean piece count over covered words. A rising UNK rate is the
+# train/serve drift gate a shipped tokenizer needs.
+# ===========================================================================
+
+
+def _wp_oov_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.wordpiece import wordpiece_oov_sql
+
+    return wordpiece_oov_sql(_WP_MERGES_ENC, max_vocab_words=_WP_CAP)
+
+
+@register("llm_wordpiece_oov", _wp_oov_oracle())
+def llm_wordpiece_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[UNK] rate + mean piece count of the documents-learned WordPiece
+    vocabulary applied to part-name words."""
+    from crowdsorsa_etl_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_learn,
+        wordpiece_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    part = _t(spark, sf_dir, "part")
+    merges = wordpiece_learn(
+        docs, n_merges=_WP_MERGES_ENC, max_vocab_words=_WP_CAP
+    )
+    enc = wordpiece_encode_words(
+        part, wordpiece_vocab(docs, merges), text_col="p_name"
+    )
+    unk = F.col("wp_tokens") == "[UNK]"
+    return enc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.when(unk, 1).otherwise(0)).cast("bigint").alias("n_unk"),
+        F.round(
+            F.sum(F.when(unk, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("unk_rate"),
+        F.round(
+            F.sum(F.when(unk, F.lit(0)).otherwise(F.col("n_wp_tokens")))
+            * F.lit(1.0)
+            / F.nullif(
+                F.sum(F.when(unk, 0).otherwise(1)).cast("bigint"), F.lit(0)
+            ),
+            6,
+        ).alias("mean_pieces_known"),
+    )
+
+
+# ===========================================================================
+# llm_dup_profile — the duplication datasheet number (how duplicated is
+# this corpus?): near-dup cluster-size histogram from the LSH candidate
+# components — per size, the cluster count, the documents they hold, and
+# the doc share — with singletons (docs in no candidate pair) as the
+# size-1 row. One CC over the shared candidate-pairs artifact + two
+# bounded aggregations; the duplication factor of the release doc.
+# ===========================================================================
+
+
+def _dup_profile_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    clusters = lsh_oracles.dedup_clusters_sql()
+    return f"""
+    WITH cl AS ({clusters}),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM cl GROUP BY cluster_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cl)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           round(sum(cluster_size) * 1.0 / t.n_total, 6) AS doc_frac
+    FROM sizes, tot t
+    GROUP BY cluster_size, t.n_total
+    """
+
+
+@register("llm_dup_profile", _dup_profile_oracle())
+def llm_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (singletons included) + per-size
+    document share."""
+    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    cl = dedup_clusters(docs, _lsh_pairs(spark, sf_dir))
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    tot = cl.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(
+                F.col("n_docs") * F.lit(1.0) / F.col("n_total"), 6
+            ).alias("doc_frac"),
+        )
+    )

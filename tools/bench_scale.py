@@ -237,6 +237,9 @@ HEADLINE = [
     # bounded probe set) and k-anonymity (two aggs, QI-keyed + 2-scalar)
     "llm_matryoshka_audit",
     "llm_k_anonymity",
+    # WordPiece coverage probe (part dim probe is unreplicated -> the learn
+    # aggregation is the scaling term)
+    "llm_wordpiece_oov",
     # incremental registry fold (condensed-label CC + broadcast relabel);
     # shares the LSH-pairs fixture artifact and its mult-clique caveat at
     # 100x (the llm_cluster_policy class) -> 10x sweep only
