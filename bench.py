@@ -205,6 +205,7 @@ HEADLINE = [
     "llm_incremental_components",
     "llm_wordpiece_oov",
     "llm_dup_profile",
+    "llm_source_overlap",
 ]
 
 

@@ -1381,3 +1381,75 @@ def llm_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_frac"),
         )
     )
+
+
+# ===========================================================================
+# llm_source_overlap — cross-source duplication matrix (which sources
+# copy which): near-dup candidate pairs labeled with both endpoints'
+# sources, counted per unordered source pair — the provenance view of
+# the dedup tier (a mirror site shows up as one hot off-diagonal cell;
+# the diagonal is within-source duplication). Two id-keyed joins against
+# the doc->source map + one bounded aggregation over the shared
+# candidate-pairs artifact; the source-pair key is normalized with
+# least/greatest so neither engine depends on pair orientation.
+# ===========================================================================
+
+
+def _source_overlap_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    return f"""
+    WITH pairs AS ({lsh_oracles.minhash_lsh_sql()}),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lab)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) * 1.0 / t.n_total, 6) AS pair_frac
+    FROM lab, tot t
+    GROUP BY source_a, source_b, t.n_total
+    """
+
+
+@register("llm_source_overlap", _source_overlap_oracle())
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate-pair counts per unordered source pair."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    lab = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .join(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") * F.lit(1.0) / F.col("n_total"), 6
+            ).alias("pair_frac"),
+        )
+    )
