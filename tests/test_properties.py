@@ -428,3 +428,54 @@ class TestBm25Property:
             for rank, (i, s) in enumerate(ranked[:10], 1):
                 want[(qid, i)] = (s, rank)
         assert got == want
+
+
+class TestWordPieceProperty:
+    @settings(**_SETTINGS)
+    @given(
+        words=st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=12,
+        ),
+        n_merges=st.integers(min_value=1, max_value=6),
+    )
+    def test_encode_roundtrip_and_greedy_invariants(
+        self, spark, words, n_merges
+    ):
+        """For any corpus, every word encodes WITHOUT [UNK] under its own
+        corpus-derived vocabulary (the alphabet guarantees coverage), the
+        pieces reassemble to the word exactly (strip '##', concatenate),
+        only the first piece is bare, and a vocabulary word encodes to
+        one piece only if that exact token is in the vocabulary."""
+        from crowdsorsa_etl_spark.operators.wordpiece import (
+            wordpiece_encode_words,
+            wordpiece_learn,
+            wordpiece_vocab,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, " ".join(words))], ["doc_id", "text"]
+        )
+        merges = wordpiece_learn(docs, n_merges=n_merges)
+        vocab_df = wordpiece_vocab(docs, merges)
+        vocab = {r["tok"] for r in vocab_df.collect()}
+        got = {
+            r["word"]: r["wp_tokens"].split(" ")
+            for r in wordpiece_encode_words(docs, vocab_df).collect()
+        }
+        assert set(got) == set(words)
+        for w, pieces in got.items():
+            assert pieces and pieces != ["[UNK]"]
+            # round-trip
+            rebuilt = pieces[0] + "".join(p[2:] for p in pieces[1:])
+            assert rebuilt == w
+            # surface forms: bare head, '##' continuations, all in vocab
+            assert not pieces[0].startswith("##")
+            assert all(p.startswith("##") for p in pieces[1:])
+            assert all(p in vocab for p in pieces)
+            # greedy implies maximal head piece: no longer bare prefix of
+            # w is in the vocabulary
+            head = pieces[0]
+            for ln in range(len(w), len(head), -1):
+                assert w[:ln] not in vocab or ln == len(head)
