@@ -479,3 +479,48 @@ class TestWordPieceProperty:
             head = pieces[0]
             for ln in range(len(w), len(head), -1):
                 assert w[:ln] not in vocab or ln == len(head)
+
+
+class TestIncrementalComponentsProperty:
+    @settings(**_SETTINGS)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=14),
+                st.integers(min_value=0, max_value=14),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        cut=st.integers(min_value=0, max_value=24),
+    )
+    def test_any_batch_split_matches_one_shot(self, spark, edges, cut):
+        """For ANY edge list and ANY split point, registry-folding the
+        second batch into the first batch's components equals the
+        one-shot CC over all edges (self-loops dropped by both paths)."""
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+            incremental_components,
+        )
+
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            return
+        cut = min(cut, len(edges))
+        b0, b1 = edges[:cut], edges[cut:]
+
+        def df(rows):
+            return spark.createDataFrame(rows, "id_a long, id_b long")
+
+        if b0:
+            reg = connected_components(df(b0))
+        else:
+            reg = spark.createDataFrame([], "id long, component long")
+        if b1:
+            reg = incremental_components(reg, df(b1))
+        got = {(r["id"], r["component"]) for r in reg.collect()}
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(df(edges)).collect()
+        }
+        assert got == want
