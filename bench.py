@@ -206,6 +206,7 @@ HEADLINE = [
     "llm_wordpiece_oov",
     "llm_dup_profile",
     "llm_source_overlap",
+    "llm_signal_correlation",
 ]
 
 

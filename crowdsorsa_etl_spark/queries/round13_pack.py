@@ -1453,3 +1453,94 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_frac"),
         )
     )
+
+
+# ===========================================================================
+# llm_signal_correlation — do the quality signals agree? Spearman rank
+# correlation between the KN LM score (llm_kneser_ney_logprob) and the
+# linear classifier logit (llm_quality_classifier) per document — the
+# meta-diagnostic run before ensembling filters (two signals that rank
+# the corpus identically add nothing; anti-correlated ones need a look).
+# Ranks come from the TWO-PHASE global row number over the unique
+# (score, doc_id) order (operators/global_rank.py — no SinglePartition
+# window for a global sort), the rank-difference sum is exact BIGINT,
+# and rho = 1 - 6*Σd²/(n(n²-1)) is ONE double division. At corpus scale
+# run it on a sampled stratum: n³ outgrows BIGINT near n ~ 2M, and a
+# correlation estimate doesn't need the full corpus.
+# ===========================================================================
+
+
+def _signal_corr_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.ngramlm import kneser_ney_bigram_sql
+    from crowdsorsa_etl_spark.queries.round8d_pack import _qc_oracle
+
+    return f"""
+    WITH lm AS (
+      SELECT doc_id, avg_logprob FROM ({kneser_ney_bigram_sql()})
+    ),
+    qc AS (
+      SELECT doc_id, logit FROM ({_qc_oracle()})
+    ),
+    joined AS (
+      SELECT lm.doc_id, lm.avg_logprob, qc.logit
+      FROM lm JOIN qc USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY avg_logprob ASC, doc_id ASC)
+                  AS BIGINT) AS r1,
+             CAST(row_number() OVER (ORDER BY logit ASC, doc_id ASC)
+                  AS BIGINT) AS r2
+      FROM joined
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
+                 / (count(*) * (count(*) * count(*) - 1)), 6)
+             AS spearman_rho
+    FROM ranked
+    """
+
+
+@register("llm_signal_correlation", _signal_corr_oracle())
+def llm_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between the KN LM score and the classifier logit."""
+    from crowdsorsa_etl_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+    from crowdsorsa_etl_spark.operators.ngramlm import (
+        kneser_ney_bigram_scores,
+    )
+    from crowdsorsa_etl_spark.queries.round8d_pack import (
+        llm_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = kneser_ney_bigram_scores(docs).select("doc_id", "avg_logprob")
+    qc = llm_quality_classifier(spark, sf_dir).select("doc_id", "logit")
+    joined = lm.join(qc, "doc_id")
+    r1, _ = with_global_row_number(
+        joined, [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
+        rn_col="r1",
+    )
+    r2, _ = with_global_row_number(
+        joined, [F.col("logit").asc(), F.col("doc_id").asc()], rn_col="r2"
+    )
+    both = r1.select("doc_id", "r1").join(
+        r2.select("doc_id", "r2"), "doc_id"
+    )
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    return both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2)
+            / (
+                F.count(F.lit(1))
+                * (F.count(F.lit(1)) * F.count(F.lit(1)) - F.lit(1))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

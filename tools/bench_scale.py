@@ -240,6 +240,8 @@ HEADLINE = [
     # WordPiece coverage probe (part dim probe is unreplicated -> the learn
     # aggregation is the scaling term)
     "llm_wordpiece_oov",
+    # signal rank agreement (two KN/classifier scans + two range exchanges)
+    "llm_signal_correlation",
     # incremental registry fold (condensed-label CC + broadcast relabel);
     # shares the LSH-pairs fixture artifact and its mult-clique caveat at
     # 100x (the llm_cluster_policy class) -> 10x sweep only
