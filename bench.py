@@ -207,6 +207,7 @@ HEADLINE = [
     "llm_dup_profile",
     "llm_source_overlap",
     "llm_signal_correlation",
+    "llm_dedup_savings",
 ]
 
 

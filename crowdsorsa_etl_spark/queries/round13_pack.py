@@ -1544,3 +1544,111 @@ def llm_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ===========================================================================
+# llm_dedup_savings — the dedup ROI datasheet row (what did each tier
+# actually buy?): per tier (exact-hash, near-dup clusters), the documents
+# and TOKENS kept vs dropped under the canonical keep-min-id rule, and
+# the token-mass drop fraction. Exact BIGINT token sums from one shared
+# token-count scan; each tier is one aggregation over its existing keep
+# rule — the number that justifies (or kills) running the heavier tier.
+# ===========================================================================
+
+
+def _dedup_savings_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+
+    clusters = lsh_oracles.dedup_clusters_sql()
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN nt = '' THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tokens,
+             md5(nt) AS fp
+      FROM (SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+            FROM documents)
+    ),
+    exact_keep AS (
+      SELECT doc_id, n_tokens,
+             (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep
+      FROM toks
+    ),
+    cl AS ({clusters}),
+    cluster_keep AS (
+      SELECT t.doc_id, t.n_tokens, c.keep
+      FROM toks t JOIN cl c USING (doc_id)
+    ),
+    rows_out AS (
+      SELECT 'exact' AS tier, * FROM exact_keep
+      UNION ALL
+      SELECT 'near_dup_cluster' AS tier, * FROM cluster_keep
+    )
+    SELECT tier,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS docs_dropped,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS tokens_dropped,
+           round(sum(CASE WHEN keep THEN 0 ELSE n_tokens END) * 1.0
+                 / sum(n_tokens), 6) AS token_drop_frac
+    FROM rows_out GROUP BY tier
+    """
+
+
+@register("llm_dedup_savings", _dedup_savings_oracle())
+def llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/tokens kept vs dropped per dedup tier (exact hash, near-dup
+    clusters) under the keep-min-id rule."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.when(nt == "", F.lit(0))
+        .otherwise(F.size(F.split(nt, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(nt).alias("fp"),
+    ).localCheckpoint()
+    w = Window.partitionBy("fp")
+    exact = toks.select(
+        F.lit("exact").alias("tier"),
+        "n_tokens",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+    cl = dedup_clusters(docs, _lsh_pairs(spark, sf_dir)).select(
+        "doc_id", "keep"
+    )
+    cluster = toks.join(cl, "doc_id").select(
+        F.lit("near_dup_cluster").alias("tier"), "n_tokens", "keep"
+    )
+    both = exact.unionByName(cluster)
+    return both.groupBy("tier").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("docs_dropped"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n_tokens")))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n_tokens")))
+            * F.lit(1.0)
+            / F.sum("n_tokens"),
+            6,
+        ).alias("token_drop_frac"),
+    )
