@@ -153,10 +153,16 @@ def hard_negative_topk(
         F.col(vec_col).alias("_cvec"),
         l2_norm(F.col(vec_col)).alias("_cnorm"),
     )
+    # The self-exclusion predicate is only meaningful when query ids live
+    # in the corpus id domain; with a separate query_id_col, a corpus id
+    # that merely COLLIDES with a query id is a legitimate hard negative
+    # and must not be dropped (ADVICE r11).
+    mismatch = F.col("query_label") != F.col("neighbor_label")
+    if query_id_col is None or query_id_col == id_col:
+        mismatch = (F.col("query_id") != F.col("neighbor_id")) & mismatch
     scored = c.join(
         F.broadcast(q),
-        (F.col("query_id") != F.col("neighbor_id"))
-        & (F.col("query_label") != F.col("neighbor_label")),
+        mismatch,
     ).withColumn(
         "cosine",
         F.round(

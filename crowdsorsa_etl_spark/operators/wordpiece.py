@@ -54,6 +54,10 @@ __all__ = [
 ]
 
 UNK = "[UNK]"
+# Oracle-side sentinel: a probe word that exhausts the unrolled greedy-
+# encode depth is poisoned to this value instead of being silently
+# truncated, so a too-small n_steps shows up as an attributable mismatch.
+DEPTH_SENTINEL = "?depth?"
 
 
 def _wp_spaced(word: str) -> list[str]:
@@ -393,7 +397,16 @@ def wordpiece_merges_sql(
 ) -> str:
     """DuckDB oracle for :func:`wordpiece_learn`: same dictionary, same
     cap order, same BIGINT counts, same single-double-division score, same
-    (score DESC, pair ASC) argmax, same '##'-stripping rewrite."""
+    (score DESC, pair ASC) argmax, same '##'-stripping rewrite.
+
+    The score denominator multiplies in HUGEINT before the DOUBLE cast, so
+    symbol totals above ~3.04e9 (sqrt of BIGINT max — plausible uncapped
+    counts on a multi-billion-token corpus) cannot overflow the product.
+    Bit-identity of the score vs Python's exact-int division holds while
+    the product stays <= 2^53 (one rounding each side); beyond that the
+    oracle's two-rounding double path can differ in the last ulp — at that
+    corpus scale use the capped dictionary (max_vocab_words), which also
+    bounds the counts."""
     from crowdsorsa_etl_spark.operators.bpe import _balanced_union
 
     ctes = [_words_ctes(max_vocab_words)]
@@ -421,7 +434,8 @@ def wordpiece_merges_sql(
                AS merged,
              p.total AS total,
              CAST(p.total AS DOUBLE)
-               / CAST(sa.total * sb.total AS DOUBLE) AS score
+               / CAST(CAST(sa.total AS HUGEINT) * sb.total AS DOUBLE)
+               AS score
       FROM p{i} p
       JOIN s{i} sa ON p.a = sa.sym
       JOIN s{i} sb ON p.b = sb.sym
@@ -554,7 +568,22 @@ def _encode_ctes(
       )
     )"""
         )
-    return ctes, f"e{n_steps}"
+    # Poison depth exhaustion LOUDLY (the bpe '?oov?' sentinel discipline):
+    # a probe word longer than n_steps chars leaves rest != '' after the
+    # final unrolled step, and without this the oracle would emit silently
+    # truncated toks — surfacing only as an unattributable gate hash
+    # mismatch. '?depth?' can never be a real token ('?' is not in any
+    # fixture alphabet and vocab pieces never contain '?').
+    ctes.append(
+        f"""efin AS (
+      SELECT word, cnt,
+             CASE WHEN rest != '' THEN '{DEPTH_SENTINEL}' ELSE toks END
+               AS toks,
+             rest
+      FROM e{n_steps}
+    )"""
+    )
+    return ctes, "efin"
 
 
 def wordpiece_token_ids_sql(
@@ -593,8 +622,12 @@ def wordpiece_token_ids_sql(
       FROM docw d JOIN {final} e ON d.w = e.word
     ),
     idstream AS (
-      SELECT p.doc_id, p.pos, p.pidx, v.token_id
-      FROM pieces p JOIN vocabid v ON p.piece = v.tok
+      -- LEFT join + -1 sentinel: a '?depth?' poison piece (or any piece
+      -- outside the vocab) must surface as a loud -1 in the id stream,
+      -- not silently vanish from n_tokens via an inner-join drop.
+      SELECT p.doc_id, p.pos, p.pidx,
+             coalesce(v.token_id, -1) AS token_id
+      FROM pieces p LEFT JOIN vocabid v ON p.piece = v.tok
     )"""
     ]
     return (

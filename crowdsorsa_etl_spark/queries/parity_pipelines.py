@@ -65,12 +65,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB recomputes it with a recursive transitive-closure CTE over
     the same portable-hash edges (lsh_oracles.dedup_clusters_sql); Spark's
     pointer-doubling iteration stays gated by its own convergence tests."""
-    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
+    from crowdsorsa_etl_spark.queries._shared import _dedup_cluster_assign
 
-    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return dedup_clusters(docs, _lsh_pairs(spark, sf_dir))
+    return _dedup_cluster_assign(spark, sf_dir)
 
 
 @register(

@@ -353,12 +353,11 @@ def _mp_linkage_sql() -> str:
     """
 
 
-@register("llm_record_linkage_multipass", _mp_linkage_sql())
-def llm_record_linkage_multipass(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Two blocking passes (nation+name-tail, nation+phone-suffix) over
-    dirty-derived keys, unioned + deduped, then one F-S scoring pass."""
+def _mp_linkage_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multipass linkage plan itself (two blocking passes over
+    dirty-derived keys, unioned + deduped, one F-S scoring pass) —
+    materialized per fixture by queries/_shared._fs_scored_pairs and
+    shared with llm_entity_resolution."""
     from crowdsorsa_etl_spark.operators.linkage import fs_link_multipass
     from crowdsorsa_etl_spark.queries.round11_pack import (
         _FS_LOWER,
@@ -423,6 +422,19 @@ def llm_record_linkage_multipass(
         lower=_FS_LOWER,
     )
     return out.select("c_custkey", "d_custkey", "fs_score", "fs_class")
+
+
+@register("llm_record_linkage_multipass", _mp_linkage_sql())
+def llm_record_linkage_multipass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two blocking passes (nation+name-tail, nation+phone-suffix) over
+    dirty-derived keys, unioned + deduped, then one F-S scoring pass —
+    served from the per-fixture materialized pair table (the registry-at-
+    rest posture the downstream ER chain reads)."""
+    from crowdsorsa_etl_spark.queries._shared import _fs_scored_pairs
+
+    return _fs_scored_pairs(spark, sf_dir)
 
 
 # ===========================================================================
@@ -769,11 +781,9 @@ def llm_cluster_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (doc_id % 11 fixture flag)."""
     from pyspark.sql import Window
 
-    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
-    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+    from crowdsorsa_etl_spark.queries._shared import _dedup_cluster_assign
 
-    docs = _t(spark, sf_dir, "documents")
-    cl = dedup_clusters(docs, _lsh_pairs(spark, sf_dir)).drop("keep")
+    cl = _dedup_cluster_assign(spark, sf_dir).drop("keep")
     restricted = (F.col("doc_id") % 11 == 0).alias("restricted")
     w = Window.partitionBy("cluster_id")
     return cl.select("doc_id", "cluster_id", restricted).withColumn(

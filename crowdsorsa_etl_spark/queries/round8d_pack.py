@@ -313,12 +313,10 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the training-set export."""
     from pyspark.sql import Window
 
-    from crowdsorsa_etl_spark.operators.clusters import dedup_clusters
-    from crowdsorsa_etl_spark.operators.dedup import minhash_lsh_candidates
+    from crowdsorsa_etl_spark.queries._shared import _dedup_cluster_assign
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs, portable=True)
-    cl = dedup_clusters(docs, pairs).drop("keep")
+    cl = _dedup_cluster_assign(spark, sf_dir).drop("keep")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )

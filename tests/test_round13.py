@@ -364,6 +364,28 @@ class TestHardNegatives:
             hard_negative_topk(emb, emb, k=3).count() == 0
         )
 
+    def test_disjoint_query_id_domain_keeps_colliding_corpus_id(self, spark):
+        """ADVICE r11: with query_id_col pointing at a NON-corpus key, a
+        corpus id that merely collides with a query id is a legitimate
+        hard negative and must not be self-excluded."""
+        from crowdsorsa_etl_spark.operators.similarity import (
+            hard_negative_topk,
+        )
+
+        corpus = spark.createDataFrame(
+            [(7, [1.0, 0.0], 0), (8, [0.0, 1.0], 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        # query id 7 collides with corpus vec_id 7 but lives in q_id space
+        queries = spark.createDataFrame(
+            [(7, [1.0, 0.0], 1)],
+            "q_id long, embedding array<double>, label int",
+        )
+        got = hard_negative_topk(
+            corpus, queries, k=2, query_id_col="q_id"
+        ).collect()
+        assert [r["neighbor_id"] for r in got] == [7, 8]
+
 
 class TestRound13Plans:
     SF_DIR = "/root/testdata/sf0.001"
@@ -556,3 +578,37 @@ class TestEntityRegistryStream:
             ).collect()
         }
         assert got == want
+
+
+class TestPow2BucketParity:
+    """ADVICE r11: Spark's log2 is log(x)/log(2) and lands one ulp above
+    the integer at some exact powers of two (29.000000000000004 at 2**29),
+    so a raw ceil(log2(n)) bucket key overshoots while DuckDB's exact libm
+    log2 does not. _pow2_bucket's integer post-correction must pin the
+    bucket to n itself at every power of two."""
+
+    def test_exact_powers_of_two_bucket_to_themselves(self, spark):
+        from crowdsorsa_etl_spark.queries.round13_pack import _pow2_bucket
+
+        ns = [2**k for k in (1, 2, 10, 29, 30, 31, 39)] + [1]
+        df = spark.createDataFrame([(n,) for n in ns], "n long")
+        got = {
+            r["n"]: r["b"]
+            for r in df.select(
+                "n", _pow2_bucket(F.col("n")).alias("b")
+            ).collect()
+        }
+        assert got == {n: n for n in ns}
+
+    def test_non_powers_bucket_to_next_power(self, spark):
+        from crowdsorsa_etl_spark.queries.round13_pack import _pow2_bucket
+
+        cases = {0: 1, 3: 4, 5: 8, 2**29 + 1: 2**30, 2**29 - 1: 2**29}
+        df = spark.createDataFrame([(n,) for n in cases], "n long")
+        got = {
+            r["n"]: r["b"]
+            for r in df.select(
+                "n", _pow2_bucket(F.col("n")).alias("b")
+            ).collect()
+        }
+        assert got == cases
