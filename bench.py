@@ -208,6 +208,15 @@ HEADLINE = [
     "llm_source_overlap",
     "llm_signal_correlation",
     "llm_dedup_savings",
+    # round 14: byte-level BPE (GPT-2 byte fallback) — learn over the
+    # byte-seeded dictionary, Arrow-batched encode, zero-OOV probe
+    "llm_bytebpe_merges",
+    "llm_bytebpe_encode",
+    "llm_bytebpe_oov",
+    # round 14: Kafka wire decode (batch frame of the exact wire shape
+    # through the real column program), buffered-SCD2 replay (memoized
+    # batch-1 store; live b2 apply + flush)
+    "q112_kafka_decode",
 ]
 
 

@@ -219,11 +219,15 @@ def scd2_apply_batch(
             F.greatest(F.col("last_seen_ts"), F.col("_last")),
         ).otherwise(F.col("last_seen_ts")),
     ).drop("_last")
-    out = untouched.unionByName(rebuilt).localCheckpoint()  # cut read lineage
+    # ONE materialization: write the union to tmp (this still reads the
+    # old versions_dir — the swap happens after), then serve the result
+    # from the swapped files. The previous localCheckpoint-then-write
+    # paid a second full pass per batch for the same lineage cut.
+    out = untouched.unionByName(rebuilt)
     tmp = versions_dir.rstrip("/") + "__scd2_tmp"
     out.write.mode("overwrite").parquet(tmp)
     _swap_dirs(jvm, fs, versions_dir, tmp)
-    return out
+    return spark.read.parquet(versions_dir)
 
 
 def _read_buffer(spark, buffer_dir: str, events_schema):
@@ -336,7 +340,9 @@ def scd2_apply_batch_buffered(
             tie_break_cols=ties,
             on_late="drop",  # only crash-replays can trip it (see docstring)
         )
-    hold.localCheckpoint().write.mode("overwrite").parquet(
+    # hold derives from the already-checkpointed pool, never from the
+    # buffer files being overwritten — no second checkpoint needed
+    hold.write.mode("overwrite").parquet(
         buffer_dir.rstrip("/") + "/events"
     )
     spark.createDataFrame([(wm_value,)], f"wm {dict(pool.dtypes)[ts_col]}").write.mode(

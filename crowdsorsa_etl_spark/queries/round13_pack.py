@@ -22,8 +22,9 @@ records, plus the incremental registry fold (label condensation) hashed
 against the one-shot CC oracle. Governance: k-anonymity release check.
 
 Registration ORDER is load-bearing (the driver's correctness window samples
-the first 50 registrations); this module is imported LAST by
-queries/__init__.py, so its entries append after the round-12 tier.
+the first 50 registrations); this module is imported after round12_pack by
+queries/__init__.py (round14_pack follows), so its entries append after the
+round-12 tier.
 """
 
 from __future__ import annotations

@@ -72,6 +72,9 @@ HEADLINE = [
     # over 10x events), cross-corpus LSH decontamination, skew report
     "q97_scd2_versions",
     "q98_scd2_asof_lookup",
+    # buffered SCD2 replay harness (two serial store mutations by design;
+    # the batch-1 store memoizes per fixture, b2-apply + flush run live)
+    "q100_scd2_buffered",
     "llm_fuzzy_decontamination",
     "q99_skew_report",
     # round 8: IVF-PQ through the persisted index, BM25 query-table and
@@ -245,6 +248,17 @@ HEADLINE = [
     # incremental registry fold (condensed-label CC + broadcast relabel);
     # shares the LSH-pairs fixture artifact and its mult-clique caveat at
     # 100x (the llm_cluster_policy class) -> 10x sweep only
+    # round 14: byte-level BPE — learn (word-count agg + driver loop over
+    # the bounded dictionary; the corpus agg is the scaling term) and
+    # encode (Arrow stage over the replicated corpus, memo saturates on
+    # the duplicated dictionary). llm_bytebpe_oov is EXCLUDED like
+    # llm_wordpiece_oov's probe side: the part dim is unreplicated, so
+    # only its learn term scales — already covered by llm_bytebpe_merges.
+    "llm_bytebpe_merges",
+    "llm_bytebpe_encode",
+    # Kafka wire decode: narrow per-row JSON serialize+parse over the
+    # replicated events table — embarrassingly parallel, scales with rows
+    "q112_kafka_decode",
 ]
 
 
