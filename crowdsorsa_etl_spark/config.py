@@ -37,6 +37,15 @@ class PipelineConfig:
     # 2024 always emits them (crowdsorsa-etl-2024.R:137-144).
     facts_min_area: float | None = None
     crs_label: str = "EUREF"
+    # WGS84 area backend: "spherical" is sf::st_area's s2 path — sf's
+    # default since 1.0 and therefore the reference's numbers
+    # (crowdsorsa-etl-2023.R:40); "ellipsoidal" is the GEOS/PROJ
+    # sf_use_s2(FALSE) parity (authalic-latitude model). The default stays
+    # spherical because the models differ ~0.6% at the survey's latitudes
+    # and the fixture polygons' ceil() does NOT absorb that (191/200 area
+    # facts flip) — golden/byte-exact parity with the reference output IS
+    # the contract. Planar CRSes ignore this.
+    area_model: str = "spherical"
     collection_id: str = "HR.5835"
     sink: SinkConfig = field(default_factory=SinkConfig)
 

@@ -148,7 +148,10 @@ def _ring_area_geodesic(ring: list[tuple[float, float]]) -> float:
 
 def _local_gaussian_radius(lat_deg: float) -> float:
     """sqrt(M·N): the radius of the sphere that best matches the WGS84
-    ellipsoid's curvature at latitude φ (Gauss's osculating sphere)."""
+    ellipsoid's curvature at latitude φ (Gauss's osculating sphere).
+    Kept as the independent cross-check the ellipsoidal tests use: a tiny
+    square's exact area is Δλ·N·cosφ × Δφ·M, a formula sharing nothing
+    with the authalic transform below."""
     s2_ = math.sin(math.radians(lat_deg)) ** 2
     w2 = 1.0 - _WGS84_E2 * s2_
     n = _WGS84_A / math.sqrt(w2)  # prime-vertical radius
@@ -156,18 +159,47 @@ def _local_gaussian_radius(lat_deg: float) -> float:
     return math.sqrt(m * n)
 
 
+def _authalic_q(sin_phi: float) -> float:
+    """Snyder (1987) eq. 3-12: the authalic-latitude auxiliary q(φ).
+    2π·a²·q(π/2) is the exact WGS84 surface area."""
+    e = math.sqrt(_WGS84_E2)
+    es = e * sin_phi
+    return (1.0 - _WGS84_E2) * (
+        sin_phi / (1.0 - _WGS84_E2 * sin_phi * sin_phi)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - es) / (1.0 + es))
+    )
+
+
+_Q_POLE = _authalic_q(1.0)
+#: authalic radius² — the sphere with EXACTLY the WGS84 surface area
+_AUTHALIC_R2 = _WGS84_A * _WGS84_A * _Q_POLE / 2.0
+
+
+def _authalic_lat_deg(lat_deg: float) -> float:
+    """Geodetic → authalic latitude (degrees). The authalic projection is
+    area-preserving ellipsoid→sphere BY CONSTRUCTION (longitude unchanged,
+    q-proportional latitude), so polygon areas computed on the authalic
+    sphere are ellipsoid areas exactly."""
+    s = _authalic_q(math.sin(math.radians(lat_deg))) / _Q_POLE
+    return math.degrees(math.asin(max(-1.0, min(1.0, s))))
+
+
 def _ring_area_ellipsoidal(ring: list[tuple[float, float]]) -> float:
-    """Signed ellipsoidal area (m²): spherical excess scaled by the local
-    Gaussian curvature radius at the ring's mean latitude. For survey-scale
-    polygons (≪ 1° extent, the reference's observation squares) this agrees
-    with a true Karney/GeographicLib geodesic area to ~1e-6 relative —
-    the dependency-free ellipsoidal backend (pyproj absent in this image).
+    """Signed ellipsoidal area (m²) via the authalic sphere (Snyder 1987,
+    eqs. 3-11/3-12): transform every vertex latitude to its authalic
+    latitude and evaluate the spherical excess on the authalic-radius
+    sphere. The transform preserves the area element exactly; the only
+    approximation is edge interpretation (ellipsoid geodesics map to
+    near-great-circles, an O(e²·sagitta) effect — ~1e-9 relative for
+    survey-scale polygons, small even at continental scale), so this is
+    the dependency-free stand-in for Karney's GeographicLib polygon area
+    (pyproj absent in this image). tests/test_geo.py pins it against the
+    independent local-metric formula and the known WGS84 surface area.
     """
     if len(ring) < 4:
         return 0.0
-    mean_lat = sum(p[1] for p in ring[:-1]) / (len(ring) - 1)
-    r = _local_gaussian_radius(mean_lat)
-    return _ring_excess(ring) * r * r
+    aring = [(lon, _authalic_lat_deg(lat)) for lon, lat in ring]
+    return _ring_excess(aring) * _AUTHALIC_R2
 
 
 _AREA_FNS = {

@@ -54,7 +54,10 @@ def documents_2023(
         .withColumn(
             "pinta_ala",
             F.coalesce(
-                F.col("area_m2"), geo.area_m2(F.col("geom_valid"), cfg.crs_label)
+                F.col("area_m2"),
+                geo.area_m2(
+                    F.col("geom_valid"), cfg.crs_label, model=cfg.area_model
+                ),
             ),
         )
         # validated geometry when area > 0, raw otherwise (2023.R:63-80, trap S14)
