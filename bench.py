@@ -217,6 +217,10 @@ HEADLINE = [
     # through the real column program), buffered-SCD2 replay (memoized
     # batch-1 store; live b2 apply + flush)
     "q112_kafka_decode",
+    # round 14: Arrow Python UDTF lateral chunking; IVF recall-vs-probes
+    # operating curve (one shared train/assign/score pass)
+    "llm_chunk_udtf",
+    "llm_ann_recall_curve",
 ]
 
 

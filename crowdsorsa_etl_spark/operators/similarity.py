@@ -849,6 +849,109 @@ def ivf_topk(
     )
 
 
+def ivf_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    probe_list: tuple[int, ...] = (1, 2, 4, 8, 16),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    trainer: str = "sample",
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """:func:`ivf_topk` at EVERY probe budget in ``probe_list``, from ONE
+    shared pass: train once, assign once, score each (query, candidate)
+    once against the max-probe probe set with its PROBE RANK attached, and
+    rank per budget by filtering probe_rank <= p — so the recall-vs-probes
+    operating curve costs one corpus scan + one scoring stage + one
+    bounded window per budget, never |probe_list| index rebuilds.
+
+    Identical per-budget output to ivf_topk(n_probe=p) by construction:
+    budget p's probe set is the first p entries of the same centroid
+    argsort, candidates and scores are shared, ranking is the same
+    (cosine DESC, neighbor ASC) window.
+
+    Output: (n_probe int, query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+
+    probe_list = tuple(sorted(set(int(p) for p in probe_list)))
+    if not probe_list or probe_list[0] < 1 or probe_list[-1] > n_lists:
+        raise ValueError(
+            f"probe_list must be within [1, n_lists={n_lists}]: {probe_list}"
+        )
+    max_probe = probe_list[-1]
+    centroids = _train(
+        corpus,
+        n_lists=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_size=sample_size,
+        trainer=trainer,
+    )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "query set"
+    )
+    spark = corpus.sparkSession
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        top_lists = np.argsort(-(centroids @ qv))[:max_probe]
+        probes.extend(
+            (int(r[0]), int(l), rank + 1)
+            for rank, l in enumerate(top_lists)
+        )
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, list_id int, probe_rank int"
+    )
+    q_df = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[1]]) for r in q_rows],
+        "query_id long, _qv array<float>",
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+
+    scored = (
+        assigned.join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(q_df), "query_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (l2_norm(F.col(vec_col)) * F.col("_qn")),
+                6,
+            ),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                "cosine", "probe_rank")
+        .localCheckpoint()  # score once; every budget's window reuses it
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for p in probe_list:
+        tk = (
+            scored.filter(F.col("probe_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                "rank",
+            )
+        )
+        out = tk if out is None else out.unionAll(tk)
+    return out
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,

@@ -197,3 +197,174 @@ def q112_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("timestampType"),
     )
     return decode_kafka_events(wire)
+
+
+# ===========================================================================
+# llm_chunk_udtf — the Python UDTF surface (SURVEY §2.2's declared
+# UDF/UDTF row, VERDICT r11 missing #5), exercised on the RAG chunking
+# shape: LATERAL chunk_words(text) expands every document into
+# overlapping 32-word windows (stride 24) with exact char offsets — the
+# row-multiplying contract a table function exists for. Arrow-optimized
+# (ArrowEvalPythonUDTF in the plan, pytest-pinned: no row-at-a-time
+# Python), scan pruned to (doc_id, text). The oracle is the canonical
+# SQL rendering of the same table function: a LATERAL unnest over the
+# integer-exact span list ((n-32+23)//24 windows) with the identical
+# cumulative-offset arithmetic.
+# ===========================================================================
+
+
+@register(
+    "llm_chunk_udtf",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, arr,
+             CAST(k AS INT) AS chunk_idx,
+             CAST(k * 24 AS INT) AS start_word,
+             CAST(least(k * 24 + 32, len(arr)) - k * 24 AS INT)
+               AS n_chunk_words
+      FROM w, LATERAL UNNEST(range(0,
+             CASE WHEN len(arr) <= 32 THEN 1
+                  ELSE (len(arr) - 32 + 23) // 24 + 1 END)) AS t(k)
+    ),
+    built AS (
+      SELECT doc_id, chunk_idx, start_word, n_chunk_words,
+             CAST(coalesce(list_sum(list_transform(arr[1:start_word],
+                    x -> len(x) + 1)), 0) AS INT) AS start_off,
+             array_to_string(arr[start_word + 1 :
+                                 start_word + n_chunk_words], ' ')
+               AS chunk
+      FROM spans
+    )
+    SELECT doc_id, chunk_idx, start_word, n_chunk_words, start_off,
+           CAST(start_off + len(chunk) AS INT) AS end_off, chunk
+    FROM built
+    """,
+)
+def llm_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunks with char offsets via the registered
+    Arrow Python UDTF in a LATERAL join."""
+    import os
+
+    from crowdsorsa_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_chunk_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.start_word, c.n_chunk_words, "
+        "c.start_off, c.end_off, c.chunk "
+        "FROM _chunk_udtf_docs d, LATERAL chunk_words(d.text) c"
+    )
+
+
+# ===========================================================================
+# llm_ann_recall_curve — the recall-vs-probes OPERATING CURVE (VERDICT r11
+# next-#7): llm_ann_recall_audit reports one point; a 100 TB operator
+# picks nprobe from data, so this emits micro-recall@5 of the IVF index
+# at every probe budget in {1,2,4,8,16} (n_lists=16) against exact cosine
+# ground truth. ONE shared pass (operators/similarity.ivf_topk_curve):
+# train once, assign once, score candidates once with their probe rank
+# attached, then one bounded per-budget window — never five index
+# rebuilds. Budget 16 probes every list, so its recall is exactly 1.0 —
+# the curve's built-in sanity anchor (pytest-pinned along with
+# monotonicity). The oracle replays the same shared design: one kmeans
+# CTE chain + probe-ranked candidates + five rank filters.
+# ===========================================================================
+
+_CURVE_PROBES = (1, 2, 4, 8, 16)
+
+
+def _ann_curve_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+    from crowdsorsa_etl_spark.queries.llm_pack import COSINE_TOPK_ORACLE_SQL
+
+    kmeans, cent = lsh_oracles._kmeans_ctes(16, 2048, 5)
+    branches = []
+    for p in _CURVE_PROBES:
+        branches.append(f"""
+    tk{p} AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM s WHERE probe_rank <= {p}) t
+      WHERE rank <= 5
+    ),
+    agg{p} AS (
+      SELECT CAST({p} AS INT) AS n_probe,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+             round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall
+      FROM exact_tk e
+      LEFT JOIN tk{p} a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM agg{p}" for p in _CURVE_PROBES
+    )
+    return f"""
+    WITH {kmeans},
+    prober AS (
+      SELECT q.id AS qid, ct.c AS list_id,
+             CAST(row_number() OVER (PARTITION BY q.id
+               ORDER BY list_dot_product(q.xv, ct.cv) DESC, ct.c ASC)
+               AS INT) AS probe_rank
+      FROM (SELECT id, xv FROM xn WHERE id < 10) q, {cent} ct
+    ),
+    cand AS (
+      SELECT p.qid AS query_id, a.id AS neighbor_id, p.probe_rank
+      FROM assignF a JOIN prober p
+        ON a.list_id = p.list_id AND a.id != p.qid
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, probe_rank,
+             round(list_dot_product(eq.v, en.v)
+                   / (sqrt(list_dot_product(eq.v, eq.v))
+                      * sqrt(list_dot_product(en.v, en.v))), 6) AS cosine
+      FROM cand
+      JOIN e eq ON eq.id = cand.query_id
+      JOIN e en ON en.id = cand.neighbor_id
+    ),
+    exact_tk AS ({COSINE_TOPK_ORACLE_SQL}),
+    {",".join(branches)}
+    {union}
+    """
+
+
+@register("llm_ann_recall_curve", _ann_curve_oracle())
+def llm_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-recall@5 of the IVF index at probe budgets 1,2,4,8,16 from
+    one shared train/assign/score pass."""
+    from crowdsorsa_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_curve,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    curve = ivf_topk_curve(
+        emb, probes, k=5, n_lists=16, probe_list=_CURVE_PROBES
+    ).select("n_probe", "query_id", F.col("neighbor_id").alias("_an"))
+    exact = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    budgets = emb.sparkSession.createDataFrame(
+        [(int(p),) for p in _CURVE_PROBES], "n_probe int"
+    )
+    ex = exact.crossJoin(F.broadcast(budgets))
+    joined = ex.join(
+        curve,
+        (ex.n_probe == curve.n_probe)
+        & (ex.query_id == curve.query_id)
+        & (F.col("neighbor_id") == F.col("_an")),
+        "left",
+    ).select(ex.n_probe.alias("_p"), "neighbor_id", "_an")
+    return joined.groupBy(F.col("_p").alias("n_probe")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count(F.col("_an")).cast("bigint").alias("n_hit"),
+        F.round(
+            F.count(F.col("_an")) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )

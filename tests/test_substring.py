@@ -359,3 +359,101 @@ class TestSubstringSkewStress:
         }
         want = {(i, 10, 17) for i in range(n)} | {(9000, 10, 17)}
         assert got == want
+
+
+class TestSpanContractProperty:
+    """The executable approximation contract (VERDICT r11 next-#8): the
+    k-shingle-run model flags EVERY duplicated span of >= k tokens (the
+    guarantee), may miss spans < k (the documented approximation), and —
+    stronger — equals a brute-force Python reference exactly on arbitrary
+    corpora."""
+
+    @staticmethod
+    def _ref_spans(doc_tokens: dict, k: int):
+        """Brute-force reference: k-window corpus counts -> flagged
+        starts -> gap<=k islands -> (doc, start, end, n_tokens)."""
+        from collections import Counter
+
+        cnt = Counter()
+        for toks in doc_tokens.values():
+            for i in range(len(toks) - k + 1):
+                cnt[tuple(toks[i : i + k])] += 1
+        out = set()
+        for d, toks in doc_tokens.items():
+            flagged = [
+                i
+                for i in range(len(toks) - k + 1)
+                if cnt[tuple(toks[i : i + k])] >= 2
+            ]
+            run: list[int] = []
+            for p in flagged + [None]:
+                if p is not None and (not run or p - run[-1] <= k):
+                    run.append(p)
+                    continue
+                if run:
+                    out.add((d, run[0], run[-1] + k - 1,
+                             run[-1] - run[0] + k))
+                run = [p] if p is not None else []
+        return out
+
+    def test_matches_bruteforce_reference_on_random_corpora(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        token = st.sampled_from(["aa", "ab", "ba", "bb", "cc"])
+        doc = st.lists(token, min_size=0, max_size=28)
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            docs=st.lists(doc, min_size=1, max_size=5),
+            k=st.integers(min_value=2, max_value=5),
+        )
+        def check(docs, k):
+            doc_tokens = {i: t for i, t in enumerate(docs)}
+            got = set(
+                _spans(spark, [" ".join(t) for t in docs], k)
+            )
+            assert got == self._ref_spans(doc_tokens, k)
+
+        check()
+
+    def test_every_planted_duplicate_ge_k_is_fully_covered(self, spark):
+        """The guarantee direction, asserted directly: plant a shared
+        substring of length L >= k into two docs of unique filler — the
+        planted token range must be covered by emitted spans in BOTH
+        docs; an L < k plant carries no guarantee (and with unique
+        filler is provably missed)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            k=st.integers(min_value=2, max_value=6),
+            extra=st.integers(min_value=-1, max_value=6),
+            off1=st.integers(min_value=0, max_value=8),
+            off2=st.integers(min_value=0, max_value=8),
+            data=st.data(),
+        )
+        def check(k, extra, off1, off2, data):
+            L = k + extra  # extra == -1 -> the below-threshold case
+            plant = [
+                data.draw(st.sampled_from(["pa", "pb", "pc"]))
+                for _ in range(L)
+            ]
+            d0 = [f"u{i}" for i in range(off1)] + plant + ["u90", "u91"]
+            d1 = [f"v{i}" for i in range(off2)] + plant + ["v90"]
+            got = _spans(spark, [" ".join(d0), " ".join(d1)], k)
+            covered0 = set()
+            covered1 = set()
+            for doc_id, s, e, _n in got:
+                tgt = covered0 if doc_id == 0 else covered1
+                tgt.update(range(s, e + 1))
+            plant0 = set(range(off1, off1 + L))
+            plant1 = set(range(off2, off2 + L))
+            if L >= k:
+                assert plant0 <= covered0 and plant1 <= covered1
+            else:
+                # below threshold with unique filler: provably missed
+                assert not got
+
+        check()

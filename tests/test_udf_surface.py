@@ -311,3 +311,54 @@ class TestSqlRegisteredUdf:
         assert len(got) == 100
         for r in got:
             assert r.d == sum(int(c) for c in str(r.event_id)) % 10
+
+
+class TestChunkUdtf:
+    """Python UDTF surface (functions/udtfs.py): Arrow-optimized lateral
+    table function, span math, offset exactness."""
+
+    def test_chunk_spans_edges(self):
+        from crowdsorsa_etl_spark.functions.udtfs import chunk_spans
+
+        assert chunk_spans(1) == [(0, 1)]
+        assert chunk_spans(32) == [(0, 32)]
+        assert chunk_spans(33) == [(0, 32), (24, 33)]
+        assert chunk_spans(128) == [
+            (0, 32), (24, 56), (48, 80), (72, 104), (96, 128),
+        ]
+        # every word is covered and starts strictly increase
+        for n in (1, 7, 31, 32, 33, 56, 57, 100, 500):
+            spans = chunk_spans(n)
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            assert all(a[0] < b[0] for a, b in zip(spans, spans[1:]))
+
+    def test_lateral_join_plan_is_arrow_and_pruned(self, spark):
+        from crowdsorsa_etl_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "x " * 40)], "doc_id long, text string"
+        ).createOrReplaceTempView("_udtf_t")
+        df = spark.sql(
+            "SELECT d.doc_id, c.* FROM _udtf_t d, LATERAL chunk_words(d.text) c"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Arrow-batched UDTF, not row-at-a-time Python
+        assert "ArrowEvalPythonUDTF" in plan
+        assert "BatchEvalPythonUDTF" not in plan
+
+    def test_offsets_slice_back_to_chunk(self, spark):
+        from crowdsorsa_etl_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        text = " ".join(f"w{i}" for i in range(70))
+        spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        ).createOrReplaceTempView("_udtf_t2")
+        rows = spark.sql(
+            "SELECT c.* FROM _udtf_t2 d, LATERAL chunk_words(d.text) c "
+            "ORDER BY c.chunk_idx"
+        ).collect()
+        assert [r["start_word"] for r in rows] == [0, 24, 48]
+        for r in rows:
+            assert text[r["start_off"]: r["end_off"]] == r["chunk"]

@@ -259,6 +259,12 @@ HEADLINE = [
     # Kafka wire decode: narrow per-row JSON serialize+parse over the
     # replicated events table — embarrassingly parallel, scales with rows
     "q112_kafka_decode",
+    # Arrow UDTF lateral chunking: one Arrow stage over the replicated
+    # corpus, row-multiplying output — scales with rows
+    "llm_chunk_udtf",
+    # IVF recall curve: corpus-side train/assign/score scale linearly
+    # under a bounded probe set (the llm_ann_recall_audit class)
+    "llm_ann_recall_curve",
 ]
 
 
