@@ -221,6 +221,7 @@ HEADLINE = [
     # operating curve (one shared train/assign/score pass)
     "llm_chunk_udtf",
     "llm_ann_recall_curve",
+    "llm_pq_ivfpq_recall",
 ]
 
 

@@ -368,3 +368,87 @@ def llm_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("_an")) * F.lit(1.0) / F.count(F.lit(1)), 6
         ).alias("recall"),
     )
+
+
+# ===========================================================================
+# llm_pq_ivfpq_recall — the PQ-vs-IVFPQ half of the operating-curve ask
+# (VERDICT r11 next-#7 parenthetical): recall@5 against exact cosine for
+# the two quantized tiers at their shipped configurations — full-corpus
+# PQ/ADC (llm_pq_topk's m=8, k_codes=64, margin=32) vs the persisted
+# partition-pruned IVF-PQ index (llm_ivfpq_topk's n_lists=16, n_probe=8,
+# same codebook config). Read next to llm_ann_recall_curve, this is the
+# accuracy column of the ANN ladder's cost/recall tradeoff: IVF-PQ scans
+# ~n_probe/n_lists of the codes for whatever recall it gives up here.
+# Both tiers reuse the engine's own oracled components (the ivfpq tier
+# reads the per-fixture persisted index); the oracle joins both full SQL
+# replays against the exact CTE.
+# ===========================================================================
+
+
+def _pq_ivfpq_recall_oracle() -> str:
+    from crowdsorsa_etl_spark import lsh_oracles
+    from crowdsorsa_etl_spark.queries.llm_pack import COSINE_TOPK_ORACLE_SQL
+
+    pq = lsh_oracles.pq_topk_sql(
+        dim=64, m=8, k_codes=64, k=5, candidate_margin=32,
+        sample_size=2048, iterations=4, query_pred="id < 10",
+    )
+    ivfpq = lsh_oracles.ivfpq_topk_sql(
+        dim=64, k=5, n_lists=16, n_probe=8, m=8, k_codes=64,
+        candidate_margin=32, sample_size=2048,
+        ivf_iterations=5, pq_iterations=4, query_pred="id < 10",
+    )
+    def agg(name: str, cte: str) -> str:
+        return f"""
+      SELECT '{name}' AS tier,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+             round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall
+      FROM exact_tk e
+      LEFT JOIN {cte} a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+    return f"""
+    WITH exact_tk AS ({COSINE_TOPK_ORACLE_SQL}),
+    pq_tk AS ({pq}),
+    ivfpq_tk AS ({ivfpq})
+    {agg('ivfpq', 'ivfpq_tk')}
+    UNION ALL
+    {agg('pq', 'pq_tk')}
+    """
+
+
+@register("llm_pq_ivfpq_recall", _pq_ivfpq_recall_oracle())
+def llm_pq_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs exact cosine for full-corpus PQ/ADC and the persisted
+    IVF-PQ index at their shipped configurations."""
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+    from crowdsorsa_etl_spark.queries.round7_pack import llm_pq_topk
+    from crowdsorsa_etl_spark.queries.round8_pack import llm_ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+
+    def recall_of(approx: DataFrame, tier: str) -> DataFrame:
+        a = approx.select(
+            "query_id", F.col("neighbor_id").alias("_an")
+        )
+        joined = exact.join(
+            a,
+            (exact.query_id == a.query_id)
+            & (F.col("neighbor_id") == F.col("_an")),
+            "left",
+        ).select("neighbor_id", "_an")
+        return joined.agg(
+            F.lit(tier).alias("tier"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count(F.col("_an")).cast("bigint").alias("n_hit"),
+            F.round(
+                F.count(F.col("_an")) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+
+    return recall_of(llm_ivfpq_topk(spark, sf_dir), "ivfpq").unionAll(
+        recall_of(llm_pq_topk(spark, sf_dir), "pq")
+    )

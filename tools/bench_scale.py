@@ -265,6 +265,9 @@ HEADLINE = [
     # IVF recall curve: corpus-side train/assign/score scale linearly
     # under a bounded probe set (the llm_ann_recall_audit class)
     "llm_ann_recall_curve",
+    # PQ vs IVF-PQ recall: two quantized-tier replays under a bounded
+    # probe set; corpus-side encode/scan is the scaling term
+    "llm_pq_ivfpq_recall",
 ]
 
 
