@@ -222,6 +222,7 @@ HEADLINE = [
     "llm_chunk_udtf",
     "llm_ann_recall_curve",
     "llm_pq_ivfpq_recall",
+    "llm_bytebpe_token_ids",
 ]
 
 

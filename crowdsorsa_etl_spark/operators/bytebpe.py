@@ -60,7 +60,9 @@ __all__ = [
     "bytebpe_encode",
     "bytebpe_vocab",
     "bytebpe_oov_stats",
+    "bytebpe_token_ids",
     "bytebpe_merges_sql",
+    "bytebpe_token_ids_sql",
     "bytebpe_encode_sql",
     "bytebpe_oov_sql",
 ]
@@ -428,4 +430,150 @@ def bytebpe_oov_sql(
                  / count(*), 6) AS unk_frac,
            round(sum(n_pieces) * 1.0 / count(*), 6) AS mean_pieces
     FROM perword"""
+    )
+
+
+def bytebpe_token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize to REAL token ids under the GPT-2 id convention: ids
+    0..255 ARE the byte values, merge tokens follow at 256 + rank - 1 —
+    structural, stable under corpus change, and derivable with no corpus
+    job (unlike the char-level sorted-vocab mapping, which shifts when
+    the alphabet grows).
+
+    Output: (id_col, n_tokens bigint, ids_md5 string) — md5 of the
+    comma-joined id stream in token order, the bpe_encode_ids gate shape.
+    Raises loudly if two merges ever produce the same token string (a
+    merged token is the hex of its byte sequence; a collision would make
+    the structural id ambiguous — never observed on real corpora, and
+    the guard turns 'never' into a contract).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    vocab = bytebpe_vocab(merges)
+    toks = [t for t, _ in vocab]
+    if len(set(toks)) != len(toks):
+        dupes = sorted({t for t in toks if toks.count(t) > 1})
+        raise ValueError(
+            f"byte-BPE merge tokens collide: {dupes}; the structural id "
+            "convention needs distinct token strings — retrain with "
+            "different n_merges or dedup the merge table"
+        )
+    id_of = dict(vocab)
+    rank_of = {tuple(p): i for i, p in enumerate(merges)}
+    pair_at = list(map(tuple, merges))
+
+    def encode(batches):
+        cache: dict[str, str] = {}
+        for pdf in batches:
+            n_out, md5s = [], []
+            import hashlib
+
+            for words in pdf["_words"]:
+                parts: list[str] = []
+                n = 0
+                for w in words:
+                    rep = cache.get(w)
+                    if rep is None:
+                        syms = _encode_word_seq(
+                            _byte_seed(w), rank_of, pair_at
+                        )
+                        rep = ",".join(str(id_of[s]) for s in syms)
+                        cache[w] = rep
+                    parts.append(rep)
+                    n += rep.count(",") + 1
+                stream = ",".join(parts)
+                n_out.append(n if stream else 0)
+                md5s.append(
+                    hashlib.md5(stream.encode()).hexdigest()
+                    if stream
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.array(n_out, dtype="int64"),
+                    "ids_md5": md5s,
+                }
+            )
+
+    words = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda w: F.length(w) > 0
+    )
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_tokens", LongType()),
+            StructField("ids_md5", StringType()),
+        ]
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_words"))
+        .mapInPandas(encode, schema)
+        .filter(F.col("ids_md5").isNotNull())
+    )
+
+
+def bytebpe_token_ids_sql(n_merges: int = 12) -> str:
+    """DuckDB oracle for :func:`bytebpe_token_ids`: the learn chain, the
+    apply-rewritten word dictionary, the STRUCTURAL id table (byte value
+    = id, merge rank r -> 255 + r), and md5 of the per-doc comma-joined
+    id stream. LEFT join + -1 sentinel keeps an out-of-vocab piece loud
+    (the wordpiece idstream discipline) — it cannot happen under byte
+    closure, and the -1 would break the hash if it ever did."""
+    ctes = _bytebpe_learn_ctes(n_merges)
+    merge_ids = "\nUNION ALL\n".join(
+        f"SELECT replace(pair, ' ', '') AS tok, CAST(255 + {i} AS INT)"
+        f" AS token_id FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"""docw AS MATERIALIZED (
+      SELECT doc_id, i AS ord, arr[i] AS word
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS arr
+            FROM documents),
+           UNNEST(range(1, len(arr) + 1)) AS t(i)
+      WHERE len(arr[i]) > 0
+    ),
+    vocabid AS MATERIALIZED (
+      SELECT upper(printf('%02x', i)) AS tok, CAST(i AS INT) AS token_id
+      FROM range(256) AS t(i)
+      UNION ALL
+      {merge_ids}
+    ),
+    pieces AS (
+      SELECT d.doc_id, d.ord,
+             generate_subscripts(string_split(w.rep, ' '), 1) AS pidx,
+             unnest(string_split(w.rep, ' ')) AS piece
+      FROM docw d JOIN w{n_merges} w USING (word)
+    ),
+    idstream AS (
+      SELECT p.doc_id, p.ord, p.pidx,
+             coalesce(v.token_id, -1) AS token_id
+      FROM pieces p LEFT JOIN vocabid v ON p.piece = v.tok
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(token_id AS VARCHAR), ','
+                          ORDER BY ord, pidx)) AS ids_md5
+    FROM idstream
+    GROUP BY doc_id
+    """
     )

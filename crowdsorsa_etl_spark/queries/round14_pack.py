@@ -452,3 +452,31 @@ def llm_pq_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_of(llm_ivfpq_topk(spark, sf_dir), "ivfpq").unionAll(
         recall_of(llm_pq_topk(spark, sf_dir), "pq")
     )
+
+
+# ===========================================================================
+# llm_bytebpe_token_ids — tokenizer family #4's id-export step, completing
+# the learn/encode/ids/oov contract families #1-#3 carry. GPT-2 id
+# convention: ids 0..255 ARE the byte values, merge tokens follow at
+# 256+rank-1 — structural and corpus-independent (the char-level sorted
+# vocab shifts when the alphabet grows; the byte vocab never does). The
+# Spark side guards merge-token collisions loudly; the oracle's LEFT-join
+# -1 sentinel keeps an impossible out-of-vocab piece attributable.
+# ===========================================================================
+
+
+def _bytebpe_ids_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_token_ids_sql
+
+    return bytebpe_token_ids_sql(_BYTEBPE_MERGES)
+
+
+@register("llm_bytebpe_token_ids", _bytebpe_ids_oracle())
+def llm_bytebpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc byte-BPE token-id stream (structural GPT-2 ids): count +
+    md5 of the comma-joined id sequence."""
+    from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _learned_bytebpe(spark, sf_dir, _BYTEBPE_MERGES)
+    return bytebpe_token_ids(docs, merges)

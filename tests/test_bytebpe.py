@@ -138,3 +138,31 @@ class TestVocab:
         d = dict(vocab)
         assert d["00"] == 0 and d["FF"] == 255
         assert d["6162"] == 256 and d["616263"] == 257
+
+
+class TestTokenIds:
+    def test_structural_ids_and_stream(self, spark):
+        import hashlib
+
+        from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_token_ids
+
+        df = spark.createDataFrame(
+            [(1, "ab ab"), (2, "")], "doc_id long, text string"
+        )
+        merges = [("61", "62")]  # 'ab' -> token id 256
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["ids_md5"])
+            for r in bytebpe_token_ids(df, merges).collect()
+        }
+        want = hashlib.md5(b"256,256").hexdigest()
+        assert got == {1: (2, want)}  # empty doc dropped
+
+    def test_collision_guard_raises(self, spark):
+        import pytest
+
+        from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_token_ids
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        # two merge entries yielding the same token string
+        with pytest.raises(ValueError, match="collide"):
+            bytebpe_token_ids(df, [("61", "6263"), ("6162", "63")])

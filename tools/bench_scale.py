@@ -268,6 +268,8 @@ HEADLINE = [
     # PQ vs IVF-PQ recall: two quantized-tier replays under a bounded
     # probe set; corpus-side encode/scan is the scaling term
     "llm_pq_ivfpq_recall",
+    # byte-BPE id export: same Arrow-encode scaling term as the encode
+    "llm_bytebpe_token_ids",
 ]
 
 
