@@ -133,15 +133,26 @@ def kneser_ney_bigram_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     discount: float = DISCOUNT,
+    token_scores: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob): interpolated-KN mean bigram
     log-probability per document, trained on ``docs`` itself. Docs with
     fewer than two tokens drop out (no bigram to score) — same contract
-    as ``llm_bigram_logprob``."""
-    return (
-        kneser_ney_token_scores(
+    as ``llm_bigram_logprob``.
+
+    ``token_scores`` injects a precomputed :func:`kneser_ney_token_scores`
+    stream (the per-fixture materialized artifact queries/_shared
+    maintains — a frozen filter LM's scores ARE an at-rest table in
+    production); identical output either way, deterministic both ways."""
+    tok = (
+        token_scores
+        if token_scores is not None
+        else kneser_ney_token_scores(
             docs, text_col=text_col, id_col=id_col, discount=discount
         )
+    )
+    return (
+        tok
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -159,6 +170,7 @@ def min_k_prob_scores(
     id_col: str = "doc_id",
     discount: float = DISCOUNT,
     k_denom: int = 5,
+    token_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Min-k%-prob membership inference (Shi et al. 2023, "Detecting
     Pretraining Data"): per document, the mean log-probability of its
@@ -188,8 +200,12 @@ def min_k_prob_scores(
     """
     if k_denom < 1:
         raise ValueError(f"k_denom must be >= 1, got {k_denom}")
-    tok = kneser_ney_token_scores(
-        docs, text_col=text_col, id_col=id_col, discount=discount
+    tok = (
+        token_scores
+        if token_scores is not None
+        else kneser_ney_token_scores(
+            docs, text_col=text_col, id_col=id_col, discount=discount
+        )
     )
     counts = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams")

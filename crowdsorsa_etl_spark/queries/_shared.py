@@ -312,3 +312,29 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             path
         )
     return spark.read.parquet(path)
+
+
+def _kn_token_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture materialized Kneser–Ney token-score stream
+    (doc_id, lp) over the documents corpus — the frozen-filter-LM
+    artifact llm_kneser_ney_logprob, llm_perplexity_buckets,
+    llm_min_k_prob, and llm_signal_correlation all consume (each
+    previously re-derived the identical count tables + occurrence
+    joins). Deterministic: counts are exact BIGINTs and the score is
+    the same rounded expression every time; at 100 TB this IS the
+    production posture — a filter LM is trained once and its scores
+    serve from a table (SCALE.md's start_lm_score_stream form)."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.ngramlm import (
+        kneser_ney_token_scores,
+    )
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "knscores_v1", "documents"), "lp.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        kneser_ney_token_scores(
+            _t(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

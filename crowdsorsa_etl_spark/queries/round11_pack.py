@@ -35,7 +35,12 @@ from crowdsorsa_etl_spark.operators.ngramlm import (
 def llm_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean interpolated-KN bigram log-probability, trained on the
     corpus itself (docs with <2 tokens drop out on both engines)."""
-    return kneser_ney_bigram_scores(_t(spark, sf_dir, "documents"))
+    from crowdsorsa_etl_spark.queries._shared import _kn_token_scores
+
+    return kneser_ney_bigram_scores(
+        _t(spark, sf_dir, "documents"),
+        token_scores=_kn_token_scores(spark, sf_dir),
+    )
 
 
 # ===========================================================================
@@ -62,8 +67,12 @@ def _ppl_buckets_sql() -> str:
 def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet bucket assignment: each document labeled head/middle/tail of
     its language's KN-perplexity distribution."""
+    from crowdsorsa_etl_spark.queries._shared import _kn_token_scores
+
     docs = _t(spark, sf_dir, "documents")
-    scores = kneser_ney_bigram_scores(docs).join(
+    scores = kneser_ney_bigram_scores(
+        docs, token_scores=_kn_token_scores(spark, sf_dir)
+    ).join(
         docs.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "lang", "n_bigrams", "avg_logprob")
     return perplexity_buckets(scores)

@@ -931,8 +931,12 @@ def llm_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-20%-prob membership-inference score per document over the
     corpus-trained KN bigram LM (operators/ngramlm.min_k_prob_scores)."""
     from crowdsorsa_etl_spark.operators.ngramlm import min_k_prob_scores
+    from crowdsorsa_etl_spark.queries._shared import _kn_token_scores
 
-    return min_k_prob_scores(_t(spark, sf_dir, "documents"))
+    return min_k_prob_scores(
+        _t(spark, sf_dir, "documents"),
+        token_scores=_kn_token_scores(spark, sf_dir),
+    )
 
 
 # ===========================================================================
@@ -1546,8 +1550,12 @@ def llm_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_quality_classifier,
     )
 
+    from crowdsorsa_etl_spark.queries._shared import _kn_token_scores
+
     docs = _t(spark, sf_dir, "documents")
-    lm = kneser_ney_bigram_scores(docs).select("doc_id", "avg_logprob")
+    lm = kneser_ney_bigram_scores(
+        docs, token_scores=_kn_token_scores(spark, sf_dir)
+    ).select("doc_id", "avg_logprob")
     qc = llm_quality_classifier(spark, sf_dir).select("doc_id", "logit")
     joined = lm.join(qc, "doc_id")
     r1, _ = with_global_row_number(
