@@ -273,13 +273,20 @@ def q100_scd2_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = _sf_cache_dir(sf_dir, "scd2buf_b1_v1", "events")
     if not os.path.exists(os.path.join(seed, "_DONE")):
-        shutil.rmtree(seed, ignore_errors=True)
+        # build in a process-unique dir, then one atomic rename — a
+        # concurrent builder (driver bench + oracle sweep) either wins
+        # the rename or discards its build; never a half-written seed
+        build = tempfile.mkdtemp(prefix="scd2seed_")
         scd2_apply_batch_buffered(
-            spark, f"{seed}/v", f"{seed}/b", b1,
+            spark, f"{build}/v", f"{build}/b", b1,
             max_delay_seconds=delay_s, **kw
         )
-        with open(os.path.join(seed, "_DONE"), "w") as fh:
+        with open(os.path.join(build, "_DONE"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(build, seed)
+        except OSError:  # a concurrent builder already renamed its seed
+            shutil.rmtree(build, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="scd2buf_")
     shutil.rmtree(root)
     shutil.copytree(seed, root)
