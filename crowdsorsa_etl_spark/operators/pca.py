@@ -46,25 +46,44 @@ def embedding_covariance(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    x = lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")  # noqa: E731
-    aggs = [
-        F.round(F.covar_samp(x(i), x(j)), round_dp).alias(f"c_{i}_{j}")
-        for i in range(dim)
-        for j in range(i, dim)
-    ]
-    one = emb.agg(*aggs)
-    cells = F.array(
+    # Keep the GENERATED CODE small, not just the plan: d(d+1)/2 separate
+    # covar_samp aggregates (and equally a hand-built 136-struct array
+    # with per-cell element_at) generate enormous Janino sources whose
+    # fresh expr-ids defeat the codegen cache — measured 3.3-4.2s
+    # steady-state on 2000 rows, ALL of it compilation. Instead: the
+    # (i, j) index pairs are a pure-literal array (constant-folded to ONE
+    # Literal node), a single transform lambda gathers (i, j, xi, xj) per
+    # row, and one covar_samp aggregates the exploded pair stream over a
+    # bounded d²-key exchange. Cell values round to ``round_dp`` either
+    # way — partial-aggregation order was already absorbed by rounding.
+    pairs_lit = F.array(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("i"),
                 F.lit(j).cast("int").alias("j"),
-                F.col(f"c_{i}_{j}").alias("cov"),
             )
             for i in range(dim)
             for j in range(i, dim)
         ]
     )
-    return one.select(F.explode(cells).alias("c")).select("c.i", "c.j", "c.cov")
+    cells = F.transform(
+        pairs_lit,
+        lambda p: F.struct(
+            p["i"].alias("i"),
+            p["j"].alias("j"),
+            F.element_at(F.col(vec_col), p["i"] + 1)
+            .cast("double")
+            .alias("xi"),
+            F.element_at(F.col(vec_col), p["j"] + 1)
+            .cast("double")
+            .alias("xj"),
+        ),
+    )
+    return (
+        emb.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.round(F.covar_samp("c.xi", "c.xj"), round_dp).alias("cov"))
+    )
 
 
 def pca_fit(

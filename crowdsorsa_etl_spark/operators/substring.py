@@ -143,6 +143,8 @@ def substring_decontamination_spans(
     min_run: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level train/eval decontamination (the Llama/PaLM n-gram
     overlap rule): maximal spans of >= ``min_run`` tokens in CORPUS
@@ -162,12 +164,19 @@ def substring_decontamination_spans(
     if min_run < 2:
         raise ValueError(f"min_run must be >= 2, got {min_run}")
     k = min_run
-    sh = _shingle_positions(corpus, id_col, text_col, k)
-    ev = (
-        _shingle_positions(eval_df, id_col, text_col, k)
-        .select("sh")
-        .distinct()
+    # corpus_shingles/eval_shingles inject a precomputed (id, pos, sh)
+    # table — the per-fixture materialized shingle artifact
+    # (queries/_shared._doc_shingles); derived here when absent
+    sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _shingle_positions(corpus, id_col, text_col, k)
     )
+    ev = (
+        eval_shingles
+        if eval_shingles is not None
+        else _shingle_positions(eval_df, id_col, text_col, k)
+    ).select("sh").distinct()
     flagged = sh.join(ev, "sh", "left_semi").select(id_col, "pos")
 
     w_doc = Window.partitionBy(id_col).orderBy("pos")

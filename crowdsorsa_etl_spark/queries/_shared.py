@@ -338,3 +338,24 @@ def _kn_token_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents")
         ).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """Per-fixture materialized 8-token shingle table (doc_id, pos, sh)
+    over the FULL documents corpus — the substring tier's at-rest input
+    (the md5 window hashes every dedup/decontamination probe keys on).
+    Deterministic (md5 of the normalized window text); slices for a
+    train/eval split are filters over it, so one artifact serves every
+    split convention."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.substring import _shingle_positions
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, f"shingles{k}_v1", "documents"), "sh.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _shingle_positions(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", k
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

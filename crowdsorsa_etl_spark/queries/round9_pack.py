@@ -270,10 +270,19 @@ def llm_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         substring_decontamination_spans,
     )
 
+    from crowdsorsa_etl_spark.queries._shared import _doc_shingles
+
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
-    return substring_decontamination_spans(corpus, eval_df, min_run=8)
+    sh = _doc_shingles(spark, sf_dir, k=8)
+    return substring_decontamination_spans(
+        corpus,
+        eval_df,
+        min_run=8,
+        corpus_shingles=sh.filter(F.col("doc_id") % 10 != 0),
+        eval_shingles=sh.filter(F.col("doc_id") % 10 == 0),
+    )
 
 
 # ===========================================================================
