@@ -290,6 +290,7 @@ def simhash_buckets(
     id_col: str = "doc_id",
     *,
     portable: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Docs grouped by identical simhash (the exact-collision tier; hamming-r
     search is `simhash_hamming_candidates` below).
@@ -298,8 +299,13 @@ def simhash_buckets(
     depends on task scheduling, so the raw array is nondeterministic across
     runs — sort_array + concat_ws makes the output stable and hashable.
     """
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, text_col, id_col, portable=portable)
+    )
     return (
-        simhash_signatures(df, text_col, id_col, portable=portable)
+        sig
         .groupBy("simhash")
         .agg(
             F.concat_ws(
@@ -322,6 +328,7 @@ def simhash_hamming_candidates(
     radius: int = 8,
     bands: int | None = None,
     portable: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance ≤ ``radius``.
 
@@ -351,7 +358,13 @@ def simhash_hamming_candidates(
         )
     width = 64 // bands  # last band absorbs the remainder bits
 
-    sig = simhash_signatures(df, text_col, id_col, portable=portable).localCheckpoint()
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(
+            df, text_col, id_col, portable=portable
+        ).localCheckpoint()
+    )
 
     def band_bits(b: int):
         shifted = F.shiftrightunsigned("simhash", b * width)

@@ -359,3 +359,22 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
             _t(spark, sf_dir, "documents"), "doc_id", "text", k
         ).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture materialized portable 64-bit SimHash signatures
+    (id, simhash) over documents — shared by llm_simhash and
+    llm_simhash_hamming (each previously re-ran the token-hash vote
+    aggregation). Deterministic md5-derived h64 votes."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.dedup import simhash_signatures
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "simhash_v1", "documents"), "sig.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        simhash_signatures(
+            _t(spark, sf_dir, "documents"), portable=True
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

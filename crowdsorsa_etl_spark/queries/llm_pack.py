@@ -380,7 +380,13 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-collision SimHash buckets over md5-derived 64-bit signatures
     (portable=True → the oracle replays the same 64 bit-votes in SQL)."""
-    return simhash_buckets(_t(spark, sf_dir, "documents"), portable=True)
+    from crowdsorsa_etl_spark.queries._shared import _simhash_sigs
+
+    return simhash_buckets(
+        _t(spark, sf_dir, "documents"),
+        portable=True,
+        signatures=_simhash_sigs(spark, sf_dir),
+    )
 
 
 @register("llm_simhash_hamming", lsh_oracles.simhash_hamming_sql(radius=4))
@@ -395,9 +401,13 @@ def llm_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy low even on this dup-heavy corpus (radius 8 would mean 7-bit
     bands — 128 buckets — whose hot buckets blow up the candidate join)."""
     from crowdsorsa_etl_spark.operators.dedup import simhash_hamming_candidates
+    from crowdsorsa_etl_spark.queries._shared import _simhash_sigs
 
     return simhash_hamming_candidates(
-        _t(spark, sf_dir, "documents"), radius=4, portable=True
+        _t(spark, sf_dir, "documents"),
+        radius=4,
+        portable=True,
+        signatures=_simhash_sigs(spark, sf_dir),
     )
 
 
