@@ -439,3 +439,35 @@ class TestRound8bPlans:
         # the scan is pruned to the two columns the Arrow stages need
         full = plan_of(QUERIES["llm_audio_frame_energy"](spark, SF_DIR))
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in full
+
+
+class TestArtifactReaders:
+    """The round-14 shared-artifact consumers must READ their memoized
+    parquet, not silently regress to re-deriving the pipeline (the
+    perf win is load-bearing: BENCH_NOTES documents the before/after)."""
+
+    def _plan(self, spark, name):
+        return plan_of(QUERIES[name](spark, SF_DIR))
+
+    def test_simhash_queries_read_signature_artifact(self, spark):
+        for name in ("llm_simhash", "llm_simhash_hamming"):
+            plan = self._plan(spark, name)
+            assert "crowdsorsa_simhash_v1" in plan, name
+            # no re-derivation: the token explode lives only in the builder
+            assert "documents.parquet" not in plan, name
+
+    def test_kn_consumers_read_score_artifact(self, spark):
+        for name in ("llm_kneser_ney_logprob", "llm_min_k_prob"):
+            plan = self._plan(spark, name)
+            assert "crowdsorsa_knscores_v1" in plan, name
+
+    def test_decontamination_reads_shingle_artifact(self, spark):
+        plan = self._plan(spark, "llm_substring_decontamination")
+        assert "crowdsorsa_shingles8_v1" in plan
+
+    def test_er_chain_reads_pair_and_cluster_artifacts(self, spark):
+        assert "crowdsorsa_fspairs_v1" in self._plan(
+            spark, "llm_record_linkage_multipass"
+        )
+        for name in ("llm_dedup_clusters", "llm_dup_profile"):
+            assert "crowdsorsa_dedupclusters_v1" in self._plan(spark, name)
