@@ -223,6 +223,9 @@ HEADLINE = [
     "llm_ann_recall_curve",
     "llm_pq_ivfpq_recall",
     "llm_bytebpe_token_ids",
+    # round 14 late: char-vs-byte compression datasheet, l-diversity
+    "llm_tokenizer_compression",
+    "llm_l_diversity",
 ]
 
 

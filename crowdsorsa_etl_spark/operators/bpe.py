@@ -60,17 +60,25 @@ __all__ = [
 _EXPR_MERGE_LIMIT = 64
 
 
-def _merge_pat_rep(i: int) -> tuple[str, str]:
+def _merge_pat_rep(i: int, prefix: str = "") -> tuple[str, str]:
     """SQL pattern/replacement strings for merge stage ``b{i}``, NULL-safe:
     if the corpus exhausts pairs before stage ``i`` the ``b{i}`` scalar
     subqueries return NULL — coalesce the pattern symbols to chr(1) (cannot
     occur in a space-separated symbol stream) and the replacement to '' so
-    the stage rewrites nothing instead of nulling every rep."""
+    the stage rewrites nothing instead of nulling every rep.
+
+    ``prefix`` renames the stage CTEs (``{prefix}b{i}``) so two learn
+    chains can compose in ONE statement (DuckDB rejects duplicate CTE
+    aliases even across nesting levels)."""
     sym = lambda k: (  # noqa: E731
-        f"coalesce((SELECT string_split(pair, ' ')[{k}] FROM b{i}), chr(1))"
+        f"coalesce((SELECT string_split(pair, ' ')[{k}]"
+        f" FROM {prefix}b{i}), chr(1))"
     )
     pat = f"' ' || {sym(1)} || '  ' || {sym(2)} || ' '"
-    rep = f"' ' || coalesce((SELECT replace(pair, ' ', '') FROM b{i}), '') || ' '"
+    rep = (
+        f"' ' || coalesce((SELECT replace(pair, ' ', '')"
+        f" FROM {prefix}b{i}), '') || ' '"
+    )
     return pat, rep
 
 
@@ -944,26 +952,27 @@ _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _CHAR_SPACED_SQL = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
 
 
-def _learn_stage_sql(i: int, prev: str) -> str:
+def _learn_stage_sql(i: int, prev: str, prefix: str = "") -> str:
     """The ``p{i}``/``b{i}`` learn-stage CTEs: adjacent-pair counts over
     the ``prev`` dictionary and the (total DESC, pair ASC) argmax — ONE
-    definition for every oracle that re-learns merges."""
-    return f"""p{i} AS MATERIALIZED (
+    definition for every oracle that re-learns merges. ``prefix`` renames
+    the stage CTEs for same-statement composition."""
+    return f"""{prefix}p{i} AS MATERIALIZED (
       SELECT arr[i] || ' ' || arr[i+1] AS pair,
              CAST(sum(cnt) AS BIGINT) AS total
       FROM (SELECT string_split(rep, ' ') AS arr, cnt FROM {prev}),
            UNNEST(range(1, len(arr))) AS t(i)
       GROUP BY 1
     ),
-    b{i} AS MATERIALIZED (
-      SELECT pair FROM p{i} ORDER BY total DESC, pair ASC LIMIT 1
+    {prefix}b{i} AS MATERIALIZED (
+      SELECT pair FROM {prefix}p{i} ORDER BY total DESC, pair ASC LIMIT 1
     )"""
 
 
-def _stage_rewrite_sql(i: int) -> str:
+def _stage_rewrite_sql(i: int, prefix: str = "") -> str:
     """The stage-``i`` greedy merge application (space-doubling replace),
     shared by every dictionary-rewrite chain."""
-    pat, rep = _merge_pat_rep(i)
+    pat, rep = _merge_pat_rep(i, prefix)
     return (
         f"trim(regexp_replace(replace(' ' || replace(rep, ' ', '  ')"
         f" || ' ', {pat}, {rep}), ' +', ' ', 'g'))"

@@ -281,11 +281,16 @@ def bytebpe_oov_stats(
 
 
 def _bytebpe_learn_ctes(
-    n_merges: int, *, max_vocab_words: int | None = None
+    n_merges: int,
+    *,
+    max_vocab_words: int | None = None,
+    prefix: str = "",
 ) -> list[str]:
     """words/w0 + the unrolled learn/rewrite stages, byte-spaced seed.
     The learn stages are ``bpe._learn_stage_sql`` / ``_stage_rewrite_sql``
     verbatim — only w0's decomposition differs from the char-level chain.
+    ``prefix`` renames every CTE so the byte chain composes with the char
+    chain in one statement (llm_tokenizer_compression).
     """
     cap = (
         f" ORDER BY cnt DESC, rep ASC LIMIT {int(max_vocab_words)}"
@@ -293,22 +298,23 @@ def _bytebpe_learn_ctes(
         else ""
     )
     ctes = [
-        f"""words AS MATERIALIZED (
+        f"""{prefix}words AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
         FROM documents
       ) WHERE len(word) > 0 GROUP BY word
     ),
-    w0 AS MATERIALIZED (
+    {prefix}w0 AS MATERIALIZED (
       SELECT word, {_BYTE_SPACED_SQL} AS rep, cnt
-      FROM words{cap}
+      FROM {prefix}words{cap}
     )"""
     ]
     for i in range(1, n_merges + 1):
-        ctes.append(_learn_stage_sql(i, f"w{i - 1}"))
+        ctes.append(_learn_stage_sql(i, f"{prefix}w{i - 1}", prefix))
         ctes.append(
-            f"""w{i} AS MATERIALIZED (
-      SELECT word, {_stage_rewrite_sql(i)} AS rep, cnt FROM w{i - 1}
+            f"""{prefix}w{i} AS MATERIALIZED (
+      SELECT word, {_stage_rewrite_sql(i, prefix)} AS rep, cnt
+      FROM {prefix}w{i - 1}
     )"""
         )
     return ctes

@@ -480,3 +480,185 @@ def llm_bytebpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = _learned_bytebpe(spark, sf_dir, _BYTEBPE_MERGES)
     return bytebpe_token_ids(docs, merges)
+
+
+# ===========================================================================
+# llm_tokenizer_compression — the which-tokenizer datasheet number: corpus
+# totals and compression (tokens/word, chars/token) for the char-level
+# 8-merge BPE vs the byte-level 12-merge BPE on the SAME corpus — the
+# tradeoff a vocabulary decision reads (byte-level guarantees zero OOV
+# but pays more symbols per word at equal merge budget; chars/token uses
+# the shared no-space char total). Both encode chains already replay in
+# SQL; the oracle composes the two word-dictionary joins and aggregates
+# the exact BIGINT totals, one division per ratio.
+# ===========================================================================
+
+
+def _tok_compression_oracle() -> str:
+    from crowdsorsa_etl_spark.operators.bpe import _encode_chain_ctes
+    from crowdsorsa_etl_spark.operators.bytebpe import _bytebpe_learn_ctes
+    from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+
+    char_ctes, char_final = _encode_chain_ctes(8)
+    # DuckDB rejects duplicate CTE aliases even across nesting levels, so
+    # the byte chain composes under a "by" name prefix
+    byte_ctes = _bytebpe_learn_ctes(12, prefix="by")
+    return f"""
+    WITH {",".join(char_ctes)},
+    {",".join(byte_ctes)},
+    chartot AS (
+      SELECT CAST(sum(len(string_split(rep, ' '))) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM docw JOIN {char_final} USING (word)
+    ),
+    bytetot AS (
+      SELECT CAST(sum(len(string_split(w.rep, ' '))) AS BIGINT)
+               AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM docw JOIN byw12 w USING (word)
+    ),
+    chars AS (
+      SELECT CAST(sum(len(replace({_NORM_SQL}, ' ', ''))) AS BIGINT)
+               AS n_chars
+      FROM documents
+    )
+    SELECT 'bpe_char_8' AS family, t.n_tokens, t.n_words,
+           round(t.n_tokens * 1.0 / t.n_words, 6) AS tokens_per_word,
+           round(c.n_chars * 1.0 / t.n_tokens, 6) AS chars_per_token
+    FROM chartot t, chars c
+    UNION ALL
+    SELECT 'bpe_byte_12' AS family, t.n_tokens, t.n_words,
+           round(t.n_tokens * 1.0 / t.n_words, 6) AS tokens_per_word,
+           round(c.n_chars * 1.0 / t.n_tokens, 6) AS chars_per_token
+    FROM bytetot t, chars c
+    """
+
+
+@register("llm_tokenizer_compression", _tok_compression_oracle())
+def llm_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression comparison: char-level BPE(8) vs byte-level
+    BPE(12) — token totals, tokens/word, chars/token."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+    from crowdsorsa_etl_spark.operators.bpe import bpe_encode
+    from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_encode
+    from crowdsorsa_etl_spark.queries.round10_pack import _learned_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    words = F.filter(F.split(nt, " "), lambda w: F.length(w) > 0)
+    totals = docs.select(
+        F.size(words).cast("bigint").alias("_w"),
+        F.length(F.replace(nt, F.lit(" "), F.lit(""))).cast("bigint").alias("_c"),
+    ).agg(
+        F.sum("_w").cast("bigint").alias("n_words_all"),
+        F.sum("_c").cast("bigint").alias("n_chars"),
+    )
+
+    char_merges, _, _ = _learned_bpe(spark, sf_dir, 8, with_vocab=False)
+    byte_merges = _learned_bytebpe(spark, sf_dir, _BYTEBPE_MERGES)
+
+    def tot(enc: DataFrame, family: str) -> DataFrame:
+        return (
+            enc.agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+            .join(F.broadcast(totals))
+            .select(
+                F.lit(family).alias("family"),
+                "n_tokens",
+                F.col("n_words_all").alias("n_words"),
+                F.round(
+                    F.col("n_tokens") * F.lit(1.0) / F.col("n_words_all"), 6
+                ).alias("tokens_per_word"),
+                F.round(
+                    F.col("n_chars") * F.lit(1.0) / F.col("n_tokens"), 6
+                ).alias("chars_per_token"),
+            )
+        )
+
+    return tot(bpe_encode(docs, char_merges), "bpe_char_8").unionAll(
+        tot(bytebpe_encode(docs, byte_merges), "bpe_byte_12")
+    )
+
+
+# ===========================================================================
+# llm_l_diversity — the governance gate NEXT TO k-anonymity: a QI class
+# can pass k-anonymity (enough rows) yet still leak the sensitive
+# attribute when all its rows SHARE one value (the homogeneity attack,
+# Machanavajjhala et al. 2007). QI = (lang, pow2 char-length bucket) —
+# llm_k_anonymity's quasi-identifier minus the sensitive column — and
+# `source` plays the sensitive attribute: classes whose distinct-source
+# count < l=3 are at risk. Two aggregations (QI-keyed distinct count,
+# 2-scalar summary broadcast back); exact BIGINTs, one ratio division.
+# ===========================================================================
+
+_LDIV_L = 3
+
+
+@register(
+    "llm_l_diversity",
+    f"""
+    WITH q AS (
+      SELECT lang, source,
+             CASE WHEN CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) // 2 >= greatest(n_chars, 1)
+                  THEN CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) // 2
+                  ELSE CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) END
+               AS len_bucket
+      FROM documents
+    ),
+    classes AS (
+      SELECT lang, len_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM q GROUP BY lang, len_bucket
+    ),
+    summary AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(coalesce(sum(CASE WHEN n_sources < {_LDIV_L}
+                                    THEN n_docs ELSE 0 END), 0) AS BIGINT)
+               AS at_risk_docs
+      FROM classes
+    )
+    SELECT c.lang, c.len_bucket, c.n_docs, c.n_sources,
+           round(s.at_risk_docs * 1.0 / s.total_docs, 6) AS at_risk_frac
+    FROM classes c, summary s
+    WHERE c.n_sources < {_LDIV_L}
+    """,
+)
+def llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QI classes whose sensitive attribute (source) has fewer than l=3
+    distinct values — the homogeneity-attack check k-anonymity misses."""
+    from crowdsorsa_etl_spark.queries.round13_pack import _pow2_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "lang", "source", _pow2_bucket(F.col("n_chars")).alias("len_bucket")
+    )
+    classes = q.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    summary = classes.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_sources") < _LDIV_L, F.col("n_docs")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("at_risk_docs"),
+    )
+    return (
+        classes.filter(F.col("n_sources") < _LDIV_L)
+        .join(F.broadcast(summary))
+        .select(
+            "lang",
+            "len_bucket",
+            "n_docs",
+            "n_sources",
+            F.round(
+                F.col("at_risk_docs") * F.lit(1.0) / F.col("total_docs"), 6
+            ).alias("at_risk_frac"),
+        )
+    )

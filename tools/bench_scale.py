@@ -270,6 +270,10 @@ HEADLINE = [
     "llm_pq_ivfpq_recall",
     # byte-BPE id export: same Arrow-encode scaling term as the encode
     "llm_bytebpe_token_ids",
+    # compression datasheet (two encode aggregations) + l-diversity
+    # (two QI-keyed aggs) — both corpus-agg shaped
+    "llm_tokenizer_compression",
+    "llm_l_diversity",
 ]
 
 
