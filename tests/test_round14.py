@@ -65,3 +65,35 @@ class TestAnnRecallCurve:
             ivf_topk_curve(emb, emb.limit(1), n_lists=16, probe_list=(0, 4))
         with pytest.raises(ValueError, match="probe_list"):
             ivf_topk_curve(emb, emb.limit(1), n_lists=16, probe_list=(32,))
+
+
+class TestLDiversity:
+    def test_homogeneous_class_flagged(self, spark):
+        """A class that is k-anonymous by size but single-source must be
+        flagged; a 3-source class must not."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        rows = QUERIES["llm_l_diversity"](spark, SF_DIR).collect()
+        assert all(r["n_sources"] < 3 for r in rows)
+        assert all(0.0 <= r["at_risk_frac"] <= 1.0 for r in rows)
+
+
+class TestTokenizerCompression:
+    def test_byte_tier_pays_more_tokens_at_equal_corpus(self, spark):
+        """On an ASCII-ish corpus, byte-level BPE at 12 merges cannot
+        compress below 1 token/word and both families share the same
+        word/char totals — the datasheet's invariants."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        rows = {
+            r["family"]: r
+            for r in QUERIES["llm_tokenizer_compression"](
+                spark, SF_DIR
+            ).collect()
+        }
+        assert set(rows) == {"bpe_char_8", "bpe_byte_12"}
+        a, b = rows["bpe_char_8"], rows["bpe_byte_12"]
+        assert a["n_words"] == b["n_words"]
+        for r in rows.values():
+            assert r["tokens_per_word"] >= 1.0
+            assert r["chars_per_token"] > 0.0
