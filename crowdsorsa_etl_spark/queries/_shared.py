@@ -378,3 +378,24 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents"), portable=True
         ).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def _shingle_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture materialized EXACT shingle-Jaccard ground truth
+    (id_a, id_b, jaccard) — the AllPairs inverted-index join the LSH
+    audit judges the sketch against. Ground truth at rest: an audit's
+    reference table is computed once per corpus snapshot; the audit's
+    LIVE work is the precision/recall joins. Deterministic (portable
+    Carter-Wegman shingle hashes, exact integer intersection/union)."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.dedup import shingle_jaccard_pairs
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "jactruth_v1", "documents"), "truth.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shingle_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), portable=True
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -63,10 +63,9 @@ def _lsh_audit_oracle() -> str:
 def llm_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-threshold precision/recall of minhash_lsh_candidates vs exact
     shingle-Jaccard (operators/dedup.shingle_jaccard_pairs)."""
-    from crowdsorsa_etl_spark.operators.dedup import shingle_jaccard_pairs
+    from crowdsorsa_etl_spark.queries._shared import _shingle_jaccard_truth
 
-    docs = _t(spark, sf_dir, "documents")
-    truth = shingle_jaccard_pairs(docs, portable=True)
+    truth = _shingle_jaccard_truth(spark, sf_dir)
     cand = _lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     candj = cand.join(truth, ["id_a", "id_b"], "left").select(
         F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jac")

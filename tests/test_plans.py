@@ -465,6 +465,11 @@ class TestArtifactReaders:
         plan = self._plan(spark, "llm_substring_decontamination")
         assert "crowdsorsa_shingles8_v1" in plan
 
+    def test_lsh_audit_reads_truth_artifact(self, spark):
+        plan = self._plan(spark, "llm_lsh_audit")
+        assert "crowdsorsa_jactruth_v1" in plan
+        assert "crowdsorsa_lshpairs_v1" in plan
+
     def test_er_chain_reads_pair_and_cluster_artifacts(self, spark):
         assert "crowdsorsa_fspairs_v1" in self._plan(
             spark, "llm_record_linkage_multipass"
