@@ -226,6 +226,7 @@ HEADLINE = [
     # round 14 late: char-vs-byte compression datasheet, l-diversity
     "llm_tokenizer_compression",
     "llm_l_diversity",
+    "llm_contamination_curve",
 ]
 
 

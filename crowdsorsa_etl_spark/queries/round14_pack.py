@@ -662,3 +662,103 @@ def llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("at_risk_frac"),
         )
     )
+
+
+# ===========================================================================
+# llm_contamination_curve — the n-gram-size sensitivity sweep behind the
+# decontamination rule (GPT-3 used 13-grams, PaLM 8, many evals 5): the
+# contaminated-doc share at k ∈ {3,5,8,13} against the same eval split as
+# llm_contamination — pick k from MEASURED sensitivity, not folklore
+# (small k over-flags via common phrases; large k misses paraphrase-edge
+# overlap). The llm_ann_recall_curve posture applied to decontamination.
+# Each k is one narrow scan + a distinct-shingle semi-join; exact BIGINT
+# counts, one division.
+# ===========================================================================
+
+_CONTAM_KS = (3, 5, 8, 13)
+
+
+def _contamination_curve_oracle() -> str:
+    branches = []
+    for k in _CONTAM_KS:
+        # ungrouped aggregate + scalar n_train_docs: a k with ZERO
+        # contaminated docs must still emit its row (count over the
+        # empty filter is 0, not absent)
+        branches.append(f"""
+    SELECT CAST({k} AS INT) AS k,
+           (SELECT n_train_docs FROM tr) AS n_train_docs,
+           CAST(count(DISTINCT sh.doc_id) AS BIGINT) AS n_contaminated,
+           round(count(DISTINCT sh.doc_id) * 1.0
+                 / (SELECT n_train_docs FROM tr), 6)
+             AS contaminated_frac
+    FROM (
+      SELECT doc_id, array_to_string(l[i:i+{k - 1}], ' ') AS s
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - {k - 1}, 1)))
+                     AS i
+            FROM toks)
+    ) sh
+    WHERE sh.doc_id % 97 <> 0
+      AND sh.s IN (
+        SELECT array_to_string(l[i:i+{k - 1}], ' ')
+        FROM (SELECT doc_id, l,
+                     unnest(generate_series(1,
+                        greatest(len(l) - {k - 1}, 1))) AS i
+              FROM toks)
+        WHERE doc_id % 97 = 0
+      )""")
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    ),
+    tr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_train_docs
+      FROM documents WHERE doc_id % 97 <> 0
+    )
+    {union}
+    """
+
+
+@register("llm_contamination_curve", _contamination_curve_oracle())
+def llm_contamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-doc share at n-gram sizes 3/5/8/13 vs the doc_id%97
+    eval split — the k-sensitivity behind the decontamination rule."""
+    from crowdsorsa_etl_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 97 != 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs")
+    )
+    out = None
+    for k in _CONTAM_KS:
+        sh = docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), k)).alias("s")
+        )
+        bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+        hit = (
+            sh.filter(F.col("doc_id") % 97 != 0)
+            .join(bench, "s", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        row = (
+            hit.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
+            )
+            .join(F.broadcast(tr))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "n_train_docs",
+                "n_contaminated",
+                F.round(
+                    F.col("n_contaminated")
+                    * F.lit(1.0)
+                    / F.col("n_train_docs"),
+                    6,
+                ).alias("contaminated_frac"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -274,6 +274,8 @@ HEADLINE = [
     # (two QI-keyed aggs) — both corpus-agg shaped
     "llm_tokenizer_compression",
     "llm_l_diversity",
+    # k-sensitivity sweep: four narrow scans + distinct-shingle semi-joins
+    "llm_contamination_curve",
 ]
 
 
