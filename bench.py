@@ -227,6 +227,12 @@ HEADLINE = [
     "llm_tokenizer_compression",
     "llm_l_diversity",
     "llm_contamination_curve",
+    # round 15: seeded global training-order shuffle (distributed rank,
+    # order-exact shard chains), exact-k stratum reservoir (WindowGroupLimit
+    # partial top-k), temperature-mixing plan (ordered double fold)
+    "llm_train_shuffle_shards",
+    "llm_reservoir_sample_k",
+    "llm_temperature_mix",
 ]
 
 

@@ -58,6 +58,7 @@ from crowdsorsa_etl_spark.operators.bpe import (
 __all__ = [
     "bytebpe_learn",
     "bytebpe_encode",
+    "bytebpe_decode",
     "bytebpe_vocab",
     "bytebpe_oov_stats",
     "bytebpe_token_ids",
@@ -86,6 +87,19 @@ def _byte_seed(word: str) -> list[str]:
     """Python-side seed decomposition (must mirror :func:`_byte_spaced`)."""
     h = word.encode("utf-8").hex().upper()
     return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+
+def bytebpe_decode(tokens: list[str]) -> bytes:
+    """Detokenize: the inverse of the encode's symbol stream.
+
+    Every token is a concatenation of hex byte pairs (merges only ever
+    concatenate), so the original byte stream is exactly
+    ``bytes.fromhex`` of the joined tokens — decoding needs NO vocabulary
+    and cannot fail on any token the encoder emits. This is the
+    byte-fallback losslessness guarantee as an executable function;
+    ``tests/test_bytebpe.py`` pins ``decode(encode(w)) == w.encode()`` as
+    a hypothesis property over arbitrary unicode words and merge tables."""
+    return bytes.fromhex("".join(tokens))
 
 
 def bytebpe_learn(

@@ -1,0 +1,288 @@
+"""Round-15 queries: the pre-training data-layout tier — seeded global
+training-order shuffle into shards, exact-k per-stratum reservoir sampling,
+and temperature-based mixture planning (the multilingual-sampling alpha
+knob).
+
+All three are layout/planning operations every 100 TB training run performs
+between curation and export:
+
+* ``llm_train_shuffle_shards`` — the global seeded permutation that breaks
+  source/time locality before sharding (training loaders read shards
+  sequentially, so corpus order IS training order). One range exchange via
+  ``operators/global_rank.with_global_row_number`` — no SinglePartition
+  window anywhere — and the oracle hash-verifies the EXACT per-shard
+  document order, not just counts.
+* ``llm_reservoir_sample_k`` — exactly-k uniform-without-replacement docs
+  per stratum (the eval-holdout / human-review draw), as a seeded-hash
+  top-k so the sample is a pure function of (seed, doc_id): reproducible
+  across runs, engines, and cluster sizes, unlike an actual streaed
+  reservoir. Complements q62_stratified_sample (rate-based Bernoulli, no
+  exact-k guarantee).
+* ``llm_temperature_mix`` — per-source sampling shares ``n_i^alpha``
+  normalized (alpha = 0.5), the standard temperature re-balancing between
+  head and tail sources; emits the implied per-source epoch factor the
+  epoch-upsample tier (``llm_epoch_upsample``) would consume. Weights are
+  DERIVED from corpus statistics here, where the earlier mixture queries
+  (llm_domain_mix / llm_token_budget_mix / llm_epoch_upsample) take weight
+  literals.
+
+ORDER is load-bearing (the driver's correctness window samples the first 50
+registrations): append only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.queries._shared import _NORM_SQL, _t, register
+from crowdsorsa_etl_spark.functions.portable_hash import hex60_sql, hex60_spark
+
+# ===========================================================================
+# llm_train_shuffle_shards — seeded deterministic global shuffle → shards.
+# key = hex60(md5('shuf:v1:' || doc_id)) is an engine-portable pseudo-random
+# total order (seed string versioned: bump to reshuffle); the global row
+# number comes from the distributed two-phase rank (range exchange +
+# partition-offset join — operators/global_rank.py), NEVER a bare
+# Window.orderBy, so the plan holds at 100 TB where a SinglePartition
+# window OOMs. Shards are contiguous rank blocks (training loaders stream
+# shard files in order), and the per-shard md5 chain over the ORDERED
+# doc_id sequence proves byte-exact order portability vs DuckDB's
+# row_number replay — a counts-only gate would accept a wrong permutation.
+# ===========================================================================
+
+_SHUF_SEED = "shuf:v1:"
+_SHUF_SHARD_DOCS = 64
+
+
+def _shuffle_shards_sql() -> str:
+    key = hex60_sql(f"'{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH k AS (
+      SELECT doc_id, n_chars, {key} AS key FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rn
+      FROM k
+    )
+    SELECT CAST((rn - 1) // {_SHUF_SHARD_DOCS} AS INT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn))
+             AS id_chain_md5
+    FROM r
+    GROUP BY 1
+    """
+
+
+@register("llm_train_shuffle_shards", _shuffle_shards_sql())
+def llm_train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle into contiguous 64-doc shards;
+    per shard: doc count, char mass, md5 chain of the ordered doc_ids."""
+    from crowdsorsa_etl_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = hex60_spark(
+        F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))
+    )
+    ranked, _total = with_global_row_number(
+        docs.select("doc_id", "n_chars", key.alias("_k")),
+        [F.col("_k"), F.col("doc_id")],
+        rn_col="_rn",
+    )
+    shard = (
+        F.floor((F.col("_rn") - F.lit(1)) / F.lit(_SHUF_SHARD_DOCS))
+        .cast("int")
+        .alias("shard_id")
+    )
+    # the chain hash re-sorts the collected (rn, doc_id) structs per shard:
+    # collect_list order is partition-arrival nondeterministic, array_sort
+    # on the leading rn restores the unique global order JVM-side
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("_rn").alias("rn"), F.col("doc_id").alias("doc_id"))
+            )
+        ),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return (
+        ranked.select(shard, "_rn", "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.md5(F.array_join(ordered_ids, ",")).alias("id_chain_md5"),
+        )
+    )
+
+
+# ===========================================================================
+# llm_reservoir_sample_k — exactly k uniform-without-replacement docs per
+# (lang, source) stratum. The draw is the k smallest seeded-hash keys per
+# stratum — distribution-identical to reservoir sampling but a pure
+# function of the data, so it replays identically on any engine/cluster.
+# Executes via operators/topk.topk_per_group: Spark plants a
+# WindowGroupLimit partial top-k below the shuffle, so only k rows per
+# stratum per input partition move — per-stratum skew never concentrates
+# a full stratum in one task's sort buffer.
+# ===========================================================================
+
+_RSV_SEED = "rsv:v1:"
+_RSV_K = 3
+
+
+def _reservoir_sql() -> str:
+    key = hex60_sql(f"'{_RSV_SEED}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH k AS (
+      SELECT lang, source, doc_id, {key} AS key FROM documents
+    ),
+    r AS (
+      SELECT lang, source, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY key, doc_id) AS INT)
+               AS sample_rank
+      FROM k
+    )
+    SELECT lang, source, sample_rank, doc_id
+    FROM r WHERE sample_rank <= {_RSV_K}
+    """
+
+
+@register("llm_reservoir_sample_k", _reservoir_sql())
+def llm_reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k (k=3) seeded uniform sample per (lang, source) stratum."""
+    from crowdsorsa_etl_spark.operators.topk import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    key = hex60_spark(
+        F.concat(F.lit(_RSV_SEED), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select("lang", "source", "doc_id", key.alias("_k"))
+    return topk_per_group(
+        keyed,
+        ["lang", "source"],
+        "_k",
+        _RSV_K,
+        descending=False,
+        tiebreak="doc_id",
+    ).select(
+        "lang",
+        "source",
+        F.col("rank").cast("int").alias("sample_rank"),
+        "doc_id",
+    )
+
+
+# ===========================================================================
+# llm_temperature_mix — per-source shares under temperature sampling:
+# share_i = n_i^alpha / sum_j n_j^alpha with alpha = 0.5 (sqrt — exactly
+# the multilingual-corpus re-balancing exponent), plus the per-source
+# epoch factor a budget equal to the corpus total implies. The sum of
+# per-source sqrt values is a DOUBLE accumulated in source order via an
+# explicit left-to-right fold on BOTH engines (Spark F.aggregate over the
+# array_sort-ed struct list; DuckDB list_reduce over list(... ORDER BY
+# source)) — partial-aggregation order can never flip the 6-dp rounding.
+# Source count is bounded (GROUP BY source ≪ cluster), so the fold array
+# is a single tiny row broadcast back over the per-source table.
+# ===========================================================================
+
+
+def _temperature_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(CASE WHEN nt = '' THEN 0
+                  ELSE len(string_split(nt, ' ')) END AS BIGINT) AS n_tok
+      FROM (SELECT source, {_NORM_SQL} AS nt FROM documents)
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
+                              ORDER BY source),
+                         (a, b) -> a + b) AS denom,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / total_tokens, 6) AS share_raw,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / denom, 6) AS share_alpha,
+           CASE WHEN n_tokens > 0
+                THEN round(sqrt(CAST(n_tokens AS DOUBLE)) / denom
+                           * total_tokens / n_tokens, 6)
+                ELSE 0.0 END AS epoch_factor
+    FROM per, tot
+    """
+
+
+@register("llm_temperature_mix", _temperature_sql())
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature-sampling shares per source, with the implied
+    epoch factor at a budget equal to the corpus token total."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    per = (
+        docs.select(
+            "source",
+            F.when(nt == "", F.lit(0))
+            .otherwise(F.size(F.split(nt, " ")))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        # the per-source frame is O(sources) rows; cutting lineage here
+        # means the corpus scan + tokenize runs ONCE, not once per use
+        # (per feeds both the fold row and the final projection)
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source").alias("source"),
+                            F.col("n_tokens").alias("n_tokens"),
+                        )
+                    )
+                ),
+                lambda s: F.sqrt(s["n_tokens"].cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        ).alias("denom"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * F.lit(1.0) / F.col("total_tokens"), 6)
+        .alias("share_raw"),
+        F.round(sq / F.col("denom"), 6).alias("share_alpha"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                sq / F.col("denom") * F.col("total_tokens")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epoch_factor"),
+    )

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from crowdsorsa_etl_spark.operators.bytebpe import (
     BYTE_ALPHABET,
     _byte_seed,
+    _encode_word_seq,
+    bytebpe_decode,
     bytebpe_encode,
     bytebpe_learn,
     bytebpe_oov_stats,
@@ -166,3 +168,71 @@ class TestTokenIds:
         # two merge entries yielding the same token string
         with pytest.raises(ValueError, match="collide"):
             bytebpe_token_ids(df, [("61", "6263"), ("6162", "63")])
+
+
+class TestDecodeRoundtripProperty:
+    """decode(encode(w)) == w.encode('utf-8') for ARBITRARY unicode words
+    under ARBITRARY merge tables — the losslessness contract as a
+    hypothesis property, not a fixture spot-check. Pure-Python word level
+    (the Arrow stage applies the identical _encode_word_seq per word), so
+    the property runs at full example count without a Spark job."""
+
+    @staticmethod
+    def _merge_table(word_bytes: list[list[str]], picks: list[int]):
+        """Build a deterministic merge list by repeatedly merging the
+        pick-th adjacent pair of the evolving symbol sequences — every
+        prefix of the result is a valid learned-table shape (each merged
+        token's halves exist when the merge is declared)."""
+        seqs = [list(s) for s in word_bytes]
+        merges: list[tuple[str, str]] = []
+        for p in picks:
+            pairs = sorted(
+                {
+                    (s[i], s[i + 1])
+                    for s in seqs
+                    for i in range(len(s) - 1)
+                }
+            )
+            if not pairs:
+                break
+            pair = pairs[p % len(pairs)]
+            merges.append(pair)
+            rank_of = {tuple(m): i for i, m in enumerate(merges)}
+            pair_at = list(map(tuple, merges))
+            seqs = [
+                _encode_word_seq(s, rank_of, pair_at) for s in
+                [list(s) for s in word_bytes]
+            ]
+        return merges
+
+    def test_roundtrip_arbitrary_words_and_merges(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            words=st.lists(
+                st.text(min_size=1, max_size=12), min_size=1, max_size=6
+            ),
+            picks=st.lists(
+                st.integers(min_value=0, max_value=50),
+                min_size=0,
+                max_size=8,
+            ),
+        )
+        def prop(words, picks):
+            seeds = [_byte_seed(w) for w in words]
+            merges = self._merge_table(seeds, picks)
+            rank_of = {tuple(p): i for i, p in enumerate(merges)}
+            pair_at = list(map(tuple, merges))
+            vocab = {t for t, _ in bytebpe_vocab(merges)}
+            for w, seed in zip(words, seeds):
+                syms = _encode_word_seq(list(seed), rank_of, pair_at)
+                # losslessness: decode inverts encode with no vocabulary
+                assert bytebpe_decode(syms) == w.encode("utf-8")
+                # closedness: every emitted symbol is in the vocab (zero
+                # OOV by construction — the byte-fallback guarantee)
+                assert set(syms) <= vocab
+                assert 1 <= len(syms) <= len(seed)
+
+        prop()

@@ -476,3 +476,38 @@ class TestArtifactReaders:
         )
         for name in ("llm_dedup_clusters", "llm_dup_profile"):
             assert "crowdsorsa_dedupclusters_v1" in self._plan(spark, name)
+
+
+class TestRound15Plans:
+    """Round-15 layout/planning tier: the physical properties the 100 TB
+    story claims must be visible in the plan."""
+
+    def _plan(self, spark, name):
+        return plan_of(QUERIES[name](spark, SF_DIR))
+
+    def test_shuffle_shards_has_no_single_partition_window(self, spark):
+        # global permutation rank = the two-phase distributed form (range
+        # exchange inside the checkpointed build + broadcast offset join),
+        # NEVER a window: the final plan must contain no Window node and
+        # no SinglePartition exchange at all
+        plan = self._plan(spark, "llm_train_shuffle_shards")
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan  # the tiny offset join
+
+    def test_reservoir_plants_window_group_limit(self, spark):
+        # partial top-k below the exchange: only k rows per stratum per
+        # input partition move; scan pruned to the 3 needed columns
+        plan = self._plan(spark, "llm_reservoir_sample_k")
+        assert "WindowGroupLimit" in plan
+        schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "text" not in schema and "n_chars" not in schema
+
+    def test_temperature_mix_folds_once_over_checkpointed_agg(self, spark):
+        # the corpus scan+tokenize runs ONCE (checkpointed per-source
+        # frame): the final plan reads ExistingRDD, not documents.parquet,
+        # and the only SinglePartition exchange aggregates the bounded
+        # per-source rows for the ordered fold
+        plan = self._plan(spark, "llm_temperature_mix")
+        assert "documents.parquet" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row fold broadcast
