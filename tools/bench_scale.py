@@ -276,6 +276,13 @@ HEADLINE = [
     "llm_l_diversity",
     # k-sensitivity sweep: four narrow scans + distinct-shingle semi-joins
     "llm_contamination_curve",
+    # round 15: global shuffle shards (the range exchange IS the op —
+    # scales with rows), exact-k stratum reservoir (WindowGroupLimit caps
+    # shuffle at k rows/stratum/partition), temperature mix (one
+    # map-side-combined source agg)
+    "llm_train_shuffle_shards",
+    "llm_reservoir_sample_k",
+    "llm_temperature_mix",
 ]
 
 
