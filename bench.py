@@ -233,6 +233,10 @@ HEADLINE = [
     "llm_train_shuffle_shards",
     "llm_reservoir_sample_k",
     "llm_temperature_mix",
+    # round 15: denoising objectives (T5 span corruption, FIM PSM) — pure
+    # per-row HOF programs, zero Python, zero exchange
+    "llm_span_corruption",
+    "llm_fim_transform",
 ]
 
 

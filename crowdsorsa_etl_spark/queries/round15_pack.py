@@ -286,3 +286,43 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("epoch_factor"),
     )
+
+
+# ===========================================================================
+# llm_span_corruption / llm_fim_transform — the denoising-objective tier
+# (operators/denoising.py): T5 span corruption (corrupted input + sentinel
+# target, HF preprocessing shape) and FIM PSM reordering. Pure per-row
+# higher-order-function programs — zero Python, zero exchange: at 100 TB
+# these inherit the corpus partitioning and stream through. The oracles
+# hash-verify the FULL output strings (a counts-only gate would accept a
+# wrong mask pattern or a swapped region order).
+# ===========================================================================
+
+
+def _span_corruption_sql() -> str:
+    from crowdsorsa_etl_spark.operators.denoising import span_corrupt_sql
+
+    return span_corrupt_sql(_NORM_SQL)
+
+
+@register("llm_span_corruption", _span_corruption_sql())
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption: deterministic index-rule mask (3 of every 10
+    tokens), <extra_id_k> sentinels, full (input, target) strings."""
+    from crowdsorsa_etl_spark.operators.denoising import span_corrupt
+
+    return span_corrupt(_t(spark, sf_dir, "documents"))
+
+
+def _fim_sql() -> str:
+    from crowdsorsa_etl_spark.operators.denoising import fim_transform_sql
+
+    return fim_transform_sql(_NORM_SQL)
+
+
+@register("llm_fim_transform", _fim_sql())
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM PSM reordering at n//3 / (2n)//3 split points."""
+    from crowdsorsa_etl_spark.operators.denoising import fim_transform
+
+    return fim_transform(_t(spark, sf_dir, "documents"))

@@ -283,6 +283,10 @@ HEADLINE = [
     "llm_train_shuffle_shards",
     "llm_reservoir_sample_k",
     "llm_temperature_mix",
+    # denoising objectives: per-row HOF string/array programs — scale
+    # with rows, no exchange
+    "llm_span_corruption",
+    "llm_fim_transform",
 ]
 
 
