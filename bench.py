@@ -237,6 +237,10 @@ HEADLINE = [
     # per-row HOF programs, zero Python, zero exchange
     "llm_span_corruption",
     "llm_fim_transform",
+    # round 15: shard store fold (memoized batch-0 seed + live tail
+    # append) and the shuffle-quality diversity audit
+    "llm_shuffle_incremental",
+    "llm_shuffle_quality",
 ]
 
 

@@ -326,3 +326,158 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crowdsorsa_etl_spark.operators.denoising import fim_transform
 
     return fim_transform(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# llm_shuffle_incremental — the shard store GROWING (operators/sharding.py):
+# batch 0 (doc_id % 3 != 0) seeds the store — memoized per fixture, a shard
+# store is AT REST between ingests by definition (the q100/registry
+# posture) — and the LIVE work each run demonstrates is batch 2's
+# tail-append (within-batch seeded shuffle, positions continue from the
+# stored high-water mark) plus the manifest read. The oracle replays the
+# batch-aware ranking end to end: batch-1 rank, COUNT offset, batch-2
+# rank, shard floor-div, ordered id-chain md5 — proving the store's
+# full position layout, not just counts.
+# ===========================================================================
+
+_INCR_SHARD_DOCS = 64
+
+
+def _shuffle_incr_sql() -> str:
+    key = hex60_sql(f"'{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH r1 AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT)
+               AS pos
+      FROM (SELECT doc_id, {key} AS key FROM documents
+            WHERE doc_id % 3 <> 0)
+    ),
+    r2 AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY key, doc_id) - 1
+                  + (SELECT count(*) FROM r1) AS BIGINT) AS pos
+      FROM (SELECT doc_id, {key} AS key FROM documents
+            WHERE doc_id % 3 = 0)
+    ),
+    u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    SELECT CAST(pos // {_INCR_SHARD_DOCS} AS INT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+             AS id_chain_md5
+    FROM u GROUP BY 1
+    """
+
+
+@register("llm_shuffle_incremental", _shuffle_incr_sql())
+def llm_shuffle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard store fold: memoized batch-0 seed + live batch-2 tail-append,
+    manifest hash-verified against the batch-aware rank replay."""
+    import os
+    import shutil
+    import tempfile
+
+    from crowdsorsa_etl_spark.operators.sharding import (
+        shard_manifest,
+        shard_store_append,
+        shard_store_init,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    seed = _sf_cache_dir(sf_dir, "shardstore_b1_v1", "documents")
+    if not os.path.exists(os.path.join(seed, "_DONE")):
+        build = tempfile.mkdtemp(prefix="shardseed_")
+        shard_store_init(
+            b1, f"{build}/s", shard_docs=_INCR_SHARD_DOCS, seed=_SHUF_SEED
+        )
+        with open(os.path.join(build, "_DONE"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(build, seed)
+        except OSError:  # concurrent builder won the rename
+            shutil.rmtree(build, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="shardstore_")
+    shutil.rmtree(root)
+    shutil.copytree(seed, root)
+    try:
+        shard_store_append(
+            b2, f"{root}/s", shard_docs=_INCR_SHARD_DOCS, seed=_SHUF_SEED
+        )
+        return shard_manifest(spark, f"{root}/s").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ===========================================================================
+# llm_shuffle_quality — did the shuffle actually break source locality?
+# Per shard of the one-shot permutation: doc count, distinct sources, and
+# the Gini-Simpson diversity 1 - Σc_i²/n² — chosen over entropy because it
+# is RATIONAL: exact BIGINT squared counts and ONE division, so the 6-dp
+# round can never diverge across engines (the log-free TF-IDF/PMI
+# discipline). A perfectly collated corpus scores ~0 per shard; a good
+# shuffle pushes every shard toward the corpus-level mix.
+# ===========================================================================
+
+
+def _shuffle_quality_sql() -> str:
+    key = hex60_sql(f"'{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rn
+      FROM (SELECT doc_id, source, {key} AS key FROM documents)
+    ),
+    s AS (
+      SELECT CAST((rn - 1) // {_SHUF_SHARD_DOCS} AS INT) AS shard_id,
+             source, CAST(count(*) AS BIGINT) AS c
+      FROM r GROUP BY 1, 2
+    )
+    SELECT shard_id,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           round(1.0 - sum(c * c) * 1.0 / (sum(c) * sum(c)), 6)
+             AS simpson_diversity
+    FROM s GROUP BY shard_id
+    """
+
+
+@register("llm_shuffle_quality", _shuffle_quality_sql())
+def llm_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard source diversity (Gini-Simpson) of the seeded shuffle."""
+    from crowdsorsa_etl_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    key = hex60_spark(
+        F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))
+    )
+    ranked, _ = with_global_row_number(
+        docs.select("doc_id", "source", key.alias("_k")),
+        [F.col("_k"), F.col("doc_id")],
+        rn_col="_rn",
+    )
+    per_src = (
+        ranked.select(
+            F.floor((F.col("_rn") - F.lit(1)) / F.lit(_SHUF_SHARD_DOCS))
+            .cast("int")
+            .alias("shard_id"),
+            "source",
+        )
+        .groupBy("shard_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return per_src.groupBy("shard_id").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")) * F.lit(1.0)
+            / (F.sum("c") * F.sum("c")),
+            6,
+        ).alias("simpson_diversity"),
+    )

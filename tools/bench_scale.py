@@ -287,6 +287,10 @@ HEADLINE = [
     # with rows, no exchange
     "llm_span_corruption",
     "llm_fim_transform",
+    # shard store fold (batch-2 rank + tail write is the live term) and
+    # the shuffle-quality audit (two bounded aggs over the rank)
+    "llm_shuffle_incremental",
+    "llm_shuffle_quality",
 ]
 
 
