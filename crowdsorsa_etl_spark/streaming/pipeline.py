@@ -1914,3 +1914,78 @@ def start_entity_registry_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_shard_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    shard_docs: int = 64,
+    seed: str = "shuf:v1:",
+):
+    """Training-shard layout AT INGEST — the streaming form of
+    ``sharding.shard_store_append``: each micro-batch is shuffled within
+    itself (seeded portable hash order) and lands at the tail of the
+    global position space, under ``store_path/epoch=<e>/rows`` with the
+    new high-water mark in ``epoch=<e>/next``.
+
+    Replay contract (the entity-registry discipline): the current
+    high-water mark is read from the highest epoch dir STRICTLY BELOW the
+    incoming epoch id, and the batch overwrites its own epoch dir — a
+    crashed-and-replayed epoch re-derives from its true predecessor and
+    can never double-append. The live store is the union of all epoch
+    ``rows`` dirs (``spark.read.parquet(store/epoch=*/rows)``); positions
+    across any replay sequence equal the batch-sequential
+    ``shard_store_init``/``append`` fold, which the parity test drives.
+    Epoch dirs are per-batch sized — compact old ones like the ledger
+    when listings grow."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.sharding import _positions
+
+    spark_active = docs_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(store_path) if os.path.isdir(store_path) else []
+            )
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        start = (
+            spark_active.read.parquet(
+                os.path.join(store_path, f"epoch={max(prior)}", "next")
+            ).collect()[0]["next_pos"]
+            if prior
+            else 0
+        )
+        pos, total = _positions(batch_df, id_col, seed, start)
+        (
+            pos.withColumn(
+                "shard_id",
+                F.floor(F.col("pos") / F.lit(shard_docs)).cast("int"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_path, f"epoch={e}", "rows"))
+        )
+        (
+            spark_active.range(1)
+            .select(
+                F.lit(start + total).cast("long").alias("next_pos")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_path, f"epoch={e}", "next"))
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
