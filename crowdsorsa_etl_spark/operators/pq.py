@@ -335,7 +335,12 @@ def ivfpq_write_index(
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    ).repartition(1).write.mode(  # repartition, NOT coalesce: coalesce(1)
+        # on a local-list frame evaluates all 32 pickled slices serially
+        # through Python workers (~4.5s/call measured); the 1-row shuffle
+        # is ~0.5s
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/_centroids")
     book_rows = [
         (int(mi), int(c), [float(x) for x in books[mi][c]])
         for mi in range(books.shape[0])
@@ -343,10 +348,10 @@ def ivfpq_write_index(
     ]
     spark.createDataFrame(
         book_rows, "mi int, code int, cv array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_codebooks")
     spark.createDataFrame(
         [(bool(by_residual),)], "by_residual boolean"
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
+    ).repartition(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
 
 
 def _load_index_artifacts(spark, path: str):

@@ -804,7 +804,7 @@ def start_heavy_hitters_stream(
         )
         (
             pruned.unionByName(sent.select("token", "est"))
-            .coalesce(1)
+            .repartition(1)
             .write.mode("overwrite")
             .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
         )
@@ -967,7 +967,7 @@ def start_shard_stream(
             spark_active.createDataFrame(
                 [(offset + int(batch_total),)], "total long"
             )
-            .coalesce(1)
+            .repartition(1)
             .write.mode("overwrite")
             .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
         )
@@ -1248,7 +1248,7 @@ def start_sequence_pack_stream(
             spark_active.createDataFrame(
                 [(new_done, new_carry)], "seqs_done long, carry array<int>"
             )
-            .coalesce(1)
+            .repartition(1)
             .write.mode("overwrite")
             .parquet(os.path.join(state_dir, f"epoch={int(epoch_id)}"))
         )
@@ -1366,7 +1366,7 @@ def start_drift_stream(
                 "epoch long, bin int, n_expected long, n_actual long,"
                 " psi_term double, psi_total double",
             )
-            .coalesce(1)
+            .repartition(1)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"epoch={int(epoch_id)}"))
         )
@@ -1644,7 +1644,7 @@ def start_budget_mix_stream(
             merged[r["source"]] = merged.get(r["source"], 0) + int(r["spent"])
         spark_active.createDataFrame(
             sorted(merged.items()), "source string, spent long"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"epoch={e}")
         )
 
