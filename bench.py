@@ -241,6 +241,8 @@ HEADLINE = [
     # append) and the shuffle-quality diversity audit
     "llm_shuffle_incremental",
     "llm_shuffle_quality",
+    # round 15: asymmetric set containment (inverted-index AllPairs join)
+    "llm_containment_pairs",
 ]
 
 

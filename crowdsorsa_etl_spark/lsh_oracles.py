@@ -119,6 +119,34 @@ def _simhash_sig_cte() -> str:
     sig AS (SELECT id, ({pack_terms}) AS simhash FROM votes)"""
 
 
+def containment_pairs_sql(
+    threshold: float = 0.5, shingle_k: int = 3
+) -> str:
+    """Oracle for dedup.shingle_containment_pairs(..., portable=True):
+    the same shingle CTE fragment as the MinHash/Jaccard tiers (one set
+    universe), distinct sets, inverted-index pair join, exact integer
+    counts, single-division unrounded threshold."""
+    return f"""
+    WITH {_shingle_ctes(shingle_k)},
+    u AS (SELECT DISTINCT id, h FROM sh),
+    sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY id),
+    pair AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM u a JOIN u b ON a.h = b.h AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           round(n_shared * 1.0 / sa.n, 6) AS containment_a,
+           round(n_shared * 1.0 / sb.n, 6) AS containment_b
+    FROM pair
+    JOIN sz sa ON id_a = sa.id
+    JOIN sz sb ON id_b = sb.id
+    WHERE n_shared * 1.0 / sa.n >= {threshold}
+       OR n_shared * 1.0 / sb.n >= {threshold}
+    """
+
+
 def simhash_buckets_sql() -> str:
     """Oracle for simhash_buckets(..., portable=True)."""
     return f"""

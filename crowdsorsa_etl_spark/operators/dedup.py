@@ -543,6 +543,81 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    portable: bool = False,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment over the distinct-shingle sets: c(A→B) =
+    |A∩B| / |A| — the quantity Jaccard structurally underestimates when a
+    small document is wholly quoted inside a much larger one (|A∩B|/|A∪B|
+    shrinks with the big doc's size; |A∩B|/|A| does not). This is the
+    quote-farm / boilerplate-wrapper detector of crawl pipelines, the
+    set-containment-join literature's problem shape.
+
+    Same set universe, pair generation (inverted-index AllPairs join), and
+    ``max_df`` heat-cap semantics as :func:`shingle_jaccard_pairs`, so the
+    two tiers are directly comparable on the same pairs. Output keeps both
+    directions' exact integers — (id_a, id_b, n_shared, n_a, n_b,
+    containment_a, containment_b) — filtered to pairs where EITHER
+    direction reaches ``threshold`` (the unrounded single-division ratio,
+    bit-identical across engines)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias("pos", "t"),
+    ).select("id", "pos", _tok_hash(F.col("t"), portable).alias("th"))
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = toks.select(
+        "id",
+        _combine_hash(
+            [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, shingle_k)],
+            portable,
+        ).alias("h"),
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    sizes = sh.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c_a = F.col("n_shared") * F.lit(1.0) / F.col("sa.n_sh")
+    c_b = F.col("n_shared") * F.lit(1.0) / F.col("sb.n_sh")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .filter((c_a >= threshold) | (c_b >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+            F.round(c_a, 6).alias("containment_a"),
+            F.round(c_b, 6).alias("containment_b"),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     cand: DataFrame,
     docs: DataFrame,

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crowdsorsa_etl_spark import lsh_oracles
 from crowdsorsa_etl_spark.queries._shared import _NORM_SQL, _t, register
 from crowdsorsa_etl_spark.functions.portable_hash import hex60_sql, hex60_spark
 
@@ -480,4 +481,35 @@ def llm_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c") * F.sum("c")),
             6,
         ).alias("simpson_diversity"),
+    )
+
+
+# ===========================================================================
+# llm_containment_pairs — asymmetric set containment c(A→B) = |A∩B|/|A|,
+# the quantity Jaccard structurally underestimates when a small doc is
+# wholly quoted inside a much larger one (the quote-farm / boilerplate-
+# wrapper shape). Same shingle universe and inverted-index AllPairs join
+# as the exact-Jaccard tier — directly comparable on the same pairs; at
+# corpus scale the max_df heat cap and the LSH candidate generator bound
+# the join exactly as documented for shingle_jaccard_pairs.
+# ===========================================================================
+
+_CONTAIN_THRESHOLD = 0.5
+
+
+@register(
+    "llm_containment_pairs",
+    lsh_oracles.containment_pairs_sql(threshold=_CONTAIN_THRESHOLD),
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs where either side's shingle set is >= 50% contained
+    in the other: exact integers + both directional ratios."""
+    from crowdsorsa_etl_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    return shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        portable=True,
+        threshold=_CONTAIN_THRESHOLD,
     )

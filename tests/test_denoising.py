@@ -96,3 +96,47 @@ class TestFimTransform:
     def test_min_tokens_guard(self):
         with pytest.raises(ValueError, match="min_tokens"):
             fim_transform(None, min_tokens=2)
+
+
+class TestContainmentPairs:
+    """Asymmetric containment (operators/dedup.shingle_containment_pairs):
+    the quote-inside-wrapper case Jaccard misses."""
+
+    def test_small_doc_quoted_in_large_one(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            shingle_containment_pairs,
+            shingle_jaccard_pairs,
+        )
+
+        quote = "alpha beta gamma delta epsilon"
+        filler = " ".join(f"w{i}" for i in range(40))
+        # quote sits at doc 2's END so doc 1's trailing sub-shingles
+        # ("delta epsilon", "epsilon") also occur there — a mid-document
+        # quote shares only its full-width shingles (containment 3/5 here)
+        df = spark.createDataFrame(
+            [(1, quote), (2, f"{filler} {quote}")],
+            "doc_id long, text string",
+        )
+        got = shingle_containment_pairs(df, threshold=0.9).collect()
+        assert len(got) == 1
+        r = got[0]
+        # every shingle of doc 1 appears in doc 2 -> containment_a == 1.0
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["containment_a"] == 1.0
+        assert r["n_shared"] == r["n_a"]
+        # ... while Jaccard on the same universe is diluted by the wrapper
+        jac = shingle_jaccard_pairs(df).collect()[0]["jaccard"]
+        assert jac < 0.2
+        assert r["containment_b"] < 0.2  # the big side is NOT contained
+
+    def test_threshold_filters_both_directions(self, spark):
+        from crowdsorsa_etl_spark.operators.dedup import (
+            shingle_containment_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "v w x y z")],
+            "doc_id long, text string",
+        )
+        # disjoint docs share no shingles -> no pair row at any threshold
+        assert shingle_containment_pairs(df, threshold=0.0).count() == 0

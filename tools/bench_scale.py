@@ -291,6 +291,9 @@ HEADLINE = [
     # the shuffle-quality audit (two bounded aggs over the rank)
     "llm_shuffle_incremental",
     "llm_shuffle_quality",
+    # asymmetric containment: inverted-index pair join — the replicated
+    # fixture's mult-clique caveat applies like the setsim/jaccard tiers
+    "llm_containment_pairs",
 ]
 
 
