@@ -243,6 +243,8 @@ HEADLINE = [
     "llm_shuffle_quality",
     # round 15: asymmetric set containment (inverted-index AllPairs join)
     "llm_containment_pairs",
+    # round 15: language-ID margin/ambiguity routing signal
+    "llm_langid_margin",
 ]
 
 

@@ -513,3 +513,94 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
         threshold=_CONTAIN_THRESHOLD,
     )
+
+
+# ===========================================================================
+# llm_langid_margin — language-ID CONFIDENCE, not just the argmax: per doc
+# the winning marker score, the runner-up score (max over the non-winning
+# languages, the winner resolved by the same stable priority as
+# detect_language), their margin, and the ambiguity flag (margin <= 1 with
+# any signal at all — the mixed-language / too-short shape a router sends
+# to a heavier classifier). All exact integer marker counts — the margin
+# is decision-grade, no float anywhere.
+# ===========================================================================
+
+
+def _langid_margin_sql() -> str:
+    from crowdsorsa_etl_spark.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    scores = ", ".join(
+        " + ".join(
+            f"(len(string_split(' ' || lower(text) || ' ', '{m}')) - 1)"
+            for m in _LANG_MARKERS[lang]
+        )
+        + f" AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    win_cases = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in langs
+    )
+    second_cases = " ".join(
+        "WHEN lang_pred = '{w}' THEN greatest({others})".format(
+            w=w,
+            others=", ".join(f"s_{o}" for o in langs if o != w),
+        )
+        for w in langs
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {scores} FROM documents),
+    p AS (
+      SELECT doc_id, CASE {win_cases} ELSE 'und' END AS lang_pred,
+             CAST({best} AS BIGINT) AS best, *
+      FROM s
+    )
+    SELECT doc_id, lang_pred, best,
+           CAST(CASE {second_cases} ELSE 0 END AS BIGINT) AS second,
+           best - CAST(CASE {second_cases} ELSE 0 END AS BIGINT) AS margin,
+           best > 0 AND
+             best - CAST(CASE {second_cases} ELSE 0 END AS BIGINT) <= 1
+             AS ambiguous
+    FROM p
+    """
+
+
+@register("llm_langid_margin", _langid_margin_sql())
+def llm_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID margin: winner score, runner-up score, margin, and the
+    route-to-heavier-classifier ambiguity flag."""
+    from crowdsorsa_etl_spark.functions.text import (
+        _LANG_MARKERS,
+        detect_language,
+        lang_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = list(_LANG_MARKERS)
+    scored = docs.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang_pred"),
+        *[
+            lang_score(F.col("text"), lang).alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs]).cast("bigint")
+    second = F.lit(0).cast("bigint")
+    for w in langs:
+        second = F.when(
+            F.col("lang_pred") == w,
+            F.greatest(
+                *[F.col(f"s_{o}") for o in langs if o != w]
+            ).cast("bigint"),
+        ).otherwise(second)
+    return scored.select(
+        "doc_id",
+        "lang_pred",
+        best.alias("best"),
+        second.alias("second"),
+        (best - second).alias("margin"),
+        ((best > 0) & ((best - second) <= 1)).alias("ambiguous"),
+    )

@@ -294,6 +294,8 @@ HEADLINE = [
     # asymmetric containment: inverted-index pair join — the replicated
     # fixture's mult-clique caveat applies like the setsim/jaccard tiers
     "llm_containment_pairs",
+    # language-ID margin: per-row regexp_count program, scales with rows
+    "llm_langid_margin",
 ]
 
 
