@@ -245,6 +245,8 @@ HEADLINE = [
     "llm_containment_pairs",
     # round 15: language-ID margin/ambiguity routing signal
     "llm_langid_margin",
+    # round 15: quality-phase curriculum order (one range exchange)
+    "llm_curriculum_order",
 ]
 
 

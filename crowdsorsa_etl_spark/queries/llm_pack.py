@@ -106,18 +106,10 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_quality",
-    """
-    SELECT doc_id,
-           CAST(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT)
-             AS n_tokens,
-           round(len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))
-                 / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END, 6) AS alpha_ratio,
-           round(len(regexp_replace(text, '[^0-9]', '', 'g'))
-                 / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END, 6) AS digit_ratio,
-           round((
+#: the quality_score scalar as a DuckDB expression over a `text` column —
+#: shared by llm_quality's oracle and the curriculum tier (one fragment so
+#: the score definition cannot drift between consumers)
+QUALITY_SQL_EXPR = """round((
              CASE WHEN (CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
                         ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)
                        BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
@@ -129,7 +121,21 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN len(regexp_replace(text, '[^0-9]', '', 'g'))
                          / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END <= 0.2
                     THEN 1.0 ELSE 0.0 END
-           ) / 3.0, 6) AS quality
+           ) / 3.0, 6)"""
+
+
+@register(
+    "llm_quality",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT)
+             AS n_tokens,
+           round(len(regexp_replace(text, '[^A-Za-zÀ-öø-ÿ]', '', 'g'))
+                 / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END, 6) AS alpha_ratio,
+           round(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / CASE WHEN len(text) = 0 THEN 1 ELSE len(text) END, 6) AS digit_ratio,
+           {QUALITY_SQL_EXPR} AS quality
     FROM documents
     """,
 )

@@ -604,3 +604,104 @@ def llm_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (best - second).alias("margin"),
         ((best > 0) & ((best - second) <= 1)).alias("ambiguous"),
     )
+
+
+# ===========================================================================
+# llm_curriculum_order — quality-curriculum training order: phase 0 = the
+# high-quality band first (score >= 2/3), phase 1 the middle, phase 2 the
+# tail; within a phase the seeded shuffle applies, and the whole order is
+# ONE two-phase global rank over (phase, hash, doc_id) — a single range
+# exchange, no SinglePartition window. Output chains are per 64-doc block
+# (phase-major), so the verification column stays bounded like the
+# shuffle-shards tier. Phase assignment compares the ROUNDED quality score
+# (both engines' rounded values are hash-identical via llm_quality), so
+# the band split cannot diverge cross-engine.
+# ===========================================================================
+
+_CURR_HI, _CURR_LO = 0.666666, 0.333333
+
+
+def _curriculum_sql() -> str:
+    from crowdsorsa_etl_spark.queries.llm_pack import QUALITY_SQL_EXPR
+
+    key = hex60_sql(f"'{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH q AS (
+      SELECT doc_id, {QUALITY_SQL_EXPR} AS quality, {key} AS key
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, quality, key,
+             CASE WHEN quality >= {_CURR_HI} THEN 0
+                  WHEN quality >= {_CURR_LO} THEN 1
+                  ELSE 2 END AS phase
+      FROM q
+    ),
+    r AS (
+      SELECT doc_id, phase,
+             CAST(row_number() OVER (ORDER BY phase, key, doc_id) AS BIGINT)
+               AS rn
+      FROM p
+    )
+    SELECT CAST(phase AS INT) AS phase,
+           CAST((rn - 1) // {_SHUF_SHARD_DOCS} AS INT) AS block_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn))
+             AS id_chain_md5
+    FROM r GROUP BY 1, 2
+    """
+
+
+@register("llm_curriculum_order", _curriculum_sql())
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-phase curriculum order: phase-major seeded shuffle, per
+    64-doc block doc counts and ordered id-chain hashes."""
+    from crowdsorsa_etl_spark.functions.text import quality_score
+    from crowdsorsa_etl_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    phase = (
+        F.when(q >= _CURR_HI, 0).when(q >= _CURR_LO, 1).otherwise(2)
+    )
+    key = hex60_spark(
+        F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id", phase.alias("_phase"), key.alias("_k")
+    )
+    ranked, _ = with_global_row_number(
+        base,
+        [F.col("_phase"), F.col("_k"), F.col("doc_id")],
+        rn_col="_rn",
+    )
+    block = (
+        F.floor((F.col("_rn") - F.lit(1)) / F.lit(_SHUF_SHARD_DOCS))
+        .cast("int")
+        .alias("block_id")
+    )
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_rn").alias("rn"), F.col("doc_id").alias("doc_id")
+                )
+            )
+        ),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return (
+        ranked.select(
+            F.col("_phase").cast("int").alias("phase"),
+            block,
+            "_rn",
+            "doc_id",
+        )
+        .groupBy("phase", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.md5(F.array_join(ordered_ids, ",")).alias("id_chain_md5"),
+        )
+    )

@@ -296,6 +296,8 @@ HEADLINE = [
     "llm_containment_pairs",
     # language-ID margin: per-row regexp_count program, scales with rows
     "llm_langid_margin",
+    # curriculum order: quality scalar + one range exchange + block aggs
+    "llm_curriculum_order",
 ]
 
 
