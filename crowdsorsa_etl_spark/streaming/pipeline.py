@@ -1916,7 +1916,7 @@ def start_entity_registry_stream(
     )
 
 
-def start_shard_stream(
+def start_shuffle_shard_stream(
     docs_stream: DataFrame,
     store_path: str,
     *,

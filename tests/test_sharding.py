@@ -120,7 +120,7 @@ class TestShardStream:
     def test_stream_fold_equals_batch_fold(self, spark, tmp_path):
         import os
 
-        from crowdsorsa_etl_spark.streaming.pipeline import start_shard_stream
+        from crowdsorsa_etl_spark.streaming.pipeline import start_shuffle_shard_stream
 
         b0, b1 = list(range(0, 9)), list(range(20, 27))
         src = str(tmp_path / "docs")
@@ -136,7 +136,7 @@ class TestShardStream:
             os.rename(os.path.join(staging, part), os.path.join(src, name))
 
         store = str(tmp_path / "store")
-        q = start_shard_stream(
+        q = start_shuffle_shard_stream(
             spark.readStream.schema("doc_id long")
             .option("maxFilesPerTrigger", 1)
             .parquet(src),
