@@ -1,10 +1,5 @@
-"""Round-15 queries: the pre-training data-layout tier — seeded global
-training-order shuffle into shards, exact-k per-stratum reservoir sampling,
-and temperature-based mixture planning (the multilingual-sampling alpha
-knob).
-
-All three are layout/planning operations every 100 TB training run performs
-between curation and export:
+"""Round-15 queries: the pre-training data-layout mile — everything between
+a curated corpus and the bytes a training loader reads.
 
 * ``llm_train_shuffle_shards`` — the global seeded permutation that breaks
   source/time locality before sharding (training loaders read shards
@@ -15,16 +10,20 @@ between curation and export:
 * ``llm_reservoir_sample_k`` — exactly-k uniform-without-replacement docs
   per stratum (the eval-holdout / human-review draw), as a seeded-hash
   top-k so the sample is a pure function of (seed, doc_id): reproducible
-  across runs, engines, and cluster sizes, unlike an actual streaed
+  across runs, engines, and cluster sizes, unlike an actual streamed
   reservoir. Complements q62_stratified_sample (rate-based Bernoulli, no
   exact-k guarantee).
 * ``llm_temperature_mix`` — per-source sampling shares ``n_i^alpha``
-  normalized (alpha = 0.5), the standard temperature re-balancing between
-  head and tail sources; emits the implied per-source epoch factor the
-  epoch-upsample tier (``llm_epoch_upsample``) would consume. Weights are
-  DERIVED from corpus statistics here, where the earlier mixture queries
-  (llm_domain_mix / llm_token_budget_mix / llm_epoch_upsample) take weight
-  literals.
+  normalized (alpha = 0.5); weights DERIVED from corpus statistics where
+  the earlier mixture queries take literals.
+* ``llm_span_corruption`` / ``llm_fim_transform`` — denoising-objective
+  exports (operators/denoising.py).
+* ``llm_shuffle_incremental`` / ``llm_shuffle_quality`` — the shard store
+  growing (operators/sharding.py) and the did-the-shuffle-work audit.
+* ``llm_containment_pairs`` — asymmetric set containment (quote-farm
+  detector, operators/dedup.shingle_containment_pairs).
+* ``llm_langid_margin`` — language-ID confidence/routing signal.
+* ``llm_curriculum_order`` — quality-phase-major training order.
 
 ORDER is load-bearing (the driver's correctness window samples the first 50
 registrations): append only.
