@@ -92,6 +92,14 @@ def bleu2_pairs(
     """(pair_id, c_len, r_len, p1, p2, bp, bleu2) per pair, 6 dp."""
     u = _clipped(cands, refs, 1, pair_col=pair_col, text_col=text_col)
     b = _clipped(cands, refs, 2, pair_col=pair_col, text_col=text_col)
+    return bleu2_from_clipped(u, b)
+
+
+def bleu2_from_clipped(u: DataFrame, b: DataFrame) -> DataFrame:
+    """The metric projection over precomputed clipped-count tables
+    (orders 1 and 2, the :func:`_clipped` shape) — the per-pair count
+    tables are corpus statistics AT REST, so query registries memoize
+    them once and share them across BLEU/ROUGE/corpus-BLEU consumers."""
     u = u.select(
         "pair_id",
         F.col("cand_ngrams").alias("c_len"),
@@ -142,6 +150,12 @@ def rouge_pairs(
     """(pair_id, matched, cand_ngrams, ref_ngrams, recall, precision, f1)
     for ROUGE-N, 6 dp; F1 is 0 where nothing matched."""
     c = _clipped(cands, refs, n, pair_col=pair_col, text_col=text_col)
+    return rouge_from_clipped(c)
+
+
+def rouge_from_clipped(c: DataFrame) -> DataFrame:
+    """ROUGE projection over a precomputed clipped-count table (see
+    :func:`bleu2_from_clipped`)."""
     rec = F.when(
         F.col("ref_ngrams") > 0, F.col("matched") / F.col("ref_ngrams")
     ).otherwise(F.lit(0.0))
@@ -224,6 +238,12 @@ def corpus_bleu2(
     bounded agg."""
     u = _clipped(cands, refs, 1, pair_col=pair_col, text_col=text_col)
     b = _clipped(cands, refs, 2, pair_col=pair_col, text_col=text_col)
+    return corpus_bleu2_from_clipped(u, b)
+
+
+def corpus_bleu2_from_clipped(u: DataFrame, b: DataFrame) -> DataFrame:
+    """Corpus-BLEU fold over precomputed clipped-count tables (see
+    :func:`bleu2_from_clipped`)."""
     ug = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("cand_ngrams").cast("bigint").alias("c_len"),

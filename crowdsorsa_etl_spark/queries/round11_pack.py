@@ -274,6 +274,31 @@ def _eval_pair_frames(spark: SparkSession, sf_dir: str):
     return cand, ref
 
 
+def _eval_clipped(spark: SparkSession, sf_dir: str, n: int):
+    """Per-fixture materialized clipped n-gram count table
+    (pair_id, cand_ngrams, ref_ngrams, matched) over the standard
+    even/odd pair frames — the corpus statistic BLEU (orders 1+2), ROUGE
+    (order 2), and corpus-BLEU all re-derived independently (two count
+    shuffles each). One artifact per order now serves all three (the
+    _lsh_pairs / _kn_token_scores shared-artifact posture); deterministic
+    exact integers, so the cache cannot drift from a recompute."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.evalmetrics import _clipped
+    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, f"evalclipped{n}_v1", "documents"),
+        "counts.parquet",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cand, ref = _eval_pair_frames(spark, sf_dir)
+        _clipped(cand, ref, n, pair_col="pair_id", text_col="text").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def _bleu_sql() -> str:
     from crowdsorsa_etl_spark.operators.evalmetrics import clipped_sql
 
@@ -309,10 +334,11 @@ def _bleu_sql() -> str:
 @register("llm_bleu_pairs", _bleu_sql())
 def llm_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence BLEU-2 with brevity penalty per (even, odd) doc pair."""
-    from crowdsorsa_etl_spark.operators.evalmetrics import bleu2_pairs
+    from crowdsorsa_etl_spark.operators.evalmetrics import bleu2_from_clipped
 
-    cand, ref = _eval_pair_frames(spark, sf_dir)
-    return bleu2_pairs(cand, ref)
+    return bleu2_from_clipped(
+        _eval_clipped(spark, sf_dir, 1), _eval_clipped(spark, sf_dir, 2)
+    )
 
 
 def _rouge_sql() -> str:
@@ -341,10 +367,9 @@ def _rouge_sql() -> str:
 @register("llm_rouge_pairs", _rouge_sql())
 def llm_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-2 recall/precision/F1 per (even, odd) doc pair."""
-    from crowdsorsa_etl_spark.operators.evalmetrics import rouge_pairs
+    from crowdsorsa_etl_spark.operators.evalmetrics import rouge_from_clipped
 
-    cand, ref = _eval_pair_frames(spark, sf_dir)
-    return rouge_pairs(cand, ref, 2)
+    return rouge_from_clipped(_eval_clipped(spark, sf_dir, 2))
 
 
 # ===========================================================================
@@ -574,10 +599,13 @@ def llm_corpus_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level BLEU-2 (clipped counts folded across ALL pairs before
     the metric — Papineni's corpus statistic, not a mean of sentence
     scores)."""
-    from crowdsorsa_etl_spark.operators.evalmetrics import corpus_bleu2
+    from crowdsorsa_etl_spark.operators.evalmetrics import (
+        corpus_bleu2_from_clipped,
+    )
 
-    cand, ref = _eval_pair_frames(spark, sf_dir)
-    return corpus_bleu2(cand, ref)
+    return corpus_bleu2_from_clipped(
+        _eval_clipped(spark, sf_dir, 1), _eval_clipped(spark, sf_dir, 2)
+    )
 
 
 _CHRF_ORDERS = 3

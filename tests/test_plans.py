@@ -511,3 +511,14 @@ class TestRound15Plans:
         plan = self._plan(spark, "llm_temperature_mix")
         assert "documents.parquet" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # 1-row fold broadcast
+
+    def test_eval_metrics_read_clipped_artifact(self, spark):
+        # round-15 shared artifact: the per-pair clipped n-gram count
+        # tables serve BLEU, ROUGE, and corpus-BLEU — consumers must READ
+        # the memoized parquet, not re-derive the two count shuffles
+        import re
+
+        for name in ("llm_bleu_pairs", "llm_rouge_pairs", "llm_corpus_bleu"):
+            plan = plan_of(QUERIES[name](spark, SF_DIR))
+            assert re.search(r"evalclipped\d_v1", plan), name
+            assert "documents.parquet" not in plan, name
