@@ -247,6 +247,8 @@ HEADLINE = [
     "llm_langid_margin",
     # round 15: quality-phase curriculum order (one range exchange)
     "llm_curriculum_order",
+    # round 15: soft-dedup loss weights over the cluster registry
+    "llm_soft_dedup_weights",
 ]
 
 

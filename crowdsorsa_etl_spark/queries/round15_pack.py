@@ -704,3 +704,48 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(ordered_ids, ",")).alias("id_chain_md5"),
         )
     )
+
+
+# ===========================================================================
+# llm_soft_dedup_weights — soft deduplication (keep every copy, down-weight
+# by duplication): weight = 1 / cluster_size, the loss-weighting
+# alternative to hard removal when duplicates carry distinct provenance.
+# Consumes the memoized cluster-assignment artifact (the r11 ER-chain
+# posture); the only live work is one cluster-size agg + a broadcast-back
+# join. Weight is a single division rounded 6 dp; Σ weight == number of
+# clusters (the mass a hard-dedup corpus would have), pinned in pytest.
+# ===========================================================================
+
+
+def _soft_dedup_sql() -> str:
+    clusters = lsh_oracles.dedup_clusters_sql()
+    return f"""
+    WITH assign AS ({clusters}),
+    sz AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM assign GROUP BY cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+    FROM assign a JOIN sz s USING (cluster_id)
+    """
+
+
+@register("llm_soft_dedup_weights", _soft_dedup_sql())
+def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc soft-dedup loss weight 1/cluster_size over the near-dup
+    cluster registry."""
+    from crowdsorsa_etl_spark.queries._shared import _dedup_cluster_assign
+
+    assign = _dedup_cluster_assign(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    sz = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return assign.join(F.broadcast(sz), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

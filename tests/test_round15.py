@@ -73,3 +73,15 @@ class TestShuffleShardInvariants:
             # 0 <= 1 - Σp² <= 1 - 1/k for k sources
             assert 0.0 <= d <= 1.0 - 1.0 / n_src + 1e-9
             assert 1 <= r["n_sources"] <= n_src
+
+
+class TestSoftDedupInvariants:
+    def test_weight_mass_equals_cluster_count(self, spark):
+        rows = QUERIES["llm_soft_dedup_weights"](spark, SF_DIR).collect()
+        n_clusters = len({r["cluster_id"] for r in rows})
+        mass = sum(r["weight"] for r in rows)
+        # Σ 1/|c| over members == one unit per cluster — soft dedup keeps
+        # exactly the mass a hard-dedup corpus would have
+        assert abs(mass - n_clusters) < 1e-3
+        singles = [r for r in rows if r["cluster_size"] == 1]
+        assert all(r["weight"] == 1.0 for r in singles)

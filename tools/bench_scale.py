@@ -298,6 +298,8 @@ HEADLINE = [
     "llm_langid_margin",
     # curriculum order: quality scalar + one range exchange + block aggs
     "llm_curriculum_order",
+    # soft-dedup weights: artifact read + one bounded agg + broadcast join
+    "llm_soft_dedup_weights",
 ]
 
 
