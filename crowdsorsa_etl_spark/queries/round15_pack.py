@@ -24,6 +24,8 @@ a curated corpus and the bytes a training loader reads.
   detector, operators/dedup.shingle_containment_pairs).
 * ``llm_langid_margin`` — language-ID confidence/routing signal.
 * ``llm_curriculum_order`` — quality-phase-major training order.
+* ``llm_soft_dedup_weights`` — 1/cluster_size loss re-weighting over the
+  memoized cluster registry (the keep-every-copy alternative to removal).
 
 ORDER is load-bearing (the driver's correctness window samples the first 50
 registrations): append only.
