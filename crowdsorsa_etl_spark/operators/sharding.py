@@ -115,12 +115,25 @@ def shard_store_append(
     """Tail-append a batch: within-batch seeded shuffle, positions continue
     from the stored high-water mark. Only the batch is ranked and written —
     existing shard files are untouched (new files land in the tail shard
-    partitions). Contract: ids are new (dedupe upstream)."""
+    partitions). Contract: ids are new (dedupe upstream), and appends are
+    SINGLE-WRITER — two concurrent appenders would read the same
+    high-water mark and interleave positions.
+
+    Crash safety is reserve-then-write: the high-water mark advances
+    BEFORE the batch rows land, so a crash between the two steps leaves a
+    position GAP (benign — loaders stream whatever positions exist, the
+    manifest shows the short shard) but can NEVER assign the same position
+    to two docs, which is the silent-corruption mode the old
+    write-then-advance order allowed. Recovery from a half-written batch
+    is an id anti-join against ``rows/`` followed by a fresh append of the
+    missing docs (positions are not required to be dense, only unique and
+    monotone per batch). The rank is a pure function of (seed, id), so the
+    lazy recompute between reserve and write is deterministic."""
     spark = new_docs.sparkSession
     start = _get_next(spark, root)
     pos, total = _positions(new_docs, id_col, seed, start)
-    _write(pos, root, shard_docs, "append")
     _set_next(spark, root, start + total)
+    _write(pos, root, shard_docs, "append")
 
 
 def shard_manifest(spark: SparkSession, root: str) -> DataFrame:

@@ -52,6 +52,14 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # fail at import time: a silent overwrite keeps the clobbered
+            # name's ORIGINAL insertion position (dict semantics), so the
+            # _ORDER_SNAPSHOT prefix guard can never catch it — the old
+            # query and its oracle just vanish from the sweep while every
+            # other gate stays green (this exact failure shipped once, as
+            # a round-15 name colliding with a round-11 registration)
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -99,6 +107,25 @@ def _sf_cache_dir(sf_dir: str, tag: str, table: str) -> str:
         + h.hexdigest()[:12],
     )
 
+
+
+def _cpu_fanout(df):
+    """Spread CPU-bound per-row work (interpreted higher-order functions —
+    Spark never whole-stage-codegens lambda bodies) across the session's
+    cores when the scan gives fewer splits than that.
+
+    Local-fixture shape: a 1-2 MB parquet file arrives as ONE input split
+    regardless of maxPartitionBytes, so a heavy explode serializes on one
+    core. The repartition moves only the tiny input (round-robin, result
+    sets are order-insensitive) and unlocks n-way parallelism. At cluster
+    scale the scan already has >= defaultParallelism splits and this is an
+    exact no-op — it can never coalesce or add a shuffle to a big input.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # normalization used by both the LLM pack and the curation funnels

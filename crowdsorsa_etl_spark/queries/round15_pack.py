@@ -13,7 +13,7 @@ a curated corpus and the bytes a training loader reads.
   across runs, engines, and cluster sizes, unlike an actual streamed
   reservoir. Complements q62_stratified_sample (rate-based Bernoulli, no
   exact-k guarantee).
-* ``llm_temperature_mix`` — per-source sampling shares ``n_i^alpha``
+* ``llm_source_temperature_mix`` — per-source sampling shares ``n_i^alpha``
   normalized (alpha = 0.5); weights DERIVED from corpus statistics where
   the earlier mixture queries take literals.
 * ``llm_span_corruption`` / ``llm_fim_transform`` — denoising-objective
@@ -181,7 +181,7 @@ def llm_reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# llm_temperature_mix — per-source shares under temperature sampling:
+# llm_source_temperature_mix — per-source shares under temperature sampling:
 # share_i = n_i^alpha / sum_j n_j^alpha with alpha = 0.5 (sqrt — exactly
 # the multilingual-corpus re-balancing exponent), plus the per-source
 # epoch factor a budget equal to the corpus total implies. The sum of
@@ -225,8 +225,8 @@ def _temperature_sql() -> str:
     """
 
 
-@register("llm_temperature_mix", _temperature_sql())
-def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("llm_source_temperature_mix", _temperature_sql())
+def llm_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.5 temperature-sampling shares per source, with the implied
     epoch factor at a budget equal to the corpus token total."""
     from crowdsorsa_etl_spark.functions.text import normalize_text
@@ -554,8 +554,8 @@ def _langid_margin_sql() -> str:
     return f"""
     WITH s AS (SELECT doc_id, {scores} FROM documents),
     p AS (
-      SELECT doc_id, CASE {win_cases} ELSE 'und' END AS lang_pred,
-             CAST({best} AS BIGINT) AS best, *
+      SELECT CASE {win_cases} ELSE 'und' END AS lang_pred,
+             CAST({best} AS BIGINT) AS best, s.*
       FROM s
     )
     SELECT doc_id, lang_pred, best,

@@ -45,7 +45,7 @@ def main() -> None:
     docs = load_table(spark, "documents", sf_dir)
 
     print("== Temperature mixing plan (alpha = 0.5) ==")
-    QUERIES["llm_temperature_mix"](spark, sf_dir).orderBy("source").show(
+    QUERIES["llm_source_temperature_mix"](spark, sf_dir).orderBy("source").show(
         truncate=False
     )
 

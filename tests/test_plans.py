@@ -508,7 +508,7 @@ class TestRound15Plans:
         # frame): the final plan reads ExistingRDD, not documents.parquet,
         # and the only SinglePartition exchange aggregates the bounded
         # per-source rows for the ordered fold
-        plan = self._plan(spark, "llm_temperature_mix")
+        plan = self._plan(spark, "llm_source_temperature_mix")
         assert "documents.parquet" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # 1-row fold broadcast
 

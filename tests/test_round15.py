@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 class TestTemperatureMixInvariants:
     def test_shares_sum_to_one_and_budget_conserved(self, spark):
-        rows = QUERIES["llm_temperature_mix"](spark, SF_DIR).collect()
+        rows = QUERIES["llm_source_temperature_mix"](spark, SF_DIR).collect()
         assert abs(sum(r["share_raw"] for r in rows) - 1.0) < 1e-4
         assert abs(sum(r["share_alpha"] for r in rows) - 1.0) < 1e-4
         total = sum(r["n_tokens"] for r in rows)
@@ -23,7 +23,7 @@ class TestTemperatureMixInvariants:
 
     def test_temperature_flattens_toward_uniform(self, spark):
         # alpha < 1 must shrink the head's share and grow the tail's
-        rows = QUERIES["llm_temperature_mix"](spark, SF_DIR).collect()
+        rows = QUERIES["llm_source_temperature_mix"](spark, SF_DIR).collect()
         head = max(rows, key=lambda r: r["n_tokens"])
         tail = min(rows, key=lambda r: r["n_tokens"])
         assert head["share_alpha"] < head["share_raw"]

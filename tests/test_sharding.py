@@ -116,6 +116,48 @@ class TestShardStore:
         assert _rows(spark, root)[7_000][0] == 5
 
 
+class TestShardStoreCrashSafety:
+    def test_crashed_append_leaves_a_gap_never_a_duplicate(
+        self, spark, root, monkeypatch
+    ):
+        # reserve-then-write: simulate a crash AFTER the high-water mark
+        # advanced but BEFORE the batch rows landed; the next successful
+        # append must start past the reserved range (a gap), and no
+        # position may ever be assigned twice
+        import crowdsorsa_etl_spark.operators.sharding as sh
+
+        shard_store_init(_ids(spark, range(10)), root, shard_docs=4)
+
+        real_write = sh._write
+
+        def crashing_write(df, r, shard_docs, mode):
+            if mode == "append":
+                raise RuntimeError("simulated executor loss mid-append")
+            return real_write(df, r, shard_docs, mode)
+
+        monkeypatch.setattr(sh, "_write", crashing_write)
+        with pytest.raises(RuntimeError):
+            shard_store_append(_ids(spark, range(100, 106)), root, shard_docs=4)
+        monkeypatch.setattr(sh, "_write", real_write)
+
+        # the mark was reserved: positions 10..15 are burned
+        assert sh._get_next(spark, root) == 16
+        shard_store_append(_ids(spark, range(200, 203)), root, shard_docs=4)
+        rows = _rows(spark, root)
+        positions = [p for p, _ in rows.values()]
+        assert len(positions) == len(set(positions))  # never duplicated
+        assert sorted(rows[i][0] for i in range(200, 203)) == [16, 17, 18]
+        # recovery path from the docstring: the crashed batch is re-appended
+        # by id (anti-join finds it fully missing) at fresh positions
+        shard_store_append(_ids(spark, range(100, 106)), root, shard_docs=4)
+        rows = _rows(spark, root)
+        positions = [p for p, _ in rows.values()]
+        assert len(positions) == len(set(positions))
+        assert sorted(rows[i][0] for i in range(100, 106)) == list(
+            range(19, 25)
+        )
+
+
 class TestShardStream:
     def test_stream_fold_equals_batch_fold(self, spark, tmp_path):
         import os
