@@ -233,6 +233,7 @@ HEADLINE = [
     "llm_train_shuffle_shards",
     "llm_reservoir_sample_k",
     "llm_temperature_mix",
+    "llm_source_temperature_mix",
     # round 15: denoising objectives (T5 span corruption, FIM PSM) — pure
     # per-row HOF programs, zero Python, zero exchange
     "llm_span_corruption",
@@ -249,6 +250,9 @@ HEADLINE = [
     "llm_curriculum_order",
     # round 15: soft-dedup loss weights over the cluster registry
     "llm_soft_dedup_weights",
+    # round 16: per-epoch metadata-only global re-shuffle (swap-or-not
+    # bijection over stored positions; store bytes never rewritten)
+    "llm_epoch_reshuffle",
 ]
 
 

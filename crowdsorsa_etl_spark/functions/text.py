@@ -182,6 +182,33 @@ def shingles(col: Column, k: int = 5) -> Column:
     )
 
 
+def tagged_shingles(col: Column, ks: tuple[int, ...]) -> Column:
+    """All of several shingle sizes from ONE tokenize, as an
+    ``array<struct<k:int, s:string>>`` — the multi-k sweeps (contamination
+    curve) explode this once instead of re-scanning the corpus per k.
+    Each k's shingle set is element-identical to ``shingles(col, k)``
+    (including the short-doc single truncated shingle: ``slice`` clips at
+    the array end, so position 1 of an n<k doc yields the whole doc)."""
+    toks = F.split(F.lower(F.trim(col)), _WS)
+    n = F.size(toks)
+
+    # one-arg lambda via factory, NOT ``lambda i, k=k``: pyspark counts the
+    # lambda's parameters, and a second parameter (even a defaulted one)
+    # switches F.transform to its (element, index) form — the index column
+    # would silently overwrite k
+    def _tagged(k: int):
+        return lambda i: F.struct(
+            F.lit(k).cast("int").alias("k"),
+            F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("s"),
+        )
+
+    arrays = []
+    for k in ks:
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        arrays.append(F.transform(idx, _tagged(k)))
+    return F.concat(*arrays)
+
+
 def char_entropy(col: Column) -> Column:
     """Shannon entropy (nats) of the NORMALIZED character distribution —
     the information-density quality signal (boilerplate and keyboard-mash

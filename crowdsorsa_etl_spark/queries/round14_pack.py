@@ -671,8 +671,12 @@ def llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llm_contamination — pick k from MEASURED sensitivity, not folklore
 # (small k over-flags via common phrases; large k misses paraphrase-edge
 # overlap). The llm_ann_recall_curve posture applied to decontamination.
-# Each k is one narrow scan + a distinct-shingle semi-join; exact BIGINT
-# counts, one division.
+# ONE tokenize + ONE explode emits every k's shingles tagged (k, s)
+# (text.tagged_shingles), so all four tiers ride a single corpus scan,
+# one composite-key semi-join, and one distinct — not four of each (the
+# pre-round-16 form; sf0.1 3.7 s → one-pass). Exact BIGINT counts, one
+# division; a zero-hit k still emits its row via the bounded k-frame
+# left join.
 # ===========================================================================
 
 _CONTAM_KS = (3, 5, 8, 13)
@@ -724,41 +728,51 @@ def _contamination_curve_oracle() -> str:
 @register("llm_contamination_curve", _contamination_curve_oracle())
 def llm_contamination_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contaminated-doc share at n-gram sizes 3/5/8/13 vs the doc_id%97
-    eval split — the k-sensitivity behind the decontamination rule."""
-    from crowdsorsa_etl_spark.functions.text import shingles
+    eval split — the k-sensitivity behind the decontamination rule.
+    One corpus pass: every k's shingles come tagged out of one explode."""
+    from crowdsorsa_etl_spark.functions.text import tagged_shingles
+    from crowdsorsa_etl_spark.queries._shared import _cpu_fanout
 
     docs = _t(spark, sf_dir, "documents")
     tr = docs.filter(F.col("doc_id") % 97 != 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train_docs")
     )
-    out = None
-    for k in _CONTAM_KS:
-        sh = docs.select(
-            "doc_id", F.explode(shingles(F.col("text"), k)).alias("s")
+    # fan out BEFORE the explode: shingle building is interpreted-HOF CPU
+    # (lambdas never enter whole-stage codegen), so a single-split local
+    # fixture would serialize the whole sweep on one core
+    sh = _cpu_fanout(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(tagged_shingles(F.col("text"), _CONTAM_KS)).alias("ks"),
+    ).select("doc_id", F.col("ks.k").alias("k"), F.col("ks.s").alias("s"))
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("k", "s").distinct()
+    )
+    counts = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, ["k", "s"], "left_semi")
+        .select("k", "doc_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    # bounded k-frame left join: a zero-hit k must still emit its row
+    k_frame = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _CONTAM_KS])).alias("k0")
+    ).select(F.col("k0").cast("int").alias("k"))
+    return (
+        k_frame.join(counts, "k", "left")
+        .join(F.broadcast(tr))
+        .select(
+            "k",
+            "n_train_docs",
+            F.coalesce(F.col("hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_train_docs"),
+                6,
+            ).alias("contaminated_frac"),
         )
-        bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-        hit = (
-            sh.filter(F.col("doc_id") % 97 != 0)
-            .join(bench, "s", "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        row = (
-            hit.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
-            )
-            .join(F.broadcast(tr))
-            .select(
-                F.lit(k).cast("int").alias("k"),
-                "n_train_docs",
-                "n_contaminated",
-                F.round(
-                    F.col("n_contaminated")
-                    * F.lit(1.0)
-                    / F.col("n_train_docs"),
-                    6,
-                ).alias("contaminated_frac"),
-            )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )

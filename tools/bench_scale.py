@@ -283,6 +283,7 @@ HEADLINE = [
     "llm_train_shuffle_shards",
     "llm_reservoir_sample_k",
     "llm_temperature_mix",
+    "llm_source_temperature_mix",
     # denoising objectives: per-row HOF string/array programs — scale
     # with rows, no exchange
     "llm_span_corruption",
@@ -300,6 +301,9 @@ HEADLINE = [
     "llm_curriculum_order",
     # soft-dedup weights: artifact read + one bounded agg + broadcast join
     "llm_soft_dedup_weights",
+    # round 16: per-epoch metadata-only global re-shuffle (swap-or-not
+    # bijection over stored positions; store bytes never rewritten)
+    "llm_epoch_reshuffle",
 ]
 
 
