@@ -117,3 +117,173 @@ def llm_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = m if out is None else out.unionAll(m)
     return out
+
+
+# ===========================================================================
+# llm_t_closeness — the third rung of the release-governance ladder
+# (k-anonymity -> l-diversity -> t-closeness, Li/Li/Venkatasubramanian
+# 2007): a QI class can clear both k and l yet still leak because its
+# sensitive-attribute DISTRIBUTION deviates from the corpus' (skewness
+# attack). QI = (lang, source) — the k-anonymity quasi-identifier minus
+# the length column — and the ORDERED sensitive attribute is the pow2
+# char-length bucket. Closeness is the ordered-domain Earth Mover's
+# Distance in prefix-sum form:
+#
+#   t = (1/(m-1)) * sum_i | CumP_i - CumQ_i |
+#
+# kept EXACT by clearing denominators: each term |cump_i*n_total -
+# cumq_i*n_docs| is a BIGINT, emd_den = n_docs*n_total*(m-1), and the
+# violation flag compares emd_num*5 > emd_den (t > 0.2) in integers —
+# zero float drift between engines; the only division is the 6-dp
+# display ratio. Scale: two map-side-combined data-sized aggregations
+# (class x bucket, global bucket); every cumsum/window/join downstream
+# runs on the <=|langs x sources x buckets| aggregate grid (~500 rows at
+# any corpus size), broadcast where joined back.
+# ===========================================================================
+
+_TCLOSE_NUM = 1  # threshold t = _TCLOSE_NUM / _TCLOSE_DEN = 0.2
+_TCLOSE_DEN = 5
+
+_POW2_SQL = """CASE WHEN CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) // 2 >= greatest(n_chars, 1)
+                  THEN CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) // 2
+                  ELSE CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) END"""
+
+
+@register(
+    "llm_t_closeness",
+    f"""
+    WITH q AS (
+      SELECT lang, source, {_POW2_SQL} AS len_bucket FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q),
+    g AS (
+      SELECT len_bucket, CAST(count(*) AS BIGINT) AS cq
+      FROM q GROUP BY len_bucket
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM g),
+    gc AS (
+      SELECT len_bucket,
+             CAST(sum(cq) OVER (ORDER BY len_bucket) AS BIGINT) AS cumq
+      FROM g
+    ),
+    classes AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM q GROUP BY lang, source
+    ),
+    cb AS (
+      SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS cp
+      FROM q GROUP BY lang, source, len_bucket
+    ),
+    grid AS (
+      SELECT c.lang, c.source, c.n_docs, d.len_bucket, d.cumq
+      FROM classes c CROSS JOIN gc d
+    ),
+    cc AS (
+      SELECT gr.lang, gr.source, gr.n_docs, gr.len_bucket, gr.cumq,
+             CAST(sum(coalesce(cb.cp, 0)) OVER (
+               PARTITION BY gr.lang, gr.source ORDER BY gr.len_bucket
+             ) AS BIGINT) AS cump
+      FROM grid gr
+      LEFT JOIN cb ON cb.lang = gr.lang AND cb.source = gr.source
+                  AND cb.len_bucket = gr.len_bucket
+    ),
+    e AS (
+      SELECT cc.lang, cc.source, cc.n_docs,
+             CAST(sum(abs(cc.cump * t.n_total - cc.cumq * cc.n_docs))
+                  AS BIGINT) AS emd_num,
+             CAST(cc.n_docs * t.n_total * (max(m.m) - 1) AS BIGINT)
+               AS emd_den
+      FROM cc CROSS JOIN tot t CROSS JOIN m
+      GROUP BY cc.lang, cc.source, cc.n_docs, t.n_total
+    )
+    SELECT lang, source, n_docs, emd_num, emd_den,
+           round(emd_num * 1.0 / emd_den, 6) AS t_emd,
+           emd_num * {_TCLOSE_DEN} > emd_den * {_TCLOSE_NUM} AS violates
+    FROM e
+    """,
+)
+def llm_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QI-class ordered EMD of the sensitive length-bucket distribution
+    vs the corpus distribution, exact-integer, with the t>0.2 flag."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.queries.round13_pack import _pow2_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "lang", "source", _pow2_bucket(F.col("n_chars")).alias("len_bucket")
+    )
+    # the two data-sized aggregations (map-side combined); everything
+    # below runs on their tiny outputs
+    g = q.groupBy("len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cq")
+    )
+    cb = q.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cp")
+    )
+    classes = cb.groupBy("lang", "source").agg(
+        F.sum("cp").cast("bigint").alias("n_docs")
+    )
+    # global cumulative bucket mass: |buckets| rows — the unpartitioned
+    # window is over the aggregate domain, never the corpus
+    gc = g.withColumn(
+        "cumq",
+        F.sum("cq")
+        .over(
+            Window.orderBy("len_bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    ).select("len_bucket", "cumq")
+    scalars = g.agg(
+        F.sum("cq").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    grid = classes.crossJoin(F.broadcast(gc))
+    cc = (
+        grid.join(F.broadcast(cb), ["lang", "source", "len_bucket"], "left")
+        .withColumn(
+            "cump",
+            F.sum(F.coalesce(F.col("cp"), F.lit(0)))
+            .over(
+                Window.partitionBy("lang", "source")
+                .orderBy("len_bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("bigint"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    e = cc.groupBy("lang", "source", "n_docs", "n_total", "m").agg(
+        F.sum(
+            F.abs(
+                F.col("cump") * F.col("n_total")
+                - F.col("cumq") * F.col("n_docs")
+            )
+        )
+        .cast("bigint")
+        .alias("emd_num")
+    )
+    return e.select(
+        "lang",
+        "source",
+        "n_docs",
+        "emd_num",
+        (F.col("n_docs") * F.col("n_total") * (F.col("m") - 1))
+        .cast("bigint")
+        .alias("emd_den"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        "emd_num",
+        "emd_den",
+        F.round(F.col("emd_num") * F.lit(1.0) / F.col("emd_den"), 6).alias(
+            "t_emd"
+        ),
+        (
+            F.col("emd_num") * F.lit(_TCLOSE_DEN)
+            > F.col("emd_den") * F.lit(_TCLOSE_NUM)
+        ).alias("violates"),
+    )
