@@ -1257,3 +1257,57 @@ def lsh_audit_sql(
     )
     {" UNION ALL ".join(rows)}
     """
+
+
+def lpa_sql(
+    rounds: int = 4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for llm_lpa_communities: unroll the fixed-round synchronous
+    label propagation as CTE stages over the same portable-MinHash edges
+    (operators/clusters.lpa_communities contract). Per round: neighbor-
+    label counts, then the (count DESC, label ASC) argmax via row_number —
+    the same deterministic tie-break the Spark side takes with
+    max(struct(c, -label)). All-integer state, so the replay is exact."""
+    pairs = minhash_lsh_sql(num_hashes, bands, shingle_k)
+    parts = [
+        f"""
+    pairs AS MATERIALIZED ({pairs}),
+    sym AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS label FROM sym)"""
+    ]
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    cnt{t} AS (
+      SELECT s.src AS id, l.label, CAST(count(*) AS BIGINT) AS c
+      FROM sym s JOIN {prev} l ON s.dst = l.id
+      GROUP BY 1, 2
+    ),
+    l{t} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (
+                 PARTITION BY id ORDER BY c DESC, label ASC
+               ) AS rn
+        FROM cnt{t}
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{t}"
+    parts.append(f"""
+    sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM {prev} GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS community,
+           CAST(coalesce(s.n, 1) AS BIGINT) AS community_size
+    FROM documents d
+    LEFT JOIN {prev} l ON d.doc_id = l.id
+    LEFT JOIN sizes s ON l.label = s.label""")
+    return "WITH " + ",".join(parts)

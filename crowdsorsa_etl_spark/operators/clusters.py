@@ -225,3 +225,76 @@ def incremental_components(
         )
     )
     return relabeled.unionByName(fresh)
+
+
+def lpa_communities(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 4,
+    reliable_checkpoints: bool = False,
+) -> DataFrame:
+    """Seeded synchronous label propagation (Raghavan et al. 2007) over
+    the dup graph: finer communities than connected components on dense
+    near-dup graphs (CC merges everything reachable; LPA keeps weakly
+    linked cliques apart).
+
+    Deterministic by construction — the engine-portable contract:
+
+    * synchronous rounds (every vertex updates from the PREVIOUS round's
+      labels, never a mix), so there is no update-order dependence;
+    * a FIXED round count, so oscillating configurations (bipartite
+      2-cycles under synchronous LPA) still yield one defined answer
+      that a SQL oracle can replay as unrolled CTE stages;
+    * argmax tie-break = (neighbor-label count DESC, label ASC), taken
+      with one map-side-combinable ``max(struct(c, -label))`` aggregate
+      per round — no per-vertex window sort.
+
+    Returns (id, label): final community label per vertex that appears
+    in the edge set. Isolated vertices don't appear (coalesce with the
+    corpus id downstream, the connected_components convention).
+
+    Scale: each round is exactly two uniform-key shuffles (label join on
+    dst + count/argmax groupBy on src) — O(rounds * |E|) total work, no
+    transitive materialization; ``truncate_lineage`` per round keeps the
+    plan linear (the iterative-Spark trap, same discipline as
+    connected_components above).
+    """
+    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = truncate_lineage(
+        sym.filter(F.col("src") != F.col("dst")).distinct(),
+        reliable=reliable_checkpoints,
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(rounds):
+        # (count DESC, label ASC) argmax as max(struct(c, -label)) over the
+        # per-(vertex, label) counts: two map-side-combinable aggregates,
+        # no per-vertex window sort
+        cnt = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("neg_label"))
+                ).alias("best")
+            )
+            .select(
+                F.col("src").alias("id"),
+                (-F.col("best.neg_label")).cast("long").alias("label"),
+            )
+        )
+        labels = truncate_lineage(cnt, reliable=reliable_checkpoints)
+    return labels

@@ -287,3 +287,55 @@ def llm_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("emd_den") * F.lit(_TCLOSE_NUM)
         ).alias("violates"),
     )
+
+
+# ===========================================================================
+# llm_lpa_communities — label-propagation communities over the SAME
+# memoized dup-graph edges the cluster registry consumes: CC answers
+# "reachable at all" (one bridge doc chains two 50-doc templates into
+# one 100-doc cluster), LPA answers "densely tied" (each template keeps
+# its own label; the bridge joins whichever side out-votes). Synchronous,
+# fixed 4 rounds, (count DESC, label ASC) argmax — deterministic on both
+# engines, so the oracle replays every round as unrolled CTE stages over
+# the same portable-MinHash edge SQL (the pagerank_sql posture). Output
+# joins the corpus: isolated docs form their own singleton community.
+# Scale: O(rounds * |E|) — two uniform-key shuffles per round, lineage
+# truncated; no transitive closure, no component-sized skew (a vertex's
+# round state is its neighbor multiset, never the whole community).
+# ===========================================================================
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql() -> str:
+    from crowdsorsa_etl_spark.lsh_oracles import lpa_sql
+
+    return lpa_sql(rounds=_LPA_ROUNDS)
+
+
+@register("llm_lpa_communities", _lpa_sql())
+def llm_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous LPA communities over the memoized LSH dup
+    graph, every doc labeled (singletons keep their own id)."""
+    from crowdsorsa_etl_spark.operators.clusters import lpa_communities
+    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = lpa_communities(
+        _lsh_pairs(spark, sf_dir).select("id_a", "id_b"), rounds=_LPA_ROUNDS
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    lab = labels.join(F.broadcast(sizes), "label")
+    return docs.join(
+        F.broadcast(lab), docs.doc_id == lab.id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("community"),
+        F.coalesce(F.col("n"), F.lit(1))
+        .cast("bigint")
+        .alias("community_size"),
+    )

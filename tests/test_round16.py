@@ -76,3 +76,68 @@ class TestTCloseness:
             assert 0 <= r["emd_num"] <= r["emd_den"]
             assert r["violates"] == (r["emd_num"] * 5 > r["emd_den"])
             assert abs(r["t_emd"] - r["emd_num"] / r["emd_den"]) < 1e-6
+
+
+class TestLpaCommunities:
+    def test_barbell_separates_where_cc_merges(self, spark):
+        """Two triangles joined by one bridge edge: CC gives ONE component,
+        4-round synchronous LPA keeps the two dense sides apart."""
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+            lpa_communities,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+            "id_a long, id_b long",
+        )
+        cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+        assert len(set(cc.values())) == 1
+        lpa = {r["id"]: r["label"] for r in lpa_communities(edges).collect()}
+        left = {lpa[v] for v in (0, 1, 2)}
+        right = {lpa[v] for v in (3, 4, 5)}
+        assert len(left) == 1 and len(right) == 1
+        assert left != right
+
+    def test_communities_refine_components(self, spark):
+        """Labels only travel along edges, so every LPA community must sit
+        inside exactly one connected component (LPA refines CC)."""
+        from crowdsorsa_etl_spark.operators.clusters import (
+            connected_components,
+            lpa_communities,
+        )
+        from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
+        edges = _lsh_pairs(spark, SF_DIR).select("id_a", "id_b")
+        cc = connected_components(edges)
+        lpa = lpa_communities(edges)
+        n_cross = (
+            lpa.join(cc, "id")
+            .groupBy("label")
+            .agg(F.countDistinct("component").alias("n_comp"))
+            .filter(F.col("n_comp") > 1)
+            .count()
+        )
+        assert n_cross == 0
+
+    def test_singletons_and_coverage(self, spark):
+        """Query output covers every doc exactly once; docs outside the dup
+        graph form size-1 communities labeled by their own id."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.queries._shared import _lsh_pairs, _t
+
+        out = QUERIES["llm_lpa_communities"](spark, SF_DIR)
+        docs = _t(spark, SF_DIR, "documents")
+        assert out.count() == docs.count()
+        in_graph = {
+            r["id"]
+            for r in _lsh_pairs(spark, SF_DIR)
+            .select(F.col("id_a").alias("id"))
+            .union(_lsh_pairs(spark, SF_DIR).select(F.col("id_b").alias("id")))
+            .distinct()
+            .collect()
+        }
+        for r in out.collect():
+            if r["doc_id"] not in in_graph:
+                assert r["community"] == r["doc_id"]
+                assert r["community_size"] == 1
