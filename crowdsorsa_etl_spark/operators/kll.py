@@ -1,0 +1,236 @@
+"""Deterministic KLL quantile sketch (Karnin–Lang–Liberty 2016), the
+100 TB quantile answer next to q66's fixed bins.
+
+A KLL sketch is a cascade of level buffers: level ``l`` holds items of
+weight ``2**l``; when a buffer reaches capacity ``k`` it *compacts* —
+keeps alternate items of a sorted block, promoting the survivors (with
+doubled weight) to level ``l+1``. Rank queries read the cumulative weight
+over the surviving cells. Total weight is conserved exactly (each kept
+item absorbs its discarded neighbor), so ``sum(weight) == n`` is a hard
+invariant.
+
+Two engine-level choices make the sketch hash-replayable across engines:
+
+* **Derandomized compaction** — classic KLL flips a coin per compaction
+  to keep even or odd offsets; we always keep EVEN offsets. The coin only
+  guards against adversarial input order; we remove the order dependence
+  instead (next bullet), which is the stronger fix.
+* **Canonical insertion order** — the stream is fed in GLOBAL VALUE ORDER
+  (rank by value + unique tie-break). On a sorted stream the even-keep
+  cascade has a closed form: whether rank ``i`` survives at level ``l``,
+  and at which buffer position, is pure integer arithmetic in
+  ``(i, n, k)`` — no sequential state at all. The Spark side is therefore
+  one distributed global rank (two-phase, operators/global_rank.py — no
+  SinglePartition window) followed by ``max_levels`` NARROW filters, and
+  a DuckDB oracle replays every cell from ``row_number()`` alone.
+
+  Recurrence (0-based position ``p``, stream length ``m``, per level):
+      complete = m // k                 -- finished blocks
+      survives level l  iff  p >= complete * k          (unfinished tail)
+      promoted          iff  p <  complete * k and p % 2 == 0
+      p' = (p // k) * (k // 2) + (p % k) // 2
+      m' = complete * (k // 2)
+
+* **Error bound** — on a sorted stream each level-``l`` cell represents
+  exactly ``2**l`` CONSECUTIVE original ranks, so the cumulative-weight
+  rank estimate of any value is off by at most the largest cell weight:
+  ``|est_rank - true_rank| <= 2**max_level``; with ``m_{l+1} ~= m_l/2``
+  the bound is ``O(n/k)`` absolute, ``O(1/k)`` relative — the classic
+  deterministic-sketch rate. tests/test_round16.py gates it empirically.
+
+The sorted-feed closed form is the batch path (a global sort at 100 TB is
+a standard terasort). For unsorted streams the production path is one
+sequential KLL per partition + :func:`kll_merge` up a tree; merge operates
+on sketch-sized inputs (KBs — that is the point of a sketch), so the
+driver-side fold below is the AQE-statistics posture, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K_DEFAULT = 32
+MAX_LEVELS = 16
+
+
+def kll_plan(n: int, k: int = K_DEFAULT, max_levels: int = MAX_LEVELS) -> list[int]:
+    """Stream length at each level for an n-item sorted feed."""
+    if k < 2 or k % 2:
+        raise ValueError(f"k must be even and >= 2, got {k}")
+    ms, m = [], n
+    for _ in range(max_levels):
+        ms.append(m)
+        m = (m // k) * (k // 2)
+        if m == 0:
+            break
+    return ms
+
+
+def kll_cells_sorted(
+    df: DataFrame,
+    value_col,
+    tiebreak_cols: list,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+) -> DataFrame:
+    """Closed-form deterministic KLL over the globally sorted stream.
+
+    Returns sketch cells (level int, pos bigint, value bigint, weight
+    bigint): ``pos`` is the cell's buffer position at its level, ``value``
+    the (integer) sketch value, ``weight = 2**level``. Narrow after the
+    one global rank; per-level branches read the checkpointed ranked base.
+    """
+    from crowdsorsa_etl_spark.operators.global_rank import with_global_row_number
+
+    base = df.select(F.col(value_col).cast("bigint").alias("value"), *tiebreak_cols)
+    ranked, n = with_global_row_number(
+        base, [F.col("value"), *[F.col(str(c)) for c in tiebreak_cols]], rn_col="_rn"
+    )
+    ranked = ranked.select("value", (F.col("_rn") - 1).alias("p"))
+
+    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+
+    out = None
+    m = n
+    for level in range(max_levels):
+        # cut lineage each level: the per-level arithmetic is CHEAP, so
+        # CollapseProject would re-inline every chained projection into the
+        # union branches — the expression tree (and Catalyst time) grows
+        # geometrically in levels (the epochshuffle.with_epoch_pos lesson,
+        # whose md5 aliases survive collapse precisely because they are
+        # non-cheap). The stream halves per level, so the eager checkpoint
+        # jobs cost O(n) total.
+        ranked = truncate_lineage(ranked)
+        complete = m // k
+        cells = ranked.filter(F.col("p") >= complete * k).select(
+            F.lit(level).cast("int").alias("level"),
+            (F.col("p") - complete * k).cast("bigint").alias("pos"),
+            "value",
+            F.lit(1 << level).cast("bigint").alias("weight"),
+        )
+        out = cells if out is None else out.unionAll(cells)
+        ranked = ranked.filter(
+            (F.col("p") < complete * k) & (F.col("p") % 2 == 0)
+        ).select(
+            "value",
+            (
+                F.expr(f"p div {k}") * (k // 2) + F.expr(f"(p % {k}) div 2")
+            )
+            .cast("bigint")
+            .alias("p"),
+        )
+        m = complete * (k // 2)
+        if m == 0:
+            break
+    return out
+
+
+def kll_cells_py(values: list[int], k: int = K_DEFAULT) -> list[tuple[int, int, int, int]]:
+    """Sequential reference: feed ``values`` (sorted by caller) through a
+    literal buffer-and-compact KLL with even-keep. Returns
+    (level, pos, value, weight) — must equal the closed form exactly."""
+    levels: list[list[int]] = [[]]
+    for v in sorted(values):
+        levels[0].append(v)
+        lv = 0
+        while len(levels[lv]) >= k:
+            block, levels[lv] = levels[lv][:k], levels[lv][k:]
+            if lv + 1 >= len(levels):
+                levels.append([])
+            levels[lv + 1].extend(block[0::2])
+            lv += 1
+    return [
+        (lv, pos, v, 1 << lv)
+        for lv, buf in enumerate(levels)
+        for pos, v in enumerate(buf)
+    ]
+
+
+def kll_merge(
+    cells_a: list[tuple[int, int, int, int]],
+    cells_b: list[tuple[int, int, int, int]],
+    k: int = K_DEFAULT,
+) -> list[tuple[int, int, int, int]]:
+    """Merge two sketches: per level ascending, concatenate both buffers
+    in value order plus the carry promoted from below, compact full
+    blocks with the same even-keep rule. Sketch-sized input (KBs), so
+    this is a driver/aggregator-side fold by design."""
+    bufs: dict[int, list[int]] = {}
+    for lv, _pos, v, _w in list(cells_a) + list(cells_b):
+        bufs.setdefault(lv, []).append(v)
+    out: list[tuple[int, int, int, int]] = []
+    lv, carry = 0, []
+    while bufs or carry:  # empty intermediate levels must not stop the walk
+        buf = sorted(bufs.pop(lv, []) + carry)
+        carry = []
+        while len(buf) >= k:
+            block, buf = buf[:k], buf[k:]
+            carry.extend(block[0::2])
+        out.extend((lv, pos, v, 1 << lv) for pos, v in enumerate(buf))
+        lv += 1
+    return out
+
+
+def kll_rank_estimate(cells, value: int) -> int:
+    """Cumulative-weight rank estimate: total weight of cells < value."""
+    return sum(w for _lv, _pos, v, w in cells if v < value)
+
+
+def kll_quantile(cells, phi: float):
+    """Value at the phi-quantile per cumulative weight over value order."""
+    total = sum(w for *_x, w in cells)
+    target = phi * total
+    run = 0
+    for _lv, _pos, v, w in sorted(cells, key=lambda c: c[2]):
+        run += w
+        if run >= target:
+            return v
+    return max(c[2] for c in cells)
+
+
+def kll_sql(
+    source_sql: str,
+    value_sql: str,
+    order_sql: str,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+) -> str:
+    """DuckDB replay of :func:`kll_cells_sorted`: rank via row_number over
+    the same canonical order, then the integer recurrence unrolled as one
+    MATERIALIZED CTE per level (without MATERIALIZED the ranked base
+    re-inlines once per level reference)."""
+    parts = [
+        f"""
+    r AS MATERIALIZED (
+      SELECT CAST({value_sql} AS BIGINT) AS value,
+             CAST(row_number() OVER (ORDER BY {order_sql}) - 1 AS BIGINT) AS p,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM ({source_sql})
+    ),
+    l0 AS (SELECT value, p, m FROM r)"""
+    ]
+    selects = []
+    for lv in range(max_levels):
+        selects.append(
+            f"""
+    SELECT CAST({lv} AS INT) AS level,
+           CAST(p - (m // {k}) * {k} AS BIGINT) AS pos,
+           value,
+           CAST({1 << lv} AS BIGINT) AS weight
+    FROM l{lv} WHERE p >= (m // {k}) * {k}"""
+        )
+        if lv + 1 < max_levels:
+            parts.append(
+                f"""
+    l{lv + 1} AS MATERIALIZED (
+      SELECT value,
+             (p // {k}) * {k // 2} + (p % {k}) // 2 AS p,
+             (m // {k}) * {k // 2} AS m
+      FROM l{lv}
+      WHERE p < (m // {k}) * {k} AND p % 2 = 0
+    )"""
+            )
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)

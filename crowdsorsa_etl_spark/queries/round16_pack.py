@@ -339,3 +339,49 @@ def llm_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("community_size"),
     )
+
+
+# ===========================================================================
+# q113_kll_quantiles — mergeable quantile sketch with a rank-error bound
+# (KLL, derandomized; operators/kll.py docstring has the full contract).
+# q66's histogram answers "how many per fixed bin"; the KLL cells answer
+# ANY rank/quantile query within 2^max_level ranks, from O(k log(n/k))
+# state. The closed form makes the whole sketch ONE distributed global
+# rank (two-phase, no SinglePartition window) + 16 narrow integer
+# filters; the oracle replays every cell from row_number() alone, so the
+# hash gate pins the exact sketch content, not an estimate. Value domain
+# is exact cents (round(l_extendedprice*100) as BIGINT) — integer state
+# end to end, no float drift for the cells.
+# ===========================================================================
+
+_KLL_K = 32
+
+
+def _kll_sql() -> str:
+    from crowdsorsa_etl_spark.operators.kll import kll_sql
+
+    return kll_sql(
+        "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " l_orderkey, l_linenumber FROM lineitem",
+        "cents",
+        "cents, l_orderkey, l_linenumber",
+        k=_KLL_K,
+    )
+
+
+@register("q113_kll_quantiles", _kll_sql())
+def q113_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KLL sketch cells over exact price cents: (level,
+    pos, value, weight), sum(weight) == |lineitem| exactly."""
+    from crowdsorsa_etl_spark.operators.kll import kll_cells_sorted
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return kll_cells_sorted(
+        li, "cents", ["l_orderkey", "l_linenumber"], k=_KLL_K
+    )

@@ -141,3 +141,88 @@ class TestLpaCommunities:
             if r["doc_id"] not in in_graph:
                 assert r["community"] == r["doc_id"]
                 assert r["community_size"] == 1
+
+
+class TestKllSketch:
+    def test_closed_form_equals_sequential_reference(self):
+        """The rank-arithmetic closed form must reproduce the literal
+        buffer-and-compact cascade exactly, for arbitrary n."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from crowdsorsa_etl_spark.operators.kll import kll_cells_py
+
+        def closed(n, k):
+            out = []
+            for i in range(n):
+                p, m = i, n
+                for lv in range(16):
+                    complete = m // k
+                    if p >= complete * k:
+                        out.append((lv, p - complete * k, i, 1 << lv))
+                        break
+                    if p % 2:
+                        break
+                    p = (p // k) * (k // 2) + (p % k) // 2
+                    m = complete * (k // 2)
+            return sorted(out)
+
+        @given(st.integers(0, 3000), st.sampled_from([4, 8, 32]))
+        @settings(max_examples=60, deadline=None)
+        def check(n, k):
+            assert closed(n, k) == sorted(kll_cells_py(list(range(n)), k))
+
+        check()
+
+    def test_weight_conservation_and_bound_on_fixture(self, spark):
+        """sum(weight) == |lineitem| exactly; every estimated quantile's
+        true rank is within 2^max_level of the target rank."""
+        from crowdsorsa_etl_spark.operators.kll import kll_quantile
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.queries._shared import _t
+
+        cells = [
+            (r["level"], r["pos"], r["value"], r["weight"])
+            for r in QUERIES["q113_kll_quantiles"](spark, SF_DIR).collect()
+        ]
+        li = _t(spark, SF_DIR, "lineitem")
+        exact = sorted(
+            r["c"]
+            for r in li.select(
+                F.round(F.col("l_extendedprice") * 100, 0)
+                .cast("bigint")
+                .alias("c")
+            ).collect()
+        )
+        n = len(exact)
+        assert sum(w for *_x, w in cells) == n
+        bound = max(w for *_x, w in cells)  # 2^max_level
+        import bisect
+
+        for phi in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = kll_quantile(cells, phi)
+            true_rank = bisect.bisect_right(exact, est)
+            assert abs(true_rank - phi * n) <= bound + 1, (phi, est)
+
+    def test_merge_conserves_weight_and_bound(self):
+        """Sketch halves independently, merge: weight still exact, rank
+        estimates still within the deterministic-cascade bound."""
+        from crowdsorsa_etl_spark.operators.kll import (
+            kll_cells_py,
+            kll_merge,
+            kll_quantile,
+        )
+
+        vals = [((i * 2654435761) % 100003) for i in range(20000)]
+        a, b = vals[0::2], vals[1::2]
+        merged = kll_merge(kll_cells_py(a, 32), kll_cells_py(b, 32), 32)
+        assert sum(w for *_x, w in merged) == len(vals)
+        exact = sorted(vals)
+        bound = max(w for *_x, w in merged)
+        import bisect
+
+        for phi in (0.1, 0.5, 0.9):
+            est = kll_quantile(merged, phi)
+            true_rank = bisect.bisect_right(exact, est)
+            # merge re-compacts once more, so allow one extra level
+            assert abs(true_rank - phi * len(vals)) <= 2 * bound + 1
