@@ -385,3 +385,119 @@ def q113_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_cells_sorted(
         li, "cents", ["l_orderkey", "l_linenumber"], k=_KLL_K
     )
+
+
+# ===========================================================================
+# llm_suffix_spans_exact — the hash-free EXACT ground-truth tier for
+# substring dedup (operators/suffixarray.py: Manber–Myers prefix doubling
+# as DataFrame rounds + binary-lifting adjacent LCP). The production
+# shingle tier (llm_substring_dedup) is token-coverage-exact only modulo
+# md5 collisions; this tier compares actual tokens, so the two must agree
+# span for span on any collision-free corpus — which the oracle proves
+# from the OTHER side: it recomputes the spans with raw-text grams (a
+# third independent algorithm), no hashes anywhere in the differential.
+# Ground-truth/audit posture: the span table is a per-fixture memoized
+# artifact (the _lsh_pairs discipline) — an audit tier is materialized
+# per corpus snapshot, not rebuilt per probe.
+# ===========================================================================
+
+_SUFFIX_MIN_LEN = 8
+
+
+def _suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from crowdsorsa_etl_spark.operators.suffixarray import suffix_spans_exact
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "suffixspans8_v1", "documents"), "spans.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        suffix_spans_exact(
+            _t(spark, sf_dir, "documents"), min_len=_SUFFIX_MIN_LEN
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _suffix_spans_sql() -> str:
+    from crowdsorsa_etl_spark.operators.suffixarray import (
+        suffix_spans_exact_sql,
+    )
+
+    return suffix_spans_exact_sql(_SUFFIX_MIN_LEN)
+
+
+@register("llm_suffix_spans_exact", _suffix_spans_sql())
+def llm_suffix_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans >= 8 from the suffix array + LCP —
+    the exact tier that audits the md5-shingle approximation."""
+    return _suffix_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end", "n_tokens"
+    )
+
+
+# ===========================================================================
+# llm_suffix_audit — the approximation audit the exact tier exists FOR
+# (the llm_lsh_audit posture): the production md5-shingle tier at
+# k in {8, 13} measured against suffix-array ground truth at L=8. The
+# k=8 row is the headline invariant — miss_rate exactly 0.0 (the shingle
+# tier loses NOTHING at its own k, md5 collisions would show here); the
+# k=13 row quantifies what a GPT-3-style 13-gram rule leaves behind
+# (spans of 8..12 duplicated tokens) — pick k from measured loss, not
+# folklore. Exact BIGINT token accounting; one guarded division per row.
+# ===========================================================================
+
+
+def _suffix_audit_sql() -> str:
+    from crowdsorsa_etl_spark.operators.suffixarray import suffix_audit_sql
+
+    return suffix_audit_sql(_SUFFIX_MIN_LEN, (8, 13))
+
+
+@register("llm_suffix_audit", _suffix_audit_sql())
+def llm_suffix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-tier coverage vs suffix-array ground truth at k in {8,13}."""
+    from crowdsorsa_etl_spark.operators.substring import (
+        duplicated_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = _suffix_spans(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans_exact"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_exact"),
+    )
+    out = None
+    for k in (8, 13):
+        sh = duplicated_substring_spans(docs, min_run=k).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans_shingle"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_shingle"),
+        )
+        row = (
+            exact.crossJoin(sh)
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "n_spans_exact",
+                "tokens_exact",
+                "n_spans_shingle",
+                "tokens_shingle",
+                (F.col("tokens_exact") - F.col("tokens_shingle"))
+                .cast("bigint")
+                .alias("missed_tokens"),
+                F.when(F.col("tokens_exact") == 0, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        (F.col("tokens_exact") - F.col("tokens_shingle"))
+                        * F.lit(1.0)
+                        / F.col("tokens_exact"),
+                        6,
+                    )
+                )
+                .alias("miss_rate"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
