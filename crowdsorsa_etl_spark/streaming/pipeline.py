@@ -1989,3 +1989,153 @@ def start_shuffle_shard_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_mix_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    phase_hi: float = 0.666666,
+    phase_lo: float = 0.333333,
+):
+    """Streaming layout planner: temperature mix + curriculum boundaries
+    over the GROWING store, carried-state instead of scratch recompute.
+
+    The batch planners (llm_temperature_mix / llm_curriculum_order's phase
+    split) rescan the whole corpus; at ingest time the corpus is a stream,
+    and the planner should fold each micro-batch into carried per-language
+    and per-phase totals — O(|langs| + |phases|) state, O(batch) work —
+    then emit the UPDATED plans. Per micro-batch (foreachBatch):
+
+    * batch per-language (n_docs, n_tokens) and per-phase n_docs counts
+      (two map-side-combined aggs over the batch only);
+    * merged with the carried totals (union + re-sum over dimension-sized
+      frames);
+    * ``epoch=<e>/totals`` and ``epoch=<e>/phase_totals`` — the new state;
+    * ``epoch=<e>/plan`` — the temperature mix over CUMULATIVE totals,
+      the exact llm_temperature_mix arithmetic (fixed-point pow terms,
+      then the normalizing fold over <=|langs| rows);
+    * ``epoch=<e>/phases`` — curriculum boundary manifest (phase,
+      n_docs, phase_offset): metadata a loader composes with the shard
+      store's positions — the store itself is NEVER rewritten (the
+      epoch-reshuffle posture: order is a manifest, not bytes).
+
+    Replay safety is the epoch-versioned state posture (start_shard_stream):
+    epoch e reads the newest state < e, so a crashed-and-replayed epoch
+    re-derives from the SAME carried totals and overwrites its own dirs —
+    no double count. Final-state == batch-rebuild is gated by
+    tests/test_round16.py.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.functions.text import (
+        normalize_text,
+        quality_score,
+    )
+    from crowdsorsa_etl_spark.operators.dsir import FX
+
+    spark_active = docs_stream.sparkSession
+
+    def _carried(e: int, name: str, schema: str) -> DataFrame | None:
+        if not os.path.isdir(store_path):
+            return None
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_path)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        if not prior:
+            return None
+        return spark_active.read.schema(schema).parquet(
+            os.path.join(store_path, f"epoch={max(prior)}", name)
+        )
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        n_tok = F.size(F.split(normalize_text(F.col(text_col)), " "))
+        q = quality_score(F.col(text_col))
+        phase = (
+            F.when(q >= phase_hi, 0).when(q >= phase_lo, 1).otherwise(2)
+        )
+        b_lang = batch_df.groupBy(F.col(lang_col).alias("lang")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("n_tokens"),
+        )
+        b_phase = batch_df.groupBy(phase.cast("int").alias("phase")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+        c_lang = _carried(e, "totals", "lang string, n_docs long, n_tokens long")
+        c_phase = _carried(e, "phase_totals", "phase int, n_docs long")
+        totals = (
+            b_lang.unionAll(c_lang) if c_lang is not None else b_lang
+        ).groupBy("lang").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        phases = (
+            b_phase.unionAll(c_phase) if c_phase is not None else b_phase
+        ).groupBy("phase").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs")
+        )
+        ep = os.path.join(store_path, f"epoch={e}")
+        totals.write.mode("overwrite").parquet(os.path.join(ep, "totals"))
+        phases.write.mode("overwrite").parquet(
+            os.path.join(ep, "phase_totals")
+        )
+        # re-read the just-written state so plan/manifest derive from one
+        # materialization (not a second evaluation of the agg)
+        totals_r = spark_active.read.schema(
+            "lang string, n_docs long, n_tokens long"
+        ).parquet(os.path.join(ep, "totals"))
+        phases_r = spark_active.read.schema(
+            "phase int, n_docs long"
+        ).parquet(os.path.join(ep, "phase_totals"))
+        fx = totals_r.select(
+            "*",
+            F.round(F.pow(F.col("n_tokens"), F.lit(alpha)) * F.lit(FX), 0)
+            .cast("bigint")
+            .alias("term_fx"),
+        )
+        t2 = fx.agg(
+            F.sum("term_fx").cast("bigint").alias("tot_fx"),
+            F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        )
+        w = F.col("term_fx").cast("double") / F.col("tot_fx")
+        plan = fx.crossJoin(F.broadcast(t2)).select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(w * F.col("tot_tokens") / F.col("n_tokens"), 6).alias(
+                "oversample"
+            ),
+        )
+        plan.write.mode("overwrite").parquet(os.path.join(ep, "plan"))
+        # phase boundary manifest: offset = docs in all lower phases
+        # (3-row frame; the self-join cumsum keeps it engine-trivial)
+        p2 = phases_r.select(
+            F.col("phase").alias("p2"), F.col("n_docs").alias("nd2")
+        )
+        manifest = (
+            phases_r.join(p2, F.col("p2") < F.col("phase"), "left")
+            .groupBy("phase", "n_docs")
+            .agg(
+                F.coalesce(F.sum("nd2"), F.lit(0))
+                .cast("bigint")
+                .alias("phase_offset")
+            )
+        )
+        manifest.write.mode("overwrite").parquet(os.path.join(ep, "phases"))
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
