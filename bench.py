@@ -253,6 +253,16 @@ HEADLINE = [
     # round 16: per-epoch metadata-only global re-shuffle (swap-or-not
     # bijection over stored positions; store bytes never rewritten)
     "llm_epoch_reshuffle",
+    # round 16: governance ladder rung 3 (exact-integer ordered EMD)
+    "llm_t_closeness",
+    # round 16: LPA communities over the memoized dup graph
+    "llm_lpa_communities",
+    # round 16: deterministic KLL sketch cells (one global rank + narrow
+    # per-level integer filters)
+    "q113_kll_quantiles",
+    # round 16: suffix-array ground truth + shingle audit (exact tier is
+    # a memoized artifact; audit adds the two live shingle passes)
+    "llm_suffix_audit",
 ]
 
 

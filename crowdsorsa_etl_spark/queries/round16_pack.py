@@ -501,3 +501,90 @@ def llm_suffix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ===========================================================================
+# q114_hll_distinct — HyperLogLog cardinality sketch over lineitem
+# l_orderkey: completes the mergeable-sketch triad (q92_countmin =
+# frequency, q113_kll_quantiles = quantiles, this = distinct count).
+# operators/hll.py has the portability contract: md5-derived hex60 item
+# hash, rho from bin()-string length (no libm log2), EXACT BIGINT
+# 2^-M fold via shifts — the one-row output pins every register through
+# the ordered reg_md5 chain plus the integer fold, so the hash gate
+# checks the sketch cell-exactly, and est/rel_err ride one final float
+# division with literal constants (the pagerank FX posture).
+# ===========================================================================
+
+
+def _hll_sql() -> str:
+    from crowdsorsa_etl_spark.operators.hll import hll_summary_sql
+
+    return hll_summary_sql(
+        "SELECT l_orderkey FROM lineitem", "l_orderkey"
+    )
+
+
+@register("q114_hll_distinct", _hll_sql())
+def q114_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-256 register sketch + estimate over distinct order keys."""
+    from crowdsorsa_etl_spark.operators.hll import (
+        HLL_M,
+        HLL_WBITS,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_orderkey")
+    fold = regs.agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        (
+            F.coalesce(
+                # shiftleft with a COLUMN bit count needs the SQL form —
+                # the python F.shiftleft only takes a literal int
+                F.sum(
+                    F.expr(
+                        f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - r)"
+                    )
+                ),
+                F.lit(0),
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (HLL_WBITS + 1)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_fx"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("idx").alias("idx"),
+                                F.concat_ws(
+                                    ":",
+                                    F.col("idx").cast("string"),
+                                    F.col("r").cast("string"),
+                                ).alias("txt"),
+                            )
+                        )
+                    ),
+                    lambda s: s["txt"],
+                ),
+            )
+        ).alias("reg_md5"),
+    )
+    ex = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_exact"))
+    est = hll_estimate_expr(F.col("sum_fx"), F.col("v_zero"))
+    return fold.crossJoin(F.broadcast(ex)).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        "v_zero",
+        "sum_fx",
+        "reg_md5",
+        "n_exact",
+        F.round(est, 6).alias("est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )

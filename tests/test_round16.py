@@ -440,3 +440,56 @@ class TestMixStream:
             ).collect()
         )
         assert first == again
+
+
+class TestHllSketch:
+    def test_rho_matches_python_reference(self, spark):
+        """Register index and rho from the DataFrame program must equal a
+        literal python recompute of the same md5-derived hash."""
+        import hashlib
+
+        from crowdsorsa_etl_spark.operators.hll import (
+            HLL_WBITS,
+            hll_registers,
+        )
+
+        vals = list(range(200))
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            r["idx"]: r["r"] for r in hll_registers(df, "x").collect()
+        }
+        ref: dict[int, int] = {}
+        for v in vals:
+            h = int(hashlib.md5(f"hll:v1:{v}".encode()).hexdigest()[:15], 16)
+            idx, w = h >> HLL_WBITS, h & ((1 << HLL_WBITS) - 1)
+            rho = HLL_WBITS + 1 if w == 0 else HLL_WBITS - w.bit_length() + 1
+            ref[idx] = max(ref.get(idx, 0), rho)
+        assert got == ref
+
+    def test_merge_is_register_max(self, spark):
+        """Sketches of two halves merged by per-register max == the
+        one-shot sketch — the mergeability contract."""
+        from crowdsorsa_etl_spark.operators.hll import hll_registers
+
+        df = spark.createDataFrame([(v,) for v in range(3000)], "x long")
+        full = {
+            r["idx"]: r["r"] for r in hll_registers(df, "x").collect()
+        }
+        a = hll_registers(df.filter(F.col("x") % 2 == 0), "x").collect()
+        b = hll_registers(df.filter(F.col("x") % 2 == 1), "x").collect()
+        merged: dict[int, int] = {}
+        for r in list(a) + list(b):
+            merged[r["idx"]] = max(merged.get(r["idx"], 0), r["r"])
+        assert merged == full
+
+    def test_error_bound_on_fixture(self, spark):
+        """Relative error within 3 standard errors (3 * 1.04 / sqrt(256)
+        = 0.195) and the integer fold consistent with v_zero."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        row = QUERIES["q114_hll_distinct"](spark, SF_DIR).collect()[0]
+        assert row["rel_err"] <= 3 * 1.04 / 16
+        assert row["m"] == 256
+        assert 0 <= row["v_zero"] <= 256
+        # every register contributes at least 2^0=1 scaled by 2^53
+        assert row["sum_fx"] >= 256
