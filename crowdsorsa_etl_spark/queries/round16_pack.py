@@ -588,3 +588,117 @@ def q114_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ===========================================================================
+# llm_bloom_prune — the BROADCAST shape of the decontamination probe
+# (operators/bloom.py): a 4-hash/2^16-bit Bloom of the eval set's 8-gram
+# window hashes, probed by every distinct corpus window — what replaces
+# the corpus-side shuffle of llm_substring_decontamination's semi-join
+# at 100 TB (Spark's runtime bloomFilter rewrite, rebuilt from portable
+# md5 words so the oracle pins every packed 63-bit word through
+# filter_md5). Reports the measured FP rate next to exact-match truth;
+# n_false_neg is the structural invariant — a Bloom NEVER misses, so the
+# column must be exactly 0 (and the pytest gates it).
+# ===========================================================================
+
+_BLOOM_SHINGLE_K = 8
+
+
+def _bloom_sql() -> str:
+    from crowdsorsa_etl_spark.operators.bloom import bloom_prune_sql
+    from crowdsorsa_etl_spark.operators.substring import _NORM
+
+    k = _BLOOM_SHINGLE_K
+
+    def keys(pred: str) -> str:
+        return f"""
+        SELECT DISTINCT md5(array_to_string(
+                 arr[CAST(i AS INT):CAST(i + {k} - 1 AS INT)], ' ')) AS s
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS arr
+              FROM documents WHERE {pred}) toks,
+             UNNEST(range(1, len(arr) - {k} + 2)) AS t(i)
+        """
+
+    return bloom_prune_sql(keys("doc_id % 10 = 0"), keys("doc_id % 10 != 0"))
+
+
+@register("llm_bloom_prune", _bloom_sql())
+def llm_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prune audit: eval-window filter vs distinct corpus windows,
+    exact FP accounting, zero false negatives by construction."""
+    from crowdsorsa_etl_spark.operators.bloom import (
+        BLOOM_K,
+        bloom_build,
+        bloom_probe,
+    )
+    from crowdsorsa_etl_spark.queries._shared import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir, _BLOOM_SHINGLE_K)
+    ek = (
+        sh.filter(F.col("doc_id") % 10 == 0).select("sh").distinct()
+        .withColumnRenamed("sh", "s")
+    )
+    pk = (
+        sh.filter(F.col("doc_id") % 10 != 0).select("sh").distinct()
+        .withColumnRenamed("sh", "s")
+    )
+    flt = bloom_build(ek)
+    fchain = flt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("word").alias("word"),
+                                F.concat_ws(
+                                    ":",
+                                    F.col("word").cast("string"),
+                                    F.col("bits").cast("string"),
+                                ).alias("txt"),
+                            )
+                        )
+                    ),
+                    lambda s: s["txt"],
+                ),
+            )
+        ).alias("filter_md5"),
+    )
+    probed = bloom_probe(pk, flt).join(
+        ek.withColumn("truth", F.lit(True)), "s", "left"
+    ).select(
+        "s", "bloom_pass", F.coalesce(F.col("truth"), F.lit(False)).alias("truth")
+    )
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.col("bloom_pass").cast("int")).cast("bigint").alias("n_pass"),
+        F.sum(F.col("truth").cast("int")).cast("bigint").alias("n_true"),
+        F.sum((F.col("bloom_pass") & ~F.col("truth")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum((F.col("truth") & ~F.col("bloom_pass")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+    return fchain.crossJoin(F.broadcast(agg)).select(
+        "n_words",
+        "filter_md5",
+        "n_probes",
+        "n_pass",
+        "n_true",
+        "n_false_pos",
+        "n_false_neg",
+        F.when(F.col("n_probes") - F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_false_pos")
+                * F.lit(1.0)
+                / (F.col("n_probes") - F.col("n_true")),
+                6,
+            )
+        )
+        .alias("fp_rate"),
+    )

@@ -493,3 +493,35 @@ class TestHllSketch:
         assert 0 <= row["v_zero"] <= 256
         # every register contributes at least 2^0=1 scaled by 2^53
         assert row["sum_fx"] >= 256
+
+
+class TestBloomPrune:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        """Structural Bloom invariant: zero false negatives; FP rate at
+        this load factor must sit well under the design point."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        row = QUERIES["llm_bloom_prune"](spark, SF_DIR).collect()[0]
+        assert row["n_false_neg"] == 0
+        assert row["n_pass"] == row["n_true"] + row["n_false_pos"]
+        assert row["fp_rate"] <= 0.05
+        assert 1 <= row["n_words"] <= (1 << 16) // 63 + 1
+
+    def test_probe_matches_exact_membership_on_planted_keys(self, spark):
+        """Planted keys: every inserted key passes; the pass set over a
+        disjoint probe set equals {inserted} ∪ {measured FPs}."""
+        from crowdsorsa_etl_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        ek = spark.createDataFrame([(f"k{i}",) for i in range(100)], "s string")
+        flt = bloom_build(ek)
+        self_probe = bloom_probe(ek, flt)
+        assert all(r["bloom_pass"] for r in self_probe.collect())
+        other = spark.createDataFrame(
+            [(f"x{i}",) for i in range(1000)], "s string"
+        )
+        fp = sum(1 for r in bloom_probe(other, flt).collect() if r["bloom_pass"])
+        # 100 keys in 2^16 bits, k=4: fp ~ (1-exp(-400/65536))^4 ~ 1.4e-9
+        assert fp == 0
