@@ -893,7 +893,12 @@ def llm_image_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         _sf_cache_dir(sf_dir, "imgidx_v1", "documents"), "idx"
     )
-    if not os.path.isdir(os.path.join(path, "bands")):
+    # guard on _SUCCESS, not the dir: a killed build leaves an EMPTY
+    # bands/ dir that a bare isdir() check would serve forever (this
+    # exact poisoning happened once — UNABLE_TO_INFER_SCHEMA in a sweep
+    # after a timed-out builder); Spark writes _SUCCESS last, so its
+    # presence means the partitioned write completed
+    if not os.path.exists(os.path.join(path, "bands", "_SUCCESS")):
         corpus = attach_png_payload(
             _ci_keyed(docs.filter(F.col("doc_id") < _IDX_SPLIT)),
             text_col="img_key",
