@@ -124,3 +124,35 @@ def hll_summary_sql(source_sql: str, value_sql: str, *, seed: str = "hll:v1:") -
                  / e.n_exact, 6) AS rel_err
     FROM fold f, ex e
     """
+
+
+def hll_est_case_sql(sum_fx: str, v_zero: str) -> str:
+    """Unrounded estimate expression over an exact integer fold — shared
+    by the one-shot summary and the windowed rollup oracles."""
+    scale = 1 << (HLL_WBITS + 1)
+    raw = (
+        f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {float(HLL_M * HLL_M)!r}"
+        f" * {float(scale)!r} / CAST({sum_fx} AS DOUBLE))"
+    )
+    lc = f"({float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({v_zero} AS DOUBLE)))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {v_zero} > 0"
+        f" THEN {lc} ELSE {raw} END"
+    )
+
+
+def hll_fold_sql(regs: str, group: str = "") -> str:
+    """Fold a register relation (idx, r [, group cols]) into v_zero /
+    sum_fx / reg_md5, optionally grouped."""
+    g_sel = f"{group}, " if group else ""
+    g_by = f"GROUP BY {group}" if group else ""
+    return f"""
+      SELECT {g_sel}
+             CAST({HLL_M} - count(*) AS BIGINT) AS v_zero,
+             CAST(coalesce(sum(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - r)), 0)
+                  + ({HLL_M} - count(*)) * CAST({1 << (HLL_WBITS + 1)} AS BIGINT)
+                  AS BIGINT) AS sum_fx,
+             md5(string_agg(CAST(idx AS VARCHAR) || ':' || CAST(r AS VARCHAR),
+                            ',' ORDER BY idx)) AS reg_md5
+      FROM {regs} {g_by}
+    """

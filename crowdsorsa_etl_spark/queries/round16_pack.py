@@ -702,3 +702,190 @@ def llm_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("fp_rate"),
     )
+
+
+# ===========================================================================
+# q115_hll_windows — sketches x event time: per-day HLL of distinct
+# active users over events, PLUS the rollup row proving mergeability
+# in-query: the month row's registers are the per-register max of the
+# 30 daily sketches AND must chain-hash identical to a direct
+# whole-range sketch (merged_eq_direct pinned TRUE by the oracle). This
+# is the shape a 100 TB metrics pipeline stores — daily register tables,
+# any ad-hoc range answered by max-merge, never a re-scan. Daily
+# cardinalities sit in HLL's linear-counting regime (V > 0, raw E <=
+# 2.5m) — the LC branch selects on exact integers so both engines take
+# the same branch; ln() is the one float, absorbed by 6-dp rounding.
+# ===========================================================================
+
+
+def _hll_windows_sql() -> str:
+    from crowdsorsa_etl_spark.operators.hll import (
+        hll_est_case_sql,
+        hll_fold_sql,
+        hll_registers_sql,
+    )
+
+    from crowdsorsa_etl_spark.functions.portable_hash import hex60_sql
+    from crowdsorsa_etl_spark.operators.hll import HLL_WBITS
+
+    day = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+    est = hll_est_case_sql("f.sum_fx", "f.v_zero")
+    direct = hll_registers_sql("SELECT user_id FROM events", "user_id")
+    pow_w = 1 << HLL_WBITS
+    h = hex60_sql("'hll:v1:' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH ev AS MATERIALIZED (SELECT {day} AS day, user_id FROM events),
+    hr AS MATERIALIZED (
+      SELECT day, CAST(h // {pow_w} AS INT) AS idx,
+             CAST(max(CASE WHEN h % {pow_w} = 0 THEN {HLL_WBITS + 1}
+                      ELSE {HLL_WBITS} - length(bin(h % {pow_w})) + 1
+                      END) AS INT) AS r
+      FROM (SELECT day, {h} AS h FROM ev)
+      GROUP BY 1, 2
+    ),
+    dayfold AS ({hll_fold_sql("hr", "day")}),
+    dayexact AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM ev GROUP BY day
+    ),
+    merged AS (SELECT idx, max(r) AS r FROM hr GROUP BY idx),
+    mergedfold AS ({hll_fold_sql("merged")}),
+    direct AS ({direct}),
+    directfold AS ({hll_fold_sql("direct")}),
+    allexact AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM ev
+    )
+    SELECT day, x.n_exact, f.v_zero,
+           round({est}, 6) AS est,
+           round(abs({est} - x.n_exact) / x.n_exact, 6) AS rel_err,
+           f.reg_md5,
+           CAST(NULL AS BOOLEAN) AS merged_eq_direct
+    FROM dayfold f JOIN dayexact x USING (day)
+    UNION ALL
+    SELECT 'ALL' AS day, x.n_exact, f.v_zero,
+           round({est}, 6) AS est,
+           round(abs({est} - x.n_exact) / x.n_exact, 6) AS rel_err,
+           f.reg_md5,
+           (f.reg_md5 = (SELECT reg_md5 FROM directfold)) AS merged_eq_direct
+    FROM mergedfold f, allexact x
+    """
+
+
+@register("q115_hll_windows", _hll_windows_sql())
+def q115_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL distinct-user sketches + the max-merged month rollup
+    hash-verified against a direct whole-range sketch."""
+    from crowdsorsa_etl_spark.functions.portable_hash import hex60_spark
+    from crowdsorsa_etl_spark.operators.hll import (
+        HLL_M,
+        HLL_WBITS,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    h = hex60_spark(F.concat(F.lit("hll:v1:"), F.col("user_id").cast("string")))
+    pow_w = 1 << HLL_WBITS
+    hashed = ev.select("day", h.alias("_h")).select(
+        "day",
+        F.expr(f"_h div {pow_w}").cast("int").alias("idx"),
+        (F.col("_h") % F.lit(pow_w)).alias("_w"),
+    )
+    rho = (
+        F.when(F.col("_w") == 0, HLL_WBITS + 1)
+        .otherwise(F.lit(HLL_WBITS) - F.length(F.bin(F.col("_w"))) + 1)
+        .cast("int")
+    )
+    hr = (
+        hashed.select("day", "idx", rho.alias("_rho"))
+        .groupBy("day", "idx")
+        .agg(F.max("_rho").cast("int").alias("r"))
+    )
+
+    def fold(regs: DataFrame, keys: list[str]) -> DataFrame:
+        gb = regs.groupBy(*keys) if keys else regs.groupBy()
+        return gb.agg(
+            (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - r)"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << (HLL_WBITS + 1)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_fx"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("idx").alias("idx"),
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("idx").cast("string"),
+                                        F.col("r").cast("string"),
+                                    ).alias("txt"),
+                                )
+                            )
+                        ),
+                        lambda s: s["txt"],
+                    ),
+                )
+            ).alias("reg_md5"),
+        )
+
+    est = hll_estimate_expr(F.col("sum_fx"), F.col("v_zero"))
+    dayfold = fold(hr, ["day"])
+    dayexact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    day_rows = dayfold.join(dayexact, "day").select(
+        "day",
+        "n_exact",
+        "v_zero",
+        F.round(est, 6).alias("est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+        "reg_md5",
+        F.lit(None).cast("boolean").alias("merged_eq_direct"),
+    )
+    merged = hr.groupBy("idx").agg(F.max("r").cast("int").alias("r"))
+    mergedfold = fold(merged, [])
+    directfold = fold(hll_registers(ev, "user_id"), []).select(
+        F.col("reg_md5").alias("_direct_md5")
+    )
+    allexact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    all_row = (
+        mergedfold.crossJoin(F.broadcast(allexact))
+        .crossJoin(F.broadcast(directfold))
+        .select(
+            F.lit("ALL").alias("day"),
+            "n_exact",
+            "v_zero",
+            F.round(est, 6).alias("est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+            "reg_md5",
+            (F.col("reg_md5") == F.col("_direct_md5")).alias(
+                "merged_eq_direct"
+            ),
+        )
+    )
+    return day_rows.unionAll(all_row)

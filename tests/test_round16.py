@@ -525,3 +525,19 @@ class TestBloomPrune:
         fp = sum(1 for r in bloom_probe(other, flt).collect() if r["bloom_pass"])
         # 100 keys in 2^16 bits, k=4: fp ~ (1-exp(-400/65536))^4 ~ 1.4e-9
         assert fp == 0
+
+
+class TestHllWindows:
+    def test_rollup_merge_equals_direct_and_bounds(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        rows = QUERIES["q115_hll_windows"](spark, SF_DIR).collect()
+        all_rows = [r for r in rows if r["day"] == "ALL"]
+        day_rows = [r for r in rows if r["day"] != "ALL"]
+        assert len(all_rows) == 1
+        assert all_rows[0]["merged_eq_direct"] is True
+        assert day_rows
+        for r in day_rows:
+            assert r["merged_eq_direct"] is None
+            assert r["rel_err"] <= 3 * 1.04 / 16  # 3 sigma at m=256
+            assert 0 <= r["v_zero"] <= 256
