@@ -234,3 +234,121 @@ def kll_sql(
     )"""
             )
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def kll_cells_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    tiebreak_cols: list,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+) -> DataFrame:
+    """Per-group deterministic KLL: one sketch per distinct group key —
+    the per-domain quantile table a curation pipeline stores (length
+    quantiles per source, score quantiles per language).
+
+    Same closed form as :func:`kll_cells_sorted` with the stream length
+    ``m`` carried as a COLUMN (the group size) instead of a driver int:
+    ranking is a window partitioned BY GROUP (parallel across groups —
+    no global sort at all here), and each level is narrow integer
+    arithmetic + a lineage cut (same CollapseProject rationale).
+    Returns (group_cols..., level, pos, value, weight).
+    """
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+
+    if k < 2 or k % 2:
+        raise ValueError(f"k must be even and >= 2, got {k}")
+    base = df.select(
+        *group_cols,
+        F.col(value_col).cast("bigint").alias("value"),
+        *tiebreak_cols,
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("value"), *[F.col(str(c)) for c in tiebreak_cols]
+    )
+    sizes = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    ranked = (
+        base.withColumn("p", (F.row_number().over(w) - 1).cast("bigint"))
+        .join(F.broadcast(sizes), group_cols)
+        .select(*group_cols, "value", "p", "m")
+    )
+    out = None
+    for level in range(max_levels):
+        ranked = truncate_lineage(ranked)
+        complete = F.expr(f"m div {k}")
+        cells = ranked.filter(F.col("p") >= complete * k).select(
+            *group_cols,
+            F.lit(level).cast("int").alias("level"),
+            (F.col("p") - complete * k).cast("bigint").alias("pos"),
+            "value",
+            F.lit(1 << level).cast("bigint").alias("weight"),
+        )
+        out = cells if out is None else out.unionAll(cells)
+        ranked = ranked.filter(
+            (F.col("p") < complete * k) & (F.col("p") % 2 == 0)
+        ).select(
+            *group_cols,
+            "value",
+            (
+                F.expr(f"p div {k}") * (k // 2) + F.expr(f"(p % {k}) div 2")
+            )
+            .cast("bigint")
+            .alias("p"),
+            (complete * (k // 2)).cast("bigint").alias("m"),
+        )
+        if ranked.isEmpty():
+            break
+    return out
+
+
+def kll_grouped_sql(
+    source_sql: str,
+    group_sql: str,
+    value_sql: str,
+    order_sql: str,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+) -> str:
+    """DuckDB replay of :func:`kll_cells_grouped`: per-group row_number +
+    the integer recurrence with m as the group-size column."""
+    parts = [
+        f"""
+    r AS MATERIALIZED (
+      SELECT {group_sql} AS grp,
+             CAST({value_sql} AS BIGINT) AS value,
+             CAST(row_number() OVER (PARTITION BY {group_sql}
+                                     ORDER BY {order_sql}) - 1 AS BIGINT) AS p,
+             CAST(count(*) OVER (PARTITION BY {group_sql}) AS BIGINT) AS m
+      FROM ({source_sql})
+    ),
+    l0 AS (SELECT grp, value, p, m FROM r)"""
+    ]
+    selects = []
+    for lv in range(max_levels):
+        selects.append(
+            f"""
+    SELECT grp, CAST({lv} AS INT) AS level,
+           CAST(p - (m // {k}) * {k} AS BIGINT) AS pos,
+           value,
+           CAST({1 << lv} AS BIGINT) AS weight
+    FROM l{lv} WHERE p >= (m // {k}) * {k}"""
+        )
+        if lv + 1 < max_levels:
+            parts.append(
+                f"""
+    l{lv + 1} AS MATERIALIZED (
+      SELECT grp, value,
+             (p // {k}) * {k // 2} + (p % {k}) // 2 AS p,
+             (m // {k}) * {k // 2} AS m
+      FROM l{lv}
+      WHERE p < (m // {k}) * {k} AND p % 2 = 0
+    )"""
+            )
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)

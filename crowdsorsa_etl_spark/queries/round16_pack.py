@@ -889,3 +889,45 @@ def q115_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return day_rows.unionAll(all_row)
+
+
+# ===========================================================================
+# q116_kll_grouped — one KLL sketch PER GROUP (l_returnflag): the
+# per-domain quantile table a curation pipeline materializes (length
+# quantiles per source, score quantiles per language) — q113's closed
+# form with the stream length m carried as the group-size COLUMN, and
+# ranking a group-PARTITIONED window (parallel across groups, no global
+# sort at all). Cells are hash-pinned per group; weights conserve the
+# group sizes exactly.
+# ===========================================================================
+
+
+def _kll_grouped_sql() -> str:
+    from crowdsorsa_etl_spark.operators.kll import kll_grouped_sql
+
+    return kll_grouped_sql(
+        "SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " AS cents, l_orderkey, l_linenumber FROM lineitem",
+        "l_returnflag",
+        "cents",
+        "cents, l_orderkey, l_linenumber",
+        k=_KLL_K,
+    )
+
+
+@register("q116_kll_grouped", _kll_grouped_sql())
+def q116_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag KLL sketch cells over exact price cents."""
+    from crowdsorsa_etl_spark.operators.kll import kll_cells_grouped
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return kll_cells_grouped(
+        li, ["l_returnflag"], "cents", ["l_orderkey", "l_linenumber"], k=_KLL_K
+    ).withColumnRenamed("l_returnflag", "grp")

@@ -541,3 +541,39 @@ class TestHllWindows:
             assert r["merged_eq_direct"] is None
             assert r["rel_err"] <= 3 * 1.04 / 16  # 3 sigma at m=256
             assert 0 <= r["v_zero"] <= 256
+
+
+class TestKllGrouped:
+    def test_per_group_weight_conservation_and_parity(self, spark):
+        """Each group's cell weights sum to the group size exactly, and
+        each group's cells equal the sequential reference on that
+        group's sorted values."""
+        from crowdsorsa_etl_spark.operators.kll import (
+            kll_cells_grouped,
+            kll_cells_py,
+        )
+        from crowdsorsa_etl_spark.queries._shared import _t
+
+        li = _t(spark, SF_DIR, "lineitem").select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        cells = kll_cells_grouped(
+            li, ["l_returnflag"], "cents", ["l_orderkey", "l_linenumber"]
+        ).collect()
+        vals: dict[str, list[int]] = {}
+        for r in li.collect():
+            vals.setdefault(r["l_returnflag"], []).append(r["cents"])
+        by_grp: dict[str, list] = {}
+        for c in cells:
+            by_grp.setdefault(c["l_returnflag"], []).append(c)
+        assert set(by_grp) == set(vals)
+        for g, rows in by_grp.items():
+            assert sum(r["weight"] for r in rows) == len(vals[g])
+            got = sorted((r["level"], r["pos"], r["value"]) for r in rows)
+            ref = sorted((lv, pos, v) for lv, pos, v, _w in kll_cells_py(vals[g]))
+            assert got == ref, g
