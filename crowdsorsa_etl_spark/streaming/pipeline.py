@@ -2139,3 +2139,100 @@ def start_mix_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_hll_stream(
+    events_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    seed: str = "hll:v1:",
+):
+    """Streaming distinct-count: fold each micro-batch's HLL registers
+    into the carried register table (per-register max — HLL merge IS the
+    carried-state fold), emit the updated estimate per epoch.
+
+    State is O(m) rows regardless of stream length — the sketch property
+    that makes lifetime-distinct-users a streaming-safe metric where an
+    exact distinct would grow without bound. Per epoch writes:
+
+    * ``epoch=<e>/registers`` — the merged (idx, r) table (new state);
+    * ``epoch=<e>/summary``  — one row: v_zero, sum_fx (exact BIGINT
+      fold), est (operators/hll estimate with the LC branch).
+
+    Replay safety: the epoch-versioned state posture (start_mix_stream) —
+    epoch e merges ONTO the newest state < e, so a crashed-and-replayed
+    epoch re-derives from the same predecessor; merge idempotence (max)
+    additionally makes even a double-fold of the same batch harmless —
+    the property tests/test_round16.py pins as
+    stream-final == one-shot batch sketch.
+    """
+    import os
+
+    from crowdsorsa_etl_spark.operators.hll import (
+        HLL_M,
+        HLL_WBITS,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    spark_active = events_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(store_path) if os.path.isdir(store_path) else []
+            )
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        regs = hll_registers(batch_df, key_col, seed=seed)
+        if prior:
+            carried = spark_active.read.schema("idx int, r int").parquet(
+                os.path.join(store_path, f"epoch={max(prior)}", "registers")
+            )
+            regs = (
+                regs.unionAll(carried)
+                .groupBy("idx")
+                .agg(F.max("r").cast("int").alias("r"))
+            )
+        ep = os.path.join(store_path, f"epoch={e}")
+        regs.write.mode("overwrite").parquet(os.path.join(ep, "registers"))
+        regs_r = spark_active.read.schema("idx int, r int").parquet(
+            os.path.join(ep, "registers")
+        )
+        fold = regs_r.agg(
+            (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - r)"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << (HLL_WBITS + 1)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_fx"),
+        )
+        fold.select(
+            "v_zero",
+            "sum_fx",
+            F.round(
+                hll_estimate_expr(F.col("sum_fx"), F.col("v_zero")), 6
+            ).alias("est"),
+        ).write.mode("overwrite").parquet(os.path.join(ep, "summary"))
+
+    return (
+        events_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

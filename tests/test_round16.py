@@ -577,3 +577,64 @@ class TestKllGrouped:
             got = sorted((r["level"], r["pos"], r["value"]) for r in rows)
             ref = sorted((lv, pos, v) for lv, pos, v, _w in kll_cells_py(vals[g]))
             assert got == ref, g
+
+
+class TestHllStream:
+    def test_stream_final_equals_batch_sketch_and_replay_safe(
+        self, spark, tmp_path
+    ):
+        """Carried-register stream over 3 batches must end at exactly the
+        one-shot sketch; losing the checkpoint and replaying must land on
+        the same registers (max-merge idempotence)."""
+        import os
+        import shutil
+
+        from crowdsorsa_etl_spark.operators.hll import hll_registers
+        from crowdsorsa_etl_spark.queries._shared import _t
+        from crowdsorsa_etl_spark.streaming.pipeline import start_hll_stream
+
+        src = str(tmp_path / "ev")
+        os.makedirs(src)
+        ev = _t(spark, SF_DIR, "events").select("user_id")
+        for i in range(3):
+            staging = str(tmp_path / f"_s{i}")
+            ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(staging, part), os.path.join(src, f"b{i}.parquet"))
+        store = str(tmp_path / "store")
+
+        def run():
+            q = start_hll_stream(
+                spark.readStream.schema("user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                store,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        def final_regs():
+            epochs = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(store)
+                if d.startswith("epoch=")
+            ]
+            return {
+                r["idx"]: r["r"]
+                for r in spark.read.schema("idx int, r int").parquet(
+                    os.path.join(store, f"epoch={max(epochs)}", "registers")
+                ).collect()
+            }
+
+        run()
+        first = final_regs()
+        batch = {r["idx"]: r["r"] for r in hll_registers(ev, "user_id").collect()}
+        assert first == batch
+        shutil.rmtree(str(tmp_path / "ckpt"))
+        run()
+        assert final_regs() == batch
