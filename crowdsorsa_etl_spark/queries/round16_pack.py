@@ -931,3 +931,134 @@ def q116_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_cells_grouped(
         li, ["l_returnflag"], "cents", ["l_orderkey", "l_linenumber"], k=_KLL_K
     ).withColumnRenamed("l_returnflag", "grp")
+
+
+# ===========================================================================
+# llm_jl_transform — Johnson–Lindenstrauss random projection 64 -> 16
+# with its distortion MEASURED in-query (the fp_rate/suffix-audit
+# posture: an approximation ships with its loss). The Rademacher sign
+# matrix is a pure function of (seed, k, j) computed DRIVER-side and
+# embedded as literals in BOTH plans (the pagerank-constants posture) —
+# no per-row hashing; the projection itself is row-local arithmetic that
+# stays in whole-stage codegen, which is what makes JL the cheap first
+# stage of an embedding pipeline at 100 TB (16/64ths the bytes into
+# every downstream shuffle). 120 probe pairs: exact cosine in original
+# vs projected space, 6-dp rounded (the proven float-parity discipline).
+# ===========================================================================
+
+_JL_IN, _JL_OUT = 64, 16
+_JL_PAIR_IDS = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"jl:v1:{k}:{j}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 2
+            )
+            for j in range(_JL_IN)
+        ]
+        for k in range(_JL_OUT)
+    ]
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    import math
+
+    inv = 1.0 / math.sqrt(_JL_OUT)
+    comps = ", ".join(
+        f"list_dot_product(v, CAST({signs[k]} AS DOUBLE[])) * {inv!r}"
+        for k in range(_JL_OUT)
+    )
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < {_JL_PAIR_IDS}
+    ),
+    p AS (SELECT id, v, [{comps}] AS y FROM e)
+    SELECT a.id AS id_a, b.id AS id_b,
+           {cos.format(a="a.v", b="b.v")} AS cos_orig,
+           {cos.format(a="a.y", b="b.y")} AS cos_proj,
+           round(abs({cos.format(a="a.v", b="b.v")}
+                     - {cos.format(a="a.y", b="b.y")}), 6) AS abs_err
+    FROM p a JOIN p b ON a.id < b.id
+    """
+
+
+@register("llm_jl_transform", _jl_sql())
+def llm_jl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL 64->16 Rademacher projection; per-pair cosine distortion."""
+    import math
+
+    signs = _jl_signs()
+    inv = 1.0 / math.sqrt(_JL_OUT)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_PAIR_IDS)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    y = F.array(
+        *[
+            (
+                dot(
+                    F.col("v"),
+                    F.array(*[F.lit(float(s)) for s in signs[k]]),
+                )
+                * F.lit(inv)
+            )
+            for k in range(_JL_OUT)
+        ]
+    )
+    p = emb.select("id", "v", y.alias("y"))
+    a = p.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    b = p.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("y").alias("yb")
+    )
+
+    def cos(x, z):
+        return F.round(
+            dot(F.col(x), F.col(z))
+            / (F.sqrt(dot(F.col(x), F.col(x))) * F.sqrt(dot(F.col(z), F.col(z)))),
+            6,
+        )
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cos("va", "vb").alias("cos_orig"),
+            cos("ya", "yb").alias("cos_proj"),
+            F.round(F.abs(cos("va", "vb") - cos("ya", "yb")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

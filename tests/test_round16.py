@@ -638,3 +638,25 @@ class TestHllStream:
         shutil.rmtree(str(tmp_path / "ckpt"))
         run()
         assert final_regs() == batch
+
+
+class TestJlTransform:
+    def test_distortion_within_jl_regime(self, spark):
+        """64->16 Rademacher projection: mean cosine distortion small,
+        max bounded — the measured-loss contract; signs are a pure
+        function of the seed so the matrix is identical across runs."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.queries.round16_pack import _jl_signs
+
+        signs = _jl_signs()
+        assert len(signs) == 16 and all(len(r) == 64 for r in signs)
+        assert all(v in (-1, 1) for r in signs for v in r)
+        assert signs == _jl_signs()
+        rows = QUERIES["llm_jl_transform"](spark, SF_DIR).collect()
+        assert len(rows) == 120
+        errs = [r["abs_err"] for r in rows]
+        # 16 output dims => eps ~ 1/sqrt(16) = 0.25 per-pair scale; the
+        # gate pins the measured regime (a broken projection — wrong
+        # signs, dropped scale — lands far outside it)
+        assert max(errs) <= 0.8
+        assert sum(errs) / len(errs) <= 0.25
