@@ -85,6 +85,7 @@ def duplicated_substring_spans(
     min_run: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans of >= ``min_run`` tokens per document.
 
@@ -100,7 +101,10 @@ def duplicated_substring_spans(
     if min_run < 2:
         raise ValueError(f"min_run must be >= 2, got {min_run}")
     k = min_run
-    sh = _shingle_positions(df, id_col, text_col, k)
+    # ``shingles`` injects a precomputed (id, pos, sh) table — the
+    # per-fixture materialized artifact (queries/_shared._doc_shingles),
+    # the same injection contract as substring_decontamination_spans
+    sh = shingles if shingles is not None else _shingle_positions(df, id_col, text_col, k)
 
     # flagged = corpus-wide shingle count >= 2, as groupBy-count + semi
     # join rather than a count window over partitionBy(sh): the partial

@@ -461,6 +461,8 @@ def llm_suffix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_substring_spans,
     )
 
+    from crowdsorsa_etl_spark.queries._shared import _doc_shingles
+
     docs = _t(spark, sf_dir, "documents")
     exact = _suffix_spans(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans_exact"),
@@ -470,7 +472,11 @@ def llm_suffix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for k in (8, 13):
-        sh = duplicated_substring_spans(docs, min_run=k).agg(
+        # both shingle tiers ride their memoized per-fixture artifacts —
+        # the audit's live work is the dup-count + islands only
+        sh = duplicated_substring_spans(
+            docs, min_run=k, shingles=_doc_shingles(spark, sf_dir, k)
+        ).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_spans_shingle"),
             F.coalesce(F.sum("n_tokens"), F.lit(0))
             .cast("bigint")
