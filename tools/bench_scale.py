@@ -304,6 +304,19 @@ HEADLINE = [
     # round 16: per-epoch metadata-only global re-shuffle (swap-or-not
     # bijection over stored positions; store bytes never rewritten)
     "llm_epoch_reshuffle",
+    # round 16 additions: governance EMD (aggregate-grid math), LPA rounds
+    # (O(rounds*E)), sketch builds (rank + narrow filters / map-side
+    # register max), suffix audit (artifact + dup-count/islands), bloom
+    # prune (broadcast filter), JL projection (row-local), grouped KLL
+    "llm_t_closeness",
+    "llm_lpa_communities",
+    "q113_kll_quantiles",
+    "q114_hll_distinct",
+    "q115_hll_windows",
+    "q116_kll_grouped",
+    "llm_suffix_audit",
+    "llm_bloom_prune",
+    "llm_jl_transform",
 ]
 
 
