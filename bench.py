@@ -263,6 +263,13 @@ HEADLINE = [
     # round 16: suffix-array ground truth + shingle audit (exact tier is
     # a memoized artifact; audit adds the two live shingle passes)
     "llm_suffix_audit",
+    # round 16: HLL distinct (one-shot + windowed max-merge rollup),
+    # grouped KLL, bloom prune, JL projection
+    "q114_hll_distinct",
+    "q115_hll_windows",
+    "q116_kll_grouped",
+    "llm_bloom_prune",
+    "llm_jl_transform",
 ]
 
 
