@@ -273,9 +273,12 @@ def kll_cells_grouped(
     sizes = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("m")
     )
+    # no forced broadcast: the size table is one row PER GROUP — tiny for
+    # a handful of domains, but a million-group sketch table must be free
+    # to hash-join on the (already co-partitioned) group key
     ranked = (
         base.withColumn("p", (F.row_number().over(w) - 1).cast("bigint"))
-        .join(F.broadcast(sizes), group_cols)
+        .join(sizes, group_cols)
         .select(*group_cols, "value", "p", "m")
     )
     out = None
