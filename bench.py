@@ -270,6 +270,7 @@ HEADLINE = [
     "q116_kll_grouped",
     "llm_bloom_prune",
     "llm_jl_transform",
+    "llm_hll_setops",
 ]
 
 

@@ -1068,3 +1068,162 @@ def llm_jl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# llm_hll_setops — sketch ALGEBRA on HLL registers: union is native
+# (per-register max, exact in sketch space), intersection is
+# inclusion-exclusion est(A)+est(B)-est(A∪B) — the standard trick and
+# its standard caveat (errors COMPOUND: the intersection estimate's
+# relative error scales with |A∪B|/|A∩B|, not 1.04/√m), so the query
+# ships the measured error next to exact truth (the fp_rate posture).
+# A = buyers (event_type 'purchase'-ish: first type by name), B =
+# another type's users; at 100 TB this is the audience-overlap question
+# answered from two O(m)-byte register tables instead of a key shuffle.
+# ===========================================================================
+
+
+def _hll_setops_sql() -> str:
+    from crowdsorsa_etl_spark.operators.hll import (
+        hll_est_case_sql,
+        hll_fold_sql,
+        hll_registers_sql,
+    )
+
+    est = hll_est_case_sql("f.sum_fx", "f.v_zero")
+
+    def regs(name: str, pred: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+        {hll_registers_sql(f"SELECT user_id FROM events WHERE {pred}", "user_id")}
+        )"""
+
+    tmin = "(SELECT min(event_type) FROM events)"
+    tmax = "(SELECT max(event_type) FROM events)"
+    return f"""
+    WITH {regs("ra", f"event_type = {tmin}")},
+    {regs("rb", f"event_type = {tmax}")},
+    ru AS (
+      SELECT idx, max(r) AS r
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY idx
+    ),
+    fa AS ({hll_fold_sql("ra")}), fb AS ({hll_fold_sql("rb")}),
+    fu AS ({hll_fold_sql("ru")}),
+    ea AS (SELECT round({est.replace("f.", "fa.")}, 6) AS est_a FROM fa),
+    eb AS (SELECT round({est.replace("f.", "fb.")}, 6) AS est_b FROM fb),
+    eu AS (SELECT round({est.replace("f.", "fu.")}, 6) AS est_union FROM fu),
+    ex AS (
+      SELECT CAST(count(DISTINCT CASE WHEN event_type = {tmin}
+                                      THEN user_id END) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN event_type = {tmax}
+                                      THEN user_id END) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT CASE WHEN event_type IN
+                    ({tmin}, {tmax}) THEN user_id END) AS BIGINT) AS n_union
+      FROM events
+    ),
+    ix AS (
+      SELECT CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_inter
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = {tmin}) a
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = {tmax}) b
+        ON a.user_id = b.user_id
+    )
+    SELECT ex.n_a, ex.n_b, ex.n_union, ix.n_inter,
+           ea.est_a, eb.est_b, eu.est_union,
+           round(ea.est_a + eb.est_b - eu.est_union, 6) AS est_inter,
+           round(abs(ea.est_a + eb.est_b - eu.est_union - ix.n_inter)
+                 / greatest(ix.n_inter, 1), 6) AS inter_rel_err
+    FROM ex, ix, ea, eb, eu
+    """
+
+
+@register("llm_hll_setops", _hll_setops_sql())
+def llm_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: native union (register max) + inclusion-exclusion
+    intersection, with its compounded error measured against truth."""
+    from crowdsorsa_etl_spark.operators.hll import (
+        HLL_M,
+        HLL_WBITS,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    bounds = ev.agg(
+        F.min("event_type").alias("tmin"), F.max("event_type").alias("tmax")
+    ).collect()[0]
+    tmin, tmax = bounds["tmin"], bounds["tmax"]
+    a = ev.filter(F.col("event_type") == tmin).select("user_id")
+    b = ev.filter(F.col("event_type") == tmax).select("user_id")
+    ra = hll_registers(a, "user_id")
+    rb = hll_registers(b, "user_id")
+    ru = ra.unionAll(rb).groupBy("idx").agg(F.max("r").cast("int").alias("r"))
+
+    def fold_est(regs: DataFrame, name: str) -> DataFrame:
+        fold = regs.agg(
+            (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - r)"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1)))
+                * F.lit(1 << (HLL_WBITS + 1)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_fx"),
+        )
+        return fold.select(
+            F.round(
+                hll_estimate_expr(F.col("sum_fx"), F.col("v_zero")), 6
+            ).alias(name)
+        )
+
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == tmin, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == tmax, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin([tmin, tmax]), F.col("user_id")
+            )
+        )
+        .cast("bigint")
+        .alias("n_union"),
+    )
+    ix = (
+        a.distinct()
+        .join(b.distinct(), "user_id")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_inter"))
+    )
+    out = (
+        ex.crossJoin(F.broadcast(ix))
+        .crossJoin(F.broadcast(fold_est(ra, "est_a")))
+        .crossJoin(F.broadcast(fold_est(rb, "est_b")))
+        .crossJoin(F.broadcast(fold_est(ru, "est_union")))
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(inter, 6).alias("est_inter"),
+        F.round(
+            F.abs(inter - F.col("n_inter"))
+            / F.greatest(F.col("n_inter"), F.lit(1)),
+            6,
+        ).alias("inter_rel_err"),
+    )

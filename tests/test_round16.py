@@ -660,3 +660,16 @@ class TestJlTransform:
         # signs, dropped scale — lands far outside it)
         assert max(errs) <= 0.8
         assert sum(errs) / len(errs) <= 0.25
+
+
+class TestHllSetops:
+    def test_inclusion_exclusion_and_error(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        r = QUERIES["llm_hll_setops"](spark, SF_DIR).collect()[0]
+        # exact identity on the truth side
+        assert r["n_inter"] == r["n_a"] + r["n_b"] - r["n_union"]
+        # sketch-space sanity: union never exceeds the sum
+        assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-6
+        # compounded-error regime: documented loose bound, not 1.04/sqrt(m)
+        assert r["inter_rel_err"] <= 1.0

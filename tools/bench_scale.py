@@ -317,6 +317,7 @@ HEADLINE = [
     "llm_suffix_audit",
     "llm_bloom_prune",
     "llm_jl_transform",
+    "llm_hll_setops",
 ]
 
 
