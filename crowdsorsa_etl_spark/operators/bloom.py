@@ -70,7 +70,12 @@ def bloom_build(keys: DataFrame, key_col: str = "s") -> DataFrame:
 
 def bloom_probe(probes: DataFrame, flt: DataFrame, key_col: str = "s") -> DataFrame:
     """probes + boolean ``bloom_pass``: all k positions set. ``flt`` is
-    broadcast (it is KBs by construction)."""
+    broadcast (it is KBs by construction). Duplicate probe keys are fine:
+    membership compares hits against the probed-position COUNT per key,
+    not the constant ``BLOOM_K`` (a sum-vs-constant test would report a
+    genuine member as false for any key probed more than once — a
+    false-negative, the one error class a Bloom filter must never make).
+    Output is one row per DISTINCT key."""
     pos_arr = F.array(*_positions_spark(F.col(key_col)))
     exploded = probes.select(
         key_col, F.posexplode(pos_arr).alias("_i", "pos")
@@ -90,7 +95,7 @@ def bloom_probe(probes: DataFrame, flt: DataFrame, key_col: str = "s") -> DataFr
             ).cast("int").alias("_hit"),
         )
         .groupBy(key_col)
-        .agg((F.sum("_hit") == BLOOM_K).alias("bloom_pass"))
+        .agg((F.sum("_hit") == F.count(F.lit(1))).alias("bloom_pass"))
     )
     return hit
 

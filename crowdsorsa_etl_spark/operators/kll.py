@@ -31,6 +31,16 @@ Two engine-level choices make the sketch hash-replayable across engines:
       p' = (p // k) * (k // 2) + (p % k) // 2
       m' = complete * (k // 2)
 
+* **Level cap = flush, never drop** — the cascade is capped at
+  ``max_levels``; the level-``max_levels`` buffer NEVER compacts, it
+  flushes as cells verbatim (weight ``2**max_levels``). Total weight is
+  conserved for every ``n`` — without the flush, any stream longer than
+  ``~k * 2**(max_levels+1)`` rows (``n > 2**21`` at the defaults) would
+  silently discard the still-promoted remainder and break the
+  ``sum(weight) == n`` invariant. The sequential reference
+  (:func:`kll_cells_py`) and :func:`kll_merge` apply the same cap so all
+  four paths agree cell-for-cell at every ``n``.
+
 * **Error bound** — on a sorted stream each level-``l`` cell represents
   exactly ``2**l`` CONSECUTIVE original ranks, so the cumulative-weight
   rank estimate of any value is off by at most the largest cell weight:
@@ -64,6 +74,9 @@ def kll_plan(n: int, k: int = K_DEFAULT, max_levels: int = MAX_LEVELS) -> list[i
         m = (m // k) * (k // 2)
         if m == 0:
             break
+    else:
+        if m > 0:  # flushed (never-compacted) level-max_levels buffer
+            ms.append(m)
     return ms
 
 
@@ -124,18 +137,31 @@ def kll_cells_sorted(
         m = complete * (k // 2)
         if m == 0:
             break
+    else:
+        # cap reached with a live stream: flush it as the (uncompacted)
+        # level-max_levels buffer — weight conservation over truncation
+        flush = truncate_lineage(ranked).select(
+            F.lit(max_levels).cast("int").alias("level"),
+            F.col("p").cast("bigint").alias("pos"),
+            "value",
+            F.lit(1 << max_levels).cast("bigint").alias("weight"),
+        )
+        out = flush if out is None else out.unionAll(flush)
     return out
 
 
-def kll_cells_py(values: list[int], k: int = K_DEFAULT) -> list[tuple[int, int, int, int]]:
+def kll_cells_py(
+    values: list[int], k: int = K_DEFAULT, max_levels: int = MAX_LEVELS
+) -> list[tuple[int, int, int, int]]:
     """Sequential reference: feed ``values`` (sorted by caller) through a
-    literal buffer-and-compact KLL with even-keep. Returns
+    literal buffer-and-compact KLL with even-keep; the level-``max_levels``
+    buffer never compacts (flush cap — see module docstring). Returns
     (level, pos, value, weight) — must equal the closed form exactly."""
     levels: list[list[int]] = [[]]
     for v in sorted(values):
         levels[0].append(v)
         lv = 0
-        while len(levels[lv]) >= k:
+        while lv < max_levels and len(levels[lv]) >= k:
             block, levels[lv] = levels[lv][:k], levels[lv][k:]
             if lv + 1 >= len(levels):
                 levels.append([])
@@ -152,11 +178,14 @@ def kll_merge(
     cells_a: list[tuple[int, int, int, int]],
     cells_b: list[tuple[int, int, int, int]],
     k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
 ) -> list[tuple[int, int, int, int]]:
     """Merge two sketches: per level ascending, concatenate both buffers
     in value order plus the carry promoted from below, compact full
-    blocks with the same even-keep rule. Sketch-sized input (KBs), so
-    this is a driver/aggregator-side fold by design."""
+    blocks with the same even-keep rule; level ``max_levels`` never
+    compacts (same flush cap as the build paths, so merged weight is
+    conserved exactly). Sketch-sized input (KBs), so this is a
+    driver/aggregator-side fold by design."""
     bufs: dict[int, list[int]] = {}
     for lv, _pos, v, _w in list(cells_a) + list(cells_b):
         bufs.setdefault(lv, []).append(v)
@@ -165,9 +194,10 @@ def kll_merge(
     while bufs or carry:  # empty intermediate levels must not stop the walk
         buf = sorted(bufs.pop(lv, []) + carry)
         carry = []
-        while len(buf) >= k:
-            block, buf = buf[:k], buf[k:]
-            carry.extend(block[0::2])
+        if lv < max_levels:
+            while len(buf) >= k:
+                block, buf = buf[:k], buf[k:]
+                carry.extend(block[0::2])
         out.extend((lv, pos, v, 1 << lv) for pos, v in enumerate(buf))
         lv += 1
     return out
@@ -201,7 +231,8 @@ def kll_sql(
     """DuckDB replay of :func:`kll_cells_sorted`: rank via row_number over
     the same canonical order, then the integer recurrence unrolled as one
     MATERIALIZED CTE per level (without MATERIALIZED the ranked base
-    re-inlines once per level reference)."""
+    re-inlines once per level reference). The final ``l{max_levels}``
+    stream flushes verbatim (never compacts) — weight conservation."""
     parts = [
         f"""
     r AS MATERIALIZED (
@@ -222,9 +253,8 @@ def kll_sql(
            CAST({1 << lv} AS BIGINT) AS weight
     FROM l{lv} WHERE p >= (m // {k}) * {k}"""
         )
-        if lv + 1 < max_levels:
-            parts.append(
-                f"""
+        parts.append(
+            f"""
     l{lv + 1} AS MATERIALIZED (
       SELECT value,
              (p // {k}) * {k // 2} + (p % {k}) // 2 AS p,
@@ -232,7 +262,15 @@ def kll_sql(
       FROM l{lv}
       WHERE p < (m // {k}) * {k} AND p % 2 = 0
     )"""
-            )
+        )
+    selects.append(
+        f"""
+    SELECT CAST({max_levels} AS INT) AS level,
+           CAST(p AS BIGINT) AS pos,
+           value,
+           CAST({1 << max_levels} AS BIGINT) AS weight
+    FROM l{max_levels}"""
+    )
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)
 
 
@@ -307,6 +345,16 @@ def kll_cells_grouped(
         )
         if ranked.isEmpty():
             break
+    else:
+        # flush the never-compacted level-max_levels buffers per group
+        flush = truncate_lineage(ranked).select(
+            *group_cols,
+            F.lit(max_levels).cast("int").alias("level"),
+            F.col("p").cast("bigint").alias("pos"),
+            "value",
+            F.lit(1 << max_levels).cast("bigint").alias("weight"),
+        )
+        out = flush if out is None else out.unionAll(flush)
     return out
 
 
@@ -343,9 +391,8 @@ def kll_grouped_sql(
            CAST({1 << lv} AS BIGINT) AS weight
     FROM l{lv} WHERE p >= (m // {k}) * {k}"""
         )
-        if lv + 1 < max_levels:
-            parts.append(
-                f"""
+        parts.append(
+            f"""
     l{lv + 1} AS MATERIALIZED (
       SELECT grp, value,
              (p // {k}) * {k // 2} + (p % {k}) // 2 AS p,
@@ -353,5 +400,13 @@ def kll_grouped_sql(
       FROM l{lv}
       WHERE p < (m // {k}) * {k} AND p % 2 = 0
     )"""
-            )
+        )
+    selects.append(
+        f"""
+    SELECT grp, CAST({max_levels} AS INT) AS level,
+           CAST(p AS BIGINT) AS pos,
+           value,
+           CAST({1 << max_levels} AS BIGINT) AS weight
+    FROM l{max_levels}"""
+    )
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)

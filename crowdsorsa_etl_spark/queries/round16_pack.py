@@ -327,10 +327,12 @@ def llm_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # sizes is one row per community — broadcastable; lab is one row per
+    # VERTEX in the dup graph (corpus-proportional), so the docs join must
+    # stay planner-chosen (a forced broadcast would OOM the driver at the
+    # scales this query is positioned for)
     lab = labels.join(F.broadcast(sizes), "label")
-    return docs.join(
-        F.broadcast(lab), docs.doc_id == lab.id, "left"
-    ).select(
+    return docs.join(lab, docs.doc_id == lab.id, "left").select(
         "doc_id",
         F.coalesce(F.col("label"), F.col("doc_id"))
         .cast("bigint")

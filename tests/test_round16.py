@@ -227,6 +227,95 @@ class TestKllSketch:
             # merge re-compacts once more, so allow one extra level
             assert abs(true_rank - phi * len(vals)) <= 2 * bound + 1
 
+    def test_flush_cap_conserves_weight_all_paths(self, spark):
+        """Past the level cap the remainder FLUSHES at level max_levels
+        instead of being dropped: sum(weight) == n on every path (py,
+        Spark closed form, DuckDB SQL), all cell-for-cell identical.
+        Small max_levels exercises the flush cheaply."""
+        import duckdb
+
+        from crowdsorsa_etl_spark.operators.kll import (
+            kll_cells_py,
+            kll_cells_sorted,
+            kll_sql,
+        )
+
+        n, k, ml = 5000, 4, 3
+        ref = kll_cells_py(list(range(n)), k, max_levels=ml)
+        assert sum(w for *_x, w in ref) == n
+        assert any(lv == ml for lv, *_x in ref)  # flush actually fired
+        df = spark.range(n).select(F.col("id").alias("v"))
+        got = sorted(
+            (r["level"], r["pos"], r["value"], r["weight"])
+            for r in kll_cells_sorted(df, "v", ["v"], k=k, max_levels=ml)
+            .collect()
+        )
+        assert got == sorted(ref)
+        sql = kll_sql(
+            f"SELECT * FROM range({n}) t(v)", "v", "v", k=k, max_levels=ml
+        )
+        ora = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+        assert ora == sorted(ref)
+
+    def test_weight_conservation_past_2_21_cliff(self, spark):
+        """At the DEFAULTS (k=32, max_levels=16) any stream past
+        ~2^21 rows reaches the cap; without the flush 2^22-scale feeds
+        silently lose most of their weight. Gate the invariant at
+        n > 2^21 on both the Spark closed form and the sequential
+        reference, cell-for-cell."""
+        from crowdsorsa_etl_spark.operators.kll import (
+            kll_cells_py,
+            kll_cells_sorted,
+        )
+
+        n = (1 << 21) + 100_000
+        df = spark.range(n).select(F.col("id").alias("v"))
+        cells = kll_cells_sorted(df, "v", ["v"]).collect()
+        assert sum(r["weight"] for r in cells) == n
+        flushed = [r for r in cells if r["level"] == 16]
+        assert flushed and all(r["weight"] == 1 << 16 for r in flushed)
+        got = sorted(
+            (r["level"], r["pos"], r["value"], r["weight"]) for r in cells
+        )
+        assert got == sorted(kll_cells_py(list(range(n))))
+
+    def test_grouped_flush_cap_conserves_weight(self, spark):
+        """Grouped closed form under a small cap: per-group weight is
+        conserved and matches the capped sequential reference."""
+        from crowdsorsa_etl_spark.operators.kll import (
+            kll_cells_grouped,
+            kll_cells_py,
+        )
+
+        k, ml = 4, 2
+        rows = [(f"g{i % 3}", i) for i in range(900)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        cells = kll_cells_grouped(df, ["g"], "v", ["v"], k=k, max_levels=ml).collect()
+        by_grp: dict[str, list] = {}
+        for c in cells:
+            by_grp.setdefault(c["g"], []).append(c)
+        for g in ("g0", "g1", "g2"):
+            vals = [v for gg, v in rows if gg == g]
+            assert sum(r["weight"] for r in by_grp[g]) == len(vals)
+            got = sorted((r["level"], r["pos"], r["value"]) for r in by_grp[g])
+            ref = sorted(
+                (lv, pos, v)
+                for lv, pos, v, _w in kll_cells_py(vals, k, max_levels=ml)
+            )
+            assert got == ref, g
+
+    def test_merge_respects_cap(self):
+        """Merging two at-cap sketches must not promote past max_levels;
+        weight stays exact."""
+        from crowdsorsa_etl_spark.operators.kll import kll_cells_py, kll_merge
+
+        k, ml = 4, 2
+        a = kll_cells_py(list(range(0, 2000, 2)), k, max_levels=ml)
+        b = kll_cells_py(list(range(1, 2000, 2)), k, max_levels=ml)
+        merged = kll_merge(a, b, k, max_levels=ml)
+        assert sum(w for *_x, w in merged) == 2000
+        assert max(lv for lv, *_x in merged) <= ml
+
 
 class TestSuffixArray:
     def _mini(self, spark):
@@ -525,6 +614,25 @@ class TestBloomPrune:
         fp = sum(1 for r in bloom_probe(other, flt).collect() if r["bloom_pass"])
         # 100 keys in 2^16 bits, k=4: fp ~ (1-exp(-400/65536))^4 ~ 1.4e-9
         assert fp == 0
+
+    def test_duplicate_probe_keys_keep_zero_false_negatives(self, spark):
+        """A key probed N times must still pass (membership compares hits
+        to the probed-position count, not the constant k) — duplicates
+        must never manufacture a Bloom false negative."""
+        from crowdsorsa_etl_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        ek = spark.createDataFrame([("a",), ("b",)], "s string")
+        flt = bloom_build(ek)
+        probes = spark.createDataFrame(
+            [("a",), ("a",), ("a",), ("b",), ("zzz",)], "s string"
+        )
+        got = {r["s"]: r["bloom_pass"] for r in bloom_probe(probes, flt).collect()}
+        assert got["a"] is True and got["b"] is True
+        assert len(got) == 3  # one row per distinct key
+        assert got["zzz"] is False  # ~1e-9 FP odds at this load
 
 
 class TestHllWindows:
