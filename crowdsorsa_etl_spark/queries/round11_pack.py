@@ -165,12 +165,29 @@ def _unigram_costs(spark: SparkSession, sf_dir: str) -> dict:
     )
     from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
 
+    import os
+
+    from crowdsorsa_etl_spark.queries._shared import (
+        _json_sidecar_read,
+        _json_sidecar_write,
+    )
+
     key = _sf_cache_dir(sf_dir, "unigram_vocab", "documents")
     if key not in _UNIGRAM_COSTS:
         # the vocabulary IS the bounded tokenizer artifact — collecting it
-        # is the contract (BPE merge-table posture), not a scale leak
-        rows = unigram_seed_vocab(_t(spark, sf_dir, "documents")).collect()
-        _UNIGRAM_COSTS[key] = piece_costs(rows)
+        # is the contract (BPE merge-table posture), not a scale leak.
+        # JSON sidecar: fresh processes load the cost table instead of
+        # re-running the seed-vocab collect chain (per-process memo).
+        side = os.path.join(key, "costs.json")
+        saved = _json_sidecar_read(side)
+        if saved is not None:
+            _UNIGRAM_COSTS[key] = saved
+        else:
+            rows = unigram_seed_vocab(
+                _t(spark, sf_dir, "documents")
+            ).collect()
+            _UNIGRAM_COSTS[key] = piece_costs(rows)
+            _json_sidecar_write(side, _UNIGRAM_COSTS[key])
     return _UNIGRAM_COSTS[key]
 
 

@@ -24,16 +24,31 @@ _BYTEBPE_ARTIFACTS: dict = {}
 def _learned_bytebpe(
     spark: SparkSession, sf_dir: str, n_merges: int
 ) -> list[tuple[str, str]]:
-    from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_learn
-    from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir
+    import os
 
-    key = (_sf_cache_dir(sf_dir, f"bytebpe{n_merges}", "documents"), n_merges)
+    from crowdsorsa_etl_spark.operators.bytebpe import bytebpe_learn
+    from crowdsorsa_etl_spark.queries._shared import (
+        _json_sidecar_read,
+        _json_sidecar_write,
+        _sf_cache_dir,
+    )
+
+    cache_dir = _sf_cache_dir(sf_dir, f"bytebpe{n_merges}", "documents")
+    key = (cache_dir, n_merges)
     if key not in _BYTEBPE_ARTIFACTS:
-        docs = _t(spark, sf_dir, "documents")
-        _BYTEBPE_ARTIFACTS[key] = [
-            tuple(r["pair"].split(" "))
-            for r in bytebpe_learn(docs, n_merges=n_merges).collect()
-        ]
+        # JSON sidecar: a fresh process (per-process memo) loads the
+        # learned table instead of re-running the learn collect chain
+        side = os.path.join(cache_dir, "learn.json")
+        saved = _json_sidecar_read(side)
+        if saved is not None:
+            _BYTEBPE_ARTIFACTS[key] = [tuple(p) for p in saved["merges"]]
+        else:
+            docs = _t(spark, sf_dir, "documents")
+            _BYTEBPE_ARTIFACTS[key] = [
+                tuple(r["pair"].split(" "))
+                for r in bytebpe_learn(docs, n_merges=n_merges).collect()
+            ]
+            _json_sidecar_write(side, {"merges": _BYTEBPE_ARTIFACTS[key]})
     return _BYTEBPE_ARTIFACTS[key]
 
 
