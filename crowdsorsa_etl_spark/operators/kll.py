@@ -31,6 +31,17 @@ Two engine-level choices make the sketch hash-replayable across engines:
       p' = (p // k) * (k // 2) + (p % k) // 2
       m' = complete * (k // 2)
 
+  The position recurrence telescopes: for even ``p`` in a complete block
+  (``p = q*k + r``, ``r`` even), ``p' = q*(k//2) + r//2 = p/2`` EXACTLY,
+  so an item's position at level ``l`` is just ``p >> l`` and its emit
+  level is one CASE expression over ``(p, c_0..c_L)`` where
+  ``c_l = m_l // k`` depends only on ``(n, k, l)``. The whole sketch is
+  therefore ONE distributed global rank + ONE projection + ONE filter —
+  no per-level passes, no lineage cuts, no re-scans (the round-13 form
+  re-filtered the ranked stream once per level and needed a checkpoint
+  per level to stop Catalyst re-inlining; the one-pass form has nothing
+  to re-inline).
+
 * **Level cap = flush, never drop** — the cascade is capped at
   ``max_levels``; the level-``max_levels`` buffer NEVER compacts, it
   flushes as cells verbatim (weight ``2**max_levels``). Total weight is
@@ -92,9 +103,13 @@ def kll_cells_sorted(
 
     Returns sketch cells (level int, pos bigint, value bigint, weight
     bigint): ``pos`` is the cell's buffer position at its level, ``value``
-    the (integer) sketch value, ``weight = 2**level``. Narrow after the
-    one global rank; per-level branches read the checkpointed ranked base.
+    the (integer) sketch value, ``weight = 2**level``. ONE global rank
+    (two-phase) + ONE projection (the telescoped CASE over ``p >> l``) +
+    ONE filter — the level stream lengths ``m_l`` are driver ints here, so
+    the ``c_l = m_l // k`` block counts fold as literals.
     """
+    if k < 2 or k % 2:
+        raise ValueError(f"k must be even and >= 2, got {k}")
     from crowdsorsa_etl_spark.operators.global_rank import with_global_row_number
 
     base = df.select(F.col(value_col).cast("bigint").alias("value"), *tiebreak_cols)
@@ -103,51 +118,54 @@ def kll_cells_sorted(
     )
     ranked = ranked.select("value", (F.col("_rn") - 1).alias("p"))
 
-    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+    cs, m = [], n
+    for _ in range(max_levels):
+        cs.append(m // k)
+        m = (m // k) * (k // 2)
+    level_sql, pos_sql = _onepass_case_sql(
+        [str(c) for c in cs], k, max_levels
+    )
+    return (
+        ranked.select(
+            "value", "p", F.expr(level_sql).cast("int").alias("level")
+        )
+        .filter(F.col("level").isNotNull())
+        .select(
+            "level",
+            F.expr(pos_sql).cast("bigint").alias("pos"),
+            "value",
+            F.expr("shiftleft(cast(1 as bigint), level)").alias("weight"),
+        )
+        .select("level", "pos", "value", "weight")
+    )
 
-    out = None
-    m = n
-    for level in range(max_levels):
-        # cut lineage each level: the per-level arithmetic is CHEAP, so
-        # CollapseProject would re-inline every chained projection into the
-        # union branches — the expression tree (and Catalyst time) grows
-        # geometrically in levels (the epochshuffle.with_epoch_pos lesson,
-        # whose md5 aliases survive collapse precisely because they are
-        # non-cheap). The stream halves per level, so the eager checkpoint
-        # jobs cost O(n) total.
-        ranked = truncate_lineage(ranked)
-        complete = m // k
-        cells = ranked.filter(F.col("p") >= complete * k).select(
-            F.lit(level).cast("int").alias("level"),
-            (F.col("p") - complete * k).cast("bigint").alias("pos"),
-            "value",
-            F.lit(1 << level).cast("bigint").alias("weight"),
-        )
-        out = cells if out is None else out.unionAll(cells)
-        ranked = ranked.filter(
-            (F.col("p") < complete * k) & (F.col("p") % 2 == 0)
-        ).select(
-            "value",
-            (
-                F.expr(f"p div {k}") * (k // 2) + F.expr(f"(p % {k}) div 2")
-            )
-            .cast("bigint")
-            .alias("p"),
-        )
-        m = complete * (k // 2)
-        if m == 0:
-            break
-    else:
-        # cap reached with a live stream: flush it as the (uncompacted)
-        # level-max_levels buffer — weight conservation over truncation
-        flush = truncate_lineage(ranked).select(
-            F.lit(max_levels).cast("int").alias("level"),
-            F.col("p").cast("bigint").alias("pos"),
-            "value",
-            F.lit(1 << max_levels).cast("bigint").alias("weight"),
-        )
-        out = flush if out is None else out.unionAll(flush)
-    return out
+
+def _onepass_case_sql(
+    c_exprs: list[str], k: int, max_levels: int
+) -> tuple[str, str]:
+    """(level_sql, pos_sql) for the telescoped one-pass emit-level CASE.
+
+    ``c_exprs[l]`` is a SQL expression for the level-``l`` complete-block
+    count (a literal when n is a driver int, a joined column when m is
+    per-group). Walking levels in order: emitted at ``l`` when its
+    level-``l`` position ``p >> l`` lands in the unfinished tail;
+    discarded (NULL) when odd inside complete blocks; survivors of every
+    level flush at ``max_levels``. pos_sql references the computed
+    ``level`` column."""
+    branches = []
+    for lv in range(max_levels):
+        pl = f"(p div {1 << lv})"
+        branches.append(f"WHEN {pl} >= {c_exprs[lv]} * {k} THEN {lv}")
+        branches.append(f"WHEN {pl} % 2 = 1 THEN CAST(NULL AS INT)")
+    level_sql = "CASE " + " ".join(branches) + f" ELSE {max_levels} END"
+    pos_branches = " ".join(
+        f"WHEN level = {lv} THEN (p div {1 << lv}) - {c_exprs[lv]} * {k}"
+        for lv in range(max_levels)
+    )
+    pos_sql = (
+        "CASE " + pos_branches + f" ELSE p div {1 << max_levels} END"
+    )
+    return level_sql, pos_sql
 
 
 def kll_cells_py(
@@ -287,16 +305,17 @@ def kll_cells_grouped(
     the per-domain quantile table a curation pipeline stores (length
     quantiles per source, score quantiles per language).
 
-    Same closed form as :func:`kll_cells_sorted` with the stream length
-    ``m`` carried as a COLUMN (the group size) instead of a driver int:
-    ranking is a window partitioned BY GROUP (parallel across groups —
-    no global sort at all here), and each level is narrow integer
-    arithmetic + a lineage cut (same CollapseProject rationale).
+    Same one-pass closed form as :func:`kll_cells_sorted` with the level
+    stream lengths carried as COLUMNS of the per-group size table (one
+    row per group): ranking is a window partitioned BY GROUP (parallel
+    across groups — no global sort at all here), the ``m_l`` chain is
+    derived once on the tiny size table, and every row picks its emit
+    level in ONE projection — no per-level passes, no lineage cuts
+    (the round-13 form re-filtered the ranked stream 16× per level: 5.8 s
+    for 368 output rows at sf0.1).
     Returns (group_cols..., level, pos, value, weight).
     """
     from pyspark.sql import Window
-
-    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
 
     if k < 2 or k % 2:
         raise ValueError(f"k must be even and >= 2, got {k}")
@@ -309,53 +328,35 @@ def kll_cells_grouped(
         F.col("value"), *[F.col(str(c)) for c in tiebreak_cols]
     )
     sizes = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("m")
+        F.count(F.lit(1)).cast("bigint").alias("_m0")
     )
+    # derive the whole m_l chain on the one-row-per-group table — the
+    # per-row CASE then references plain columns instead of re-inlining
+    # the recurrence per level
+    for j in range(max_levels):
+        sizes = sizes.withColumn(
+            f"_m{j + 1}", F.expr(f"(_m{j} div {k}) * {k // 2}")
+        )
     # no forced broadcast: the size table is one row PER GROUP — tiny for
     # a handful of domains, but a million-group sketch table must be free
     # to hash-join on the (already co-partitioned) group key
-    ranked = (
-        base.withColumn("p", (F.row_number().over(w) - 1).cast("bigint"))
-        .join(sizes, group_cols)
-        .select(*group_cols, "value", "p", "m")
+    ranked = base.withColumn(
+        "p", (F.row_number().over(w) - 1).cast("bigint")
+    ).join(sizes, group_cols)
+    level_sql, pos_sql = _onepass_case_sql(
+        [f"(_m{lv} div {k})" for lv in range(max_levels)], k, max_levels
     )
-    out = None
-    for level in range(max_levels):
-        ranked = truncate_lineage(ranked)
-        complete = F.expr(f"m div {k}")
-        cells = ranked.filter(F.col("p") >= complete * k).select(
+    return (
+        ranked.withColumn("level", F.expr(level_sql).cast("int"))
+        .filter(F.col("level").isNotNull())
+        .select(
             *group_cols,
-            F.lit(level).cast("int").alias("level"),
-            (F.col("p") - complete * k).cast("bigint").alias("pos"),
+            "level",
+            F.expr(pos_sql).cast("bigint").alias("pos"),
             "value",
-            F.lit(1 << level).cast("bigint").alias("weight"),
+            F.expr("shiftleft(cast(1 as bigint), level)").alias("weight"),
         )
-        out = cells if out is None else out.unionAll(cells)
-        ranked = ranked.filter(
-            (F.col("p") < complete * k) & (F.col("p") % 2 == 0)
-        ).select(
-            *group_cols,
-            "value",
-            (
-                F.expr(f"p div {k}") * (k // 2) + F.expr(f"(p % {k}) div 2")
-            )
-            .cast("bigint")
-            .alias("p"),
-            (complete * (k // 2)).cast("bigint").alias("m"),
-        )
-        if ranked.isEmpty():
-            break
-    else:
-        # flush the never-compacted level-max_levels buffers per group
-        flush = truncate_lineage(ranked).select(
-            *group_cols,
-            F.lit(max_levels).cast("int").alias("level"),
-            F.col("p").cast("bigint").alias("pos"),
-            "value",
-            F.lit(1 << max_levels).cast("bigint").alias("weight"),
-        )
-        out = flush if out is None else out.unionAll(flush)
-    return out
+    )
 
 
 def kll_grouped_sql(

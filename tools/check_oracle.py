@@ -22,6 +22,28 @@ from crowdsorsa_etl_spark.schemas import FIXTURE_TABLES
 from crowdsorsa_etl_spark.session import get_spark
 
 
+def source_fingerprint() -> str:
+    """md5 over every package/entry source file's CONTENT — records in the
+    sweep artifact exactly which code was swept. round_close compares it
+    against the live tree, so a sweep that predates any later source edit
+    (the round-13 close shipped a 277/278-red sweep 6 registrations stale)
+    is mechanically refused instead of silently committed."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    paths = [os.path.join(repo, "__spark_entry__.py")]
+    for root, _dirs, files in os.walk(os.path.join(repo, "crowdsorsa_etl_spark")):
+        paths.extend(
+            os.path.join(root, f) for f in files if f.endswith(".py")
+        )
+    for p in sorted(paths):
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -119,6 +141,7 @@ def main() -> None:
 
         summary = {
             "sf_dir": sf_dir,
+            "source_fingerprint": source_fingerprint(),
             "total_sec": total_s,
             "n_queries": len(record),
             "n_hash_match": sum(

@@ -63,6 +63,20 @@ def check_invariants() -> int:
         bench_rec = None
     n_reg = len(QUERIES)
     problems: list[str] = []
+    # staleness gate: the sweep must have run against EXACTLY the package
+    # source on disk right now — a sweep predating any later edit is
+    # refused even when counts still line up (the round-13 failure mode)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from check_oracle import source_fingerprint
+
+    swept_fp = self_rec.get("source_fingerprint")
+    live_fp = source_fingerprint()
+    if swept_fp != live_fp:
+        problems.append(
+            f"CORRECTNESS_SELF is STALE: swept source fingerprint "
+            f"{swept_fp!r} != live tree {live_fp!r} — re-run the sweep "
+            "against the current code (no --skip-sweep)"
+        )
     if self_rec["n_queries"] != n_reg:
         problems.append(
             f"CORRECTNESS_SELF covers {self_rec['n_queries']} queries, "
