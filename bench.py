@@ -380,6 +380,18 @@ def main() -> None:
         },
     )
 
+    # _release_storage's unpersist of localCheckpointed RDDs logs one WARN
+    # per RDD ("lineage has been truncated and cannot be recomputed") —
+    # correct and intended (nothing reuses them), but hundreds of lines of
+    # stderr noise; silence that logger for the bench session only
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
     # warm up JVM/codegen and parquet footers (file-index + schema reads)
     # once so the first measured query isn't charged session fixed costs
     spark.range(1000).count()
