@@ -282,6 +282,9 @@ HEADLINE = [
     "llm_bloom_prune",
     "llm_jl_transform",
     "llm_hll_setops",
+    # round 17: streaming-KLL carried-sketch fold (3 batch sketches +
+    # driver-side merges, cell-exact merge-replay oracle)
+    "q117_kll_stream_fold",
 ]
 
 

@@ -238,6 +238,63 @@ def kll_quantile(cells, phi: float):
     return max(c[2] for c in cells)
 
 
+def kll_sql_parts(
+    source_sql: str,
+    value_sql: str,
+    order_sql: str,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+    prefix: str = "",
+) -> tuple[list[str], str]:
+    """(CTE parts, final union select) for the :func:`kll_cells_sorted`
+    replay — exposed separately so multi-sketch oracles (the stream-fold
+    query) can compose everything into ONE FLAT ``WITH``: nesting a
+    materialized-CTE statement inside another statement's CTE re-plans
+    the inner statement once per outer reference, which measured
+    EXPONENTIAL in fold depth (1.1 s -> 39.7 s per extra merge level in
+    DuckDB). ``prefix`` keeps CTE names unique across composed parts."""
+    parts = [
+        f"""
+    {prefix}r AS MATERIALIZED (
+      SELECT CAST({value_sql} AS BIGINT) AS value,
+             CAST(row_number() OVER (ORDER BY {order_sql}) - 1 AS BIGINT) AS p,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM ({source_sql})
+    ),
+    {prefix}l0 AS (SELECT value, p, m FROM {prefix}r)"""
+    ]
+    selects = []
+    for lv in range(max_levels):
+        selects.append(
+            f"""
+    SELECT CAST({lv} AS INT) AS level,
+           CAST(p - (m // {k}) * {k} AS BIGINT) AS pos,
+           value,
+           CAST({1 << lv} AS BIGINT) AS weight
+    FROM {prefix}l{lv} WHERE p >= (m // {k}) * {k}"""
+        )
+        parts.append(
+            f"""
+    {prefix}l{lv + 1} AS MATERIALIZED (
+      SELECT value,
+             (p // {k}) * {k // 2} + (p % {k}) // 2 AS p,
+             (m // {k}) * {k // 2} AS m
+      FROM {prefix}l{lv}
+      WHERE p < (m // {k}) * {k} AND p % 2 = 0
+    )"""
+        )
+    selects.append(
+        f"""
+    SELECT CAST({max_levels} AS INT) AS level,
+           CAST(p AS BIGINT) AS pos,
+           value,
+           CAST({1 << max_levels} AS BIGINT) AS weight
+    FROM {prefix}l{max_levels}"""
+    )
+    return parts, " UNION ALL ".join(selects)
+
+
 def kll_sql(
     source_sql: str,
     value_sql: str,
@@ -251,45 +308,125 @@ def kll_sql(
     MATERIALIZED CTE per level (without MATERIALIZED the ranked base
     re-inlines once per level reference). The final ``l{max_levels}``
     stream flushes verbatim (never compacts) — weight conservation."""
+    parts, select = kll_sql_parts(
+        source_sql, value_sql, order_sql, k=k, max_levels=max_levels
+    )
+    return "WITH " + ",".join(parts) + " " + select
+
+
+def kll_merge_sql_parts(
+    a_sql: str,
+    b_sql: str,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+    prefix: str = "mg",
+) -> tuple[list[str], str]:
+    """(CTE parts, final union select) for the :func:`kll_merge` replay:
+    per level ascending, the combined buffer (both inputs' level cells +
+    the carry promoted from below) ranks by value and compacts with the
+    same complete-block even-keep recurrence; level ``max_levels``
+    flushes verbatim. Inputs and output are (level, pos, value, weight)
+    relations; ``a_sql``/``b_sql`` should reference FLAT top-level CTEs,
+    never nest whole WITH statements (see :func:`kll_sql_parts`).
+    ``prefix`` must be unique per merge in a composed statement."""
     parts = [
-        f"""
-    r AS MATERIALIZED (
-      SELECT CAST({value_sql} AS BIGINT) AS value,
-             CAST(row_number() OVER (ORDER BY {order_sql}) - 1 AS BIGINT) AS p,
-             CAST(count(*) OVER () AS BIGINT) AS m
-      FROM ({source_sql})
-    ),
-    l0 AS (SELECT value, p, m FROM r)"""
+        f"{prefix}_a AS MATERIALIZED ({a_sql})",
+        f"{prefix}_b AS MATERIALIZED ({b_sql})",
+        f"{prefix}_carry0 AS (SELECT CAST(NULL AS BIGINT) AS value WHERE 1=0)",
     ]
     selects = []
-    for lv in range(max_levels):
-        selects.append(
+    for lv in range(max_levels + 1):
+        parts.append(
             f"""
+    {prefix}_l{lv} AS MATERIALIZED (
+      SELECT value,
+             CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT) AS p,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM (
+        SELECT value FROM {prefix}_a WHERE level = {lv}
+        UNION ALL SELECT value FROM {prefix}_b WHERE level = {lv}
+        UNION ALL SELECT value FROM {prefix}_carry{lv}
+      )
+    )"""
+        )
+        if lv < max_levels:
+            selects.append(
+                f"""
     SELECT CAST({lv} AS INT) AS level,
            CAST(p - (m // {k}) * {k} AS BIGINT) AS pos,
            value,
            CAST({1 << lv} AS BIGINT) AS weight
-    FROM l{lv} WHERE p >= (m // {k}) * {k}"""
-        )
-        parts.append(
-            f"""
-    l{lv + 1} AS MATERIALIZED (
-      SELECT value,
-             (p // {k}) * {k // 2} + (p % {k}) // 2 AS p,
-             (m // {k}) * {k // 2} AS m
-      FROM l{lv}
+    FROM {prefix}_l{lv} WHERE p >= (m // {k}) * {k}"""
+            )
+            parts.append(
+                f"""
+    {prefix}_carry{lv + 1} AS MATERIALIZED (
+      SELECT value FROM {prefix}_l{lv}
       WHERE p < (m // {k}) * {k} AND p % 2 = 0
     )"""
-        )
-    selects.append(
-        f"""
-    SELECT CAST({max_levels} AS INT) AS level,
+            )
+        else:
+            selects.append(
+                f"""
+    SELECT CAST({lv} AS INT) AS level,
            CAST(p AS BIGINT) AS pos,
            value,
-           CAST({1 << max_levels} AS BIGINT) AS weight
-    FROM l{max_levels}"""
+           CAST({1 << lv} AS BIGINT) AS weight
+    FROM {prefix}_l{lv}"""
+            )
+    return parts, " UNION ALL ".join(selects)
+
+
+def kll_merge_sql(
+    a_sql: str,
+    b_sql: str,
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+    prefix: str = "mg",
+) -> str:
+    """Standalone ``WITH`` statement for one merge replay (see
+    :func:`kll_merge_sql_parts`; compose via parts for chained folds)."""
+    parts, select = kll_merge_sql_parts(
+        a_sql, b_sql, k=k, max_levels=max_levels, prefix=prefix
     )
-    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(selects)
+    return "WITH " + ",".join(parts) + " " + select
+
+
+def kll_fold_sql(
+    batch_sources: list[tuple[str, str, str]],
+    *,
+    k: int = K_DEFAULT,
+    max_levels: int = MAX_LEVELS,
+) -> str:
+    """ONE FLAT statement replaying a whole carried-sketch fold: a batch
+    sketch per (source_sql, value_sql, order_sql) via the rank closed
+    form, then left-fold merges in list order — the exact state
+    ``start_kll_stream`` holds after the last epoch. Flat composition is
+    load-bearing: nesting each stage's WITH inside the next re-plans it
+    per reference, exponential in fold depth (measured 39.7 s for a
+    3-batch fold nested vs ~1 s flat)."""
+    parts: list[str] = []
+    for i, (src, val, order) in enumerate(batch_sources):
+        p, sel = kll_sql_parts(
+            src, val, order, k=k, max_levels=max_levels, prefix=f"b{i}_"
+        )
+        parts.extend(p)
+        parts.append(f"s{i} AS MATERIALIZED ({sel})")
+    acc = "SELECT * FROM s0"
+    for i in range(1, len(batch_sources)):
+        p, sel = kll_merge_sql_parts(
+            acc,
+            f"SELECT * FROM s{i}",
+            k=k,
+            max_levels=max_levels,
+            prefix=f"f{i}",
+        )
+        parts.extend(p)
+        parts.append(f"m{i} AS MATERIALIZED ({sel})")
+        acc = f"SELECT * FROM m{i}"
+    return "WITH " + ",".join(parts) + " " + acc
 
 
 def kll_cells_grouped(

@@ -32,6 +32,7 @@ from crowdsorsa_etl_spark.queries.round13_pack import *  # noqa: F401,F403
 from crowdsorsa_etl_spark.queries.round14_pack import *  # noqa: F401,F403
 from crowdsorsa_etl_spark.queries.round15_pack import *  # noqa: F401,F403
 from crowdsorsa_etl_spark.queries.round16_pack import *  # noqa: F401,F403
+from crowdsorsa_etl_spark.queries.round17_pack import *  # noqa: F401,F403
 
 from crowdsorsa_etl_spark.queries._shared import _ORDER_SNAPSHOT
 

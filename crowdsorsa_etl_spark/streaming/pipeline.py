@@ -2236,3 +2236,106 @@ def start_hll_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_kll_stream(
+    values_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    value_col: str = "v",
+    tiebreak_cols: list[str] | None = None,
+    k: int = 32,
+    max_levels: int = 16,
+):
+    """Streaming quantiles, completing the sketch triad next to
+    ``start_hll_stream`` (distinct) and the Misra-Gries stream (heavy
+    hitters): each micro-batch builds its deterministic closed-form KLL
+    cells DISTRIBUTED (operators/kll.kll_cells_sorted — one per-batch
+    global rank + one projection), then folds them onto the carried
+    sketch with :func:`~crowdsorsa_etl_spark.operators.kll.kll_merge` —
+    a driver-side fold over two SKETCH-SIZED cell lists (KBs; making
+    that fold cheap is the point of a sketch). State is
+    O(k · max_levels) cells regardless of stream length.
+
+    Per epoch writes (the ``start_hll_stream`` store layout):
+
+    * ``epoch=<e>/cells``   — merged (level, pos, value, weight) = state;
+    * ``epoch=<e>/summary`` — one row: n_total (exact — merge conserves
+      weight), est_p50, est_p99.
+
+    Replay safety is the epoch-versioned posture: epoch ``e`` merges
+    ONTO the newest state ``< e``, so a crashed-and-replayed epoch
+    re-derives from the same predecessor and a full checkpoint loss
+    re-runs the whole fold onto nothing, landing on the identical final
+    state. NOTE the contrast with HLL: max-merge is idempotent, so HLL
+    replay safety holds even without versioning; KLL compaction is NOT
+    idempotent (re-folding a batch would double its weight) — the
+    version guard is load-bearing here. Likewise, merged cells are NOT
+    the one-shot sketch of the union (published KLL merges preserve the
+    rank-error bound, not the cell set); the pytest gate pins
+    stream-final == the same fold replayed in batch, exact weight
+    conservation, and the merge-degraded rank bound."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.kll import (
+        kll_cells_sorted,
+        kll_merge,
+        kll_quantile,
+    )
+
+    spark_active = values_stream.sparkSession
+    ties = list(tiebreak_cols or [])
+    cells_schema = "level int, pos bigint, value bigint, weight bigint"
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(store_path) if os.path.isdir(store_path) else []
+            )
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        batch_cells = [
+            (r["level"], r["pos"], r["value"], r["weight"])
+            for r in kll_cells_sorted(
+                batch_df, value_col, ties, k=k, max_levels=max_levels
+            ).collect()
+        ]
+        if prior:
+            carried = [
+                (r["level"], r["pos"], r["value"], r["weight"])
+                for r in spark_active.read.schema(cells_schema)
+                .parquet(os.path.join(store_path, f"epoch={max(prior)}", "cells"))
+                .collect()
+            ]
+            merged = kll_merge(carried, batch_cells, k, max_levels)
+        else:
+            merged = batch_cells
+        ep = os.path.join(store_path, f"epoch={e}")
+        spark_active.createDataFrame(merged, cells_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(ep, "cells"))
+        n_total = sum(w for *_x, w in merged)
+        spark_active.createDataFrame(
+            [
+                (
+                    n_total,
+                    int(kll_quantile(merged, 0.5)),
+                    int(kll_quantile(merged, 0.99)),
+                )
+            ],
+            "n_total bigint, est_p50 bigint, est_p99 bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ep, "summary")
+        )
+
+    return (
+        values_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
