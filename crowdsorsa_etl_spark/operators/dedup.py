@@ -632,9 +632,18 @@ def jaccard_verify_pairs(
 
     ``cand`` carries (id_a, id_b, ...); all its columns pass through with
     ``jaccard`` appended, filtered to ≥ ``threshold``. Cost is bounded by
-    |candidates| — the token joins touch only candidate rows.
+    |candidates|: docs prune to candidate ids with a broadcast semi-join
+    BEFORE the token explode (LSH output is small by construction), so
+    the explode + size aggregate never touch non-candidate documents —
+    previously both ran over the whole corpus and the joins discarded
+    the non-candidates only afterwards.
     """
-    toks = docs.select(
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionAll(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    toks = docs.join(F.broadcast(ids), id_col, "left_semi").select(
         F.col(id_col).alias("_tid"),
         F.explode(
             F.array_distinct(F.split(_norm(F.col(text_col)), " "))
