@@ -624,12 +624,20 @@ def q52_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.col("n_chars") / 1000.0, 6).alias("quality"),
     )
-    base = _sf_cache_dir(sf_dir, "evolution", "documents")
+    # process-unique scratch, not the shared fixture cache: this dir is
+    # REBUILT every run (the write path IS the thing under test), and two
+    # concurrent processes overwrite+append-ing one shared directory would
+    # corrupt each other's reads (the overwrite/append pair is not atomic)
+    base = tempfile.mkdtemp(prefix="q52_evolution_")
     season1.write.mode("overwrite").parquet(base)
     season2.write.mode("append").parquet(base)
-    return read_evolved(
+    out = read_evolved(
         spark, base, target, rename_map={"id": "doc_id", "body": "text"}
-    )
+    ).localCheckpoint()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 _Q50_SQL = """

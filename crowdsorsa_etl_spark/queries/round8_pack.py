@@ -53,11 +53,25 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # format — bump the v1) invalidates the cached layout instead of
     # serving an index the oracle no longer describes
     path = _sf_cache_dir(sf_dir, "ivfpq_v2_l16m8k64", "embeddings")
-    if not os.path.exists(os.path.join(path, "_centroids")):
+    if not os.path.exists(os.path.join(path, "_built")):
+        # process-unique staging + atomic rename: the old guard keyed on
+        # _centroids, which exists the moment its own write STARTS — a
+        # killed build left a centroids dir with no code lists and the
+        # guard served the husk forever (the llm_image_dedup_index
+        # poisoning class). _built is written only after the full build.
+        import shutil
+
+        stage = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         ivfpq_write_index(
-            emb, path,
+            emb, stage,
             n_lists=16, m=8, k_codes=64, sample_size=2048, pq_iterations=4,
         )
+        open(os.path.join(stage, "_built"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:  # a concurrent builder won the race
+            shutil.rmtree(stage, ignore_errors=True)
     return ivfpq_query_index(
         spark, path, emb.filter(F.col("vec_id") < 10),
         k=5, n_probe=8, candidate_margin=32,
@@ -513,12 +527,23 @@ def llm_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     path = _sf_cache_dir(sf_dir, "ivfpqr_v1_l16m8k64", "embeddings")
-    if not os.path.exists(os.path.join(path, "_centroids")):
+    if not os.path.exists(os.path.join(path, "_built")):
+        # staged build + _built marker (see llm_ivfpq_topk: a _centroids
+        # guard serves a killed build's husk)
+        import shutil
+
+        stage = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         ivfpq_write_index(
-            emb, path,
+            emb, stage,
             n_lists=16, m=8, k_codes=64, sample_size=2048, pq_iterations=4,
             by_residual=True,
         )
+        open(os.path.join(stage, "_built"), "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
     return ivfpq_query_index(
         spark, path, emb.filter(F.col("vec_id") < 10),
         k=5, n_probe=8, candidate_margin=32,

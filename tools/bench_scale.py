@@ -318,6 +318,9 @@ HEADLINE = [
     "llm_bloom_prune",
     "llm_jl_transform",
     "llm_hll_setops",
+    # round 17: streaming-KLL batch fold — 3 per-batch ranks + driver-side
+    # sketch merges; scales with the per-batch rank exchanges
+    "q117_kll_stream_fold",
 ]
 
 
