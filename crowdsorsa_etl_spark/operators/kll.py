@@ -444,15 +444,26 @@ def kll_cells_grouped(
 
     Same one-pass closed form as :func:`kll_cells_sorted` with the level
     stream lengths carried as COLUMNS of the per-group size table (one
-    row per group): ranking is a window partitioned BY GROUP (parallel
-    across groups — no global sort at all here), the ``m_l`` chain is
-    derived once on the tiny size table, and every row picks its emit
-    level in ONE projection — no per-level passes, no lineage cuts
-    (the round-13 form re-filtered the ranked stream 16× per level: 5.8 s
-    for 368 output rows at sf0.1).
+    row per group): the ``m_l`` chain is derived once on the tiny size
+    table, and every row picks its emit level in ONE projection — no
+    per-level passes, no lineage cuts (the round-13 form re-filtered the
+    ranked stream 16× per level: 5.8 s for 368 output rows at sf0.1).
+
+    Ranking is the TWO-PHASE GLOBAL rank over (group, value, ties) with
+    per-group offsets subtracted — NOT a group-partitioned window: a
+    window parallelizes only across groups, so a 3-value group key (the
+    common per-returnflag / per-language shape) collapses the whole sort
+    onto 3 tasks (measured: 10× scale ratio 6.5 before, 1.4 after). The
+    range-partitioned global sort stays parallel at any group count;
+    the offset cumsum runs over the one-row-per-group size table (a
+    bounded aggregate, the q99-class documented window).
     Returns (group_cols..., level, pos, value, weight).
     """
     from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.operators.global_rank import (
+        with_global_row_number,
+    )
 
     if k < 2 or k % 2:
         raise ValueError(f"k must be even and >= 2, got {k}")
@@ -460,9 +471,6 @@ def kll_cells_grouped(
         *group_cols,
         F.col(value_col).cast("bigint").alias("value"),
         *tiebreak_cols,
-    )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col("value"), *[F.col(str(c)) for c in tiebreak_cols]
     )
     sizes = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("_m0")
@@ -474,12 +482,28 @@ def kll_cells_grouped(
         sizes = sizes.withColumn(
             f"_m{j + 1}", F.expr(f"(_m{j} div {k}) * {k // 2}")
         )
+    # per-group rank start = cumsum of PRECEDING group sizes in the same
+    # lexicographic order the global sort uses (bounded window: one row
+    # per group)
+    w_off = Window.orderBy(*[F.col(str(c)) for c in group_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sizes = sizes.withColumn(
+        "_off", (F.sum("_m0").over(w_off) - F.col("_m0")).cast("bigint")
+    )
+    ranked, _n = with_global_row_number(
+        base,
+        [F.col(str(c)) for c in group_cols]
+        + [F.col("value")]
+        + [F.col(str(c)) for c in tiebreak_cols],
+        rn_col="_rn",
+    )
     # no forced broadcast: the size table is one row PER GROUP — tiny for
     # a handful of domains, but a million-group sketch table must be free
-    # to hash-join on the (already co-partitioned) group key
-    ranked = base.withColumn(
-        "p", (F.row_number().over(w) - 1).cast("bigint")
-    ).join(sizes, group_cols)
+    # to hash-join on the group key
+    ranked = ranked.join(sizes, group_cols).withColumn(
+        "p", (F.col("_rn") - 1 - F.col("_off")).cast("bigint")
+    )
     level_sql, pos_sql = _onepass_case_sql(
         [f"(_m{lv} div {k})" for lv in range(max_levels)], k, max_levels
     )

@@ -80,3 +80,226 @@ def q117_kll_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         acc, "level int, pos bigint, value bigint, weight bigint"
     )
+
+
+# ===========================================================================
+# q118_kll_group_quantiles — the table a curation pipeline actually
+# stores: per-group p50/p95/p99 DERIVED from the grouped KLL cells
+# (q116's sketch), never from re-ranking the data. All thresholds are
+# exact integers (cum_weight * 100 >= phi_pct * total — no float rank
+# math), and the per-group window runs over SKETCH CELLS (O(k·levels)
+# rows per group — bounded aggregate, not corpus data). The selected
+# value is order-invariant among equal-value cells, so the hash gate is
+# deterministic. At 100 TB: sketch once, answer every phi from KBs.
+# ===========================================================================
+
+_QUANT_PHIS = (50, 95, 99)
+
+
+def _gq_sql() -> str:
+    from crowdsorsa_etl_spark.operators.kll import kll_grouped_sql
+
+    cells = kll_grouped_sql(
+        "SELECT l_returnflag AS g,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " l_orderkey, l_linenumber FROM lineitem",
+        "g",
+        "cents",
+        "cents, l_orderkey, l_linenumber",
+        k=_KLL_K,
+    )
+    phis = ", ".join(f"({p})" for p in _QUANT_PHIS)
+    return f"""
+    WITH cells AS MATERIALIZED ({cells}),
+    cum AS (
+      SELECT grp, value,
+             CAST(sum(weight) OVER (PARTITION BY grp
+                   ORDER BY value, level, pos
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(weight) OVER (PARTITION BY grp) AS BIGINT) AS total
+      FROM cells
+    ),
+    phis(phi_pct) AS (VALUES {phis})
+    SELECT grp AS l_returnflag,
+           CAST(phi_pct AS INT) AS phi_pct,
+           CAST(min(CASE WHEN cw * 100 >= phi_pct * total THEN value END)
+                AS BIGINT) AS est_cents,
+           total AS n
+    FROM cum CROSS JOIN phis
+    GROUP BY grp, phi_pct, total
+    """
+
+
+@register("q118_kll_group_quantiles", _gq_sql())
+def q118_kll_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95/p99 price cents read off the grouped KLL
+    sketch cells — integer cumulative-weight thresholds end to end."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.operators.kll import kll_cells_grouped
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cells = kll_cells_grouped(
+        li, ["g"], "cents", ["l_orderkey", "l_linenumber"], k=_KLL_K
+    )
+    # windows over SKETCH CELLS: O(k·levels) rows per group — bounded
+    w = Window.partitionBy("g").orderBy("value", "level", "pos")
+    cum = cells.select(
+        "g",
+        "value",
+        F.sum("weight").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("cw"),
+        F.sum("weight").over(Window.partitionBy("g")).cast("bigint").alias("total"),
+    )
+    phis = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _QUANT_PHIS])).alias("phi_pct")
+    )
+    return (
+        cum.crossJoin(F.broadcast(phis))
+        .groupBy(
+            F.col("g").alias("l_returnflag"),
+            F.col("phi_pct").cast("int").alias("phi_pct"),
+            "total",
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw") * 100 >= F.col("phi_pct") * F.col("total"),
+                    F.col("value"),
+                )
+            )
+            .cast("bigint")
+            .alias("est_cents")
+        )
+        .select(
+            "l_returnflag", "phi_pct", "est_cents", F.col("total").alias("n")
+        )
+    )
+
+
+# ===========================================================================
+# llm_kll_equidepth — the sketch USED, not just built: equi-depth binning
+# of every lineitem row from B=8 boundaries read off the global KLL
+# cells, with the per-bucket deviation from ideal n/B measured in-query
+# (the fp_rate/suffix-audit posture: the approximation ships with its
+# loss). Boundaries are sketch-derived integers collected driver-side
+# (B-1 values — the pagerank-constants posture) and folded into a
+# literal comparison chain, so the assignment pass is one map-side-
+# combined count agg over a codegen projection: zero joins, zero extra
+# shuffles of the fact table. At 100 TB this replaces a global sort.
+# ===========================================================================
+
+_ED_BUCKETS = 8
+
+
+def _equidepth_sql() -> str:
+    from crowdsorsa_etl_spark.operators.kll import kll_sql
+
+    cells = kll_sql(
+        "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " l_orderkey, l_linenumber FROM lineitem",
+        "cents",
+        "cents, l_orderkey, l_linenumber",
+        k=_KLL_K,
+    )
+    B = _ED_BUCKETS
+    return f"""
+    WITH cells AS MATERIALIZED ({cells}),
+    cum AS (
+      SELECT value,
+             CAST(sum(weight) OVER (ORDER BY value, level, pos
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(weight) OVER () AS BIGINT) AS total
+      FROM cells
+    ),
+    bounds AS (
+      SELECT b, CAST(min(CASE WHEN cw * {B} >= b * total THEN value END)
+                     AS BIGINT) AS bv
+      FROM cum CROSS JOIN (SELECT unnest(range(1, {B})) AS b)
+      GROUP BY b
+    ),
+    assigned AS (
+      SELECT (SELECT CAST(count(*) AS INT) FROM bounds
+              WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > bv)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(count(*) * {B} * 1.0 / (SELECT CAST(count(*) AS BIGINT)
+                                         FROM lineitem) - 1.0, 6)
+             AS rel_dev
+    FROM assigned
+    GROUP BY bucket
+    """
+
+
+@register("llm_kll_equidepth", _equidepth_sql())
+def llm_kll_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucket assignment from sketch boundaries + measured
+    per-bucket deviation from the ideal n/B depth."""
+    from pyspark.sql import Window
+
+    from crowdsorsa_etl_spark.operators.kll import kll_cells_sorted
+
+    B = _ED_BUCKETS
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cells = kll_cells_sorted(li, "cents", ["l_orderkey", "l_linenumber"], k=_KLL_K)
+    w = Window.orderBy("value", "level", "pos")
+    cum = cells.select(
+        "value",
+        F.sum("weight").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("cw"),
+        F.sum("weight").over(
+            Window.partitionBy(F.lit(1))
+        ).cast("bigint").alias("total"),
+    )
+    # bounded-aggregate window: cum runs over SKETCH CELLS (O(k log n)
+    # rows), never corpus data — the single partition is sketch-sized
+    bounds = sorted(
+        r["bv"]
+        for r in cum.crossJoin(
+            F.broadcast(
+                spark.range(1, B).select(F.col("id").alias("b"))
+            )
+        )
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw") * B >= F.col("b") * F.col("total"),
+                    F.col("value"),
+                )
+            ).alias("bv")
+        )
+        .collect()
+    )
+    bucket = sum(
+        (F.col("cents") > F.lit(int(bv))).cast("int") for bv in bounds
+    ).alias("bucket")
+    n = li.count()
+    return (
+        li.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "bucket",
+            "n_rows",
+            F.round(F.col("n_rows") * B / F.lit(n) - 1.0, 6).alias("rel_dev"),
+        )
+    )
