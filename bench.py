@@ -283,8 +283,11 @@ HEADLINE = [
     "llm_jl_transform",
     "llm_hll_setops",
     # round 17: streaming-KLL carried-sketch fold (3 batch sketches +
-    # driver-side merges, cell-exact merge-replay oracle)
+    # driver-side merges, cell-exact merge-replay oracle), per-group
+    # quantile read-off, equi-depth binning from sketch boundaries
     "q117_kll_stream_fold",
+    "q118_kll_group_quantiles",
+    "llm_kll_equidepth",
 ]
 
 

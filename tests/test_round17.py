@@ -151,3 +151,55 @@ class TestKllStream:
         assert got == ref
         n = self._lineitem_cents(spark).count()
         assert sum(w for *_x, w in got) == n
+
+
+class TestSketchConsumers:
+    def test_group_quantiles_within_sketch_bound(self, spark):
+        """Every sketch-read quantile's true within-group rank is within
+        the deterministic bound (largest cell weight) of the target."""
+        import bisect
+
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.queries._shared import _t
+
+        rows = QUERIES["q118_kll_group_quantiles"](spark, SF_DIR).collect()
+        li = _t(spark, SF_DIR, "lineitem").select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        ).collect()
+        by_g: dict[str, list[int]] = {}
+        for r in li:
+            by_g.setdefault(r["l_returnflag"], []).append(r["cents"])
+        assert {r["l_returnflag"] for r in rows} == set(by_g)
+        for r in rows:
+            exact = sorted(by_g[r["l_returnflag"]])
+            n = len(exact)
+            assert r["n"] == n  # weight conservation through the sketch
+            true_rank = bisect.bisect_right(exact, r["est_cents"])
+            # bound: one max-weight cell; at sf0.001 group sizes the
+            # sketch tops out at low levels, so the bound is tight
+            max_w = max(1, n // 16)
+            assert abs(true_rank - r["phi_pct"] * n / 100) <= max_w + 1, r
+
+    def test_equidepth_buckets_cover_and_balance(self, spark):
+        """Buckets partition the table exactly (counts sum to n) and each
+        bucket's depth deviates from ideal n/B by at most the sketch rank
+        error on both boundaries."""
+        from crowdsorsa_etl_spark.queries import QUERIES
+        from crowdsorsa_etl_spark.queries._shared import _t
+
+        from crowdsorsa_etl_spark.operators.kll import kll_plan
+
+        rows = QUERIES["llm_kll_equidepth"](spark, SF_DIR).collect()
+        n = _t(spark, SF_DIR, "lineitem").count()
+        assert sum(r["n_rows"] for r in rows) == n
+        assert {r["bucket"] for r in rows} <= set(range(8))
+        # each boundary's rank is off by at most the largest cell weight
+        # (2^max_level, derived from the level plan), so a bucket's depth
+        # deviates by at most twice that
+        max_w = 1 << (len(kll_plan(n, 32)) - 1)
+        bound = 2 * max_w / (n / 8)
+        for r in rows:
+            assert abs(r["rel_dev"]) <= bound + 0.01, (r, bound)

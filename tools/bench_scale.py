@@ -321,6 +321,11 @@ HEADLINE = [
     # round 17: streaming-KLL batch fold — 3 per-batch ranks + driver-side
     # sketch merges; scales with the per-batch rank exchanges
     "q117_kll_stream_fold",
+    # grouped-sketch quantile read-off (two-phase grouped rank is the
+    # scaling term; the quantile windows touch sketch cells only) and
+    # equi-depth binning (rank + one map-side count agg, no fact joins)
+    "q118_kll_group_quantiles",
+    "llm_kll_equidepth",
 ]
 
 
