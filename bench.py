@@ -288,6 +288,9 @@ HEADLINE = [
     "q117_kll_stream_fold",
     "q118_kll_group_quantiles",
     "llm_kll_equidepth",
+    # theta-sketch set algebra (KMV min-k): sample-based intersection next
+    # to llm_hll_setops' inclusion-exclusion tier
+    "q119_kmv_setops",
 ]
 
 

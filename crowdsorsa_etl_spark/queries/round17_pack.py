@@ -303,3 +303,84 @@ def llm_kll_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") * B / F.lit(n) - 1.0, 6).alias("rel_dev"),
         )
     )
+
+
+# ===========================================================================
+# q119_kmv_setops — theta-sketch set algebra next to llm_hll_setops' HLL
+# tier: SAME audience-overlap question (users of the min vs max event
+# type), but the intersection comes from retained SAMPLES under a shared
+# threshold θ instead of inclusion–exclusion, so its error scales like
+# 1/√(J·k) instead of compounding with |A∪B|/|A∩B| (operators/kmv.py has
+# the full contract). Exact truth + the intersection's relative error
+# ship in-row (the fp_rate posture), so the two tiers' measured errors
+# are directly comparable in the registry.
+# ===========================================================================
+
+
+def _kmv_sql() -> str:
+    from crowdsorsa_etl_spark.operators.kmv import kmv_setops_sql
+
+    tmin = "(SELECT min(event_type) FROM events)"
+    tmax = "(SELECT max(event_type) FROM events)"
+    return kmv_setops_sql(
+        f"SELECT user_id FROM events WHERE event_type = {tmin}",
+        f"SELECT user_id FROM events WHERE event_type = {tmax}",
+        "user_id",
+    )
+
+
+@register("q119_kmv_setops", _kmv_sql())
+def q119_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience overlap: est_a/b/union/inter from two KMV
+    sketches under shared θ, next to exact truth + measured error."""
+    from crowdsorsa_etl_spark.operators.kmv import (
+        KMV_K,
+        kmv_sketch,
+        theta_estimates,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    bounds = ev.agg(
+        F.min("event_type").alias("tmin"), F.max("event_type").alias("tmax")
+    ).collect()[0]
+    a = ev.filter(F.col("event_type") == bounds["tmin"]).select("user_id")
+    b = ev.filter(F.col("event_type") == bounds["tmax"]).select("user_id")
+    est = theta_estimates(
+        kmv_sketch(a, "user_id"), kmv_sketch(b, "user_id")
+    )
+    truth = ev.filter(
+        F.col("event_type").isin(bounds["tmin"], bounds["tmax"])
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == bounds["tmin"], F.col("user_id"))
+        ).cast("bigint").alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == bounds["tmax"], F.col("user_id"))
+        ).cast("bigint").alias("n_b"),
+        F.countDistinct("user_id").cast("bigint").alias("n_union"),
+    ).collect()[0]
+    n_inter = truth["n_a"] + truth["n_b"] - truth["n_union"]
+    err = (
+        round(abs(est["est_inter"] - n_inter) / n_inter, 6)
+        if n_inter
+        else None
+    )
+    return spark.createDataFrame(
+        [
+            (
+                KMV_K,
+                est["est_a"],
+                est["est_b"],
+                est["est_union"],
+                est["est_inter"],
+                truth["n_a"],
+                truth["n_b"],
+                truth["n_union"],
+                n_inter,
+                err,
+            )
+        ],
+        "k int, est_a double, est_b double, est_union double,"
+        " est_inter double, n_a bigint, n_b bigint, n_union bigint,"
+        " n_inter bigint, inter_rel_err double",
+    )

@@ -203,3 +203,55 @@ class TestSketchConsumers:
         bound = 2 * max_w / (n / 8)
         for r in rows:
             assert abs(r["rel_dev"]) <= bound + 0.01, (r, bound)
+
+
+class TestKmvThetaSketch:
+    def test_exact_branch_under_k(self, spark):
+        """Sets with fewer than k distinct hashes are retained whole
+        (θ = 2^60): every estimate is exactly the true count."""
+        from crowdsorsa_etl_spark.operators.kmv import (
+            kmv_sketch,
+            theta_estimates,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(40)], "u long")
+        b = spark.createDataFrame([(i,) for i in range(25, 60)], "u long")
+        est = theta_estimates(kmv_sketch(a, "u"), kmv_sketch(b, "u"))
+        assert est["est_a"] == 40.0
+        assert est["est_b"] == 35.0
+        assert est["est_union"] == 60.0
+        assert est["est_inter"] == 15.0  # exact — the HLL tier cannot do this
+
+    def test_estimation_branch_bounds(self, spark):
+        """Planted overlap well past k: every estimate within 5σ of its
+        KMV bound (σ ≈ n/√(k−2)); intersection error must NOT blow up
+        the way inclusion-exclusion does at small J."""
+        from crowdsorsa_etl_spark.operators.kmv import (
+            KMV_K,
+            kmv_sketch,
+            theta_estimates,
+        )
+
+        n_a, n_b, n_i = 20000, 15000, 2500
+        a = spark.createDataFrame(
+            [(i,) for i in range(n_a)], "u long"
+        )
+        b = spark.createDataFrame(
+            [(i,) for i in range(n_a - n_i, n_a - n_i + n_b)], "u long"
+        )
+        est = theta_estimates(kmv_sketch(a, "u"), kmv_sketch(b, "u"))
+        sig = 1.0 / (KMV_K - 2) ** 0.5
+        assert abs(est["est_a"] - n_a) <= 5 * sig * n_a
+        assert abs(est["est_b"] - n_b) <= 5 * sig * n_b
+        n_u = n_a + n_b - n_i
+        assert abs(est["est_union"] - n_u) <= 5 * sig * n_u
+        # intersection: sample-based, error ~ est_union * sqrt(J)/sqrt(k)
+        assert abs(est["est_inter"] - n_i) <= 5 * sig * n_u
+
+    def test_registered_query_row(self, spark):
+        from crowdsorsa_etl_spark.queries import QUERIES
+
+        r = QUERIES["q119_kmv_setops"](spark, SF_DIR).collect()[0]
+        assert r["n_inter"] == r["n_a"] + r["n_b"] - r["n_union"]
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-6
+        assert r["est_inter"] <= min(r["est_a"], r["est_b"]) + 1e-6

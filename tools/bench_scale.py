@@ -326,6 +326,9 @@ HEADLINE = [
     # equi-depth binning (rank + one map-side count agg, no fact joins)
     "q118_kll_group_quantiles",
     "llm_kll_equidepth",
+    # theta-sketch set algebra: two distinct+TakeOrdered(k) builds — the
+    # distinct agg is the scaling term, sketches are KBs
+    "q119_kmv_setops",
 ]
 
 
