@@ -354,6 +354,30 @@ def _dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture exact-cosine ANN ground truth (query_id, neighbor_id;
+    probes vec_id < 10, k = 5) — the reference table shared by the ANN
+    audits (llm_ann_recall_audit, llm_ann_recall_curve,
+    llm_pq_ivfpq_recall), which each re-ran the full brute-force pass per
+    invocation. The jactruth_v1 posture: an audit's ground truth is
+    computed once per corpus snapshot; the LIVE work is each tier's probe
+    + the recall join. Deterministic (sequential-double cosine), so the
+    cache cannot drift from a recompute."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.similarity import cosine_topk
+
+    path = os.path.join(
+        _sf_cache_dir(sf_dir, "anntruth_v1", "embeddings"), "tk.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = _t(spark, sf_dir, "embeddings")
+        cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+            "query_id", "neighbor_id"
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fixture materialized multipass Fellegi–Sunter pair table
     (c_custkey, d_custkey, fs_score, fs_class) — the scored linkage

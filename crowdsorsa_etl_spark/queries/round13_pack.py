@@ -972,11 +972,13 @@ def _ann_audit_oracle() -> str:
 def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of ivf_topk(n_lists=16, n_probe=8) vs exact
     cosine_topk over the same probe set."""
-    from crowdsorsa_etl_spark.operators.similarity import cosine_topk, ivf_topk
+    from crowdsorsa_etl_spark.operators.similarity import ivf_topk
+    from crowdsorsa_etl_spark.queries._shared import _ann_exact_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    # memoized per-fixture ground truth (the jactruth_v1 posture)
+    exact = _ann_exact_topk(spark, sf_dir)
     approx = ivf_topk(
         emb, probes, k=5, n_lists=16, n_probe=8
     ).select("query_id", F.col("neighbor_id").alias("_an"))
