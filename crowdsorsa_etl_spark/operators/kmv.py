@@ -55,7 +55,12 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = KMV_K) -> list[int]:
     """The k smallest distinct 60-bit hashes of ``key_col`` (ascending).
     Distributed build (distinct + TakeOrdered), sketch-sized collect."""
     rows = (
-        df.select(kmv_hash_spark(F.col(key_col)).alias("h"))
+        # NULL keys hash to NULL, which Spark's orderBy sorts FIRST
+        # (occupying the min slot) while DuckDB sorts NULLS LAST — and
+        # theta_estimates would then crash on None < int. A NULL key is
+        # not a set member; drop it on both paths (ADVICE r14 low).
+        df.where(F.col(key_col).isNotNull())
+        .select(kmv_hash_spark(F.col(key_col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -107,12 +112,14 @@ def kmv_setops_sql(
     return f"""
     WITH ska AS MATERIALIZED (
       SELECT h, row_number() OVER (ORDER BY h) AS rn
-      FROM (SELECT DISTINCT {ha} AS h FROM ({a_keys_sql}))
+      FROM (SELECT DISTINCT {ha} AS h FROM ({a_keys_sql})
+            WHERE {key} IS NOT NULL)
       ORDER BY h LIMIT {k}
     ),
     skb AS MATERIALIZED (
       SELECT h, row_number() OVER (ORDER BY h) AS rn
-      FROM (SELECT DISTINCT {hb} AS h FROM ({b_keys_sql}))
+      FROM (SELECT DISTINCT {hb} AS h FROM ({b_keys_sql})
+            WHERE {key} IS NOT NULL)
       ORDER BY h LIMIT {k}
     ),
     th AS (

@@ -405,7 +405,11 @@ def scd2_flush_buffer(
         tie_break_cols=ties,
         on_late="drop",
     )
-    held.filter(F.lit(False)).write.mode("overwrite").parquet(
+    # an explicit empty frame, NOT held.filter(lit(False)): the latter is
+    # a plan that reads the very path it overwrites and only survives
+    # because PropagateEmptyRelation happens to elide the scan — an
+    # optimizer-dependent invariant (ADVICE r14 low)
+    spark.createDataFrame([], held.schema).write.mode("overwrite").parquet(
         buffer_dir.rstrip("/") + "/events"
     )
     spark.createDataFrame(

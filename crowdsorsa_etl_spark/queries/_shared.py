@@ -305,6 +305,45 @@ def _json_sidecar_write(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _promote_stage(stage: str, path: str, marker: str = "_SUCCESS") -> None:
+    """Atomically promote a fully-built staging dir to its final path.
+
+    os.rename(dir, dir) fails with ENOTEMPTY when ``path`` already
+    exists; the loser of a concurrent-build race must then decide whether
+    the occupant is a complete artifact (a winner — discard our stage) or
+    a husk from a killed build / an old marker-less layout (evict it and
+    retry, else every future invocation rebuilds into stage and discards
+    the work while the husk is served forever — ADVICE r14 medium)."""
+    import os
+    import shutil
+
+    try:
+        os.rename(stage, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, marker)):
+            # a concurrent builder won with a complete artifact
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(stage, path)
+
+
+def _stage_parquet(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` as parquet at ``path`` via process-unique
+    staging + atomic rename. A direct mode('overwrite') to the final
+    path has a delete-then-write window during which a concurrent reader
+    (driver bench + oracle sweep run side by side) sees a partial table
+    even with a _SUCCESS gate — the write itself removes the old
+    _SUCCESS first (ADVICE r14 low on _ann_exact_topk)."""
+    import os
+    import shutil
+
+    stage = f"{path}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+    _promote_stage(stage, path)
+
+
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-fixture materialized portable-MinHash candidate pairs over the
     FULL documents table (id_a, id_b, n_bands_matched) — shared by
@@ -321,9 +360,12 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sf_cache_dir(sf_dir, "lshpairs_v1", "documents"), "pairs.parquet"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        minhash_lsh_candidates(
-            _t(spark, sf_dir, "documents"), portable=True
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            minhash_lsh_candidates(
+                _t(spark, sf_dir, "documents"), portable=True
+            ),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -348,9 +390,12 @@ def _dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clusters.parquet",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup_clusters(
-            _t(spark, sf_dir, "documents"), _lsh_pairs(spark, sf_dir)
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            dedup_clusters(
+                _t(spark, sf_dir, "documents"), _lsh_pairs(spark, sf_dir)
+            ),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -372,9 +417,12 @@ def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = _t(spark, sf_dir, "embeddings")
-        cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
-            "query_id", "neighbor_id"
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+                "query_id", "neighbor_id"
+            ),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -395,9 +443,7 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mp_linkage_frame,
         )
 
-        _mp_linkage_frame(spark, sf_dir).write.mode("overwrite").parquet(
-            path
-        )
+        _stage_parquet(_mp_linkage_frame(spark, sf_dir), path)
     return spark.read.parquet(path)
 
 
@@ -421,9 +467,9 @@ def _kn_token_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sf_cache_dir(sf_dir, "knscores_v1", "documents"), "lp.parquet"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        kneser_ney_token_scores(
-            _t(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            kneser_ney_token_scores(_t(spark, sf_dir, "documents")), path
+        )
     return spark.read.parquet(path)
 
 
@@ -442,9 +488,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
         _sf_cache_dir(sf_dir, f"shingles{k}_v1", "documents"), "sh.parquet"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _shingle_positions(
-            _t(spark, sf_dir, "documents"), "doc_id", "text", k
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            _shingle_positions(
+                _t(spark, sf_dir, "documents"), "doc_id", "text", k
+            ),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -461,9 +510,12 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sf_cache_dir(sf_dir, "simhash_v1", "documents"), "sig.parquet"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        simhash_signatures(
-            _t(spark, sf_dir, "documents"), portable=True
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            simhash_signatures(
+                _t(spark, sf_dir, "documents"), portable=True
+            ),
+            path,
+        )
     return spark.read.parquet(path)
 
 
@@ -482,7 +534,10 @@ def _shingle_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sf_cache_dir(sf_dir, "jactruth_v1", "documents"), "truth.parquet"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        shingle_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), portable=True
-        ).write.mode("overwrite").parquet(path)
+        _stage_parquet(
+            shingle_jaccard_pairs(
+                _t(spark, sf_dir, "documents"), portable=True
+            ),
+            path,
+        )
     return spark.read.parquet(path)

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from crowdsorsa_etl_spark import lsh_oracles
 from crowdsorsa_etl_spark import parity_oracles as _po
-from crowdsorsa_etl_spark.queries._shared import _sf_cache_dir, _t, register
+from crowdsorsa_etl_spark.queries._shared import (
+    _promote_stage,
+    _sf_cache_dir,
+    _t,
+    register,
+)
 
 
 # ===========================================================================
@@ -68,10 +73,10 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_lists=16, m=8, k_codes=64, sample_size=2048, pq_iterations=4,
         )
         open(os.path.join(stage, "_built"), "w").close()
-        try:
-            os.rename(stage, path)
-        except OSError:  # a concurrent builder won the race
-            shutil.rmtree(stage, ignore_errors=True)
+        # promote, evicting a marker-less husk (a pre-existing old-format
+        # dir made the rename fail with ENOTEMPTY forever while every
+        # invocation rebuilt-and-discarded — ADVICE r14 medium)
+        _promote_stage(stage, path, marker="_built")
     return ivfpq_query_index(
         spark, path, emb.filter(F.col("vec_id") < 10),
         k=5, n_probe=8, candidate_margin=32,
@@ -540,10 +545,7 @@ def llm_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_residual=True,
         )
         open(os.path.join(stage, "_built"), "w").close()
-        try:
-            os.rename(stage, path)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
+        _promote_stage(stage, path, marker="_built")
     return ivfpq_query_index(
         spark, path, emb.filter(F.col("vec_id") < 10),
         k=5, n_probe=8, candidate_margin=32,

@@ -105,3 +105,53 @@ def test_manifest_covers_every_artifact_tag():
             tags.add(tag)
     missing = sorted(t for t in tags if t.split("*")[0] not in manifest)
     assert not missing, f"artifact tags missing from ARTIFACTS.md: {missing}"
+
+
+def test_promote_stage_evicts_markerless_husk(tmp_path):
+    """The ADVICE r14 medium: os.rename(stage, path) fails ENOTEMPTY
+    when an old marker-less cache dir occupies path — the loser branch
+    must evict the husk and retry, not discard the fresh build while the
+    husk is served forever."""
+    from crowdsorsa_etl_spark.queries._shared import _promote_stage
+
+    path = tmp_path / "idx"
+    stage = tmp_path / "idx.stage.123"
+    # pre-existing husk: data but NO completion marker
+    path.mkdir()
+    (path / "part-0").write_text("stale")
+    stage.mkdir()
+    (stage / "part-0").write_text("fresh")
+    (stage / "_built").write_text("")
+    _promote_stage(str(stage), str(path), marker="_built")
+    assert (path / "_built").exists()
+    assert (path / "part-0").read_text() == "fresh"
+    assert not stage.exists()
+
+
+def test_promote_stage_respects_complete_winner(tmp_path):
+    """When the occupant IS complete (a concurrent builder won), the
+    loser discards its stage and the winner's bytes are served."""
+    from crowdsorsa_etl_spark.queries._shared import _promote_stage
+
+    path = tmp_path / "idx"
+    stage = tmp_path / "idx.stage.456"
+    path.mkdir()
+    (path / "part-0").write_text("winner")
+    (path / "_SUCCESS").write_text("")
+    stage.mkdir()
+    (stage / "part-0").write_text("loser")
+    (stage / "_SUCCESS").write_text("")
+    _promote_stage(str(stage), str(path))
+    assert (path / "part-0").read_text() == "winner"
+    assert not stage.exists()
+
+
+def test_promote_stage_clean_first_promotion(tmp_path):
+    from crowdsorsa_etl_spark.queries._shared import _promote_stage
+
+    path = tmp_path / "idx"
+    stage = tmp_path / "idx.stage.789"
+    stage.mkdir()
+    (stage / "_SUCCESS").write_text("")
+    _promote_stage(str(stage), str(path))
+    assert (path / "_SUCCESS").exists() and not stage.exists()
