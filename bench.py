@@ -305,8 +305,16 @@ HEADLINE = [
 CAL_REF = {"cpu_sec": 0.55, "disk_sec": 0.52}
 
 
-def _calibrate(spark) -> dict:
-    """Fixed CPU + disk probes: 1 discarded warm-up run, then min of 3."""
+def _probe(spark, n_runs: int = 4) -> dict:
+    """One calibration sample: fixed CPU + disk probes, min of ``n_runs``.
+
+    Called at bench start AND between query quartiles AND at the end
+    (VERDICT r14 missing-#2): a single start-of-run probe is blind to load
+    that arrives mid-bench — three same-code r14 benches calibrated to
+    199/224/290 s (±30%) because the probe saw a different box than the
+    queries did. The probe SERIES makes mid-run contention visible and the
+    mean factor is a far better estimate of the load the queries actually
+    ran under."""
     import shutil
     import tempfile
 
@@ -341,18 +349,34 @@ def _calibrate(spark) -> dict:
         ).save()
         return time.perf_counter() - t0
 
-    cpu = min(cpu_run() for _ in range(4))
+    cpu = min(cpu_run() for _ in range(n_runs))
     tmp = tempfile.mkdtemp(prefix="bench_cal_")
     try:
-        disk = min(disk_run(tmp) for _ in range(4))
+        disk = min(disk_run(tmp) for _ in range(n_runs))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     factor = ((cpu / CAL_REF["cpu_sec"]) * (disk / CAL_REF["disk_sec"])) ** 0.5
     return {
         "cpu_probe_sec": round(cpu, 3),
         "disk_probe_sec": round(disk, 3),
-        "ref": CAL_REF,
         "env_factor": round(factor, 3),
+    }
+
+
+def _calibration_summary(probes: list[dict]) -> dict:
+    """Aggregate the probe series: env_factor = MEAN of per-probe factors
+    (the queries ran under all of them, not just the first), plus the
+    series itself so a contended bench is self-evidently contended."""
+    factors = [p["env_factor"] for p in probes]
+    mean = sum(factors) / len(factors)
+    return {
+        "cpu_probe_sec": probes[0]["cpu_probe_sec"],
+        "disk_probe_sec": probes[0]["disk_probe_sec"],
+        "ref": CAL_REF,
+        "env_factor": round(mean, 3),
+        "env_factor_min": round(min(factors), 3),
+        "env_factor_max": round(max(factors), 3),
+        "probes": probes,
     }
 
 
@@ -431,12 +455,39 @@ def main() -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    calibration = _calibrate(spark)
-    print(f"# calibration: {calibration}", file=sys.stderr)
+    probes = [_probe(spark, n_runs=4)]
+    print(f"# calibration probe 0: {probes[0]}", file=sys.stderr)
 
+    # pinned per-query idle-box baseline (BASELINE_QUERIES.json, VERDICT
+    # r14 next-#1): lets each run be judged against an absolute yardstick
+    # instead of round-over-round archaeology
+    pinned: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_QUERIES.json")) as fh:
+            _base = json.load(fh)
+        sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        if str(_base.get("sf")) == sf_tag:  # pinned at a different SF is
+            pinned = _base.get("queries", {})  # not comparable
+    except (OSError, ValueError):
+        pass
+
+    # mid-run probes at quartile boundaries (cheap 2-run samples): load
+    # arriving mid-bench is otherwise invisible to calibration
+    probe_at = {
+        len(HEADLINE) // 4,
+        len(HEADLINE) // 2,
+        (3 * len(HEADLINE)) // 4,
+    }
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    contended: list[str] = []
+    for qi, name in enumerate(HEADLINE):
+        if qi in probe_at:
+            probes.append(_probe(spark, n_runs=2))
+            print(
+                f"# calibration probe @q{qi}: {probes[-1]}", file=sys.stderr
+            )
         fn = QUERIES[name]
         runs, n = [], 0
         for _ in range(3):
@@ -451,12 +502,45 @@ def main() -> None:
             _release_storage(spark)  # outside the timed region
         timings[name] = min(runs)
         spreads[name] = runs
-        print(f"# {name}: {timings[name]:.3f}s rows={n} runs={runs}", file=sys.stderr)
+        # contention flag: any NON-FIRST run past 3× the query's best
+        # time (this run's min, or the pinned idle-box time when
+        # available) is transient load, not the plan — surfaced so a bad
+        # number reads as "contended", never as a code regression
+        # (VERDICT r14 #5). Run 0 is exempt: a cold first run is
+        # JIT/page-cache, priced in by min-of-3.
+        best = min([timings[name]] + ([pinned[name]] if name in pinned else []))
+        flag = max(runs[1:]) > 3 * best and max(runs[1:]) - best > 0.75
+        if flag:
+            contended.append(name)
+        pin_note = (
+            f" pinned={pinned[name]:.3f}s" if name in pinned else ""
+        )
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={n} runs={runs}"
+            f"{pin_note}{' CONTENDED' if flag else ''}",
+            file=sys.stderr,
+        )
+
+    probes.append(_probe(spark, n_runs=2))
+    print(f"# calibration probe end: {probes[-1]}", file=sys.stderr)
+    calibration = _calibration_summary(probes)
+    print(f"# calibration: {calibration}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     total_calibrated = round(total / calibration["env_factor"], 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # stamp WHICH source produced these numbers, so a later bench run
+    # (the driver re-runs bench after the close commit) can't silently
+    # masquerade as the close's committed artifact (VERDICT r14 #8)
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from check_oracle import source_fingerprint
+
+        fingerprint = source_fingerprint()
+    except Exception:  # noqa: BLE001
+        fingerprint = None
     # Full detail (incl. per-run spreads) goes to BENCH_SELF.json only.
     full = {
         "metric": "headline_queries_total_wall",
@@ -466,20 +550,32 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": spreads,
+        "contended": contended,
+        "source_fingerprint": fingerprint,
         "sf": sf_val,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SELF.json"), "w") as fh:
+    with open(os.path.join(repo, "BENCH_SELF.json"), "w") as fh:
+        fh.write(json.dumps(full) + "\n")
+    # every run ALSO lands in bench_history/ under a unique name: the
+    # in-place BENCH_SELF.json is a moving pointer any later run (driver
+    # included) clobbers, and round 14's close artifact was lost that way
+    hist = os.path.join(repo, "bench_history")
+    os.makedirs(hist, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    fp8 = (fingerprint or "nofp")[:8]
+    with open(os.path.join(hist, f"bench_{stamp}_{fp8}_sf{sf}.json"),
+              "w") as fh:
         fh.write(json.dumps(full) + "\n")
     # The driver captures only the last ~2000 chars of stdout; the full
     # summary outgrew that in rounds 5-6 ("parsed": null). Emit a compact
     # stdout line — per-query timings but NO per-run spreads — and degrade
     # to metric/value/sf only if the query set ever grows past the budget.
+    slim_cal = {k: v for k, v in calibration.items() if k != "probes"}
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "value_calibrated": total_calibrated,
-        "calibration": calibration,
+        "calibration": slim_cal,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -489,8 +585,9 @@ def main() -> None:
         line = json.dumps(
             {"metric": "headline_queries_total_wall", "value": total,
              "value_calibrated": total_calibrated,
-             "calibration": calibration,
+             "calibration": slim_cal,
              "unit": "sec", "n_queries": len(timings), "sf": sf_val,
+             "n_contended": len(contended),
              "detail": "BENCH_SELF.json"},
             separators=(",", ":"),
         )

@@ -31,7 +31,12 @@ SRC = "/root/testdata/sf0.1"
 OFFSETS = {
     "orders": [("o_orderkey", 10_000_000)],
     "lineitem": [("l_orderkey", 10_000_000)],
-    "events": [("event_id", 10_000_000)],
+    # user_id offsets too (VERDICT r14 #6): replicating events under the
+    # SAME users saturates any count(DISTINCT user_id)-shaped query at the
+    # sf0.1 value — the q119 fixture caveat — so distinct-scaling queries
+    # measured a constant, not the scan. More users is also the realistic
+    # scale-up direction for a user-grain event stream.
+    "events": [("event_id", 10_000_000), ("user_id", 10_000_000)],
     "documents": [("doc_id", 10_000_000)],
     "embeddings": [("vec_id", 10_000_000)],
 }
@@ -363,7 +368,9 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
         HEADLINE = subset
-    dest = f"/tmp/crowdsorsa_sf_scaled_{mult}x"
+    # _v2: user_id offsets changed the fixture semantics — a dir built by
+    # the old recipe must read as a miss, not get silently reused
+    dest = f"/tmp/crowdsorsa_sf_scaled_{mult}x_v2"
 
     spark = get_spark(app_name="bench_scale")
     if not os.path.exists(os.path.join(dest, "documents.parquet")):

@@ -49,6 +49,49 @@ def run_bench() -> None:
         sys.exit(f"round_close: bench FAILED (exit {rc})")
 
 
+def check_perf_gate(bench_rec: dict) -> list[str]:
+    """Absolute perf gate: calibrated per-query sum must stay within 2×
+    of the PINNED idle-box baseline (BASELINE_QUERIES.json, written by
+    tools/pin_baseline.py). Compared over the intersection so newly
+    registered headline queries don't blur the yardstick; the per-query
+    deltas are printed either way, converting every future perf argument
+    from round-over-round archaeology into a diff (VERDICT r14 next-#1)."""
+    base_path = os.path.join(REPO, "BASELINE_QUERIES.json")
+    if not os.path.exists(base_path):
+        print("round_close: no BASELINE_QUERIES.json — perf gate skipped")
+        return []
+    with open(base_path) as fh:
+        base = json.load(fh)
+    pinned = base.get("queries", {})
+    ef = bench_rec.get("calibration", {}).get("env_factor") or 1.0
+    live = bench_rec.get("queries", {})
+    common = sorted(set(pinned) & set(live))
+    if not common:
+        return ["BASELINE_QUERIES.json shares no queries with BENCH_SELF"]
+    pinned_sum = sum(pinned[q] for q in common)
+    live_sum = sum(live[q] for q in common) / ef
+    ratio = live_sum / pinned_sum
+    print(
+        f"round_close: perf vs pinned baseline — calibrated "
+        f"{live_sum:.1f}s vs pinned {pinned_sum:.1f}s over "
+        f"{len(common)} common queries (ratio {ratio:.2f}x)"
+    )
+    worst = sorted(
+        common, key=lambda q: live[q] / ef - pinned[q], reverse=True
+    )[:8]
+    for q in worst:
+        print(
+            f"    {q}: {live[q] / ef:.2f}s vs pinned {pinned[q]:.2f}s "
+            f"({live[q] / ef / max(pinned[q], 1e-9):.2f}x)"
+        )
+    if ratio > 2.0:
+        return [
+            f"bench calibrated sum {live_sum:.1f}s is {ratio:.2f}x the "
+            f"pinned idle-box baseline {pinned_sum:.1f}s (gate: 2x)"
+        ]
+    return []
+
+
 def check_invariants() -> int:
     import bench
 
@@ -102,6 +145,14 @@ def check_invariants() -> int:
                 f"BENCH_SELF is stale — headline entries without a "
                 f"recorded time: {missing_bench[:10]}"
             )
+        bench_fp = bench_rec.get("source_fingerprint")
+        if bench_fp is not None and bench_fp != live_fp:
+            problems.append(
+                "BENCH_SELF is STALE: benched source fingerprint "
+                f"{bench_fp!r} != live tree — re-run bench (a later "
+                "run overwrote the close artifact in place?)"
+            )
+        problems.extend(check_perf_gate(bench_rec))
     no_oracle = sorted(set(QUERIES) - set(ORACLES))
     if no_oracle:
         # informational: rows-only entries are allowed by the driver
