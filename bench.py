@@ -291,6 +291,13 @@ HEADLINE = [
     # theta-sketch set algebra (KMV min-k): sample-based intersection next
     # to llm_hll_setops' inclusion-exclusion tier
     "q119_kmv_setops",
+    # round 18: snapshot-drift gates (per-category PSI terms, exact-integer
+    # two-sample KS) — aggregate-grid math after ONE map-side count agg —
+    # and the Hill tail index (word-count agg + TakeOrdered(k) + k-1
+    # BIGINT micro terms)
+    "q120_psi_drift",
+    "q121_ks_drift",
+    "llm_hill_tail",
 ]
 
 

@@ -33,6 +33,7 @@ from crowdsorsa_etl_spark.queries.round14_pack import *  # noqa: F401,F403
 from crowdsorsa_etl_spark.queries.round15_pack import *  # noqa: F401,F403
 from crowdsorsa_etl_spark.queries.round16_pack import *  # noqa: F401,F403
 from crowdsorsa_etl_spark.queries.round17_pack import *  # noqa: F401,F403
+from crowdsorsa_etl_spark.queries.round18_pack import *  # noqa: F401,F403
 
 from crowdsorsa_etl_spark.queries._shared import _ORDER_SNAPSHOT
 

@@ -1,0 +1,312 @@
+"""Round 18: corpus drift + tail statistics — the monitoring tier a
+production training-data pipeline runs BETWEEN snapshots (did the crawl
+mix shift? did the length distribution move? is the vocabulary tail
+still Zipfian?). Three operators, each over the documents table:
+
+* ``q120_psi_drift``  — Population Stability Index per category between
+  two corpus snapshots (the standard drift gate in front of a filter
+  model / classifier retrain decision).
+* ``q121_ks_drift``   — two-sample Kolmogorov–Smirnov D on an integer
+  metric between snapshots, kept EXACT in integer arithmetic until one
+  final division.
+* ``llm_hill_tail``   — Hill estimator of the word-frequency tail index
+  (Zipf alpha) from the top-k counts: the vocabulary-health scalar a
+  tokenizer design reads next to Heaps' law (llm_heaps_law).
+
+Registration ORDER is load-bearing (the driver's correctness window
+samples the first 50 registrations); this module is imported LAST by
+queries/__init__.py, so its entries append after the round-17 tier.
+
+Float-parity posture (the repo's standard, see _shared.py): every
+transcendental is a single ``ln`` over ONE double division of exact
+BIGINT products, rounded to 6 dp (the kneser_ney convention); sums of
+float terms cross engines as exact BIGINT micro-units, never as
+order-dependent double addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crowdsorsa_etl_spark.queries._shared import _t, register
+
+# ===========================================================================
+# q120_psi_drift — PSI between the doc_id-parity halves of the corpus
+# (ref = even ids, cur = odd ids: a deterministic stand-in for "last
+# snapshot vs this snapshot") over the `lang` mix. Laplace-(+1)-smoothed
+# so a category absent from one side stays finite:
+#
+#   p_i = (c_ref_i + 1) / (n_ref + L),  q_i = (c_cur_i + 1) / (n_cur + L)
+#   psi_i = (p_i - q_i) * ln(p_i / q_i)
+#
+# Exactness: both factors reduce to arithmetic on BIGINTs — the log
+# argument is (sc_r*sn_c)/(sc_c*sn_r) as ONE double division of exact
+# integer products, the difference is (sc_r*sn_c - sc_c*sn_r)/(sn_r*sn_c)
+# likewise — so each engine performs the identical two divisions, one
+# multiply, and two 6-dp rounds. Per-category rows (the actionable
+# output: WHICH slice drifted); the scalar total is an exact BIGINT sum
+# of the rounded terms in micro-units, order-free by construction.
+# Scale: one map-side-combined (lang, side) count agg; everything
+# downstream runs on the |langs|-row grid.
+# ===========================================================================
+
+_PSI_SQL = """
+    WITH sides AS (
+      SELECT lang,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS c_r,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS c_c
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+             CAST(sum(c_c) AS BIGINT) AS n_c,
+             CAST(count(*) AS BIGINT) AS l
+      FROM sides
+    ),
+    terms AS (
+      SELECT lang, c_r, c_c,
+             round(ln(CAST((c_r + 1) * (n_c + l) AS DOUBLE)
+                      / CAST((c_c + 1) * (n_r + l) AS DOUBLE)), 6) AS lr,
+             CAST((c_r + 1) * (n_c + l) - (c_c + 1) * (n_r + l) AS BIGINT)
+               AS d_num,
+             CAST((n_r + l) * (n_c + l) AS BIGINT) AS d_den
+      FROM sides, tot
+    )
+    SELECT lang,
+           c_r AS n_ref,
+           c_c AS n_cur,
+           lr AS log_ratio,
+           round((d_num / CAST(d_den AS DOUBLE)) * lr, 6) AS psi_term,
+           CAST(round((d_num / CAST(d_den AS DOUBLE)) * lr * 1000000.0)
+                AS BIGINT) AS psi_micro
+    FROM terms
+    """
+
+
+@register("q120_psi_drift", _PSI_SQL)
+def q120_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PSI terms between the doc_id-parity corpus halves."""
+    docs = _t(spark, sf_dir, "documents")
+    sides = docs.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("c_r"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("c_c"),
+    )
+    tot = sides.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_c").cast("bigint").alias("n_c"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    t = sides.crossJoin(F.broadcast(tot))
+    num = (F.col("c_r") + 1) * (F.col("n_c") + F.col("l"))
+    den = (F.col("c_c") + 1) * (F.col("n_r") + F.col("l"))
+    lr = F.round(F.log(num.cast("double") / den.cast("double")), 6)
+    d_num = (num - den).cast("bigint")
+    d_den = ((F.col("n_r") + F.col("l")) * (F.col("n_c") + F.col("l"))).cast(
+        "bigint"
+    )
+    term = (F.col("d_num") / F.col("d_den").cast("double")) * F.col("lr")
+    return (
+        t.select(
+            "lang",
+            F.col("c_r").alias("n_ref"),
+            F.col("c_c").alias("n_cur"),
+            lr.alias("lr"),
+            d_num.alias("d_num"),
+            d_den.alias("d_den"),
+        )
+        .select(
+            "lang",
+            "n_ref",
+            "n_cur",
+            F.col("lr").alias("log_ratio"),
+            F.round(term, 6).alias("psi_term"),
+            F.round(term * 1000000.0).cast("bigint").alias("psi_micro"),
+        )
+    )
+
+
+# ===========================================================================
+# q121_ks_drift — two-sample KS on n_chars between the same parity
+# halves. D = max_v |F_a(v) - F_b(v)| is kept EXACT until the end:
+# the deviation at value v is |cum_a(v)*n_b - cum_b(v)*n_a| — a BIGINT —
+# and the single division d_num/(n_a*n_b) happens once on the selected
+# max. The argmax value ties-break to the SMALLEST v attaining the max
+# (deterministic on both engines). Scale: one map-side (value, side)
+# count agg; the cumsum window runs over the distinct-value grid only
+# (bounded aggregate — the q99-class documented window), never corpus
+# rows.
+# ===========================================================================
+
+_KS_SQL = """
+    WITH grid AS (
+      SELECT n_chars AS v,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS b
+      FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(a) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+             CAST(sum(a) OVER () AS BIGINT) AS na,
+             CAST(sum(b) OVER () AS BIGINT) AS nb
+      FROM grid
+    ),
+    dev AS (
+      SELECT v, na, nb, abs(ca * nb - cb * na) AS d FROM cum
+    )
+    SELECT na AS n_a,
+           nb AS n_b,
+           CAST(max(d) AS BIGINT) AS d_num,
+           CAST(min(v) FILTER (WHERE d = (SELECT max(d) FROM dev))
+                AS BIGINT) AS at_value,
+           round(max(d) / CAST(na * nb AS DOUBLE), 6) AS ks_d
+    FROM dev GROUP BY na, nb
+    """
+
+
+@register("q121_ks_drift", _KS_SQL)
+def q121_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic on n_chars between the parity halves."""
+    docs = _t(spark, sf_dir, "documents")
+    grid = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dev = grid.select(
+        "v",
+        (
+            F.abs(
+                F.sum("a").over(w) * F.sum("b").over(wall)
+                - F.sum("b").over(w) * F.sum("a").over(wall)
+            )
+        ).alias("d"),
+        F.sum("a").over(wall).cast("bigint").alias("na"),
+        F.sum("b").over(wall).cast("bigint").alias("nb"),
+    )
+    mx = dev.agg(F.max("d").alias("dmax"))
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("dmax"))
+        .groupBy("na", "nb", "dmax")
+        .agg(F.min("v").cast("bigint").alias("at_value"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("dmax").cast("bigint").alias("d_num"),
+            "at_value",
+            F.round(
+                F.col("dmax") / (F.col("na") * F.col("nb")).cast("double"), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+# ===========================================================================
+# llm_hill_tail — Hill estimator of the Zipf tail index over word
+# frequencies: alpha = [ (1/(k-1)) * sum_{i<k} ln(c_i / c_k) ]^{-1}
+# with (c_i) the top-k counts (count desc, word asc — a total order, so
+# both engines pick the identical k rows). Each ln term is one double
+# division of two exact BIGINTs rounded to integer MICRO-units, the sum
+# is exact BIGINT (order-free), and alpha is one final division + 6-dp
+# round. Scale: one word-keyed map-side-combined count agg + a top-k
+# (TakeOrdered) — the dictionary-statistics shape of llm_pmi_collocations;
+# the driver sees k-1 micro rows, never corpus data.
+# ===========================================================================
+
+# k = 20 of the fixture's 31-word synthetic vocabulary; a real corpus
+# would run k = O(1000) — the shape (one count agg + TakeOrdered(k) +
+# k-1 micro terms) is identical at any k
+_HILL_K = 20
+
+_HILL_SQL = f"""
+    WITH words AS (
+      SELECT unnest(string_split(
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+               AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE w <> '' GROUP BY w
+    ),
+    topk AS (
+      SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rn
+      FROM counts
+      ORDER BY c DESC, w ASC LIMIT {_HILL_K}
+    ),
+    ck AS (SELECT c AS ck FROM topk WHERE rn = {_HILL_K}),
+    micro AS (
+      SELECT CAST(sum(CAST(round(ln(CAST(c AS DOUBLE) / CAST(ck AS DOUBLE))
+                                 * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+      FROM topk, ck WHERE rn < {_HILL_K}
+    )
+    SELECT CAST({_HILL_K} AS INT) AS k,
+           (SELECT ck FROM ck) AS c_k,
+           s AS sum_micro,
+           CASE WHEN s = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(({_HILL_K} - 1) * 1000000.0 / s, 6)
+           END AS alpha
+    FROM micro
+    """
+
+
+@register("llm_hill_tail", _HILL_SQL)
+def llm_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate from the top-k word frequencies."""
+    from crowdsorsa_etl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    topk = (
+        counts.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_HILL_K)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+            .alias("rn"),
+        )
+    )
+    ck = topk.filter(F.col("rn") == _HILL_K).select(F.col("c").alias("ck"))
+    micro = (
+        topk.filter(F.col("rn") < _HILL_K)
+        .crossJoin(F.broadcast(ck))
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("c").cast("double") / F.col("ck").cast("double"))
+                    * 1000000.0
+                )
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    return micro.crossJoin(F.broadcast(ck)).select(
+        F.lit(_HILL_K).cast("int").alias("k"),
+        F.col("ck").alias("c_k"),
+        F.col("s").alias("sum_micro"),
+        F.when(F.col("s") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit((_HILL_K - 1) * 1000000.0) / F.col("s"), 6))
+        .alias("alpha"),
+    )

@@ -1,0 +1,98 @@
+"""Round-18 drift/tail statistics: q120_psi_drift, q121_ks_drift,
+llm_hill_tail verified against an INDEPENDENT pure-Python recompute
+straight off the parquet fixture (a third implementation next to the
+Spark plan and the DuckDB oracle — the engines can only agree with it
+by computing the definition)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip()).lower()
+
+
+def test_psi_matches_pure_python(spark, docs):
+    from crowdsorsa_etl_spark.queries import QUERIES
+
+    out = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["q120_psi_drift"](spark, SF_DIR).collect()
+    }
+    ref = docs[docs.doc_id % 2 == 0].groupby("lang").size()
+    cur = docs[docs.doc_id % 2 == 1].groupby("lang").size()
+    langs = sorted(set(docs.lang))
+    l = len(langs)
+    n_r, n_c = int(ref.sum()), int(cur.sum())
+    assert set(out) == set(langs)
+    for lang in langs:
+        c_r, c_c = int(ref.get(lang, 0)), int(cur.get(lang, 0))
+        num = (c_r + 1) * (n_c + l)
+        den = (c_c + 1) * (n_r + l)
+        lr = round(math.log(num / den), 6)
+        term = ((num - den) / ((n_r + l) * (n_c + l))) * lr
+        row = out[lang]
+        assert row["n_ref"] == c_r and row["n_cur"] == c_c
+        assert row["log_ratio"] == pytest.approx(lr, abs=1e-9)
+        assert row["psi_term"] == pytest.approx(round(term, 6), abs=1e-9)
+        assert row["psi_micro"] == round(term * 1_000_000)
+        # drift in either direction contributes non-negatively
+        assert row["psi_term"] >= 0
+
+
+def test_ks_matches_pure_python(spark, docs):
+    from crowdsorsa_etl_spark.queries import QUERIES
+
+    row = QUERIES["q121_ks_drift"](spark, SF_DIR).collect()[0]
+    a = docs[docs.doc_id % 2 == 0].n_chars
+    b = docs[docs.doc_id % 2 == 1].n_chars
+    na, nb = len(a), len(b)
+    best, at = -1, None
+    ca = cb = 0
+    for v in sorted(set(docs.n_chars)):
+        ca += int((a == v).sum())
+        cb += int((b == v).sum())
+        d = abs(ca * nb - cb * na)
+        if d > best:
+            best, at = d, int(v)
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["d_num"] == best
+    assert row["at_value"] == at
+    assert row["ks_d"] == pytest.approx(round(best / (na * nb), 6), abs=1e-9)
+    assert 0.0 <= row["ks_d"] <= 1.0
+
+
+def test_hill_matches_pure_python(spark, docs):
+    from crowdsorsa_etl_spark.queries import QUERIES
+    from crowdsorsa_etl_spark.queries.round18_pack import _HILL_K
+
+    row = QUERIES["llm_hill_tail"](spark, SF_DIR).collect()[0]
+    counts: dict[str, int] = {}
+    for t in docs.text:
+        for w in _norm(t).split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_HILL_K]
+    ck = top[-1][1]
+    s = sum(round(math.log(c / ck) * 1_000_000) for _w, c in top[:-1])
+    assert row["k"] == _HILL_K
+    assert row["c_k"] == ck
+    assert row["sum_micro"] == s
+    expect = None if s == 0 else round((_HILL_K - 1) * 1_000_000.0 / s, 6)
+    if expect is None:
+        assert row["alpha"] is None
+    else:
+        assert row["alpha"] == pytest.approx(expect, abs=1e-9)
+        assert row["alpha"] > 0
