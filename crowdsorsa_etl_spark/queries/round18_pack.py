@@ -234,6 +234,75 @@ def q121_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-1 micro terms) is identical at any k
 _HILL_K = 20
 
+# ===========================================================================
+# llm_ngram_novelty — snapshot-over-snapshot n-gram novelty: what fraction
+# of the "current" half's distinct 8-token shingles were never seen in
+# the "reference" half? The memorization/freshness audit a continual-
+# pretraining pipeline runs before adding a crawl snapshot (novelty ~0 →
+# the new data is rehash; novelty ~1 → distribution break, check PSI/KS).
+# Reuses the _doc_shingles artifact at rest (the substring tier's md5
+# window table) — the LIVE work is two distinct projections and one hash
+# anti-join, the production posture at 100 TB (shingle index is built
+# once per snapshot; novelty is an index-vs-index anti-join). Counts are
+# exact BIGINTs; the rate is one division + 6-dp round.
+# ===========================================================================
+
+_NOVELTY_K = 8
+
+
+def _novelty_sql() -> str:
+    from crowdsorsa_etl_spark.operators.substring import _NORM
+
+    k = _NOVELTY_K
+
+    def keys(pred: str) -> str:
+        return f"""
+        SELECT DISTINCT md5(array_to_string(
+                 arr[CAST(i AS INT):CAST(i + {k} - 1 AS INT)], ' ')) AS s
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS arr
+              FROM documents WHERE {pred}) toks,
+             UNNEST(range(1, len(arr) - {k} + 2)) AS t(i)
+        """
+
+    return f"""
+    WITH ref AS MATERIALIZED ({keys("doc_id % 2 = 0")}),
+    cur AS MATERIALIZED ({keys("doc_id % 2 = 1")}),
+    novel AS (SELECT s FROM cur WHERE s NOT IN (SELECT s FROM ref))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS n_ref,
+           (SELECT CAST(count(*) AS BIGINT) FROM cur) AS n_cur,
+           (SELECT CAST(count(*) AS BIGINT) FROM novel) AS n_novel,
+           round((SELECT count(*) FROM novel)
+                 / CAST((SELECT count(*) FROM cur) AS DOUBLE), 6)
+             AS novelty_rate
+    """
+
+
+@register("llm_ngram_novelty", _novelty_sql())
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle novelty of the odd-id half vs the even-id half."""
+    from crowdsorsa_etl_spark.queries._shared import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir, _NOVELTY_K)
+    ref = sh.filter(F.col("doc_id") % 2 == 0).select("sh").distinct()
+    cur = sh.filter(F.col("doc_id") % 2 == 1).select("sh").distinct()
+    novel = cur.join(ref, "sh", "left_anti")
+    counts = (
+        ref.agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+        .crossJoin(cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_cur")))
+        .crossJoin(
+            novel.agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+        )
+    )
+    return counts.select(
+        "n_ref",
+        "n_cur",
+        "n_novel",
+        F.round(
+            F.col("n_novel") / F.col("n_cur").cast("double"), 6
+        ).alias("novelty_rate"),
+    )
+
+
 _HILL_SQL = f"""
     WITH words AS (
       SELECT unnest(string_split(

@@ -74,6 +74,33 @@ def test_ks_matches_pure_python(spark, docs):
     assert 0.0 <= row["ks_d"] <= 1.0
 
 
+def test_novelty_matches_pure_python(spark, docs):
+    import hashlib
+
+    from crowdsorsa_etl_spark.queries import QUERIES
+    from crowdsorsa_etl_spark.queries.round18_pack import _NOVELTY_K
+
+    row = QUERIES["llm_ngram_novelty"](spark, SF_DIR).collect()[0]
+
+    def shingles(side: int) -> set[str]:
+        out: set[str] = set()
+        for _i, r in docs[docs.doc_id % 2 == side].iterrows():
+            toks = _norm(r.text).split(" ")
+            for i in range(len(toks) - _NOVELTY_K + 1):
+                key = " ".join(toks[i : i + _NOVELTY_K])
+                out.add(hashlib.md5(key.encode()).hexdigest())
+        return out
+
+    ref, cur = shingles(0), shingles(1)
+    novel = cur - ref
+    assert row["n_ref"] == len(ref)
+    assert row["n_cur"] == len(cur)
+    assert row["n_novel"] == len(novel)
+    assert row["novelty_rate"] == pytest.approx(
+        round(len(novel) / len(cur), 6), abs=1e-9
+    )
+
+
 def test_hill_matches_pure_python(spark, docs):
     from crowdsorsa_etl_spark.queries import QUERIES
     from crowdsorsa_etl_spark.queries.round18_pack import _HILL_K
