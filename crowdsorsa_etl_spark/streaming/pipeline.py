@@ -2339,3 +2339,105 @@ def start_kll_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_kmv_stream(
+    keys_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    key_col: str = "k",
+    k: int = 256,
+):
+    """Streaming distinct-count theta sketch (KMV min-k), completing the
+    streaming sketch quartet next to ``start_hll_stream`` (distinct by
+    registers), the Misra-Gries stream (heavy hitters) and
+    ``start_kll_stream`` (quantiles) — KMV is the rung that keeps SET
+    ALGEBRA exact-ish downstream (operators/kmv.theta_estimates evaluates
+    union AND intersection over retained samples, the q119 tier), which
+    registers can't.
+
+    Per micro-batch: the batch's k smallest distinct key hashes build
+    DISTRIBUTED (kmv_hash + distinct + TakeOrdered(k) — k rows per
+    partition shuffle, the operators/kmv.kmv_sketch shape); the carried
+    state folds as ``k smallest of (carried ∪ batch)``. UNLIKE KLL
+    compaction, this merge is IDEMPOTENT (min-k of a union — re-folding
+    a replayed batch is a no-op), so KMV has HLL-class replay safety
+    even without the epoch guard; the epoch-versioned store layout is
+    kept anyway so all four streams share one recovery/audit story.
+
+    Per epoch writes (the ``start_hll_stream`` layout):
+
+    * ``epoch=<e>/sketch``  — (h BIGINT) ascending retained hashes = state;
+    * ``epoch=<e>/summary`` — one row: n_retained, theta, est (the
+      single-set estimate count·2^60/θ, 6-dp — same float op order as
+      operators/kmv.theta_estimates so batch replays pin it exactly).
+
+    State is ≤ k BIGINTs regardless of stream length — the right
+    100 TB shape (the distinct build is map-side combined per batch;
+    the driver folds two ≤k-element lists)."""
+    import os
+
+    from crowdsorsa_etl_spark.operators.kmv import (
+        H_SPACE,
+        kmv_hash_spark,
+        theta_split,
+    )
+
+    spark_active = keys_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        batch_hashes = [
+            r["h"]
+            for r in (
+                batch_df.where(F.col(key_col).isNotNull())
+                .select(kmv_hash_spark(F.col(key_col)).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+                .collect()
+            )
+        ]
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(store_path) if os.path.isdir(store_path) else []
+            )
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        if prior:
+            carried = [
+                r["h"]
+                for r in spark_active.read.schema("h bigint")
+                .parquet(
+                    os.path.join(store_path, f"epoch={max(prior)}", "sketch")
+                )
+                .collect()
+            ]
+            merged = sorted(set(carried) | set(batch_hashes))[:k]
+        else:
+            merged = batch_hashes
+        ep = os.path.join(store_path, f"epoch={e}")
+        spark_active.createDataFrame(
+            [(h,) for h in merged], "h bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ep, "sketch")
+        )
+        sample, theta = theta_split(merged, k)
+        est = round(len(sample) * float(H_SPACE) / float(theta), 6)
+        spark_active.createDataFrame(
+            [(len(merged), theta, est)],
+            "n_retained int, theta bigint, est double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ep, "summary")
+        )
+
+    return (
+        keys_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
