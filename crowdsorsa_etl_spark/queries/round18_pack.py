@@ -379,3 +379,129 @@ def llm_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit((_HILL_K - 1) * 1000000.0) / F.col("s"), 6))
         .alias("alpha"),
     )
+
+
+# ===========================================================================
+# llm_weighted_reservoir — Efraimidis–Spirakis (A-ES) weighted sampling
+# without replacement: each item draws u_i from a SEEDED portable hash
+# (u = (hex60+1)/2^60, an exact rational in (0,1]) and is ranked by
+# key_i = ln(u_i)/w_i (the log form of u^(1/w); higher is better since
+# ln(u) < 0); the top-s keys are the weighted sample — the quality-
+# weighted corpus subsample selection every data-mixing pipeline runs.
+# Determinism: the key is ROUNDED to 6 dp before ranking with doc_id as
+# the tie-break (the cosine_topk convention — raw-double ordering would
+# hinge on sub-ulp libm agreement). Scale: one narrow projection + a
+# TakeOrdered(s); no shuffle beyond the top-k.
+# ===========================================================================
+
+_RES_SEED = "wres:v1:"
+_RES_S = 20
+
+
+def _wres_sql() -> str:
+    from crowdsorsa_etl_spark.functions.portable_hash import hex60_sql
+
+    h = hex60_sql(f"'{_RES_SEED}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS w,
+             round(ln(({h} + 1) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 6) AS key6
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY key6 DESC, doc_id ASC) AS INT)
+             AS rank,
+           doc_id, CAST(w AS BIGINT) AS w, key6
+    FROM keyed
+    ORDER BY key6 DESC, doc_id ASC LIMIT {_RES_S}
+    """
+
+
+@register("llm_weighted_reservoir", _wres_sql())
+def llm_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-s A-ES weighted sample of documents, weight = n_chars."""
+    from crowdsorsa_etl_spark.functions.portable_hash import hex60_spark
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = hex60_spark(
+        F.concat(F.lit(_RES_SEED), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.round(
+            F.log((h + 1) / F.lit(1152921504606846976.0))
+            / F.col("n_chars").cast("double"),
+            6,
+        ).alias("key6"),
+    )
+    top = keyed.orderBy(F.col("key6").desc(), F.col("doc_id").asc()).limit(
+        _RES_S
+    )
+    w = Window.orderBy(F.col("key6").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "w",
+        "key6",
+    )
+
+
+# ===========================================================================
+# llm_source_percentile — per-source percent-rank normalization of a
+# quality proxy (n_chars): scores from different sources are not
+# comparable raw (each crawl has its own length/quality distribution),
+# so cross-source selection thresholds operate on the WITHIN-SOURCE
+# percentile instead — the standard score-calibration step before a
+# global quality cut. percent_rank = (rank−1)/(n−1) is exact integer
+# arithmetic + one division on both engines; RANK() gives ties the same
+# percentile (the convention that makes equal scores interchangeable).
+# Output is the bounded doc_id < 50 probe slice (exact rank/n carried
+# for audit); the corpus-wide term is one hash-partitioned window by
+# source — the honest shuffle, skew-bounded by |sources|.
+# ===========================================================================
+
+_SRC_PCTL_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(rank() OVER (PARTITION BY source ORDER BY n_chars)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rnk, n_src,
+           round(CASE WHEN n_src = 1 THEN 0.0
+                      ELSE (rnk - 1) / CAST(n_src - 1 AS DOUBLE) END, 6)
+             AS pctl
+    FROM ranked WHERE doc_id < 50
+    """
+
+
+@register("llm_source_percentile", _SRC_PCTL_SQL)
+def llm_source_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percent-rank of n_chars for the probe slice."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_src"),
+    )
+    return ranked.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "rnk",
+        "n_src",
+        F.round(
+            F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+                (F.col("rnk") - 1) / (F.col("n_src") - 1).cast("double")
+            ),
+            6,
+        ).alias("pctl"),
+    )
