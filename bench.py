@@ -298,6 +298,12 @@ HEADLINE = [
     "q120_psi_drift",
     "q121_ks_drift",
     "llm_hill_tail",
+    # shingle-index anti-join novelty (rides the at-rest artifact), A-ES
+    # weighted sample (narrow + TakeOrdered), per-source percent-rank
+    # (one source-partitioned window)
+    "llm_ngram_novelty",
+    "llm_weighted_reservoir",
+    "llm_source_percentile",
 ]
 
 
