@@ -304,6 +304,9 @@ HEADLINE = [
     "llm_ngram_novelty",
     "llm_weighted_reservoir",
     "llm_source_percentile",
+    # sketch-KS: one grouped rank builds both side sketches; drift math
+    # runs over sketch cells with the exact tier + loss in-row
+    "llm_ks_sketch",
 ]
 
 

@@ -505,3 +505,160 @@ def llm_source_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pctl"),
     )
+
+
+# ===========================================================================
+# llm_ks_sketch — the 100 TB SCALE PATH for q121_ks_drift: the KS
+# statistic estimated from two KLL sketches instead of the exact
+# distinct-value grid, with its loss MEASURED in-row against the exact
+# tier (the fp_rate/suffix-audit posture: an approximation ships with
+# its error). At 100 TB the exact grid may be unbounded (continuous
+# metric) — the sketch caps state at O(k·levels) cells per side while
+# the rank-error bound caps |ks_est − ks_exact|. All comparisons stay
+# exact integers: cumulative WEIGHTS (BIGINT, conserved == side counts)
+# replace cumulative counts, deviation = |ca·n_b − cb·n_a|, one division
+# per output. Builds both side sketches in ONE grouped rank (the q116
+# machinery, side = doc_id % 2).
+# ===========================================================================
+
+_KS_SK_K = 32
+
+
+def _ks_sketch_sql() -> str:
+    from crowdsorsa_etl_spark.operators.kll import kll_grouped_sql
+
+    cells = kll_grouped_sql(
+        "SELECT doc_id % 2 AS side, n_chars, doc_id FROM documents",
+        "side",
+        "n_chars",
+        "n_chars, doc_id",
+        k=_KS_SK_K,
+    )
+    return f"""
+    WITH cells AS MATERIALIZED ({cells}),
+    wv AS (
+      SELECT grp AS side, value, CAST(sum(weight) AS BIGINT) AS w
+      FROM cells GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT value,
+             CAST(coalesce(sum(w) FILTER (WHERE side = 0), 0) AS BIGINT)
+               AS wa,
+             CAST(coalesce(sum(w) FILTER (WHERE side = 1), 0) AS BIGINT)
+               AS wb
+      FROM wv GROUP BY value
+    ),
+    cum AS (
+      SELECT CAST(sum(wa) OVER (ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(wb) OVER (ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+             CAST(sum(wa) OVER () AS BIGINT) AS na,
+             CAST(sum(wb) OVER () AS BIGINT) AS nb
+      FROM grid
+    ),
+    est AS (
+      SELECT na, nb, CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_est
+      FROM cum GROUP BY na, nb
+    ),
+    egrid AS (
+      SELECT n_chars AS v,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS b
+      FROM documents GROUP BY n_chars
+    ),
+    ecum AS (
+      SELECT CAST(sum(a) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM egrid
+    ),
+    ex AS (
+      SELECT CAST(max(abs(ca * (SELECT nb FROM est)
+                          - cb * (SELECT na FROM est))) AS BIGINT) AS d_ex
+      FROM ecum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(d_ex / CAST(na * nb AS DOUBLE), 6) AS ks_exact,
+           round(d_est / CAST(na * nb AS DOUBLE), 6) AS ks_est,
+           round(abs(d_est - d_ex) / CAST(na * nb AS DOUBLE), 6) AS est_err
+    FROM est, ex
+    """
+
+
+@register("llm_ks_sketch", _ks_sketch_sql())
+def llm_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift from two KLL sketches, exact tier + loss in-row."""
+    from crowdsorsa_etl_spark.operators.kll import kll_cells_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("doc_id") % 2).alias("side"), "n_chars", "doc_id"
+    )
+    cells = kll_cells_grouped(
+        base, ["side"], "n_chars", ["doc_id"], k=_KS_SK_K
+    )
+    wv = cells.groupBy("side", "value").agg(
+        F.sum("weight").cast("bigint").alias("w")
+    )
+    grid = wv.groupBy("value").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 0, F.col("w"))), F.lit(0))
+        .cast("bigint")
+        .alias("wa"),
+        F.coalesce(F.sum(F.when(F.col("side") == 1, F.col("w"))), F.lit(0))
+        .cast("bigint")
+        .alias("wb"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        F.sum("wa").over(wcum).cast("bigint").alias("ca"),
+        F.sum("wb").over(wcum).cast("bigint").alias("cb"),
+        F.sum("wa").over(wall).cast("bigint").alias("na"),
+        F.sum("wb").over(wall).cast("bigint").alias("nb"),
+    )
+    est = cum.groupBy("na", "nb").agg(
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("bigint")
+        .alias("d_est")
+    )
+    egrid = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("b"),
+    )
+    ecum = egrid.select(
+        F.sum("a").over(wcum.orderBy("v")).cast("bigint").alias("ca"),
+        F.sum("b").over(wcum.orderBy("v")).cast("bigint").alias("cb"),
+    )
+    ex = (
+        ecum.crossJoin(F.broadcast(est.select("na", "nb")))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            )
+            .cast("bigint")
+            .alias("d_ex")
+        )
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("d_ex") / (F.col("na") * F.col("nb")).cast("double"), 6
+        ).alias("ks_exact"),
+        F.round(
+            F.col("d_est") / (F.col("na") * F.col("nb")).cast("double"), 6
+        ).alias("ks_est"),
+        F.round(
+            F.abs(F.col("d_est") - F.col("d_ex"))
+            / (F.col("na") * F.col("nb")).cast("double"),
+            6,
+        ).alias("est_err"),
+    )
