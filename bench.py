@@ -307,6 +307,9 @@ HEADLINE = [
     # sketch-KS: one grouped rank builds both side sketches; drift math
     # runs over sketch cells with the exact tier + loss in-row
     "llm_ks_sketch",
+    # grouped MG: pass-1 summaries bounded by (k+1)*P*|sources|, pass-2
+    # exact confirm on candidates only
+    "llm_source_heavy_hitters",
 ]
 
 

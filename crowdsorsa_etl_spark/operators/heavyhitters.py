@@ -171,3 +171,115 @@ def merge_summaries(*summaries: DataFrame) -> DataFrame:
     for s in summaries[1:]:
         merged = merged.unionByName(s)
     return merged.groupBy("token").agg(F.sum("est").alias("est"))
+
+
+def mg_grouped_summaries(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    capacity: int = 64,
+) -> DataFrame:
+    """Pass 1 of the GROUPED Misra-Gries: one capacity-k MG table per
+    (partition, group) — ≤ k rows per pair of (g, token, est), plus one
+    NULL-token sentinel per pair carrying that pair's token count. The
+    per-group guarantee matches the ungrouped bound: within a partition,
+    a group's counter error is ≤ n_partition_group/(capacity+1), so
+    summed over partitions a token with group share ≥ min_share >
+    1/(capacity+1) always survives. Memory is O(capacity × |groups
+    present in the partition|) — the boilerplate/per-source shape where
+    |groups| is a dimension, not data."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1; got {capacity}")
+    toks = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables: dict[str, dict[str, int]] = {}
+        n_part: dict[str, int] = {}
+        for pdf in batches:
+            for g, tok in zip(pdf["g"], pdf["token"]):
+                n_part[g] = n_part.get(g, 0) + 1
+                counters = tables.setdefault(g, {})
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    drained = [t for t, c in counters.items() if c == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in drained:
+                        del counters[t]
+        gs: list[str] = []
+        ts: list[str | None] = []
+        es: list[int] = []
+        for g, n in n_part.items():
+            for t, c in tables.get(g, {}).items():
+                gs.append(g)
+                ts.append(t)
+                es.append(c)
+            gs.append(g)
+            ts.append(None)
+            es.append(n)
+        if gs:
+            yield pd.DataFrame({"g": gs, "token": ts, "est": es})
+
+    return toks.mapInPandas(summarize, "g string, token string, est long")
+
+
+def heavy_hitters_grouped(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    capacity: int = 64,
+    min_share: float = 0.02,
+) -> DataFrame:
+    """Per-group tokens whose WITHIN-GROUP share is ≥ ``min_share`` —
+    the per-source boilerplate/top-token table, with the same
+    sketch-propose + exact-confirm contract as :func:`heavy_hitters`:
+    the output is deterministically the exact per-group ≥min_share set
+    (plain SQL oracle; a sketch false negative = a missing row = a hash
+    mismatch). Returns (g, token, cnt) with exact counts."""
+    if not min_share > 1.0 / (capacity + 1):
+        raise ValueError(
+            f"min_share={min_share} is inside the MG error bound "
+            f"1/(capacity+1)={1.0 / (capacity + 1):.6f}"
+        )
+    rows = mg_grouped_summaries(
+        df, group_col, text_col, capacity=capacity
+    ).collect()  # ≤ (capacity+1) × partitions × |groups-per-partition|
+    totals: dict[str, int] = {}
+    cands: set[tuple[str, str]] = set()
+    for r in rows:
+        if r["token"] is None:
+            totals[r["g"]] = totals.get(r["g"], 0) + int(r["est"])
+        else:
+            cands.add((r["g"], r["token"]))
+    spark = df.sparkSession
+    if not cands:
+        return spark.createDataFrame([], "g string, token string, cnt long")
+    thr = {
+        g: max(int(math.ceil(min_share * n)), 1) for g, n in totals.items()
+    }
+    cand_df = spark.createDataFrame(
+        sorted(cands), "g string, token string"
+    )
+    thr_df = spark.createDataFrame(
+        sorted(thr.items()), "g string, thr long"
+    )
+    toks = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.join(F.broadcast(cand_df), ["g", "token"], "left_semi")
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(thr_df), "g")
+        .filter(F.col("cnt") >= F.col("thr"))
+        .select("g", "token", "cnt")
+    )

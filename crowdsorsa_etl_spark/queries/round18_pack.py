@@ -662,3 +662,45 @@ def llm_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_err"),
     )
+
+
+# ===========================================================================
+# llm_source_heavy_hitters — GROUPED Misra-Gries: per-source tokens with
+# within-source share ≥ 2% (the per-crawl boilerplate/top-token table —
+# the grouped rung of q103). Pass 1 keeps one capacity-k MG table per
+# (partition, source) — the per-group no-false-negative bound holds
+# exactly as in the global case — pass 2 confirms candidates EXACTLY per
+# (source, token), so the output is deterministically the exact
+# per-source frequent set and the oracle is a plain HAVING over exact
+# counts; any sketch miss is a missing row = a hash mismatch. Scale:
+# pass-1 movement is ≤ (k+1)·partitions·|sources| summary rows; pass-2
+# shuffle carries only candidate keys.
+# ===========================================================================
+
+from crowdsorsa_etl_spark.queries._shared import _NORM_SQL
+
+_SRC_HH_SQL = f"""
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ),
+    t AS (SELECT g, token FROM toks WHERE token <> ''),
+    n AS (SELECT g, CAST(count(*) AS BIGINT) AS total FROM t GROUP BY g)
+    SELECT g, token, CAST(count(*) AS BIGINT) AS cnt
+    FROM t JOIN n USING (g)
+    GROUP BY g, token, n.total
+    HAVING count(*) >= greatest(CAST(ceil(0.02 * n.total) AS BIGINT), 1)
+    """
+
+
+@register("llm_source_heavy_hitters", _SRC_HH_SQL)
+def llm_source_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ≥2%-share tokens via grouped MG + exact confirm."""
+    from crowdsorsa_etl_spark.operators.heavyhitters import (
+        heavy_hitters_grouped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters_grouped(
+        docs, "source", "text", capacity=64, min_share=0.02
+    )

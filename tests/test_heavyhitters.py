@@ -213,3 +213,81 @@ class TestStreamingHeavyHitters:
         }
         assert rows["alpha"]["est"] == 2  # not 4
         assert rows["alpha"]["n_total"] == 3
+
+
+class TestGroupedHeavyHitters:
+    def test_exact_per_group_set(self, spark):
+        """Grouped MG output == the exact per-group >=min_share token set
+        computed the brute-force way (groupBy all) — the deterministic
+        contract that makes the plain-SQL oracle valid."""
+        import math
+
+        from crowdsorsa_etl_spark.functions.text import normalize_text
+        from crowdsorsa_etl_spark.operators.heavyhitters import (
+            heavy_hitters_grouped,
+        )
+        from crowdsorsa_etl_spark.queries._shared import _t
+
+        docs = _t(spark, "/root/testdata/sf0.001", "documents")
+        got = {
+            (r["g"], r["token"], r["cnt"])
+            for r in heavy_hitters_grouped(
+                docs, "source", "text", capacity=64, min_share=0.02
+            ).collect()
+        }
+        toks = docs.select(
+            F.col("source").alias("g"),
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "token"
+            ),
+        ).filter(F.col("token") != "")
+        counts = {}
+        totals = {}
+        for r in toks.collect():
+            counts[(r["g"], r["token"])] = (
+                counts.get((r["g"], r["token"]), 0) + 1
+            )
+            totals[r["g"]] = totals.get(r["g"], 0) + 1
+        want = {
+            (g, t, c)
+            for (g, t), c in counts.items()
+            if c >= max(int(math.ceil(0.02 * totals[g])), 1)
+        }
+        assert got == want
+
+    def test_capacity_below_threshold_refused(self, spark):
+        import pytest as _pytest
+
+        from crowdsorsa_etl_spark.operators.heavyhitters import (
+            heavy_hitters_grouped,
+        )
+        from crowdsorsa_etl_spark.queries._shared import _t
+
+        docs = _t(spark, "/root/testdata/sf0.001", "documents")
+        with _pytest.raises(ValueError, match="error bound"):
+            heavy_hitters_grouped(
+                docs, "source", "text", capacity=10, min_share=0.02
+            )
+
+    def test_tiny_capacity_still_exact_above_bound(self, spark):
+        """capacity=9 with min_share=0.2: per-group guarantee holds at a
+        capacity far below the vocabulary size (the point of MG)."""
+        import math
+
+        from crowdsorsa_etl_spark.operators.heavyhitters import (
+            heavy_hitters_grouped,
+        )
+
+        rows = [
+            ("s1", "a a a a b b c d e f g h i j"),
+            ("s2", "x x x x x y z w v u t s r q"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            (r["g"], r["token"])
+            for r in heavy_hitters_grouped(
+                df, "source", "text", capacity=9, min_share=0.2
+            ).collect()
+        }
+        # 14 tokens per group -> threshold ceil(0.2*14)=3
+        assert got == {("s1", "a"), ("s2", "x")}
