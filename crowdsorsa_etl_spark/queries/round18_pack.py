@@ -1,7 +1,8 @@
-"""Round 18: corpus drift + tail statistics — the monitoring tier a
-production training-data pipeline runs BETWEEN snapshots (did the crawl
-mix shift? did the length distribution move? is the vocabulary tail
-still Zipfian?). Three operators, each over the documents table:
+"""Round 18: corpus drift, sampling, and tail statistics — the
+monitoring + selection tier a production training-data pipeline runs
+BETWEEN snapshots (did the crawl mix shift? did the length distribution
+move? is the vocabulary tail still Zipfian? what do we subsample?).
+All over the documents table:
 
 * ``q120_psi_drift``  — Population Stability Index per category between
   two corpus snapshots (the standard drift gate in front of a filter
@@ -9,9 +10,19 @@ still Zipfian?). Three operators, each over the documents table:
 * ``q121_ks_drift``   — two-sample Kolmogorov–Smirnov D on an integer
   metric between snapshots, kept EXACT in integer arithmetic until one
   final division.
+* ``llm_ks_sketch``   — the same KS from two KLL sketches (the 100 TB
+  path when the value grid is unbounded), exact tier + loss in-row.
+* ``llm_ngram_novelty`` — distinct-shingle novelty of the current half
+  vs the reference half (index-vs-index anti-join at rest).
 * ``llm_hill_tail``   — Hill estimator of the word-frequency tail index
   (Zipf alpha) from the top-k counts: the vocabulary-health scalar a
   tokenizer design reads next to Heaps' law (llm_heaps_law).
+* ``llm_weighted_reservoir`` — Efraimidis–Spirakis weighted sampling
+  without replacement (seeded-hash keys, TakeOrdered(s)).
+* ``llm_source_percentile`` — within-source percent-rank normalization
+  (cross-source score calibration before a global quality cut).
+* ``llm_source_heavy_hitters`` — grouped Misra-Gries: per-source
+  ≥φ-share tokens (boilerplate discovery), exact confirm pass.
 
 Registration ORDER is load-bearing (the driver's correctness window
 samples the first 50 registrations); this module is imported LAST by
