@@ -310,6 +310,8 @@ HEADLINE = [
     # grouped MG: pass-1 summaries bounded by (k+1)*P*|sources|, pass-2
     # exact confirm on candidates only
     "llm_source_heavy_hitters",
+    # CUSUM: one day-count agg + bounded-grid cumsum
+    "q122_cusum_days",
 ]
 
 

@@ -715,3 +715,89 @@ def llm_source_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_grouped(
         docs, "source", "text", capacity=64, min_share=0.02
     )
+
+
+# ===========================================================================
+# q122_cusum_days — CUSUM changepoint scan over the daily event rate:
+# cusum(d) = Σ_{d'≤d} (n_{d'} − N/D), the classic level-shift detector
+# (Page 1954) a pipeline runs over ingest volume to find WHEN a feed
+# broke or a crawler doubled. Exactness: denominators cleared —
+# dev_d = n_d·D − N is a BIGINT, the cumsum stays BIGINT, and the only
+# doubles are the two 6-dp display ratios. The peak day ties-break to
+# the EARLIEST day attaining max |cusum| (deterministic both engines).
+# Scale: one map-side day-count agg; cumsum + peak run over the bounded
+# day grid (the q99-class documented window).
+# ===========================================================================
+
+_CUSUM_SQL = """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_d
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_d) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d FROM days
+    ),
+    cum AS (
+      SELECT day, n_d,
+             CAST(sum(n_d * d - n) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_num,
+             n, d
+      FROM days, tot
+    ),
+    peak AS (
+      SELECT CAST(max(abs(cusum_num)) AS BIGINT) AS peak_abs FROM cum
+    )
+    SELECT day, n_d, cusum_num,
+           round(cusum_num / CAST(d AS DOUBLE), 6) AS cusum_events,
+           CAST(abs(cusum_num) = (SELECT peak_abs FROM peak)
+                AND day = (SELECT min(day) FROM cum, peak
+                           WHERE abs(cusum_num) = peak_abs)
+                AS BOOLEAN) AS is_peak
+    FROM cum
+    """
+
+
+@register("q122_cusum_days", _CUSUM_SQL)
+def q122_cusum_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-rate CUSUM with the earliest peak day flagged."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d")
+    )
+    tot = days.agg(
+        F.sum("n_d").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        days.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum_num",
+            F.sum(F.col("n_d") * F.col("d") - F.col("n"))
+            .over(wcum)
+            .cast("bigint"),
+        )
+    )
+    peak = cum.agg(
+        F.max(F.abs(F.col("cusum_num"))).cast("bigint").alias("peak_abs")
+    )
+    with_peak = cum.crossJoin(F.broadcast(peak))
+    first_peak = with_peak.filter(
+        F.abs(F.col("cusum_num")) == F.col("peak_abs")
+    ).agg(F.min("day").alias("peak_day"))
+    return (
+        with_peak.crossJoin(F.broadcast(first_peak))
+        .select(
+            "day",
+            "n_d",
+            "cusum_num",
+            F.round(F.col("cusum_num") / F.col("d").cast("double"), 6).alias(
+                "cusum_events"
+            ),
+            (
+                (F.abs(F.col("cusum_num")) == F.col("peak_abs"))
+                & (F.col("day") == F.col("peak_day"))
+            ).alias("is_peak"),
+        )
+    )
