@@ -101,6 +101,32 @@ def test_novelty_matches_pure_python(spark, docs):
     )
 
 
+def test_cusum_matches_pure_python(spark):
+    from crowdsorsa_etl_spark.queries import QUERIES
+
+    rows = {
+        str(r["day"]): r.asDict()
+        for r in QUERIES["q122_cusum_days"](spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    daily = ev.groupby(ev.ts.dt.date).size().sort_index()
+    n, d = int(daily.sum()), len(daily)
+    run, cusums = 0, {}
+    for day, n_d in daily.items():
+        run += int(n_d) * d - n
+        cusums[str(day)] = (int(n_d), run)
+    assert set(rows) == set(cusums)
+    peak = max(abs(c) for _n, c in cusums.values())
+    peak_day = min(s for s, (_n, c) in cusums.items() if abs(c) == peak)
+    for day, (n_d, c) in cusums.items():
+        r = rows[day]
+        assert r["n_d"] == n_d and r["cusum_num"] == c
+        assert r["cusum_events"] == pytest.approx(round(c / d, 6), abs=1e-9)
+        assert r["is_peak"] == (day == peak_day)
+    # CUSUM telescopes to zero over the full window (sum of devs is 0)
+    assert cusums[max(cusums)][1] == 0
+
+
 def test_hill_matches_pure_python(spark, docs):
     from crowdsorsa_etl_spark.queries import QUERIES
     from crowdsorsa_etl_spark.queries.round18_pack import _HILL_K
