@@ -312,6 +312,8 @@ HEADLINE = [
     "llm_source_heavy_hitters",
     # CUSUM: one day-count agg + bounded-grid cumsum
     "q122_cusum_days",
+    # k-core: rounds x (degree agg + two semi-joins) over the dup graph
+    "llm_kcore_filter",
 ]
 
 

@@ -1311,3 +1311,53 @@ def lpa_sql(
     LEFT JOIN {prev} l ON d.doc_id = l.id
     LEFT JOIN sizes s ON l.label = s.label""")
     return "WITH " + ",".join(parts)
+
+
+def kcore_sql(
+    k: int = 2,
+    rounds: int = 4,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for llm_kcore_filter: unroll the fixed-round k-core peel
+    (operators/clusters.kcore_filter contract) as CTE stages over the
+    same portable-MinHash edges — per round a degree HAVING plus two IN
+    filters; all-integer state, exact replay."""
+    pairs = minhash_lsh_sql(num_hashes, bands, shingle_k)
+    parts = [
+        f"""
+    pairs AS MATERIALIZED ({pairs}),
+    sym AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    e0 AS MATERIALIZED (SELECT src, dst FROM sym)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    k{t} AS MATERIALIZED (
+      SELECT src AS id FROM e{t - 1} GROUP BY src HAVING count(*) >= {k}
+    ),
+    e{t} AS MATERIALIZED (
+      SELECT src, dst FROM e{t - 1}
+      WHERE src IN (SELECT id FROM k{t}) AND dst IN (SELECT id FROM k{t})
+    )""")
+    parts.append(f"""
+    fdeg AS (
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS core_deg
+      FROM e{rounds} GROUP BY src
+    ),
+    conv AS (
+      SELECT (SELECT count(*) FROM e{rounds})
+             = (SELECT count(*) FROM e{rounds - 1}) AS converged
+    )
+    SELECT v.id,
+           CAST(coalesce(fdeg.core_deg, 0) AS BIGINT) AS core_deg,
+           fdeg.id IS NOT NULL AS in_core,
+           conv.converged
+    FROM (SELECT DISTINCT src AS id FROM sym) v
+    LEFT JOIN fdeg ON v.id = fdeg.id
+    CROSS JOIN conv""")
+    return "WITH " + ",".join(parts)

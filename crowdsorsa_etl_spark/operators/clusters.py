@@ -298,3 +298,90 @@ def lpa_communities(
         )
         labels = truncate_lineage(cnt, reliable=reliable_checkpoints)
     return labels
+
+
+def kcore_filter(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    rounds: int = 4,
+    reliable_checkpoints: bool = False,
+) -> DataFrame:
+    """Fixed-round k-core peel over the dup graph (Seidman 1983): drop
+    vertices with degree < ``k``, recompute degrees over the surviving
+    edge set, repeat ``rounds`` times — the density gate BETWEEN
+    connected components ("reachable at all") and LPA ("densely tied"):
+    a doc chained into a cluster through one bridge edge is NOT k-core
+    for k ≥ 2, which is exactly the spam-ring / template-farm membership
+    test (boilerplate families are dense; incidental near-dups are not).
+
+    Deterministic by construction (the LPA contract): synchronous
+    rounds over the PREVIOUS round's edge set, a FIXED round count so a
+    SQL oracle replays the peel as unrolled CTE stages, and a
+    ``converged`` flag (round R's edge count == round R−1's) so a
+    not-yet-fixed-point answer is visibly provisional rather than
+    silently wrong.
+
+    Returns (id, core_deg, in_core, converged) for every vertex of the
+    edge set. Scale: each round is one degree groupBy + two semi-joins
+    — O(rounds · |E|), no transitive state; ``truncate_lineage`` per
+    round keeps the plan linear (the iterative-Spark trap, same
+    discipline as connected_components/lpa_communities above).
+    """
+    from crowdsorsa_etl_spark.operators.checkpointing import truncate_lineage
+
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = truncate_lineage(
+        sym.filter(F.col("src") != F.col("dst")).distinct(),
+        reliable=reliable_checkpoints,
+    )
+    cur = sym
+    prev_cnt = None
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("src")
+        )
+        prev_cnt = cur
+        cur = truncate_lineage(
+            # keep is vertex-count-sized (corpus-proportional) — the
+            # join stays planner-chosen, never force-broadcast (the
+            # LPA r14 lesson)
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst"),
+            reliable=reliable_checkpoints,
+        )
+    converged = (
+        cur.agg(F.count(F.lit(1)).alias("c_cur"))
+        .crossJoin(prev_cnt.agg(F.count(F.lit(1)).alias("c_prev")))
+        .select((F.col("c_cur") == F.col("c_prev")).alias("converged"))
+    )
+    vids = sym.select(F.col("src").alias("id")).distinct()
+    fdeg = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_fd"))
+        .withColumnRenamed("src", "id")
+    )
+    return (
+        vids.join(fdeg, "id", "left")
+        .crossJoin(F.broadcast(converged))
+        .select(
+            "id",
+            F.coalesce(F.col("_fd"), F.lit(0)).cast("bigint").alias(
+                "core_deg"
+            ),
+            F.col("_fd").isNotNull().alias("in_core"),
+            "converged",
+        )
+    )

@@ -801,3 +801,38 @@ def q122_cusum_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_peak"),
         )
     )
+
+
+# ===========================================================================
+# llm_kcore_filter — fixed-round k-core peel over the memoized LSH dup
+# graph: the density rung between CC ("reachable") and LPA ("densely
+# tied") — a doc chained in through ONE bridge edge is not 2-core, which
+# is the template-farm/spam-ring membership test. Same engine-portable
+# contract as LPA: synchronous rounds, fixed count, converged flag, SQL
+# oracle replaying every peel round as unrolled CTEs over the identical
+# portable-MinHash edge derivation. Scale: O(rounds·|E|) — one degree
+# agg + two semi-joins per round, lineage truncated, no force-broadcast
+# of the corpus-proportional keep list.
+# ===========================================================================
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql() -> str:
+    from crowdsorsa_etl_spark.lsh_oracles import kcore_sql
+
+    return kcore_sql(k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@register("llm_kcore_filter", _kcore_sql())
+def llm_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership + core degree per dup-graph vertex."""
+    from crowdsorsa_etl_spark.operators.clusters import kcore_filter
+    from crowdsorsa_etl_spark.queries._shared import _lsh_pairs
+
+    return kcore_filter(
+        _lsh_pairs(spark, sf_dir).select("id_a", "id_b"),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    )

@@ -149,3 +149,29 @@ def test_hill_matches_pure_python(spark, docs):
     else:
         assert row["alpha"] == pytest.approx(expect, abs=1e-9)
         assert row["alpha"] > 0
+
+
+def test_kcore_peels_bridges_keeps_cliques(spark):
+    """Triangle + pendant chain: the triangle is the 2-core; the chain
+    (and the bridge vertex's chain edges) peel away. A star has NO
+    2-core at all (leaves peel, then the hub)."""
+    from crowdsorsa_etl_spark.operators.clusters import kcore_filter
+
+    tri_chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in kcore_filter(tri_chain, k=2, rounds=4).collect()
+    }
+    assert {i for i, r in out.items() if r["in_core"]} == {1, 2, 3}
+    assert all(out[i]["core_deg"] == 2 for i in (1, 2, 3))
+    assert out[4]["core_deg"] == 0 and not out[4]["in_core"]
+    assert all(r["converged"] for r in out.values())
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    sout = kcore_filter(star, k=2, rounds=4).collect()
+    assert sout and not any(r["in_core"] for r in sout)
+    assert all(r["converged"] for r in sout)
