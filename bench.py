@@ -314,6 +314,9 @@ HEADLINE = [
     "q122_cusum_days",
     # k-core: rounds x (degree agg + two semi-joins) over the dup graph
     "llm_kcore_filter",
+    # planning/divergence grid math: one stratum agg each
+    "llm_neyman_allocation",
+    "q123_jsd_drift",
 ]
 
 

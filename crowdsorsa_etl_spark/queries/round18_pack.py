@@ -836,3 +836,179 @@ def llm_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KCORE_K,
         rounds=_KCORE_ROUNDS,
     )
+
+
+# ===========================================================================
+# llm_neyman_allocation — optimal stratified-sample allocation (Neyman
+# 1934): n_h ∝ N_h·σ_h, the planning table that decides how many docs
+# each stratum contributes BEFORE llm_reservoir_sample_k draws them
+# (uniform allocation oversamples homogeneous strata). The identity
+# N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) keeps the weight the square root of
+# ONE exact BIGINT — and IEEE-754 sqrt is correctly rounded (unlike ln),
+# so the per-stratum weight is BIT-IDENTICAL on both engines; weights
+# cross the sum as exact micro-unit BIGINTs and the allocation is one
+# division + round each. Scale: one map-side (stratum) agg carrying
+# (count, sum, sum-of-squares); everything after runs on |strata| rows.
+# ===========================================================================
+
+_NEYMAN_S = 100
+
+_NEYMAN_SQL = f"""
+    WITH strata AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(n_docs * s2 - s1 * s1 AS BIGINT) AS var_num,
+             CAST(round(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS w_micro
+      FROM strata
+    ),
+    tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wm FROM w)
+    SELECT lang, n_docs, var_num, w_micro,
+           CAST(round({_NEYMAN_S} * w_micro / CAST(wm AS DOUBLE))
+                AS BIGINT) AS alloc_n,
+           round(w_micro / CAST(wm AS DOUBLE), 6) AS share
+    FROM w, tot
+    """
+
+
+@register("llm_neyman_allocation", _NEYMAN_SQL)
+def llm_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Neyman sample allocation for a 100-doc budget."""
+    docs = _t(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    w = strata.select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("bigint")
+        .alias("var_num"),
+    ).withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("var_num").cast("double")) * 1000000.0).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(F.sum("w_micro").cast("bigint").alias("wm"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "var_num",
+        "w_micro",
+        F.round(
+            F.lit(_NEYMAN_S) * F.col("w_micro") / F.col("wm").cast("double")
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+        F.round(F.col("w_micro") / F.col("wm").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+# ===========================================================================
+# q123_jsd_drift — Jensen–Shannon divergence per category between the
+# parity halves: the BOUNDED (≤ ln 2), symmetric, smoothing-free member
+# of the divergence family (PSI needs Laplace smoothing to stay finite;
+# JSD's mixture denominator m = (p+q)/2 is positive wherever either
+# side has mass, and an absent side contributes exactly 0 by the
+# 0·ln 0 = 0 convention). Exactness: p/m = 2·c_r·n_c/(c_r·n_c + c_c·n_r)
+# — ONE double division of exact BIGINT products per log (the PSI
+# posture), each side's term carried as exact micro-units. Scale:
+# identical to q120 — one map-side (lang, side) count agg, then
+# |categories|-grid arithmetic.
+# ===========================================================================
+
+_JSD_SQL = """
+    WITH sides AS (
+      SELECT lang,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS c_r,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS c_c
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+             CAST(sum(c_c) AS BIGINT) AS n_c
+      FROM sides
+    ),
+    terms AS (
+      SELECT lang, c_r, c_c,
+             CASE WHEN c_r = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round((c_r / CAST(n_r AS DOUBLE))
+                       * round(ln(2.0 * c_r * n_c
+                                  / CAST(c_r * n_c + c_c * n_r AS DOUBLE)), 6)
+                       * 1000000.0) AS BIGINT)
+             END AS tp_micro,
+             CASE WHEN c_c = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round((c_c / CAST(n_c AS DOUBLE))
+                       * round(ln(2.0 * c_c * n_r
+                                  / CAST(c_r * n_c + c_c * n_r AS DOUBLE)), 6)
+                       * 1000000.0) AS BIGINT)
+             END AS tq_micro
+      FROM sides, tot
+    )
+    SELECT lang, c_r AS n_ref, c_c AS n_cur, tp_micro, tq_micro,
+           round((tp_micro + tq_micro) / 2000000.0, 6) AS jsd_term
+    FROM terms
+    """
+
+
+@register("q123_jsd_drift", _JSD_SQL)
+def q123_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Jensen–Shannon divergence terms, parity halves."""
+    docs = _t(spark, sf_dir, "documents")
+    sides = docs.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("c_r"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("c_c"),
+    )
+    tot = sides.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_c").cast("bigint").alias("n_c"),
+    )
+    t = sides.crossJoin(F.broadcast(tot))
+    mix = (F.col("c_r") * F.col("n_c") + F.col("c_c") * F.col("n_r")).cast(
+        "double"
+    )
+    lrp = F.round(F.log(2.0 * F.col("c_r") * F.col("n_c") / mix), 6)
+    lrq = F.round(F.log(2.0 * F.col("c_c") * F.col("n_r") / mix), 6)
+    tp = F.when(F.col("c_r") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(
+            (F.col("c_r") / F.col("n_r").cast("double")) * lrp * 1000000.0
+        ).cast("bigint")
+    )
+    tq = F.when(F.col("c_c") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(
+            (F.col("c_c") / F.col("n_c").cast("double")) * lrq * 1000000.0
+        ).cast("bigint")
+    )
+    return t.select(
+        "lang",
+        F.col("c_r").alias("n_ref"),
+        F.col("c_c").alias("n_cur"),
+        tp.alias("tp_micro"),
+        tq.alias("tq_micro"),
+    ).select(
+        "lang",
+        "n_ref",
+        "n_cur",
+        "tp_micro",
+        "tq_micro",
+        F.round((F.col("tp_micro") + F.col("tq_micro")) / 2000000.0, 6).alias(
+            "jsd_term"
+        ),
+    )
