@@ -175,3 +175,72 @@ def test_kcore_peels_bridges_keeps_cliques(spark):
     sout = kcore_filter(star, k=2, rounds=4).collect()
     assert sout and not any(r["in_core"] for r in sout)
     assert all(r["converged"] for r in sout)
+
+
+def test_neyman_matches_pure_python(spark, docs):
+    from crowdsorsa_etl_spark.queries import QUERIES
+    from crowdsorsa_etl_spark.queries.round18_pack import _NEYMAN_S
+
+    out = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["llm_neyman_allocation"](spark, SF_DIR).collect()
+    }
+    wm = {}
+    for lang, grp in docs.groupby("lang"):
+        n = len(grp)
+        s1 = int(grp.n_chars.sum())
+        s2 = int((grp.n_chars.astype("int64") ** 2).sum())
+        var_num = n * s2 - s1 * s1
+        wm[lang] = (n, var_num, round(math.sqrt(var_num) * 1_000_000))
+    total = sum(w for _n, _v, w in wm.values())
+    assert set(out) == set(wm)
+    for lang, (n, var_num, w) in wm.items():
+        r = out[lang]
+        assert r["n_docs"] == n
+        assert r["var_num"] == var_num
+        assert r["w_micro"] == w
+        assert r["alloc_n"] == round(_NEYMAN_S * w / total)
+        assert r["share"] == pytest.approx(round(w / total, 6), abs=1e-9)
+
+
+def test_jsd_matches_pure_python(spark, docs):
+    from crowdsorsa_etl_spark.queries import QUERIES
+
+    out = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["q123_jsd_drift"](spark, SF_DIR).collect()
+    }
+    ref = docs[docs.doc_id % 2 == 0].groupby("lang").size()
+    cur = docs[docs.doc_id % 2 == 1].groupby("lang").size()
+    n_r, n_c = int(ref.sum()), int(cur.sum())
+    total_jsd = 0.0
+    for lang in sorted(set(docs.lang)):
+        c_r, c_c = int(ref.get(lang, 0)), int(cur.get(lang, 0))
+        mix = c_r * n_c + c_c * n_r
+        tp = (
+            0
+            if c_r == 0
+            else round(
+                (c_r / n_r)
+                * round(math.log(2.0 * c_r * n_c / mix), 6)
+                * 1_000_000
+            )
+        )
+        tq = (
+            0
+            if c_c == 0
+            else round(
+                (c_c / n_c)
+                * round(math.log(2.0 * c_c * n_r / mix), 6)
+                * 1_000_000
+            )
+        )
+        r = out[lang]
+        assert r["tp_micro"] == tp and r["tq_micro"] == tq
+        # engines round HALF-AWAY; Python round() is half-even — (tp+tq)/2
+        # lands on exact .5 micros, so replicate half-up explicitly
+        half_up = math.floor((tp + tq) / 2_000_000.0 * 1e6 + 0.5) / 1e6
+        assert r["jsd_term"] == pytest.approx(half_up, abs=1e-9)
+        total_jsd += (tp + tq) / 2_000_000.0
+    # JSD is bounded by ln 2
+    assert 0.0 <= total_jsd <= math.log(2) + 1e-6
