@@ -522,3 +522,37 @@ class TestRound15Plans:
             plan = plan_of(QUERIES[name](spark, SF_DIR))
             assert re.search(r"evalclipped\d_v1", plan), name
             assert "documents.parquet" not in plan, name
+
+
+class TestRound18Plans:
+    def test_drift_tier_stays_jvm_side(self, spark):
+        """PSI/KS/JSD/CUSUM/Hill/reservoir/percentile/Neyman are pure
+        column expressions over one map-side agg — no Python eval nodes
+        anywhere (the grouped-MG pass-1 is the one deliberate Arrow
+        stage in the round-18 tier and is excluded here)."""
+        for name in (
+            "q120_psi_drift",
+            "q121_ks_drift",
+            "q122_cusum_days",
+            "q123_jsd_drift",
+            "llm_hill_tail",
+            "llm_weighted_reservoir",
+            "llm_source_percentile",
+            "llm_neyman_allocation",
+            "llm_ks_sketch",
+        ):
+            plan = plan_of(QUERIES[name](spark, SF_DIR))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+    def test_source_percentile_window_is_partitioned(self, spark):
+        """The percent-rank window partitions by source — never a global
+        single-partition sort over the corpus."""
+        plan = plan_of(QUERIES["llm_source_percentile"](spark, SF_DIR))
+        assert "SinglePartition" not in plan
+
+    def test_weighted_reservoir_is_topk_not_full_sort(self, spark):
+        """A-ES selection must plan as TakeOrderedAndProject (s rows per
+        partition cross the wire), not a global Sort + Limit."""
+        plan = plan_of(QUERIES["llm_weighted_reservoir"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
