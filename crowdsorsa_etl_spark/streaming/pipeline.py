@@ -2441,3 +2441,110 @@ def start_kmv_stream(
         .outputMode("append")
         .start()
     )
+
+
+def start_psi_stream(
+    rows_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    category_col: str = "lang",
+    ref_counts: dict[str, int] | None = None,
+):
+    """Streaming drift monitor: carried per-category counts of the
+    ingest feed, scored per epoch as PSI against a FROZEN reference
+    distribution (``ref_counts`` — e.g. the last admitted snapshot's
+    category counts). Extends the streaming tier from sketches to the
+    round-18 drift gates: the batch q120_psi_drift answers "did these
+    two snapshots diverge", this stream answers "is the feed diverging
+    NOW", with O(|categories|) carried state.
+
+    Count folding is ADDITIVE (a replayed batch would double-count), so
+    the epoch-versioned posture is load-bearing exactly as in
+    ``start_kll_stream``: epoch ``e`` re-derives from the newest state
+    ``< e``. PSI uses the q120 Laplace-(+1) smoothed form over the union
+    of reference and observed categories — identical arithmetic, so the
+    stream's epoch score equals the batch query's on the same rows
+    (pinned by pytest).
+
+    Per epoch writes: ``epoch=<e>/counts`` (category, n) and
+    ``epoch=<e>/summary`` (n_rows, n_categories, psi_micro BIGINT,
+    psi double)."""
+    import math
+    import os
+
+    if not ref_counts:
+        raise ValueError("ref_counts must be a non-empty mapping")
+    ref = {str(k): int(v) for k, v in ref_counts.items()}
+    spark_active = rows_stream.sparkSession
+
+    def _psi_micro(cur: dict[str, int]) -> int:
+        cats = sorted(set(ref) | set(cur))
+        l = len(cats)
+        n_r = sum(ref.values())
+        n_c = sum(cur.values())
+        total = 0
+        for c in cats:
+            num = (ref.get(c, 0) + 1) * (n_c + l)
+            den = (cur.get(c, 0) + 1) * (n_r + l)
+            lr = round(math.log(num / den), 6)
+            term = ((num - den) / ((n_r + l) * (n_c + l))) * lr
+            total += round(term * 1_000_000)
+        return total
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = int(epoch_id)
+        batch_counts = {
+            str(r["c"]): int(r["n"])
+            for r in batch_df.groupBy(
+                F.col(category_col).cast("string").alias("c")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (
+                os.listdir(store_path) if os.path.isdir(store_path) else []
+            )
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        ]
+        merged = dict(batch_counts)
+        if prior:
+            for r in (
+                spark_active.read.schema("c string, n bigint")
+                .parquet(
+                    os.path.join(store_path, f"epoch={max(prior)}", "counts")
+                )
+                .collect()
+            ):
+                merged[r["c"]] = merged.get(r["c"], 0) + int(r["n"])
+        ep = os.path.join(store_path, f"epoch={e}")
+        spark_active.createDataFrame(
+            sorted(merged.items()), "c string, n bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ep, "counts")
+        )
+        pm = _psi_micro(merged)
+        spark_active.createDataFrame(
+            [
+                (
+                    sum(merged.values()),
+                    len(merged),
+                    pm,
+                    round(pm / 1_000_000.0, 6),
+                )
+            ],
+            "n_rows bigint, n_categories int, psi_micro bigint, psi double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ep, "summary")
+        )
+
+    return (
+        rows_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
