@@ -317,6 +317,8 @@ HEADLINE = [
     # planning/divergence grid math: one stratum agg each
     "llm_neyman_allocation",
     "q123_jsd_drift",
+    # robust stats: two per-group rank windows + bounded broadcast
+    "q124_robust_outliers",
 ]
 
 

@@ -1012,3 +1012,142 @@ def q123_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jsd_term"
         ),
     )
+
+
+# ===========================================================================
+# q124_robust_outliers — per-language robust (median/MAD) outlier gate
+# over n_chars: mean/stddev outlier rules break exactly when outliers
+# are present (the outliers inflate the stddev that is supposed to
+# catch them); the robust z-score |x − med|/MAD with the 3.5 cutoff is
+# the standard replacement (Iglewicz–Hoaglin). Kept EXACT end to end by
+# clearing halves: med2 = v_lo + v_hi (twice the interpolated median,
+# an integer), per-row deviation d = |2x − med2| (integer), mad2 =
+# d_lo + d_hi, and the cutoff |x−med|/MAD > 3.5 becomes the integer
+# comparison 4·d > 7·mad2 (×: d = 2|x−med|, mad2 = 2·MAD ⇒
+# d/mad2 = |x−med|/(2·MAD)·2 … 3.5·mad2/2·2 → 7·mad2/4). Zero floats
+# anywhere except the 6-dp display ratio. Scale: two lang-partitioned
+# rank windows over the corpus (the honest per-group shuffle,
+# skew-bounded by |langs|) + one broadcast of the |langs|-row med/mad
+# table.
+# ===========================================================================
+
+_ROBUST_SQL = """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents
+    ),
+    med AS (
+      SELECT lang, n,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN n_chars * (CASE WHEN (n + 1) // 2
+                                                     = (n + 2) // 2
+                                           THEN 2 ELSE 1 END)
+                      END) AS BIGINT) AS med2
+      FROM ranked GROUP BY lang, n
+    ),
+    dev AS (
+      SELECT r.lang, r.n_chars, m.n, m.med2,
+             abs(2 * r.n_chars - m.med2) AS d,
+             CAST(row_number() OVER (
+               PARTITION BY r.lang
+               ORDER BY abs(2 * r.n_chars - m.med2), r.n_chars
+             ) AS BIGINT) AS drn
+      FROM ranked r JOIN med m USING (lang)
+    ),
+    mad AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN drn = (n + 1) // 2 OR drn = (n + 2) // 2
+                           THEN d * (CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                     THEN 2 ELSE 1 END)
+                      END) AS BIGINT) AS mad2
+      FROM dev GROUP BY lang, n
+    )
+    SELECT d.lang,
+           CAST(max(d.n) AS BIGINT) AS n_docs,
+           CAST(max(d.med2) AS BIGINT) AS med2,
+           CAST(max(mad.mad2) AS BIGINT) AS mad2,
+           CAST(count(*) FILTER (WHERE 4 * d.d > 7 * mad.mad2) AS BIGINT)
+             AS n_outliers,
+           round(count(*) FILTER (WHERE 4 * d.d > 7 * mad.mad2)
+                 / CAST(max(d.n) AS DOUBLE), 6) AS outlier_rate
+    FROM dev d JOIN mad USING (lang)
+    GROUP BY d.lang
+    """
+
+
+@register("q124_robust_outliers", _ROBUST_SQL)
+def q124_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median/MAD outlier counts over n_chars, all-integer."""
+    docs = _t(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    med = ranked.groupBy("lang", "n").agg(
+        F.sum(
+            F.when(
+                (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("rn") == F.floor((F.col("n") + 2) / 2)),
+                F.col("n_chars")
+                * F.when(
+                    F.floor((F.col("n") + 1) / 2)
+                    == F.floor((F.col("n") + 2) / 2),
+                    2,
+                ).otherwise(1),
+            )
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    dev = ranked.join(F.broadcast(med.select("lang", "med2")), "lang").select(
+        "lang",
+        "n_chars",
+        "n",
+        "med2",
+        F.abs(2 * F.col("n_chars") - F.col("med2")).alias("d"),
+    )
+    w_drank = Window.partitionBy("lang").orderBy("d", "n_chars")
+    dev = dev.withColumn(
+        "drn", F.row_number().over(w_drank).cast("bigint")
+    )
+    mad = dev.groupBy("lang", "n").agg(
+        F.sum(
+            F.when(
+                (F.col("drn") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("drn") == F.floor((F.col("n") + 2) / 2)),
+                F.col("d")
+                * F.when(
+                    F.floor((F.col("n") + 1) / 2)
+                    == F.floor((F.col("n") + 2) / 2),
+                    2,
+                ).otherwise(1),
+            )
+        )
+        .cast("bigint")
+        .alias("mad2")
+    )
+    joined = dev.join(F.broadcast(mad.select("lang", "mad2")), "lang")
+    return joined.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("med2").cast("bigint").alias("med2"),
+        F.max("mad2").cast("bigint").alias("mad2"),
+        F.count(F.when(4 * F.col("d") > 7 * F.col("mad2"), 1))
+        .cast("bigint")
+        .alias("n_outliers"),
+    ).select(
+        "lang",
+        "n_docs",
+        "med2",
+        "mad2",
+        "n_outliers",
+        F.round(
+            F.col("n_outliers") / F.col("n_docs").cast("double"), 6
+        ).alias("outlier_rate"),
+    )

@@ -244,3 +244,28 @@ def test_jsd_matches_pure_python(spark, docs):
         total_jsd += (tp + tq) / 2_000_000.0
     # JSD is bounded by ln 2
     assert 0.0 <= total_jsd <= math.log(2) + 1e-6
+
+
+def test_robust_outliers_matches_pure_python(spark, docs):
+    import statistics
+
+    from crowdsorsa_etl_spark.queries import QUERIES
+
+    out = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["q124_robust_outliers"](spark, SF_DIR).collect()
+    }
+    for lang, grp in docs.groupby("lang"):
+        xs = sorted(int(v) for v in grp.n_chars)
+        n = len(xs)
+        med2 = xs[(n - 1) // 2] + xs[n // 2]  # 2x interpolated median
+        ds = sorted(abs(2 * x - med2) for x in xs)
+        mad2 = ds[(n - 1) // 2] + ds[n // 2]
+        n_out = sum(1 for x in xs if 4 * abs(2 * x - med2) > 7 * mad2)
+        r = out[lang]
+        assert r["n_docs"] == n
+        assert r["med2"] == med2
+        assert r["mad2"] == mad2
+        assert r["n_outliers"] == n_out
+        # sanity vs the statistics module: med2 == 2*median exactly
+        assert med2 == round(2 * statistics.median(xs))
