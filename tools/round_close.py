@@ -170,6 +170,39 @@ def check_invariants() -> int:
     return n_reg
 
 
+def rewrite_survey_coverage_count() -> None:
+    """Keep SURVEY.md's COVERAGE row count mechanical (VERDICT r15 #7):
+    count = table body rows in COVERAGE.md (lines starting '| ' minus one
+    header row per '|---' separator), written into the SURVEY sentinel
+    '(N rows, one per component'. The pack-name <-> build-session
+    mapping itself lives only in COVERAGE.md's top note."""
+    cov_path = os.path.join(REPO, "COVERAGE.md")
+    with open(cov_path) as fh:
+        lines = fh.readlines()
+    n_rows = sum(1 for l in lines if l.startswith("| ")) - sum(
+        1 for l in lines if l.startswith("|---")
+    )
+    path = os.path.join(REPO, "SURVEY.md")
+    with open(path) as fh:
+        text = fh.read()
+    new, n_subs = re.subn(
+        r"\(\d+ rows, one per component",
+        f"({n_rows} rows, one per component",
+        text,
+    )
+    if n_subs == 0:
+        sys.exit(
+            "ROUND_CLOSE FAIL: SURVEY coverage-count sentinel "
+            "('(N rows, one per component') not found"
+        )
+    if new != text:
+        with open(path, "w") as fh:
+            fh.write(new)
+        print(f"round_close: SURVEY coverage row count rewritten to {n_rows}")
+    else:
+        print(f"round_close: SURVEY coverage row count already {n_rows}")
+
+
 def rewrite_readme(n_reg: int) -> None:
     path = os.path.join(REPO, "README.md")
     with open(path) as fh:
@@ -213,6 +246,7 @@ def main() -> None:
         run_bench()
     n_reg = check_invariants()
     rewrite_readme(n_reg)
+    rewrite_survey_coverage_count()
     print("round_close: ALL GATES GREEN — commit now")
 
 
