@@ -93,6 +93,13 @@ def main() -> None:
         "total_calibrated": round(sum(queries.values()), 3),
         "forced": bool(problems),
         "waived_guards": problems,
+        "guards": {
+            "max_env": args.max_env,
+            "probe_spread": round(spread, 3),
+            "probe_series": [
+                p.get("env_factor") for p in cal.get("probes", [])
+            ],
+        },
         "queries": queries,
     }
     path = os.path.join(REPO, "BASELINE_QUERIES.json")
