@@ -97,15 +97,24 @@ def connected_components(
                 ).alias("new_component"),
             )
         )
-        changed = (
-            doubled.join(labels.withColumnRenamed("component", "_old"), "id")
-            .filter(F.col("new_component") != F.col("_old"))
-        )
-        n_changed = changed.count()
-        labels = truncate_lineage(  # truncate lineage every round
+        # checkpoint FIRST, then count changes against the previous labels
+        # from the checkpointed result: the old order ran the whole
+        # hop+double join chain twice per round (once for the convergence
+        # count, once for the eager checkpoint) — r16 optimization, guide
+        # §1.2/§2.4. Both sides of the change-count join are checkpointed,
+        # so the extra job is a cheap bounded join, not a recompute.
+        new_labels = truncate_lineage(  # truncate lineage every round
             doubled.select("id", F.col("new_component").alias("component")),
             reliable=reliable_checkpoints,
         )
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "id"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
         if n_changed == 0:
             converged = True
             break

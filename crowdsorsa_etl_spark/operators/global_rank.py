@@ -185,3 +185,80 @@ def with_global_cumsum(
         .withColumn(cum_col, (F.col("_off") + local_cum).cast("bigint"))
         .drop("_pid", "_mid", "_off")
     )
+
+
+def with_global_cumsum_multi(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight_cols: list[str],
+    *,
+    cum_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[int]]:
+    """Running totals of SEVERAL weight columns over ONE global ordering,
+    with no single-partition window anywhere in the plan — the
+    :func:`with_global_cumsum` two-phase range-sort machinery paying its
+    one range exchange, one bounded driver round-trip (|partitions| rows
+    of |weights| sums each), and one PARTITIONED in-partition window for
+    all the weights together, instead of once per weight.
+
+    Returns ``(df + cum_cols inclusive prefix sums, [total per weight])``.
+    The totals come free from the driver-side prefix fold, so callers that
+    also need grand totals (KS deviation: ``ca*nb − cb*na``) embed them as
+    literals instead of paying an extra unpartitioned unbounded window.
+
+    NULL weights count as 0; ``order_cols`` must be a deterministic unique
+    ordering (the ``with_global_row_number`` contract).
+    """
+    from pyspark.sql import Window
+
+    if cum_cols is None:
+        cum_cols = [f"{w}_cum" for w in weight_cols]
+    if len(cum_cols) != len(weight_cols):
+        raise ValueError("cum_cols must match weight_cols")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
+
+    w_exprs = [F.coalesce(F.col(w), F.lit(0)) for w in weight_cols]
+    sums = sorted(
+        (r["_pid"], [r[f"_w{i}"] for i in range(len(weight_cols))])
+        for r in part.groupBy(pid.alias("_pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(e), F.lit(0)).cast("bigint").alias(f"_w{i}")
+                for i, e in enumerate(w_exprs)
+            ]
+        )
+        .collect()
+    )
+    offsets, running = [], [0] * len(weight_cols)
+    for p, ws in sums:
+        offsets.append((p, *running))
+        running = [r + w for r, w in zip(running, ws)]
+    totals = running
+
+    off_schema = "_pid bigint, " + ", ".join(
+        f"_off{i} bigint" for i in range(len(weight_cols))
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.withColumn("_pid", pid).join(F.broadcast(off_df), "_pid")
+    for i, (e, c) in enumerate(zip(w_exprs, cum_cols)):
+        out = out.withColumn(
+            c, (F.col(f"_off{i}") + F.sum(e).over(wloc)).cast("bigint")
+        )
+    out = out.drop("_pid", "_mid", *[f"_off{i}" for i in range(len(weight_cols))])
+    return out, totals

@@ -191,7 +191,11 @@ def mg_grouped_summaries(
     |groups| is a dimension, not data."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1; got {capacity}")
-    toks = df.select(
+    # Contract: NULL groups are excluded. A None group key would make the
+    # pandas pass's sorted() comparisons raise (None vs str) and the pass-2
+    # equi-join would drop the rows anyway while a SQL GROUP BY kept them —
+    # so the operator's declared domain is non-null groups (ADVICE r15).
+    toks = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("g"),
         F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
     ).filter(F.col("token") != "")
@@ -271,7 +275,7 @@ def heavy_hitters_grouped(
     thr_df = spark.createDataFrame(
         sorted(thr.items()), "g string, thr long"
     )
-    toks = df.select(
+    toks = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("g"),
         F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
     ).filter(F.col("token") != "")

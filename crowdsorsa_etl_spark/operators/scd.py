@@ -230,6 +230,55 @@ def scd2_apply_batch(
     return spark.read.parquet(versions_dir)
 
 
+def _wm_sidecar_write(buffer_dir: str, wm_value, ts_type: str) -> None:
+    """Persist the stream watermark as an atomic JSON sidecar.
+
+    The watermark is ONE driver-side scalar; storing it as a one-row
+    parquet cost a full Spark write job per batch plus a read+collect job
+    per read (r16 optimization, guide §5: the driver should not pay
+    cluster jobs for its own metadata). tmp + os.replace keeps a killed
+    writer from leaving a partial file."""
+    import datetime as _dt
+    import json
+    import os
+
+    os.makedirs(buffer_dir.rstrip("/"), exist_ok=True)
+    path = os.path.join(buffer_dir.rstrip("/"), "wm.json")
+    val = (
+        wm_value.isoformat()
+        if isinstance(wm_value, (_dt.datetime, _dt.date))
+        else wm_value
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"wm": val, "type": ts_type}, fh)
+    os.replace(tmp, path)
+
+
+def _wm_sidecar_read(buffer_dir: str):
+    """Watermark from the JSON sidecar, or None if absent/corrupt."""
+    import datetime as _dt
+    import json
+    import os
+
+    path = os.path.join(buffer_dir.rstrip("/"), "wm.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            obj = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    val = obj.get("wm")
+    if val is None:
+        return None
+    if str(obj.get("type", "")).startswith("timestamp") or str(
+        obj.get("type", "")
+    ).startswith("date"):
+        return _dt.datetime.fromisoformat(val)
+    return val
+
+
 def _read_buffer(spark, buffer_dir: str, events_schema):
     """(held_events | None, prev_watermark | None) from the buffer dir."""
     jvm = spark._jvm
@@ -238,7 +287,10 @@ def _read_buffer(spark, buffer_dir: str, events_schema):
     held = wm = None
     if fs.exists(P(buffer_dir.rstrip("/") + "/events")):
         held = spark.read.parquet(buffer_dir.rstrip("/") + "/events")
-    if fs.exists(P(buffer_dir.rstrip("/") + "/wm")):
+    wm = _wm_sidecar_read(buffer_dir)
+    if wm is None and fs.exists(P(buffer_dir.rstrip("/") + "/wm")):
+        # legacy layout: one-row parquet written by pre-r16 code — a warm
+        # fixture cache may still carry it
         rows = spark.read.parquet(buffer_dir.rstrip("/") + "/wm").collect()
         wm = rows[0][0] if rows else None
     return held, wm
@@ -364,9 +416,7 @@ def scd2_apply_batch_buffered(
         spark._jsc.hadoopConfiguration()
     )
     _swap_dirs(jvm, fs, ev_dir, ev_tmp)  # handles the no-prior-dir case
-    spark.createDataFrame([(wm_value,)], f"wm {dict(pool.dtypes)[ts_col]}").write.mode(
-        "overwrite"
-    ).parquet(buffer_dir.rstrip("/") + "/wm")
+    _wm_sidecar_write(buffer_dir, wm_value, dict(pool.dtypes)[ts_col])
     return out
 
 
@@ -405,14 +455,15 @@ def scd2_flush_buffer(
         tie_break_cols=ties,
         on_late="drop",
     )
-    # an explicit empty frame, NOT held.filter(lit(False)): the latter is
-    # a plan that reads the very path it overwrites and only survives
-    # because PropagateEmptyRelation happens to elide the scan — an
-    # optimizer-dependent invariant (ADVICE r14 low)
-    spark.createDataFrame([], held.schema).write.mode("overwrite").parquet(
-        buffer_dir.rstrip("/") + "/events"
-    )
-    spark.createDataFrame(
-        [(max_ts,)], f"wm {dict(held.dtypes)[ts_col]}"
-    ).write.mode("overwrite").parquet(buffer_dir.rstrip("/") + "/wm")
+    # drain by DELETING the events dir (a missing dir reads as held=None,
+    # exactly like an empty table) — one fewer Spark write job than the
+    # old explicit-empty-frame write; deletion happens only after
+    # scd2_apply_batch fully materialized (write+swap) above. The
+    # watermark is a sidecar scalar (see _wm_sidecar_write).
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    ev_path = P(buffer_dir.rstrip("/") + "/events")
+    fs = ev_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(ev_path, True)
+    _wm_sidecar_write(buffer_dir, max_ts, dict(held.dtypes)[ts_col])
     return out

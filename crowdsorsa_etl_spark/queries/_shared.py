@@ -319,13 +319,29 @@ def _promote_stage(stage: str, path: str, marker: str = "_SUCCESS") -> None:
 
     try:
         os.rename(stage, path)
+        return
     except OSError:
+        pass
+    # Losers loop check-or-evict a bounded number of times: after an
+    # eviction another loser can recreate ``path`` inside the rmtree→rename
+    # window, so a bare second rename could still raise (ADVICE r15). If a
+    # COMPLETE artifact (marker present) ever appears, discard our stage —
+    # never delete a winner out from under a concurrent reader.
+    for _ in range(3):
         if os.path.exists(os.path.join(path, marker)):
-            # a concurrent builder won with a complete artifact
             shutil.rmtree(stage, ignore_errors=True)
-        else:
-            shutil.rmtree(path, ignore_errors=True)
+            return
+        shutil.rmtree(path, ignore_errors=True)
+        try:
             os.rename(stage, path)
+            return
+        except OSError:
+            continue
+    # final attempt: surface the error only if no winner exists either
+    if os.path.exists(os.path.join(path, marker)):
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    os.rename(stage, path)
 
 
 def _stage_parquet(df: DataFrame, path: str) -> None:

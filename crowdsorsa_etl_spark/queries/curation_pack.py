@@ -375,17 +375,26 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crowdsorsa_etl_spark.functions.text import shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")
+    # ONE explode + ONE (doc_id, s) distinct for BOTH sides (r16, guide
+    # §2.4): the bench and train branches previously each re-ran the
+    # scan + interpreted-HOF shingle explode + their own distinct. The
+    # distinct-pairs table is materialized once (localCheckpoint) and the
+    # eval side derives from it (distinct-of-distinct and filter-on-doc_id
+    # commute, so both sides are row-identical to the old plan).
+    pairs = (
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")
+        )
+        .distinct()
+        .localCheckpoint()
     )
     bench = (
-        sh.where(F.col("doc_id") % 97 == 0)
+        pairs.where(F.col("doc_id") % 97 == 0)
         .select("s").distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        sh.where(F.col("doc_id") % 97 != 0)
-        .distinct()
+        pairs.where(F.col("doc_id") % 97 != 0)
         .join(bench, "s", "left")
         .groupBy("doc_id")
         .agg(
@@ -523,22 +532,41 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep, _reason = quality_filter_verdict(sig)
     kept = docs.where(keep)
     dedup = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    split = dedup.select(assign_split(F.col("doc_id")).alias("split"))
 
-    def stage(label: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
-            F.lit(label).alias("stage"), "n"
+    # TWO corpus scans instead of four (r16 optimization; guide §2.4):
+    # 00_total and 10_quality_kept ride ONE aggregate (count + count_if —
+    # the quality signals evaluate once per row instead of once per
+    # stage), and 20_after_dedup rides the split counts' ROLLUP (the
+    # grand-total row IS the dedup count — same exact BIGINTs, same
+    # labels, so the oracle hash is unchanged).
+    head = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("_kept"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("00_total").alias("stage"), F.col("_total").alias("n")
+                ),
+                F.struct(
+                    F.lit("10_quality_kept").alias("stage"),
+                    F.col("_kept").alias("n"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n")
+    tail = (
+        dedup.select(assign_split(F.col("doc_id")).alias("split"))
+        .rollup("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.when(F.col("split").isNull(), F.lit("20_after_dedup"))
+            .otherwise(F.concat(F.lit("30_"), F.col("split")))
+            .alias("stage"),
+            "n",
         )
-
-    splits = split.groupBy("split").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    ).select(F.concat(F.lit("30_"), F.col("split")).alias("stage"), "n")
-    return (
-        stage("00_total", docs)
-        .unionByName(stage("10_quality_kept", kept))
-        .unionByName(stage("20_after_dedup", dedup))
-        .unionByName(splits)
     )
+    return head.unionByName(tail)
 
 
 def _zorder_sql() -> str:

