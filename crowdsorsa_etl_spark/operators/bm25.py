@@ -90,11 +90,20 @@ def score_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    hit = postings.join(F.broadcast(qterms.select("t").distinct()), "t", "left_semi")
-    dft = hit.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # ONE postings pass (r16, guide §2.4): df used to be a separate
+    # semi-join + groupBy over postings, i.e. a second full scan of the
+    # index, then re-joined to a third scan for the contributions. Now the
+    # semi-join prunes postings to query-term rows once and df folds from
+    # a window count over that (postings are unique per (doc_id, t), so
+    # rows-per-t == docs-per-t); the per-query expansion joins AFTER df is
+    # attached so duplicate query terms cannot inflate it.
+    hit = postings.join(
+        F.broadcast(qterms.select("t").distinct()), "t", "left_semi"
+    ).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("t")).cast("bigint")
+    )
     contrib = (
-        postings.join(F.broadcast(qterms), "t")
-        .join(F.broadcast(dft), "t")
+        hit.join(F.broadcast(qterms), "t")
         .join(dlen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(

@@ -638,16 +638,29 @@ def jaccard_verify_pairs(
     previously both ran over the whole corpus and the joins discarded
     the non-candidates only afterwards.
     """
+    # materialize the candidate set and the candidate-token table ONCE
+    # (r16, guide §2.4): ``cand`` is referenced three times below (both
+    # id unions + the intersection join) and ``toks`` three times (two
+    # join sides + sizes) — without the checkpoints each reference
+    # re-ran the ENTIRE upstream LSH signature pipeline, blowing the
+    # fuzzy-decontamination plan up to 22 parquet scans / 40 explodes /
+    # 24 exchanges (plans/r16/llm_fuzzy_decontamination_before.txt).
+    # Both tables are candidate-bounded — small by LSH construction.
+    cand = cand.localCheckpoint()
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionAll(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    toks = docs.join(F.broadcast(ids), id_col, "left_semi").select(
-        F.col(id_col).alias("_tid"),
-        F.explode(
-            F.array_distinct(F.split(_norm(F.col(text_col)), " "))
-        ).alias("tok"),
+    toks = (
+        docs.join(F.broadcast(ids), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("_tid"),
+            F.explode(
+                F.array_distinct(F.split(_norm(F.col(text_col)), " "))
+            ).alias("tok"),
+        )
+        .localCheckpoint()
     )
     sizes = toks.groupBy("_tid").agg(F.count(F.lit(1)).alias("_n"))
     inter = (

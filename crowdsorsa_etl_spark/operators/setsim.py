@@ -153,14 +153,45 @@ def setsim_prefix_join(
         .distinct()
     )
 
-    # exact verify over candidates only: intersection via the full sets
-    sa_side = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb_side = sh.select(F.col("id").alias("id_b"), "shingle")
+    # exact verify over candidates only — as ARRAY INTERSECTION, not an
+    # explode join (r16, guide §2.3): the old form fanned every candidate
+    # pair out to ALL of a's shingles and shuffled that (|cand| × set
+    # size) string stream into a second join; this form materializes the
+    # (small) candidate pair set once, builds each CANDIDATE doc's
+    # shingle array once (semi-join prune + collect_list — docs outside
+    # any candidate pair never ship a set), attaches both arrays to the
+    # pair row, and counts the intersection in codegen. n_common is
+    # identical: sh is distinct per id, and array_intersect returns the
+    # distinct common elements.
+    cand = cand.localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("_set"))
+    )
     inter = (
-        cand.join(sa_side, "id_a")
-        .join(sb_side, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "sa", "sb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("_set").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("_set").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("long")
+            .alias("n_common"),
+        )
     )
     c, sa, sb = F.col("n_common"), F.col("sa"), F.col("sb")
     return (

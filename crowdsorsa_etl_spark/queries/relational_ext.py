@@ -38,11 +38,25 @@ def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (the approx_percentile variant exists
     for 100 TB use; exact is the oracle-checkable one)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+    # one percentile aggregate, not three (r16, guide §1.2 per-task work):
+    # each scalar percentile() buffers and sorts the full per-group value
+    # list independently; the array form does it once for all three
+    # quantiles. Same interpolation, same values.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+            ).alias("_p"),
+            F.round(F.max("l_extendedprice"), 4).alias("pmax"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p75"),
+            "pmax",
+        )
     )
 
 

@@ -1558,7 +1558,11 @@ def llm_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, token_scores=_kn_token_scores(spark, sf_dir)
     ).select("doc_id", "avg_logprob")
     qc = llm_quality_classifier(spark, sf_dir).select("doc_id", "logit")
-    joined = lm.join(qc, "doc_id")
+    # materialize the scored join ONCE (r16, guide §2.4): the two rank
+    # passes each range-sort it independently, and without the checkpoint
+    # each pass re-ran the KN-score read + the classifier's feature
+    # extraction from scratch.
+    joined = lm.join(qc, "doc_id").localCheckpoint()
     r1, _ = with_global_row_number(
         joined, [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
         rn_col="r1",

@@ -829,20 +829,38 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i", "s"),
     )
-    xdoc = (
-        sp.groupBy("s")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("s", F.lit(1).alias("_dup"))
+    # ONE explode pass (r16, guide §2.4): ``sp`` used to be computed twice
+    # (once for the cross-doc distinct count, once as the join probe) and
+    # the corpus-wide span stream then joined on the span STRING. Instead:
+    # partial-agg to (doc_id, s, n_occ) — map-side combined, shrinks the
+    # shuffle to distinct spans per doc — then the distinct-doc count per
+    # span is simply rows-per-s over that grid (a window count, no join),
+    # and the per-doc fold sums occurrence counts. Integer arithmetic
+    # identical: n_spans = Σ n_occ, n_dup_spans = Σ n_occ where the span
+    # occurs in ≥2 distinct docs.
+    grp = sp.groupBy("doc_id", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_occ")
+    )
+    nd = grp.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("s"))
     )
     return (
-        sp.join(xdoc, "s", "left")
-        .groupBy("doc_id")
+        nd.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.count("_dup").cast("bigint").alias("n_dup_spans"),
+            F.sum("_n_occ").cast("bigint").alias("n_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("_nd") >= 2, F.col("_n_occ"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
             F.round(
-                F.count("_dup").cast("double") / F.count(F.lit(1)), 6
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
             ).alias("dup_span_frac"),
         )
     )
