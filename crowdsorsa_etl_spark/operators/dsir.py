@@ -171,6 +171,86 @@ def dsir_scores(
     )
 
 
+def dsir_weights_onepass(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    buckets: int,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dsir_bucket_stats` + :func:`dsir_scores` fused over ONE
+    n-gram pass (r16, guide §2.4): the two-call form tokenizes and
+    explodes the corpus twice — once building the model over all docs,
+    again scoring the pool. Here the occurrence stream folds immediately
+    to a (doc_id, bucket, is_t, cnt) grid (map-side combined; ≤ min(4096,
+    grams) rows per doc — far narrower than the token stream) which is
+    materialized once and feeds BOTH the bucket model and the per-doc
+    scores. Arithmetic is identical: t_cnt/r_cnt = Σ cnt over the grid
+    slices, per-doc _fx = Σ cnt·lr_fx — exact BIGINT sums either way.
+
+    Use the two-call form when the model is FROZEN across epochs (the
+    streaming scorer); this fused form when model and scores come from
+    the same snapshot, as in llm_dsir_weights."""
+    feats = hashed_ngram_buckets(
+        docs.select(
+            F.col(id_col), F.col(text_col), target_pred.alias("_is_t")
+        ),
+        buckets=buckets,
+        text_col=text_col,
+        id_col=id_col,
+        extra_cols=["_is_t"],
+    )
+    grid = (
+        feats.groupBy("doc_id", "bucket", "_is_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    stats = grid.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("t_cnt"),
+        F.sum(F.when(F.col("_is_t"), F.lit(0)).otherwise(F.col("cnt")))
+        .cast("bigint")
+        .alias("r_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("t_cnt").cast("bigint").alias("t_total"),
+        F.sum("r_cnt").cast("bigint").alias("r_total"),
+    )
+    lam = float(smoothing)
+    lr = F.log(
+        (F.col("t_cnt") + F.lit(lam))
+        / (F.col("t_total") + F.lit(lam * buckets))
+    ) - F.log(
+        (F.col("r_cnt") + F.lit(lam))
+        / (F.col("r_total") + F.lit(lam * buckets))
+    )
+    model = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.round(lr * F.lit(FX), 0).cast("bigint").alias("lr_fx")
+    )
+    out = (
+        grid.filter(~F.col("_is_t"))
+        .join(F.broadcast(model), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.col("cnt") * F.coalesce("lr_fx", F.lit(0)))
+            .cast("bigint")
+            .alias("_fx"),
+        )
+    )
+    logratio = F.col("_fx") / F.lit(float(FX))
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round(logratio, 6).alias("logratio"),
+        F.round(logratio / F.col("n_grams"), 6).alias("avg_logratio"),
+        (F.col("_fx") > 0).alias("selected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments — the identical pipeline in SQL. All fragments
 # assume a ``documents``-shaped relation; the normalization expression is

@@ -30,7 +30,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
     reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.

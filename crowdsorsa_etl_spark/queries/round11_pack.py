@@ -563,17 +563,13 @@ def _dsir_sql() -> str:
 def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc DSIR log-likelihood-ratio importance weights of the
     non-English pool against an English target model."""
-    from crowdsorsa_etl_spark.operators.dsir import (
-        dsir_bucket_stats,
-        dsir_scores,
-    )
+    from crowdsorsa_etl_spark.operators.dsir import dsir_weights_onepass
 
     docs = _t(spark, sf_dir, "documents")
     is_t = F.coalesce(F.col("lang") == "en", F.lit(False))
-    stats = dsir_bucket_stats(docs, is_t, buckets=_DSIR_BUCKETS)
-    return dsir_scores(
-        docs.filter(~is_t), stats, buckets=_DSIR_BUCKETS
-    )
+    # fused model+score over one n-gram pass (r16, guide §2.4) — the
+    # two-call form tokenized the corpus twice; arithmetic identical
+    return dsir_weights_onepass(docs, is_t, buckets=_DSIR_BUCKETS)
 
 
 def _corpus_bleu_sql() -> str:

@@ -852,7 +852,11 @@ def llm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _fs_scored_pairs(spark, sf_dir).filter(
         F.col("fs_class") == "match"
     )
-    m = pairs.select("c_custkey", "d_custkey")
+    # materialize the match-pair set ONCE (r16, guide §2.4): ``m`` feeds
+    # the edge list AND both node-union branches — without this each
+    # reference re-ran the full F-S blocking + scoring pipeline. Match
+    # pairs are the bounded output of the blocking join.
+    m = pairs.select("c_custkey", "d_custkey").localCheckpoint()
     edges = m.select(
         (F.col("c_custkey") * 2).alias("id_a"),
         (F.col("d_custkey") * 2 + 1).alias("id_b"),
