@@ -133,8 +133,17 @@ def setsim_prefix_join(
     # pos <= n - ceil(n*p/q) + 1  <=>  n*p <= (n - pos + 1)*q
     prefix = ranked.filter(
         F.col("sz") * p <= (F.col("sz") - F.col("pos") + 1) * q
-    ).select("id", "shingle", "sz")
+    ).select("id", "shingle", "sz", "pos")
 
+    # PPJoin positional filter (Xiao et al. §3.2 — r16, guide §3): a pair
+    # matching at prefix positions (i, j) can reach overlap at most
+    # 1 + min(sa - i, sb - j); requiring that to meet the minimum overlap
+    # α = ceil(t·(sa+sb)/(1+t)) = ceil(p·(sa+sb)/(p+q)) prunes candidates
+    # BEFORE the dedup + verify. Complete: if the true overlap is ≥ α,
+    # the pair's FIRST common element satisfies the bound, so the pair
+    # always survives through that row — only redundant rows and
+    # can't-qualify pairs are dropped. Integer-exact:
+    # (1 + min(..)) · (p+q) >= p·(sa+sb).
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -142,7 +151,18 @@ def setsim_prefix_join(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
             # size filter: t*max <= min, as q*min >= p*max in int64
-            & (F.least("a.sz", "b.sz") * q >= F.greatest("a.sz", "b.sz") * p),
+            & (F.least("a.sz", "b.sz") * q >= F.greatest("a.sz", "b.sz") * p)
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.sz") - F.col("a.pos"),
+                        F.col("b.sz") - F.col("b.pos"),
+                    )
+                )
+                * (p + q)
+                >= (F.col("a.sz") + F.col("b.sz")) * p
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"),
