@@ -96,7 +96,14 @@ def profile_table(
         )
         for c in cols
     )
-    stacked = df.select(
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+    # fanout before the unpivot: a one-split local scan serializes the
+    # stack + partial aggregation (incl. the count-distinct partials) on
+    # one task — measured 2.8 s of q111's 4.0 s (r16, guide §2.2). The
+    # round-robin moves the narrower pre-stack rows and is a no-op at
+    # cluster scale.
+    stacked = cpu_fanout(df).select(
         F.expr(
             f"stack({len(cols)}, {pairs}) AS (column, value)"
         )

@@ -22,10 +22,17 @@ from crowdsorsa_etl_spark.sources.parquet import load_table
 
 
 def order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+    # cpu_fanout on the two fact scans (no-op at cluster scale): the local
+    # fixture files arrive as 1-2 splits, which serialized the units
+    # collect_list partial aggregation (2.2 s on 3 tasks) and the final
+    # per-order JSON render (1.6 s on ONE task) — measured in the r16
+    # event-log profile (guide §2.2)
+    orders = cpu_fanout(load_table(spark, "orders", sf_dir))
     customer = load_table(spark, "customer", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
-    lineitem = load_table(spark, "lineitem", sf_dir)
+    lineitem = cpu_fanout(load_table(spark, "lineitem", sf_dir))
 
     # nation (25 rows) is a true broadcast dim. customer is FACT-scale — it
     # grows with SF (~150 M rows at 100 TB), so it must NOT carry a forced

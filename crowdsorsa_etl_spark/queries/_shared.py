@@ -110,22 +110,14 @@ def _sf_cache_dir(sf_dir: str, tag: str, table: str) -> str:
 
 
 def _cpu_fanout(df):
-    """Spread CPU-bound per-row work (interpreted higher-order functions —
-    Spark never whole-stage-codegens lambda bodies) across the session's
-    cores when the scan gives fewer splits than that.
-
-    Local-fixture shape: a 1-2 MB parquet file arrives as ONE input split
-    regardless of maxPartitionBytes, so a heavy explode serializes on one
-    core. The repartition moves only the tiny input (round-robin, result
-    sets are order-insensitive) and unlocks n-way parallelism. At cluster
-    scale the scan already has >= defaultParallelism splits and this is an
-    exact no-op — it can never coalesce or add a shuffle to a big input.
+    """Spread CPU-bound per-row work across the session's cores when the
+    scan gives fewer splits — canonical implementation and rationale in
+    operators/fanout.cpu_fanout (r16: promoted to an operator so the
+    similarity/PQ/flagship tiers can use it without a layering violation).
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+    return cpu_fanout(df)
 
 
 # normalization used by both the LLM pack and the curation funnels

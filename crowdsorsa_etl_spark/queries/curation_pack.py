@@ -381,10 +381,15 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-pairs table is materialized once (localCheckpoint) and the
     # eval side derives from it (distinct-of-distinct and filter-on-doc_id
     # commute, so both sides are row-identical to the old plan).
+    from crowdsorsa_etl_spark.queries._shared import _cpu_fanout
+
+    # _cpu_fanout before the explode: the one-split documents scan ran
+    # the interpreted shingle HOF + the distinct's partial aggregation on
+    # ONE task — 6.2 s of the query's cold 10.6 s profile (r16, guide
+    # §2.2); round-robin is a no-op at cluster scale
     pairs = (
-        docs.select(
-            "doc_id", F.explode(shingles(F.col("text"), 5)).alias("s")
-        )
+        _cpu_fanout(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("s"))
         .distinct()
         .localCheckpoint()
     )

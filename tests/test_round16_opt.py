@@ -101,3 +101,34 @@ class TestGlobalCumsumMulti:
             spark.conf.unset(_KS_GRID_CONF)
         assert got_window == want
         assert got_twophase == want
+
+
+class TestCpuFanout:
+    """operators/fanout.cpu_fanout (r16 batch 6): the scan-parallelism
+    repair must widen a narrow input to defaultParallelism, leave an
+    already-parallel input untouched, and never change row contents —
+    the invariants the q111/contamination/flagship call sites rely on."""
+
+    def test_widens_narrow_input(self, spark):
+        from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+        df = spark.range(0, 1000).coalesce(1).select(
+            F.col("id"), (F.col("id") % 13).alias("k")
+        )
+        out = cpu_fanout(df)
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        assert sorted(tuple(r) for r in out.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    def test_noop_when_already_parallel(self, spark):
+        from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 1000, 1, target + 4)
+        out = cpu_fanout(df)
+        # must not coalesce and must not insert a repartition
+        assert out is df

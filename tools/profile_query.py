@@ -35,6 +35,8 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1000).count()  # warm the session
@@ -51,12 +53,23 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # ---- replay the event log ----------------------------------------
+    # ---- replay the event log (flat file or rolling v2 directory) -----
     path = os.path.join(log_dir, app_id)
+    if not os.path.exists(path):
+        path = os.path.join(log_dir, f"eventlog_v2_{app_id}")
+    if os.path.isdir(path):
+        lines: list[str] = []
+        for f in sorted(os.listdir(path)):
+            if "events" in f:
+                with open(os.path.join(path, f)) as fh:
+                    lines.extend(fh)
+    else:
+        with open(path) as fh:
+            lines = list(fh)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in lines:
             ev = json.loads(line)
             k = ev.get("Event")
             if k == "SparkListenerJobStart":
