@@ -262,17 +262,25 @@ def pack_token_sequences(
 
     Distributed shape: the document offset comes from
     ``with_global_cumsum`` (range exchange + bounded per-partition offset
-    fold — no single-partition window), token positions are
-    ``offset + posexplode index`` (pure codegen), and the regroup by
-    ``seq_id`` is one key-partitioned exchange whose groups are bounded at
-    ``max_len`` rows. No stage sees more than a partition of the stream;
-    at 100 TB this is exactly two key-partitioned shuffles over the token
-    stream.
+    fold — no single-partition window); each doc then emits ONE CHUNK ROW
+    per training sequence it touches (``ceil(n/max_len)+1`` rows at most —
+    ``F.sequence`` over the touched seq-id interval plus a codegen
+    ``slice``), and the regroup by ``seq_id`` is one key-partitioned
+    exchange over CHUNK ARRAYS. The exchange carries the same token bytes
+    as a per-token explode but ~``max_len``× fewer rows (r16: the earlier
+    posexplode form shuffled one 30+-byte row per 4-byte token — per-row
+    framing dominated the shuffle). Within a sequence chunks are disjoint
+    intervals, so sorting by the chunk's global start position and
+    flattening reproduces the exact per-token order; ``seq_len`` is the
+    sum of chunk sizes — both provably identical to the per-token form.
+    At 100 TB this is exactly two shuffles over the token stream, both
+    array-framed.
     """
     from crowdsorsa_etl_spark.operators.global_rank import with_global_cumsum
 
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1; got {max_len}")
+    m = int(max_len)
     stream = df.withColumn(
         "_ids",
         F.concat(F.col(ids_col), F.array(F.lit(int(eos_id))))
@@ -280,24 +288,44 @@ def pack_token_sequences(
         else F.col(ids_col),
     ).withColumn("_n", F.size("_ids").cast("bigint"))
     cum = with_global_cumsum(stream, order_cols, "_n", cum_col="_cum")
-    tok = cum.select(
-        (F.col("_cum") - F.col("_n")).alias("_off"),
-        F.posexplode("_ids").alias("_pos", "_id"),
-    ).select(
-        (F.col("_off") + F.col("_pos")).alias("_gpos"), F.col("_id")
+    # zero-token docs occupy no stream positions (possible with
+    # eos_id=None): the seq-id interval would invert and F.sequence
+    # DESCEND, so they are filtered exactly as in sequence_provenance
+    off = cum.filter(F.col("_n") >= 1).select(
+        (F.col("_cum") - F.col("_n")).alias("_off"), "_ids", "_n"
+    )
+    spanned = off.select(
+        "_off",
+        "_ids",
+        "_n",
+        # integer DIV, not floor(double /): exact past 2^53 tokens
+        F.explode(
+            F.sequence(
+                F.expr(f"_off DIV {m}"), F.expr(f"(_off + _n - 1) DIV {m}")
+            )
+        ).alias("seq_id"),
+    )
+    # this doc's token sub-range [_s, _e) landing in sequence seq_id
+    s_ix = F.greatest(F.lit(0), F.col("seq_id") * m - F.col("_off"))
+    e_ix = F.least(F.col("_n"), (F.col("seq_id") + 1) * m - F.col("_off"))
+    chunks = spanned.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (F.col("_off") + s_ix).alias("_gstart"),
+        F.slice(
+            "_ids", (s_ix + 1).cast("int"), (e_ix - s_ix).cast("int")
+        ).alias("_chunk"),
     )
     return (
-        tok.groupBy(
-            # integer DIV, not floor(double /): exact past 2^53 tokens
-            F.expr(f"_gpos DIV {int(max_len)}").cast("bigint").alias("seq_id")
-        )
+        chunks.groupBy("seq_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("seq_len"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("_gpos", "_id"))
-                ),
-                lambda s: s["_id"],
+            F.sum(F.size("_chunk")).cast("int").alias("seq_len"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_gstart", "_chunk"))
+                    ),
+                    lambda s: s["_chunk"],
+                )
             ).alias(seq_ids_col),
         )
         .select("seq_id", "seq_len", seq_ids_col)

@@ -74,13 +74,20 @@ def unigram_seed_vocab(
     id_col: str = "doc_id",
     max_piece_len: int = MAX_PIECE_LEN,
     min_count: int = MIN_COUNT,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, cnt): every substring of length ≤ ``max_piece_len`` of any
     corpus word, weighted by word occurrences × OVERLAPPING in-word
     occurrences; pruned to ``cnt >= min_count`` EXCEPT single characters,
     which always survive (segmentation must stay feasible for every corpus
-    word). The explode runs over distinct words, never the corpus."""
-    wc = word_counts(docs, text_col=text_col, id_col=id_col)
+    word). The explode runs over distinct words, never the corpus.
+
+    ``wc`` optionally supplies a precomputed :func:`word_counts` table
+    (r16: the trainer materializes the dictionary once and shares it
+    across the seed pass and every EM round — the corpus is scanned
+    exactly once per train call)."""
+    if wc is None:
+        wc = word_counts(docs, text_col=text_col, id_col=id_col)
     w = F.col("w")
     # all (start, len) windows as an array of substrings, via HOFs
     starts = F.sequence(F.lit(1), F.length(w))
@@ -221,18 +228,28 @@ def unigram_em_counts(
     id_col: str = "doc_id",
     max_piece_len: int = MAX_PIECE_LEN,
     enum_max_len: int | None = ENUM_MAX_LEN,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, new_cnt): hard-EM count re-estimation — each corpus word
     occurrence contributes its Viterbi pieces. One groupBy over the
-    (distinct-word × piece) explode weighted by word counts."""
-    wtoks = docs.select(
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
-    ).filter(F.length("w") > 0)
-    if enum_max_len is not None:
-        wtoks = wtoks.filter(F.length("w") <= enum_max_len)
-    wc = wtoks.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    (distinct-word × piece) explode weighted by word counts.
+
+    ``wc`` optionally supplies a precomputed :func:`word_counts` table;
+    the length filter moves after the (per-word deterministic) count, so
+    the (w, cnt) rows are identical either way."""
+    if wc is None:
+        wtoks = docs.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w")
+        ).filter(F.length("w") > 0)
+        if enum_max_len is not None:
+            wtoks = wtoks.filter(F.length("w") <= enum_max_len)
+        wc = wtoks.groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    elif enum_max_len is not None:
+        wc = wc.filter(F.length("w") <= enum_max_len)
     segs = segment_words(wc.select("w"), costs, max_piece_len=max_piece_len)
     pieces = wc.join(segs, "w").select(
         F.explode(F.split("seg", " ")).alias("piece"), "cnt"
@@ -490,7 +507,12 @@ def unigram_train(
     ``floor(n · α)`` is exact in both engines' doubles — the SQL oracle
     replays the prune with the identical floor.
 
-    Scale shape: each round is ONE distributed E-step (the memoized
+    Scale shape: the corpus is scanned and word-aggregated exactly ONCE
+    per train call — the (w, cnt) dictionary (Zipf-bounded) materializes
+    via ``localCheckpoint`` and feeds the seed pass and every EM round
+    (r16: the earlier form re-ran the corpus explode + word groupBy per
+    round, 1 + n_rounds full corpus passes for identical dictionaries).
+    Each round is then ONE distributed E-step over the dictionary (the
     per-distinct-word Viterbi mapInPandas + a piece-count groupBy) plus a
     vocabulary-sized collect — the BPE-driver-loop contract. n_rounds is
     a small constant (SentencePiece defaults to shrinking to target size
@@ -503,6 +525,7 @@ def unigram_train(
     if not (0.0 <= prune_alpha < 1.0):
         raise ValueError(f"prune_alpha must be in [0, 1), got {prune_alpha}")
     spark = docs.sparkSession
+    wc = word_counts(docs, text_col=text_col, id_col=id_col).localCheckpoint()
     vocab = {
         r["piece"]: r["cnt"]
         for r in unigram_seed_vocab(
@@ -511,6 +534,7 @@ def unigram_train(
             id_col=id_col,
             max_piece_len=max_piece_len,
             min_count=min_count,
+            wc=wc,
         ).collect()
     }
     chars = {p for p in vocab if len(p) == 1}
@@ -527,6 +551,7 @@ def unigram_train(
                 id_col=id_col,
                 max_piece_len=max_piece_len,
                 enum_max_len=enum_max_len,
+                wc=wc,
             ).collect()
         }
         multi = sorted(

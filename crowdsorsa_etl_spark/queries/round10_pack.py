@@ -151,7 +151,13 @@ def _encoded_ids(spark: SparkSession, sf_dir: str):
         "ids.parquet",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = _t(spark, sf_dir, "documents")
+        from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+        # the small-fixture scan arrives as ONE split and the per-doc
+        # tokenize/md5 chain is CPU-bound — widen before the encode so the
+        # cold build runs at session parallelism (r16 batch 6 posture;
+        # no-op at cluster scale)
+        docs = cpu_fanout(_t(spark, sf_dir, "documents"))
         bpe_encode_ids(
             docs, merges, vocab, ids_col="token_ids"
         ).write.mode("overwrite").parquet(path)

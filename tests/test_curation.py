@@ -180,6 +180,25 @@ class TestPackTokenSequences:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
 
+    def test_one_doc_spans_many_sequences(self, spark):
+        """r16 chunk-shuffle form: a single doc emits one chunk row per
+        touched sequence — a 12-token doc over max_len=4 must land intact
+        across exactly 3 full sequences."""
+        docs = [(0, list(range(100, 112)))]
+        got = self._pack(spark, docs, max_len=4)
+        assert got == {
+            0: (4, [100, 101, 102, 103]),
+            1: (4, [104, 105, 106, 107]),
+            2: (4, [108, 109, 110, 111]),
+        }
+
+    def test_zero_token_doc_without_eos(self, spark):
+        """With eos_id=None a zero-token doc occupies no stream positions
+        (the F.sequence bounds would invert without the _n >= 1 guard)."""
+        docs = [(0, [1, 2]), (1, []), (2, [3, 4, 5])]
+        got = self._pack(spark, docs, max_len=3)
+        assert got == {0: (3, [1, 2, 3]), 1: (2, [4, 5])}
+
     def test_guard(self, spark):
         import pytest
 
