@@ -431,12 +431,16 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
     cosine of vectors to their own list centroid; compare against the
     numbers recorded at build time to decide when frozen artifacts have
     aged out. One pruned-column scan + a broadcast join — no Python."""
-    cent = spark.read.parquet(path.rstrip("/") + "/_centroids")
+    # centroid norm hoisted onto the broadcast side: one fold per LIST,
+    # not one per index row (value identical — same fold, same array)
+    cent = spark.read.parquet(path.rstrip("/") + "/_centroids").withColumn(
+        "_cn", l2_norm(F.col("centroid"))
+    )
     index = spark.read.parquet(path).select("list_id", "embedding")
     joined = index.join(F.broadcast(cent), "list_id")
     cos = F.round(
         dot(F.col("embedding"), F.col("centroid"))
-        / (l2_norm(F.col("embedding")) * l2_norm(F.col("centroid"))),
+        / (l2_norm(F.col("embedding")) * F.col("_cn")),
         6,
     )
     return (

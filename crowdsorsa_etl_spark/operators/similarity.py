@@ -827,14 +827,21 @@ def ivf_topk(
     ).withColumn("_qn", l2_norm(F.col("_qv")))
 
     cand = (
-        assigned.join(F.broadcast(probe_df), "list_id")
+        # corpus-side norm hoisted BELOW the probe joins: the interpreted
+        # dim-length fold evaluates once per corpus vector, and every
+        # (query, candidate) pair the joins fan it into reuses the value —
+        # a deterministic function of the vector, so bit-identical to the
+        # per-pair form (r16; the same hoist embedding_cosine_pairs_lsh
+        # documents)
+        assigned.withColumn("_nn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probe_df), "list_id")
         .join(F.broadcast(q_df), "query_id")
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn(
             "cosine",
             F.round(
                 dot(F.col(vec_col), F.col("_qv"))
-                / (l2_norm(F.col(vec_col)) * F.col("_qn")),
+                / (F.col("_nn") * F.col("_qn")),
                 6,
             ),
         )
@@ -916,14 +923,17 @@ def ivf_topk_curve(
     ).withColumn("_qn", l2_norm(F.col("_qv")))
 
     scored = (
-        assigned.join(F.broadcast(probe_df), "list_id")
+        # corpus-side norm hoisted below the probe joins (see ivf_topk):
+        # one fold per corpus vector, not one per (query, candidate) pair
+        assigned.withColumn("_nn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probe_df), "list_id")
         .join(F.broadcast(q_df), "query_id")
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn(
             "cosine",
             F.round(
                 dot(F.col(vec_col), F.col("_qv"))
-                / (l2_norm(F.col(vec_col)) * F.col("_qn")),
+                / (F.col("_nn") * F.col("_qn")),
                 6,
             ),
         )
@@ -1031,14 +1041,16 @@ def ivf_query_index(
     # the isin filter is a PARTITION filter: only probed directories scan
     index = spark.read.parquet(path).filter(F.col("list_id").isin(probed_lists))
     cand = (
-        index.join(F.broadcast(probe_df), "list_id")
+        # corpus-side norm hoisted below the probe joins (see ivf_topk)
+        index.withColumn("_nn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probe_df), "list_id")
         .join(F.broadcast(q_df), "query_id")
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn(
             "cosine",
             F.round(
                 dot(F.col(vec_col), F.col("_qv"))
-                / (l2_norm(F.col(vec_col)) * F.col("_qn")),
+                / (F.col("_nn") * F.col("_qn")),
                 6,
             ),
         )
