@@ -67,7 +67,17 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shingle) DISTINCT rows: word ``shingle_k``-grams of the shared
     normalized text. Docs with fewer than ``shingle_k`` tokens produce no
-    rows (they have no k-shingle set to compare)."""
+    rows (they have no k-shingle set to compare).
+
+    The normalize regex + per-shingle slice/concat chain is CPU-bound and
+    partly interpreted; a small fixture arrives as ONE scan split, which
+    serialized the whole shingle pass on one task (r16: 7.7 s of a 21 s
+    cold llm_setsim_join profile) — widen first (``cpu_fanout`` is a
+    no-op whenever the scan already yields session parallelism, i.e. at
+    cluster scale)."""
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+    df = cpu_fanout(df.select(F.col(id_col), F.col(text_col)))
     toks = F.split(_norm(F.col(text_col)), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(shingle_k - 1))
     return (

@@ -324,8 +324,14 @@ def wordpiece_token_ids(
             ),
         ).alias("_wids"),
     )
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+    # the normalize+posexplode+join probe is CPU-bound per doc and the
+    # small-fixture scan is one split — widen first (no-op at cluster
+    # scale; r16: this stage ran 2.3 s on one task)
     docw = (
-        df.select(
+        cpu_fanout(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.posexplode(F.split(_norm(F.col(text_col)), " ")).alias(
                 "pos", "w"
