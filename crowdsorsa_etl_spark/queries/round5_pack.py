@@ -81,6 +81,14 @@ def q88_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # materialize ONCE (guide §3.3): the driving side and the NOT
+        # EXISTS branch both consume `late`, and the optimizer pushes the
+        # semi join below the driving side's distinct — the two dedup
+        # exchanges are then non-identical, so AQE stage reuse cannot
+        # serve them and the lineitem⋈orders join ran twice (r16 profile:
+        # two same-sized stages). Bounded by distinct (order, supplier)
+        # pairs; at 100 TB recomputing it is a full extra fact-table join.
+        .localCheckpoint()
     )
     all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
 
