@@ -408,6 +408,33 @@ def _calibration_summary(probes: list[dict]) -> dict:
     }
 
 
+def _contention_flag(runs: list[float], pin_wall: float | None) -> bool:
+    """True when a query's measured runs look load-contaminated.
+
+    Two triggers (VERDICT r14 #5, r16 next-#3):
+
+    * within-run spread — any NON-FIRST run past 3× the query's best time
+      (this run's min, or the env-scaled pin when available). Run 0 is
+      exempt: a cold first run is JIT/page-cache, priced in by min-of-3.
+    * uniform load — even the BEST run exceeds 2× the env-scaled pin by a
+      material margin. When all runs are equally inflated the spread test
+      never fires, so a steadily loaded box shipped un-annotated phantoms
+      (llm_matryoshka_audit read 12.04 s at 32 cores, 1.17 s on the same
+      code at 8 cores 15 minutes later).
+
+    ``pin_wall`` is the pinned idle-box calibrated time already scaled to
+    this box's current env_factor (raw-vs-raw comparison, ADVICE r15).
+    """
+    best = min(runs + ([pin_wall] if pin_wall is not None else []))
+    spread = max(runs[1:]) > 3 * best and max(runs[1:]) - best > 0.75
+    uniform = (
+        pin_wall is not None
+        and min(runs) > 2 * pin_wall
+        and min(runs) - pin_wall > 0.75
+    )
+    return spread or uniform
+
+
 def _release_storage(spark) -> None:
     """Free every lingering storage block between timed runs.
 
@@ -530,23 +557,13 @@ def main() -> None:
             _release_storage(spark)  # outside the timed region
         timings[name] = min(runs)
         spreads[name] = runs
-        # contention flag: any NON-FIRST run past 3× the query's best
-        # time (this run's min, or the pinned idle-box time when
-        # available) is transient load, not the plan — surfaced so a bad
-        # number reads as "contended", never as a code regression
-        # (VERDICT r14 #5). Run 0 is exempt: a cold first run is
-        # JIT/page-cache, priced in by min-of-3. Pinned values are
-        # CALIBRATED reference-box seconds; runs are raw walls on THIS
-        # box — scale the pin by the most recent probe's env_factor so
-        # the comparison is raw-vs-raw (ADVICE r15: on a loaded box the
-        # unscaled pin sat below any achievable wall and spuriously
-        # flagged queries).
+        # contention flag: see _contention_flag — a bad number must read
+        # as "contended", never as a code regression, and a uniformly
+        # loaded box must not escape the annotation either
         env_now = probes[-1]["env_factor"]
-        best = min(
-            [timings[name]]
-            + ([pinned[name] * env_now] if name in pinned else [])
+        flag = _contention_flag(
+            runs, pinned[name] * env_now if name in pinned else None
         )
-        flag = max(runs[1:]) > 3 * best and max(runs[1:]) - best > 0.75
         if flag:
             contended.append(name)
         pin_note = (
@@ -631,6 +648,23 @@ def main() -> None:
     with open(os.path.join(hist, f"bench_{stamp}_{fp8}_sf{sf}.json"),
               "w") as fh:
         fh.write(json.dumps(full) + "\n")
+    # Per-query timings in a fixed-name sidecar the driver/judge can read
+    # without bench_history archaeology (VERDICT r16 next-#8: PERF r16's
+    # per_query came up empty because the one-line JSON had degraded to
+    # the no-"queries" fallback). Written BEFORE the stdout line so the
+    # line's "queries_file" pointer is always valid.
+    queries_file = "BENCH_QUERIES.json"
+    with open(os.path.join(repo, queries_file), "w") as fh:
+        fh.write(json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
+                "sf": sf_val,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "source_fingerprint": fingerprint,
+                "queries": timings,
+            }
+        ) + "\n")
     # The driver captures only the last ~2000 chars of stdout; the full
     # summary outgrew that in rounds 5-6 ("parsed": null). Emit a compact
     # stdout line — per-query timings but NO per-run spreads — and degrade
@@ -653,7 +687,8 @@ def main() -> None:
              "calibration": slim_cal,
              "unit": "sec", "n_queries": len(timings), "sf": sf_val,
              "n_contended": len(contended),
-             "detail": "BENCH_SELF.json"},
+             "detail": "BENCH_SELF.json",
+             "queries_file": queries_file},
             separators=(",", ":"),
         )
     # stop Spark BEFORE printing: nothing (JVM shutdown chatter included)

@@ -58,7 +58,14 @@ def with_global_row_number(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        # lazy: the counts job below is the first action, so it both
+        # computes and persists the blocks in one pass — an eager
+        # checkpoint would add a separate materialize job plus a full
+        # read-back (VERDICT r16 next-#9: the barrier cost repeated
+        # across every sketch/rank caller is long-tail fixed cost).
+        # Determinism is unchanged: blocks are computed exactly once,
+        # and the output job reads those same blocks.
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
     local_rn = F.col("_mid").bitwiseAND(F.lit((1 << _MID_SEQ_BITS) - 1)) + 1
@@ -157,7 +164,9 @@ def with_global_cumsum(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        # lazy for the same reason as with_global_row_number: the sums
+        # job materializes the blocks, the output job re-reads them
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
 
@@ -224,7 +233,9 @@ def with_global_cumsum_multi(
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        # lazy for the same reason as with_global_row_number: the sums
+        # job materializes the blocks, the output job re-reads them
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftrightunsigned("_mid", _MID_SEQ_BITS)
 

@@ -287,9 +287,8 @@ def llm_kll_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded-aggregate window: cum runs over SKETCH CELLS (O(k log n)
     # rows), never corpus data — the single partition is sketch-sized
-    bounds = sorted(
-        r["bv"]
-        for r in cum.crossJoin(
+    bound_rows = (
+        cum.crossJoin(
             F.broadcast(
                 spark.range(1, B).select(F.col("id").alias("b"))
             )
@@ -301,14 +300,19 @@ def llm_kll_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cw") * B >= F.col("b") * F.col("total"),
                     F.col("value"),
                 )
-            ).alias("bv")
+            ).alias("bv"),
+            F.min("total").alias("_n"),
         )
         .collect()
     )
+    bounds = sorted(r["bv"] for r in bound_rows)
     bucket = sum(
         (F.col("cents") > F.lit(int(bv))).cast("int") for bv in bounds
     ).alias("bucket")
-    n = li.count()
+    # total sketch weight == n exactly (weight conservation, the KLL
+    # invariant pinned in tests) — read it off the bounds collect instead
+    # of paying a separate lineitem count scan
+    n = int(bound_rows[0]["_n"])
     return (
         li.select(bucket)
         .groupBy("bucket")

@@ -35,6 +35,28 @@ def test_calibration_summary_is_probe_mean():
     assert s["cpu_probe_sec"] == 0.55
 
 
+def test_contention_flag_spread():
+    # a transient 3x+ spike in a non-first run flags
+    assert bench._contention_flag([1.0, 1.1, 4.5], None)
+    # run 0 is exempt (cold JIT/page-cache)
+    assert not bench._contention_flag([4.5, 1.0, 1.1], None)
+    # sub-0.75s absolute deltas never flag (tiny-query noise)
+    assert not bench._contention_flag([0.1, 0.1, 0.5], None)
+
+
+def test_contention_flag_uniform_load():
+    # VERDICT r16 next-#3: all three runs equally inflated vs the
+    # env-scaled pin — the spread test is blind to this, the pin is not
+    assert bench._contention_flag([12.0, 12.1, 12.2], 1.2)
+    # at-or-under 2x the pin stays unflagged (honest slow code must NOT
+    # hide behind the contention annotation)
+    assert not bench._contention_flag([2.3, 2.3, 2.4], 1.2)
+    # without a pin the uniform trigger cannot fire
+    assert not bench._contention_flag([12.0, 12.1, 12.2], None)
+    # material-margin guard: 2x of a tiny pin is still noise
+    assert not bench._contention_flag([0.5, 0.5, 0.5], 0.2)
+
+
 def test_perf_gate_passes_within_2x(tmp_path, monkeypatch):
     from round_close import check_perf_gate
     import round_close

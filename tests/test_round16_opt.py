@@ -52,17 +52,11 @@ class TestGlobalCumsumMulti:
         assert totals == [sums[0], sums[1]]
 
     def test_q121_twophase_has_no_partitionless_window(self, spark):
-        """Under the scale conf the q121 plan must carry NO unpartitioned
+        """The DEFAULT q121 plan (no conf set) must carry NO unpartitioned
         window — the grid cumsum runs through the two-phase range-sort
-        machinery."""
-        from crowdsorsa_etl_spark.queries.round18_pack import _KS_GRID_CONF
-
-        spark.conf.set(_KS_GRID_CONF, "twophase")
-        try:
-            df = QUERIES["q121_ks_drift"](spark, SF_DIR)
-            plan = df._jdf.queryExecution().optimizedPlan()
-        finally:
-            spark.conf.unset(_KS_GRID_CONF)
+        machinery (VERDICT r16 next-#4: twophase is now the default)."""
+        df = QUERIES["q121_ks_drift"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan()
 
         def walk(node):
             name = node.getClass().getSimpleName()
@@ -87,13 +81,15 @@ class TestGlobalCumsumMulti:
             f"'{SF_DIR}/documents.parquet'"
         )
         want = sorted(con.execute(ORACLES["q121_ks_drift"]).fetchall())
-        got_window = sorted(
+        # default path (twophase since r17)
+        got_twophase = sorted(
             tuple(r)
             for r in QUERIES["q121_ks_drift"](spark, SF_DIR).collect()
         )
-        spark.conf.set(_KS_GRID_CONF, "twophase")
+        # escape-hatch path (bounded-grid single window)
+        spark.conf.set(_KS_GRID_CONF, "window")
         try:
-            got_twophase = sorted(
+            got_window = sorted(
                 tuple(r)
                 for r in QUERIES["q121_ks_drift"](spark, SF_DIR).collect()
             )
