@@ -18,6 +18,21 @@ than silently picking a local path that would be wrong on a cluster.
 Single-shot materializations (audit capture, bucket tables reused within one
 job) keep plain localCheckpoint: re-running the whole short job on executor
 loss is acceptable there, and reliable checkpoints would double their I/O.
+
+Eager vs lazy (r17, measured): ``localCheckpoint(eager=False)`` removes
+the barrier job + full block read-back, and the block manager's
+per-block get-or-compute lock keeps results identical when several
+stages race for the blocks. But a same-session A/B across 13 headline
+queries showed lazy SLOWER at 11 of the multi-reference sites (+0.2 to
++0.9 s — the first consumer is typically a broadcast-exchange build,
+whose block-locked materialization serializes against the other probe
+stages), and faster only where the first consumer is a driver-side
+collect that owns the whole job (global_rank's offsets collect, the
+minhash signature pin). Default stays EAGER for multi-reference pins;
+use lazy only where the first consumer is a full-parallelism collect.
+Never make ``truncate_lineage`` lazy: pagerank's loop has no
+per-iteration action, so lazy checkpoints there would never fire and
+the final job would re-run the whole iteration lineage.
 """
 
 from __future__ import annotations
