@@ -530,12 +530,22 @@ def embedding_cosine_pairs_lsh(
     """
     # materialize buckets once — the a/b sides of the self-join would each
     # re-run the projection UDF otherwise
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             srp_buckets_arrow(F.col(vec_col), dim, n_tables, n_bits)
         ).alias("table", "bucket"),
     ).localCheckpoint()
+    # widen the CHECKPOINTED bucket table (fixed-width rows, no vectors)
+    # so the banded self-join + pair dedup probe in parallel instead of
+    # on the scan's split count — at fixture scale the embeddings file is
+    # one split and the whole join ran on one task. This is NOT the r16
+    # reverted experiment (fanout BEFORE the SRP projection, which paid a
+    # shuffle+sort of the vectors ahead of the UDF); the widen here moves
+    # |ids|*n_tables short rows once, after the UDF already ran.
+    bucketed = cpu_fanout(bucketed)
 
     a = bucketed.alias("a")
     b = bucketed.alias("b")
