@@ -182,8 +182,16 @@ def bpe_learn_merges(
             f"max_vocab_words must be >= 1, got {max_vocab_words}"
         )
 
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
+    # widen the narrow scan before the normalize+split+explode map side
+    # (event-log profile: 2.0 s on ONE task at fixture scale; no-op at
+    # cluster scale). Unlike unigram's word_counts — where the same
+    # fanout measured slower and was reverted in r16 — this map side
+    # carries the full _norm regex chain and dominated the learn's wall.
     words = (
-        df.select(
+        cpu_fanout(df.select(F.col(text_col)))
+        .select(
             F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word")
         )
         .filter(F.length("word") > 0)

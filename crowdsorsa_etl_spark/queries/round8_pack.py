@@ -812,14 +812,20 @@ def q105_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert index per order over (custkey, order-day), 2^16 grid."""
     from crowdsorsa_etl_spark.operators.zorder import hilbert_value
 
+    from crowdsorsa_etl_spark.operators.fanout import cpu_fanout
+
     orders = _t(spark, sf_dir, "orders")
     x = F.col("o_custkey").bitwiseAND(F.lit(65535))
     y = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
     ).bitwiseAND(F.lit(65535))
-    return orders.select(
-        "o_orderkey", hilbert_value(x, y, bits=16).alias("h")
-    )
+    # the 16-level aggregate() fold is an interpreted HOF (lambdas never
+    # enter whole-stage codegen) — widen the narrow scan first so the
+    # per-row curve walk runs at session parallelism (no-op at cluster
+    # scale; the r16 batch-6 pattern)
+    return cpu_fanout(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    ).select("o_orderkey", hilbert_value(x, y, bits=16).alias("h"))
 
 
 # ===========================================================================
